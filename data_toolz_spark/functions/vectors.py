@@ -1,0 +1,42 @@
+"""Vector math over ``array<float|double>`` columns — pure JVM-side.
+
+Everything here is built from Spark's higher-order array functions
+(``zip_with``, ``aggregate``, ``transform``) so the hot path stays
+inside whole-stage codegen: no Python UDFs, no serialization boundary,
+and Catalyst can still prune/push around these expressions.
+
+All arithmetic is done in DOUBLE regardless of the input element type so
+results are reproducible against any double-precision oracle (the
+driver's DuckDB check) and stable across float32 storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column | str) -> Column:
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return col.cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential left fold, double)."""
+    products = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(vec: Column | str) -> Column:
+    """√Σ vᵢ² — the vector's Euclidean length."""
+    squares = F.transform(_as_double(vec), lambda x: x * x)
+    return F.sqrt(F.aggregate(squares, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is zero."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+__all__ = ["dot_product", "l2_norm", "cosine_similarity"]
