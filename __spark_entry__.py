@@ -146,18 +146,228 @@ def proj_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Filter DSL qids (SURVEY §2.4) — typed columns + JSON payload on events.
+# Rows exclude ts (nano-precision timestamps normalize differently across
+# engines); event_id is the natural row identity.
+# ---------------------------------------------------------------------------
+
+_EVENT_COLS = ("event_id", "user_id", "event_type", "value", "props")
+_EVENT_SQL_COLS = "event_id, user_id, event_type, value, props"
+
+
+def _events_filtered(spark, sf_dir, spec) -> DataFrame:
+    events = load(spark, sf_dir, "events").select(*_EVENT_COLS)
+    return Filter(spec).apply(events)
+
+
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: scalar equality criterium."""
+    return _events_filtered(spark, sf_dir, [{"event_type": ["click"]}])
+
+
+def filter_is_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: None criterium matches present-but-null; ORed with an
+    equality so the result is non-trivial on null-free test data."""
+    return _events_filtered(
+        spark, sf_dir, [{"value": [None]}, {"event_type": ["signup"]}]
+    )
+
+
+def filter_anything_but(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: negated membership with reference null semantics."""
+    return _events_filtered(
+        spark, sf_dir, [{"event_type": [{"anything-but": ["click", "view"]}]}]
+    )
+
+
+def filter_numeric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: single [op, ref] pair."""
+    return _events_filtered(spark, sf_dir, [{"value": [{"numeric": [">=", 400]}]}])
+
+
+def filter_numeric_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: multi-pair chain ANDed pairwise ([>, a, <=, b])."""
+    return _events_filtered(
+        spark, sf_dir, [{"value": [{"numeric": [">", 10, "<=", 50]}]}]
+    )
+
+
+def filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: string startswith criterium."""
+    return _events_filtered(spark, sf_dir, [{"event_type": [{"prefix": "s"}]}])
+
+
+def filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: OR across the top-level filter list."""
+    return _events_filtered(
+        spark,
+        sf_dir,
+        [{"event_type": ["click"]}, {"value": [{"numeric": [">", 480]}]}],
+    )
+
+
+def filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: presence test on JSON payload keys ('k' exists, ghost absent)."""
+    events = load(spark, sf_dir, "events").select(*_EVENT_COLS)
+    flt = Filter([{"k": [{"exists": True}], "ghost": [{"exists": False}]}])
+    return events.filter(flt.column(mode="json", json_column="props"))
+
+
+def filter_nested_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: nested-path criteria (JSON mode) ANDed with a typed
+    column criterium — two compiled predicates composed."""
+    events = load(spark, sf_dir, "events").select(*_EVENT_COLS)
+    typed = Filter([{"event_type": ["purchase"]}])
+    nested = Filter([{"k": [{"numeric": [">=", 50]}]}])
+    return events.filter(typed.column(schema=events.schema)).filter(
+        nested.column(mode="json", json_column="props")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataIO round-trip qids (SURVEY §2.1/2.2) — write to a temp dir with the
+# engine's writer, re-read with the engine's reader, aggregate, compare
+# against the oracle computed from the ORIGINAL table: verifies the write
+# and the read are jointly lossless.
+# ---------------------------------------------------------------------------
+
+_RT_AGG_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*)                      AS n_rows,
+  SUM(l_orderkey)               AS sum_key,
+  ROUND(SUM(l_quantity), 2)     AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_key"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _rt_subset(spark, sf_dir) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_quantity"
+    )
+
+
+def scan_dsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/W2 (+gzip S4/W4): stringly-typed TSV round trip."""
+    import tempfile
+
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    path = tempfile.mkdtemp(prefix="dtz_dsv_") + "/t"
+    io.write(_rt_subset(spark, sf_dir), path, filetype="dsv", gzip=True)
+    back = io.read(spark, path, filetype="dsv")
+    return _roundtrip_agg(
+        back.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )
+
+
+def scan_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/W3: line-delimited JSON round trip (types preserved)."""
+    import tempfile
+
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    path = tempfile.mkdtemp(prefix="dtz_jsonl_") + "/t"
+    io.write(_rt_subset(spark, sf_dir), path, filetype="jsonlines")
+    back = io.read(spark, path, filetype="jsonlines")
+    return _roundtrip_agg(back)
+
+
+def part_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: hive-partitioned write + partition-discovery read."""
+    import tempfile
+
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    path = tempfile.mkdtemp(prefix="dtz_part_") + "/t"
+    io.write(
+        _rt_subset(spark, sf_dir),
+        path,
+        partition_by=["l_returnflag", "l_linestatus"],
+    )
+    return _roundtrip_agg(io.read(spark, path))
+
+
+def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/R4: chunked write — exactly len(suffix) files per partition."""
+    import os
+    import tempfile
+
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    path = tempfile.mkdtemp(prefix="dtz_chunk_") + "/t"
+    io.write(
+        _rt_subset(spark, sf_dir),
+        path,
+        partition_by=["l_returnflag"],
+        suffix=["c0", "c1", "c2"],
+    )
+    rows = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("l_returnflag="):
+            n = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(path, entry))
+                    if f.startswith("part-")
+                ]
+            )
+            rows.append((entry.split("=", 1)[1], n))
+    return spark.createDataFrame(rows, "l_returnflag string, n_files bigint")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # flagship + relational parity
         "q1_pricing_summary": q1_pricing_summary,
         "scan_parquet": scan_parquet,
         "part_distinct": part_distinct,
         "agg_partition_rowcounts": agg_partition_rowcounts,
         "proj_drop_columns": proj_drop_columns,
+        # Filter DSL (§2.4)
+        "filter_eq": filter_eq,
+        "filter_is_null": filter_is_null,
+        "filter_anything_but": filter_anything_but,
+        "filter_numeric_range": filter_numeric_range,
+        "filter_numeric_chain": filter_numeric_chain,
+        "filter_prefix": filter_prefix,
+        "filter_or": filter_or,
+        "filter_exists": filter_exists,
+        "filter_nested_and": filter_nested_and,
+        # DataIO round trips (§2.1/2.2)
+        "scan_dsv_roundtrip": scan_dsv_roundtrip,
+        "scan_jsonlines_roundtrip": scan_jsonlines_roundtrip,
+        "part_write_layout": part_write_layout,
+        "chunk_counts": chunk_counts,
     }
+
+
+_EVENTS_SELECT = f"SELECT {_EVENT_SQL_COLS} FROM events"
+_JSON_K = "CAST(json_extract_string(props, '$.k') AS DOUBLE)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -175,5 +385,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "proj_drop_columns": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        ),
+        "filter_eq": f"{_EVENTS_SELECT} WHERE event_type = 'click'",
+        "filter_is_null": (
+            f"{_EVENTS_SELECT} WHERE value IS NULL OR event_type = 'signup'"
+        ),
+        "filter_anything_but": (
+            f"{_EVENTS_SELECT} WHERE event_type IS NULL "
+            "OR event_type NOT IN ('click', 'view')"
+        ),
+        "filter_numeric_range": f"{_EVENTS_SELECT} WHERE value >= 400",
+        "filter_numeric_chain": (
+            f"{_EVENTS_SELECT} WHERE value > 10 AND value <= 50"
+        ),
+        "filter_prefix": f"{_EVENTS_SELECT} WHERE event_type LIKE 's%'",
+        "filter_or": (
+            f"{_EVENTS_SELECT} WHERE event_type = 'click' OR value > 480"
+        ),
+        "filter_exists": (
+            f"{_EVENTS_SELECT} WHERE json_extract_string(props, '$.k') "
+            "IS NOT NULL AND json_extract_string(props, '$.ghost') IS NULL"
+        ),
+        "filter_nested_and": (
+            f"{_EVENTS_SELECT} WHERE event_type = 'purchase' "
+            f"AND {_JSON_K} >= 50"
+        ),
+        "scan_dsv_roundtrip": _RT_AGG_SQL,
+        "scan_jsonlines_roundtrip": _RT_AGG_SQL,
+        "part_write_layout": _RT_AGG_SQL,
+        "chunk_counts": (
+            "SELECT DISTINCT l_returnflag, CAST(3 AS BIGINT) AS n_files "
+            "FROM lineitem"
         ),
     }

@@ -1,0 +1,190 @@
+"""DataIO tests — the reference's round-trip matrix (SURVEY §5 pattern 1)
+with value-level assertions (stronger than the reference's shape-only).
+
+Matrix: {parquet, dsv, dsv|sep, jsonlines} × {gzip on/off} × header,
+partitioned layout checks, chunk-count contract, deprecation shim.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_toolz_spark.sources.io import DataIO
+
+
+@pytest.fixture()
+def sample_df(spark):
+    # canonical reference fixture (tests/test_io.py:24-30): string +
+    # low-cardinality int partition keys, nullable floats, negatives, zero
+    return spark.createDataFrame(
+        [
+            Row(col1="a", col2=1, col3=1.0),
+            Row(col1="a", col2=1, col3=None),
+            Row(col1="b", col2=1, col3=123.0),
+            Row(col1="b", col2=1, col3=-42.0),
+            Row(col1="b", col2=2, col3=0.0),
+        ]
+    )
+
+
+def _rows(df, cols=("col1", "col2", "col3")):
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+@pytest.mark.parametrize("gzip", [False, True])
+@pytest.mark.parametrize("filetype", ["parquet", "dsv", "jsonlines"])
+def test_round_trip_value_parity(spark, sample_df, tmp_path, filetype, gzip):
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    io.write(sample_df, path, filetype=filetype, gzip=gzip and filetype != "parquet")
+    back = io.read(spark, path, filetype=filetype)
+    if filetype == "dsv":
+        # stringly contract: all columns come back as strings, None → ""
+        assert [f.dataType.simpleString() for f in back.schema.fields] == [
+            "string"
+        ] * 3
+        back = back.select(
+            F.col("col1"),
+            F.col("col2").cast("long"),
+            F.when(F.col("col3") == "", None)
+            .otherwise(F.col("col3"))
+            .cast("double")
+            .alias("col3"),
+        )
+    assert _rows(back) == _rows(sample_df)
+
+
+def test_dsv_custom_separator_and_no_header(spark, sample_df, tmp_path):
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    io.write(sample_df, path, filetype="dsv", sep="|", header=False)
+    back = io.read(spark, path, filetype="dsv", sep="|", header=False)
+    assert back.count() == 5
+    assert back.columns == ["_c0", "_c1", "_c2"]
+
+
+def test_dsv_null_round_trips_as_empty_string(spark, sample_df, tmp_path):
+    # the reference's deliberate None→""→"" collapse (SURVEY §1.2)
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    io.write(sample_df, path, filetype="dsv")
+    back = io.read(spark, path, filetype="dsv")
+    vals = {r.col3 for r in back.collect()}
+    assert "" in vals and None not in vals
+
+
+def test_partitioned_write_layout(spark, sample_df, tmp_path):
+    """File layout: one hive dir per distinct partition tuple
+    (reference tests/test_io.py:221-225)."""
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    io.write(sample_df, path, partition_by=["col1", "col2"])
+    leaf_dirs = set()
+    for root, _dirs, files in os.walk(path):
+        if any(f.startswith("part-") for f in files):
+            leaf_dirs.add(os.path.relpath(root, path))
+    assert leaf_dirs == {
+        "col1=a/col2=1",
+        "col1=b/col2=1",
+        "col1=b/col2=2",
+    }
+    back = io.read(spark, path)
+    # partition columns restored on read; types survive via hive
+    # partition-value inference (int for col2)
+    assert back.count() == 5
+    assert set(back.columns) == {"col1", "col2", "col3"}
+    per_part = {
+        (r.col1, r.col2): r.n
+        for r in back.groupBy("col1", "col2").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_part == {("a", 1): 2, ("b", 1): 2, ("b", 2): 1}
+
+
+def test_chunked_write_exact_file_counts(spark, tmp_path):
+    """suffix=[N names] → exactly N files per partition dir when every
+    partition has ≥N rows (reference io.py:73-83 contract)."""
+    io = DataIO()
+    df = spark.range(100).withColumn("key", (F.col("id") % 2).cast("string"))
+    path = str(tmp_path / "t1")
+    io.write(df, path, partition_by=["key"], suffix=["c0", "c1", "c2"])
+    for key in ("key=0", "key=1"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, key))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 3, (key, files)
+    back = io.read(spark, path)
+    assert back.count() == 100
+
+
+def test_chunked_write_rows_split_ceil(spark, tmp_path):
+    """ceil-division sizing: 5 rows into 2 chunks → 3 + 2."""
+    io = DataIO()
+    df = spark.range(5)
+    path = str(tmp_path / "t1")
+    io.write(df, path, suffix=["c0", "c1"])
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(files) == 2
+    sizes = sorted(
+        spark.read.parquet(os.path.join(path, f)).count() for f in files
+    )
+    assert sizes == [2, 3]
+
+
+def test_drop_partitions_false_warns_and_keeps_copy(spark, sample_df, tmp_path):
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    with pytest.warns(UserWarning):
+        io.write(sample_df, path, partition_by=["col1"], drop_partitions=False)
+    back = io.read(spark, path)
+    assert "col1__data" in back.columns
+    assert back.filter(F.col("col1") != F.col("col1__data")).count() == 0
+
+
+def test_tsv_deprecation_shim(spark, sample_df, tmp_path):
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    with pytest.warns(DeprecationWarning):
+        io.write(sample_df, path, filetype="tsv")
+    with pytest.warns(DeprecationWarning):
+        back = io.read(spark, path, filetype="tsv")
+    assert back.count() == 5
+
+
+def test_unsupported_filetype_raises(spark, sample_df, tmp_path):
+    io = DataIO()
+    with pytest.raises(ValueError):
+        io.write(sample_df, str(tmp_path / "t1"), filetype="excel")
+    with pytest.raises(ValueError):
+        io.read(spark, str(tmp_path / "t1"), filetype="excel")
+
+
+def test_read_with_filter_spec_pushdown(spark, sample_df, tmp_path):
+    io = DataIO()
+    path = str(tmp_path / "t1")
+    io.write(sample_df, path)
+    got = io.read(spark, path, filters=[{"col1": ["a"]}])
+    assert got.count() == 2
+
+
+def test_partition_transformer_rename_pass(spark, sample_df, tmp_path):
+    """Custom partition naming via the post-write rename pass (W8)."""
+
+    def transformer(prefix, partitions, values):
+        return f"{prefix}/custom-{'-'.join(values)}"
+
+    io = DataIO(partition_transformer=transformer)
+    path = str(tmp_path / "t1")
+    io.write(sample_df, path, partition_by=["col1"])
+    names = sorted(
+        d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+    )
+    assert names == ["custom-a", "custom-b"]
