@@ -336,6 +336,259 @@ def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Joins (engine capability beyond the reference — SURVEY §2.8 gap filled
+# from Spark's built-in surface): broadcast dims, shuffle the fact once.
+# ---------------------------------------------------------------------------
+
+
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: customer ⋈ orders ⋈ lineitem, top-10 revenue.
+
+    customer is broadcast (small dim); orders→lineitem join shuffles on
+    o_orderkey/l_orderkey only.
+    """
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderpriority"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def join_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: revenue per region via a broadcast dim chain."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        ).join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension qids (SURVEY §2.9): dedup / similarity / text / windows
+# ---------------------------------------------------------------------------
+
+_DOC_TOKS_SQL = (
+    "list_distinct(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x != ''))"
+)
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: deterministic exact dedup on (user_id, event_type)."""
+    from data_toolz_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(
+        load(spark, sf_dir, "events"), ["user_id", "event_type"], "event_id"
+    )
+
+
+def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X4: md5 fingerprint of normalized text (exact-dedup key)."""
+    from data_toolz_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Oracle is the full O(n²) exact-Jaccard join: with 64 hashes / 32
+    bands the per-pair miss probability at s≥0.8 is (1-s²)³² ≤ 1e-13,
+    so LSH output == exact output on this data.
+    """
+    from data_toolz_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: blocked exact 3-gram-shingle Jaccard pairs (brute verify path)."""
+    from data_toolz_spark.operators.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        threshold=0.05,
+        shingle=3,
+    )
+
+
+def text_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 32-bit SimHash per document (bit-exact across engines)."""
+    from data_toolz_spark.operators.dedup import simhash32
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", simhash32("text").alias("simhash")
+    )
+
+
+def sim_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 exact: brute-force cosine top-10 for 5 query vectors."""
+    from data_toolz_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=10,
+    )
+
+
+def sim_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 approx: LSH-bucketed cosine top-10 (rows-only check —
+    approximate by design; recall tuned by n_bits/n_tables)."""
+    from data_toolz_spark.operators.similarity import cosine_topk_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ann(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=10,
+        dim=64,
+        n_bits=6,
+        n_tables=8,
+    )
+
+
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: embedding cosine near-dup pairs within label blocks."""
+    from data_toolz_spark.operators.similarity import cosine_near_duplicates
+
+    return cosine_near_duplicates(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        threshold=0.4,
+        block_cols=["label"],
+    )
+
+
+def emb_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: L2 norm per embedding (JVM-side higher-order fns)."""
+    from data_toolz_spark.functions.vectors import l2_norm
+
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.round(l2_norm("embedding"), 6).alias("norm")
+    )
+
+
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: stopword-overlap language ID."""
+    from data_toolz_spark.operators.text_analysis import language_id
+
+    return language_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document quality features + composite score."""
+    from data_toolz_spark.operators.text_analysis import quality_features
+
+    return quality_features(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "alpha_ratio",
+        "stop_ratio",
+        "quality_score",
+    )
+
+
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus token statistics per language."""
+    from data_toolz_spark.operators.text_analysis import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+def win_user_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: gap-based sessionization (30 min) per user."""
+    from data_toolz_spark.operators.windows import session_stats
+
+    return session_stats(load(spark, sf_dir, "events"), gap_minutes=30.0)
+
+
+def win_running_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: deterministic cumulative sum per user."""
+    from data_toolz_spark.operators.windows import running_total
+
+    return running_total(
+        load(spark, sf_dir, "events"),
+        partition_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+    ).select("event_id", "user_id", "running_total")
+
+
+def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order per customer at each event timestamp.
+
+    Spark impl is the union + single-window-sort plan (no quadratic
+    range join); oracle is the declarative argmax formulation.
+    """
+    from data_toolz_spark.operators.windows import asof_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders")
+    return asof_join(
+        events,
+        orders,
+        on=("user_id", "o_custkey"),
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    ).select("event_id", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -363,6 +616,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_jsonlines_roundtrip": scan_jsonlines_roundtrip,
         "part_write_layout": part_write_layout,
         "chunk_counts": chunk_counts,
+        # joins
+        "join_shipping_priority": join_shipping_priority,
+        "join_region_volume": join_region_volume,
+        # dedup family (§2.9 X1/X2)
+        "dedup_exact": dedup_exact_q,
+        "dedup_fingerprint": dedup_fingerprint_q,
+        "dedup_minhash": dedup_minhash_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "text_simhash": text_simhash_q,
+        "dedup_embedding": dedup_embedding_q,
+        # similarity (X3/X5)
+        "sim_topk_exact": sim_topk_exact_q,
+        "sim_topk_ann": sim_topk_ann_q,
+        "emb_norm": emb_norm_q,
+        # text analysis (X4)
+        "text_lang_id": text_lang_id_q,
+        "text_quality": text_quality_q,
+        "text_token_stats": text_token_stats_q,
+        # windows / asof (X6)
+        "win_user_session": win_user_session_q,
+        "win_running_total": win_running_total_q,
+        "asof_join_orders": asof_join_orders_q,
     }
 
 

@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how a 100 TB pipeline would deploy them:
+
+* ``cosine_topk`` — exact brute force.  The query set is broadcast
+  (it's small by construction), so the corpus is scanned exactly once
+  with no shuffle of the corpus side; ranking is a per-query-key
+  window over (corpus_rows × n_queries) scored rows.  This is the
+  correctness baseline and is oracle-checkable.
+* ``cosine_topk_ann`` — approximate: random-hyperplane LSH buckets
+  (sign-random-projection).  Corpus rows hash to a bucket; only
+  same-bucket pairs are scored.  Recall is tuned by ``n_bits`` (fewer
+  bits → bigger buckets → higher recall) and ``n_tables`` (OR over
+  independent hash tables).  Hyperplanes are seeded deterministically
+  so runs are reproducible.
+
+Vector math runs through functions.vectors (zip_with/aggregate —
+JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_toolz_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    query_out: str = "query_id",
+    corpus_out: str = "corpus_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × scan corpus once.
+
+    Output: (query_out, corpus_out, cosine) — cosine rounded to 6 so
+    the ranking (round, then id tie-break) is reproducible cross-engine.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = c.join(q).select(
+        F.col("__qid").alias(query_out),
+        F.col("__cid").alias(corpus_out),
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_out).orderBy(
+        F.col("cosine").desc(), F.col(corpus_out)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def lsh_bucket(
+    vec: Column | str,
+    *,
+    dim: int,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> Column:
+    """Sign-random-projection bucket id (long) for an embedding column.
+
+    bit i = (vec · hyperplane_i) > 0; hyperplanes are literal arrays so
+    the whole projection stays inside codegen.
+    """
+    col = F.col(vec) if isinstance(vec, str) else vec
+    v = col.cast("array<double>")
+    planes = _hyperplanes(dim, n_bits, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    query_out: str = "query_id",
+    corpus_out: str = "corpus_id",
+) -> DataFrame:
+    """Approximate top-k: only same-LSH-bucket pairs are scored.
+
+    Multiple independent tables (OR-amplification) raise recall; the
+    scored candidate set is the union over tables.  At cluster scale
+    the bucket join replaces the full cross product with
+    |corpus|·n_tables shuffled rows — the standard ANN trade.
+    """
+    def with_buckets(df: DataFrame, id_alias: str, vec_col: str, vec_alias: str):
+        buckets = F.array(
+            *[
+                lsh_bucket(vec_col, dim=dim, n_bits=n_bits, seed=seed + t)
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(buckets).alias("__table", "__bucket"),
+        )
+
+    q = F.broadcast(
+        with_buckets(
+            queries.select(F.col(query_id).alias("__qid"), query_vec),
+            "__qid",
+            query_vec,
+            "__qv",
+        )
+    )
+    c = with_buckets(
+        corpus.select(F.col(corpus_id).alias("__cid"), corpus_vec),
+        "__cid",
+        corpus_vec,
+        "__cv",
+    )
+    candidates = (
+        c.join(q, on=["__table", "__bucket"])
+        .select("__qid", "__cid", "__qv", "__cv")
+        .dropDuplicates(["__qid", "__cid"])
+    )
+    scored = candidates.select(
+        F.col("__qid").alias(query_out),
+        F.col("__cid").alias(corpus_out),
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_out).orderBy(
+        F.col("cosine").desc(), F.col(corpus_out)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, blocked self-join.
+
+    Metadata blocking (label, shard, …) keeps this exact and
+    oracle-checkable; swap the block for ``lsh_bucket`` equality to get
+    the approximate variant at cluster scale.
+    """
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.__id") < F.col("b.__id"))
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_ann",
+    "cosine_near_duplicates",
+    "lsh_bucket",
+]

@@ -1,0 +1,151 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.
+
+Every formula is deliberately ANSI-SQL-expressible (same tokenizer, same
+arithmetic) so results are value-checkable against any SQL oracle — the
+operators are *real* heuristics, just reproducible ones.  All JVM-side;
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_toolz_spark.functions.text import (
+    normalized_text,
+    text_fingerprint,
+    token_count,
+    tokens,
+)
+
+# Small function-word lists per language; ordered dict order is the
+# deterministic argmax tie-break order.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "los", "las", "y", "es", "de", "que"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "que"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+
+def _stopword_ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+    )
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast(
+        "double"
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Stopword-overlap language ID with deterministic tie-breaking.
+
+    score(lang) = |tokens ∩ stopwords(lang)| / |tokens|; prediction is
+    the first language (in STOPWORDS key order) achieving the maximum
+    score.  A real deployment swaps in a character-n-gram model; the
+    operator shape (per-row scoring + argmax) is identical.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = {
+        lang: _stopword_ratio(toks, words) for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # build the when-chain in reverse so the FIRST lang wins ties
+    for lang in reversed(list(scores)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quality signals + composite score.
+
+    Features (all reproducible in ANSI SQL):
+      n_tokens      — whitespace token count
+      mean_tok_len  — avg token length
+      alpha_ratio   — alphabetic chars / total chars
+      stop_ratio    — English stopword token ratio
+      quality_score — 0..1 composite (length-normalized, penalizes
+                      outlier token lengths and non-alpha noise)
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    text_len = F.length(F.col(text_col)).cast("double")
+    alpha_len = F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")
+    ).cast("double")
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = _stopword_ratio(toks, STOPWORDS["en"])
+    # composite: saturating length term × token-shape term × alpha term
+    length_term = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    shape_term = F.when(
+        (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    alpha_term = F.when(text_len > 0, alpha_len / text_len).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("mean_tok_len", F.round(mean_tok_len, 4))
+        .withColumn("alpha_ratio", F.round(alpha_term, 4))
+        .withColumn("stop_ratio", F.round(stop_ratio, 4))
+        .withColumn(
+            "quality_score",
+            F.round(length_term * shape_term * alpha_term, 4),
+        )
+    )
+
+
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Corpus token statistics per group (one hash aggregate)."""
+    n_tok = token_count(F.col(text_col)).cast("long")
+    return (
+        df.select(*group_cols, n_tok.alias("__n"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.round(F.avg("__n"), 4).alias("avg_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Canonical md5 fingerprint of the normalized text (exact dedup key)."""
+    return df.withColumn(out_col, text_fingerprint(F.col(text_col)))
+
+
+__all__ = [
+    "language_id",
+    "quality_features",
+    "token_stats",
+    "fingerprint",
+    "STOPWORDS",
+    "normalized_text",
+]
