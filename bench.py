@@ -1,0 +1,106 @@
+"""Benchmark harness — driver contract.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full execution,
+no driver-side collect, no disk write) so the measured time is scan +
+shuffle + compute — the same work profile a cluster run would have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from data_toolz_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: every operator family, weighted toward the shuffling /
+# scale-sensitive paths (joins, dedup, similarity, windows).  IO
+# round-trip qids are excluded — they benchmark tempdir writes, not the
+# engine's steady-state read path.
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_or",
+    "filter_nested_and",
+    "join_shipping_priority",
+    "join_region_volume",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "text_simhash",
+    "dedup_embedding",
+    "sim_topk_exact",
+    "sim_topk_ann",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "win_user_session",
+    "win_running_total",
+    "asof_join_orders",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    tail = os.path.basename(path.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> int:
+    only = sys.argv[1:]
+    names = only or HEADLINE
+    spark = get_spark(
+        app_name="data_toolz_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # JVM/codegen warmup on a tiny query so the first timed entry does
+    # not absorb session startup costs.
+    queries["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,4 +39,16 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom)
 
 
-__all__ = ["dot_product", "l2_norm", "cosine_similarity"]
+def unit_vector(vec: Column | str) -> Column:
+    """v / ‖v‖ (array<double>); NULL for the zero vector.
+
+    Pre-normalizing once per row turns every downstream pairwise cosine
+    into a bare dot product — at scale this moves the two norm
+    computations out of the O(pairs) inner loop into the O(rows) scan.
+    """
+    v = _as_double(vec)
+    norm = l2_norm(v)
+    return F.when(norm > 0, F.transform(v, lambda x: x / norm))
+
+
+__all__ = ["dot_product", "l2_norm", "cosine_similarity", "unit_vector"]

@@ -23,11 +23,13 @@ from __future__ import annotations
 import random
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_toolz_spark.functions.vectors import cosine_similarity
+from data_toolz_spark.functions.vectors import dot_product, unit_vector
 
 
 def cosine_topk(
@@ -49,18 +51,19 @@ def cosine_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+            F.col(query_id).alias("__qid"),
+            unit_vector(F.col(query_vec)).alias("__qv"),
         )
     )
+    # unit-normalize each side once so the per-pair work is one dot
     c = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("__cid"),
+        unit_vector(F.col(corpus_vec)).alias("__cv"),
     )
     scored = c.join(q).select(
         F.col("__qid").alias(query_out),
         F.col("__cid").alias(corpus_out),
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
-            "cosine"
-        ),
+        F.round(dot_product(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_out).orderBy(
         F.col("cosine").desc(), F.col(corpus_out)
@@ -111,6 +114,50 @@ def lsh_bucket(
     return bucket
 
 
+def _srp_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """Arrow-batched sign-random-projection buckets for all tables.
+
+    One numpy matmul per Arrow batch — ``V @ P.T`` over the stacked
+    (n_tables·n_bits, dim) hyperplane matrix, signs packed per table —
+    replacing n_tables·n_bits interpreted ``aggregate``/``zip_with``
+    dot products per row.  Hyperplanes are the same seeded family as
+    ``lsh_bucket`` (table t uses seed+t), so both paths bucket
+    identically up to float summation order.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplanes(dim, n_bits, seed + t)[b]
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*n_bits, dim)
+    weights = np.left_shift(
+        np.ones(n_bits, dtype=np.int64), np.arange(n_bits, dtype=np.int64)
+    )
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        out = []
+        mat = np.array(
+            [
+                v if v is not None else np.zeros(dim, dtype=np.float64)
+                for v in vecs
+            ],
+            dtype=np.float64,
+        )
+        signs = (mat @ planes.T) > 0  # (batch, n_tables*n_bits)
+        bits = signs.reshape(len(mat), n_tables, n_bits).astype(np.int64)
+        packed = (bits * weights[None, None, :]).sum(axis=2)  # (batch, n_tables)
+        for i, v in enumerate(vecs):
+            out.append(None if v is None else packed[i])
+        return pd.Series(out)
+
+    return buckets
+
+
 def cosine_topk_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -134,17 +181,15 @@ def cosine_topk_ann(
     the bucket join replaces the full cross product with
     |corpus|·n_tables shuffled rows — the standard ANN trade.
     """
+    bucketize = _srp_buckets_udf(dim, n_bits, n_tables, seed)
+
     def with_buckets(df: DataFrame, id_alias: str, vec_col: str, vec_alias: str):
-        buckets = F.array(
-            *[
-                lsh_bucket(vec_col, dim=dim, n_bits=n_bits, seed=seed + t)
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
             F.col(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.posexplode(buckets).alias("__table", "__bucket"),
+            unit_vector(F.col(vec_col)).alias(vec_alias),
+            F.posexplode(
+                bucketize(F.col(vec_col).cast("array<double>"))
+            ).alias("__table", "__bucket"),
         )
 
     q = F.broadcast(
@@ -169,9 +214,7 @@ def cosine_topk_ann(
     scored = candidates.select(
         F.col("__qid").alias(query_out),
         F.col("__cid").alias(corpus_out),
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
-            "cosine"
-        ),
+        F.round(dot_product(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_out).orderBy(
         F.col("cosine").desc(), F.col(corpus_out)
@@ -200,7 +243,7 @@ def cosine_near_duplicates(
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
+        unit_vector(F.col(vec_col)).alias("__v"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
@@ -210,9 +253,9 @@ def cosine_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(
-                cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
-            ).alias("cosine"),
+            F.round(dot_product(F.col("a.__v"), F.col("b.__v")), 6).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )
