@@ -646,6 +646,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EVENTS_SELECT = f"SELECT {_EVENT_SQL_COLS} FROM events"
 _JSON_K = "CAST(json_extract_string(props, '$.k') AS DOUBLE)"
 
+# Shared DuckDB fragments for the text/vector oracles.  Tokenizer ==
+# data_toolz_spark.functions.text.tokens (whitespace split, empties
+# dropped); shingles == functions.text.word_shingles(n=3).
+_DD_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_DD_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct("
+    "[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]"
+    ") ELSE [] END"
+)
+_DD_UNIT = """
+SELECT vec_id, label,
+       list_transform(CAST(embedding AS DOUBLE[]), x -> x / n) AS uv
+FROM (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS n
+  FROM embeddings
+)
+WHERE n > 0
+"""
+
+
+def _jaccard_pairs_sql(threshold: float, block: str | None) -> str:
+    blk = f"a.{block} = b.{block} AND " if block else ""
+    return f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_DD_SHINGLES} AS e
+  FROM (SELECT doc_id, lang, {_DD_TOKS} AS t FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.e, b.e))::DOUBLE
+             / len(list_distinct(a.e || b.e)), 6) AS jaccard
+FROM sh a JOIN sh b ON {blk}a.doc_id < b.doc_id
+WHERE len(a.e) > 0 AND len(b.e) > 0
+  AND ROUND(len(list_intersect(a.e, b.e))::DOUBLE
+            / len(list_distinct(a.e || b.e)), 6) >= {threshold}
+"""
+
+
+_STOP_SQL = {
+    "de": "('der','die','das','und','ist','nicht','ein','zu')",
+    "en": "('the','a','of','and','to','in','is','it')",
+    "es": "('el','la','los','las','y','es','de','que')",
+    "fr": "('le','la','les','et','est','de','un','que')",
+    "zh": "('的','是','了','在','和','有','我','不')",
+}
+
+_LANG_ID_SQL = (
+    """
+WITH t AS (
+  SELECT doc_id, list_distinct("""
+    + _DD_TOKS
+    + """) AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"    len(list_filter(toks, x -> x IN {words}))::DOUBLE"
+        f" / greatest(len(toks), 1) AS s_{lang}"
+        for lang, words in _STOP_SQL.items()
+    )
+    + """
+  FROM t
+)
+SELECT doc_id, CASE
+"""
+    + "\n".join(
+        f"  WHEN s_{lang} = greatest(s_de, s_en, s_es, s_fr, s_zh)"
+        f" THEN '{lang}'"
+        for lang in _STOP_SQL
+    )
+    + """
+END AS lang_pred
+FROM s
+"""
+)
+
+_QUALITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mtl,
+    length(text)::DOUBLE AS tl,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS al,
+    len(list_filter(toks, x -> x IN {_STOP_SQL["en"]}))::DOUBLE
+      / greatest(len(toks), 1) AS sr
+  FROM b
+)
+SELECT doc_id, n_tokens,
+  ROUND(mtl, 4) AS mean_tok_len,
+  ROUND(CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END, 4) AS alpha_ratio,
+  ROUND(sr, 4) AS stop_ratio,
+  ROUND(least(n_tokens / 64.0, 1.0)
+        * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+        * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END), 4) AS quality_score
+FROM f
+"""
+
+_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_DD_TOKS}) AS toks FROM documents
+), h AS (
+  SELECT doc_id, list_transform(toks, x -> CAST(list_sum(
+    [(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)
+       * CAST(2**(4*(8-i)) AS BIGINT)
+     for i in generate_series(1, 8)]) AS BIGINT)) AS hs
+  FROM t
+)
+SELECT doc_id, COALESCE(CAST(list_sum(
+  [CASE WHEN list_sum(list_transform(hs, h -> 2*((h >> b) & 1) - 1)) > 0
+        THEN CAST(2**b AS BIGINT) ELSE 0 END
+   for b in generate_series(0, 31)]) AS BIGINT), 0) AS simhash
+FROM h
+"""
+
+_SESSION_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR tu - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM s
+), g AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
+       ROUND(COUNT(*)::DOUBLE / MAX(session_id), 4) AS events_per_session
+FROM g GROUP BY user_id
+"""
+
+_ASOF_SQL = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -694,4 +847,78 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT l_returnflag, CAST(3 AS BIGINT) AS n_files "
             "FROM lineitem"
         ),
+        "join_shipping_priority": """
+SELECT l_orderkey, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "join_region_volume": """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "dedup_exact": (
+            "SELECT user_id, event_type, MIN(event_id) AS event_id, "
+            "COUNT(*) AS n_copies FROM events GROUP BY user_id, event_type"
+        ),
+        "dedup_fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
+            r"'\s+', ' ', 'g'))) AS fingerprint FROM documents"
+        ),
+        "dedup_minhash": _jaccard_pairs_sql(0.8, block=None),
+        "dedup_ngram_jaccard": _jaccard_pairs_sql(0.05, block="lang"),
+        "text_simhash": _SIMHASH_SQL,
+        "dedup_embedding": f"""
+WITH u AS ({_DD_UNIT})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
+FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+""",
+        "sim_topk_exact": f"""
+WITH u AS ({_DD_UNIT}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         ROUND(list_dot_product(q.uv, c.uv), 6) AS cosine
+  FROM (SELECT * FROM u WHERE vec_id < 5) q CROSS JOIN u c
+)
+SELECT query_id, corpus_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rn
+  FROM s
+) WHERE rn <= 10
+""",
+        "emb_norm": (
+            "SELECT vec_id, label, ROUND(sqrt(list_sum(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS norm "
+            "FROM embeddings"
+        ),
+        "text_lang_id": _LANG_ID_SQL,
+        "text_quality": _QUALITY_SQL,
+        "text_token_stats": f"""
+SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+       ROUND(AVG(n), 4) AS avg_tokens, MAX(n) AS max_tokens
+FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
+GROUP BY lang
+""",
+        "win_user_session": _SESSION_SQL,
+        "win_running_total": """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM events
+""",
+        "asof_join_orders": _ASOF_SQL,
     }
