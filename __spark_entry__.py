@@ -591,6 +591,83 @@ def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal + streaming qids (SURVEY §2.9): binary columns through
+# Arrow-batched mapInPandas; Structured Streaming drained via
+# availableNow into a memory sink so the driver checks a *real* stream.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → decoded metadata + payload features.
+
+    The blobs are generated executor-side in the FAKE toy format and
+    round-trip through real binary-column plumbing (encode →
+    mapInPandas decode); the oracle recomputes the deterministic
+    features arithmetically, verifying the byte path value-for-value.
+    """
+    from data_toolz_spark.operators.multimodal import (
+        decode_media,
+        fake_media_table,
+    )
+
+    return decode_media(fake_media_table(spark, 200)).select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "max_byte",
+    )
+
+
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video shape): one row per kept frame, counted."""
+    from data_toolz_spark.operators.multimodal import (
+        fake_media_table,
+        sample_frames,
+    )
+
+    frames = sample_frames(
+        fake_media_table(spark, 100), frame_bytes=64, every_k=2
+    )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"),
+    )
+
+
+def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming hourly counts, drained with availableNow.
+
+    Runs an actual streaming query (file source → watermarked window
+    agg → memory sink) over the events table and returns the final
+    table; the oracle is the equivalent batch GROUP BY date_trunc.
+    """
+    import tempfile
+
+    from data_toolz_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        windowed_event_counts,
+    )
+
+    path = tempfile.mkdtemp(prefix="dtz_stream_") + "/events"
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    counts = windowed_event_counts(
+        read_events_stream(spark, path), window="1 hour", watermark="2 hours"
+    )
+    run_to_memory_sink(
+        counts, query_name="dtz_stream_counts", output_mode="complete"
+    )
+    return spark.table("dtz_stream_counts").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -640,6 +717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_user_session": win_user_session_q,
         "win_running_total": win_running_total_q,
         "asof_join_orders": asof_join_orders_q,
+        # multimodal + streaming
+        "multimodal_decode": multimodal_decode_q,
+        "multimodal_frames": multimodal_frames_q,
+        "stream_windowed_counts": stream_windowed_counts_q,
     }
 
 
@@ -912,6 +993,38 @@ SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
        ROUND(AVG(n), 4) AS avg_tokens, MAX(n) AS max_tokens
 FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
 GROUP BY lang
+""",
+        "multimodal_decode": """
+WITH dims AS (
+  SELECT m, 16 + m % 48 AS w, 16 + m % 32 AS h, 1 + m % 3 AS c
+  FROM generate_series(0, 199) t(m)
+)
+SELECT m AS media_id, w AS width, h AS height, c AS channels,
+  ROUND(list_sum([(m*31 + i*7) % 256
+                  for i in generate_series(0, w*h*c - 1)])::DOUBLE
+        / (w*h*c), 6) AS mean_byte,
+  list_max([(m*31 + i*7) % 256
+            for i in generate_series(0, w*h*c - 1)]) AS max_byte
+FROM dims
+""",
+        "multimodal_frames": """
+WITH dims AS (
+  SELECT m, (16 + m % 48) * (16 + m % 32) * (1 + m % 3) AS n_payload
+  FROM generate_series(0, 99) t(m)
+), f AS (
+  SELECT m, n_payload // 64 AS n_frames FROM dims
+)
+SELECT m AS media_id,
+       (n_frames + 1) // 2 AS n_frames,
+       ((n_frames + 1) // 2) * 64 AS total_bytes
+FROM f WHERE n_frames > 0
+""",
+        "stream_windowed_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, event_type
 """,
         "win_user_session": _SESSION_SQL,
         "win_running_total": """

@@ -20,10 +20,24 @@ from data_toolz_spark.operators.text_analysis import (
 )
 from data_toolz_spark.operators.windows import (
     sessionize,
+    session_stats,
+    running_total,
     asof_join,
+)
+from data_toolz_spark.operators.multimodal import (
+    decode_media,
+    resize_media,
+    sample_frames,
+    fake_media_table,
 )
 
 __all__ = [
+    "session_stats",
+    "running_total",
+    "decode_media",
+    "resize_media",
+    "sample_frames",
+    "fake_media_table",
     "dedup_exact",
     "minhash_signature",
     "minhash_near_duplicates",

@@ -1,0 +1,214 @@
+"""Operator correctness tests (SURVEY §2.9 extensions).
+
+Pattern mirrors the reference's behavior-matrix style
+(reference tests/test_filtering.py): small known inputs × expected
+outputs, plus cross-checks of the scale-path operators against their
+brute-force twins on the sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_toolz_spark.functions.text import word_shingles
+from data_toolz_spark.functions.vectors import l2_norm
+from data_toolz_spark.operators.dedup import (
+    dedup_exact,
+    exact_jaccard_pairs,
+    jaccard,
+    minhash_near_duplicates,
+    simhash32,
+)
+from data_toolz_spark.operators.similarity import cosine_topk
+from data_toolz_spark.operators.windows import (
+    asof_join,
+    running_total,
+    sessionize,
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_deterministic_representative(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a")], "id long, k string"
+    )
+    out = {
+        r["k"]: (r["id"], r["n_copies"])
+        for r in dedup_exact(df, ["k"], "id").collect()
+    }
+    assert out == {"a": (1, 3), "b": (3, 1)}
+
+
+def test_minhash_equals_bruteforce(spark, documents):
+    base = documents.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_shingles("text", 3)).alias("e"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.e"), F.col("b.e")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    expected = sorted(tuple(r) for r in brute.collect())
+    got = sorted(
+        tuple(r)
+        for r in minhash_near_duplicates(
+            documents, "doc_id", "text", threshold=0.8
+        ).collect()
+    )
+    assert got == expected
+    assert len(got) > 0  # data contains real near-dups; test isn't vacuous
+
+
+def test_exact_jaccard_pairs_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x", "a b c d"),
+            (2, "x", "a b c e"),  # J(1,2) on unigrams = 3/5
+            (3, "x", "a b c d"),  # identical to 1
+            (4, "y", "a b c d"),  # other block — never paired with 1-3
+        ],
+        "id long, blk string, txt string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(
+            df, "id", "txt", block_cols=["blk"], threshold=0.5, shingle=1
+        ).collect()
+    }
+    assert out == {(1, 2): 0.6, (2, 3): 0.6, (1, 3): 1.0}
+
+
+def test_simhash_matches_reference_formula(spark):
+    text = "spark fast spark table"
+    toks = sorted(set(text.split()))  # distinct; order irrelevant to the sum
+
+    def h32(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    expected = 0
+    for b in range(32):
+        votes = sum(2 * ((h32(t) >> b) & 1) - 1 for t in toks)
+        if votes > 0:
+            expected |= 1 << b
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(simhash32("text").alias("s")).first()["s"]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(mat)
+    qids = [i for i in ids if i < 3]
+    got = (
+        cosine_topk(
+            embeddings.filter(F.col("vec_id") < 3),
+            embeddings,
+            query_id="vec_id",
+            corpus_id="vec_id",
+            k=5,
+        )
+        .orderBy("query_id", F.col("cosine").desc(), "corpus_id")
+        .collect()
+    )
+    for qid in qids:
+        q = mat[qid] / np.linalg.norm(mat[qid])
+        sims = sorted(
+            (
+                (round(float(np.dot(q, mat[c] / np.linalg.norm(mat[c]))), 6), -c)
+                for c in ids
+            ),
+            reverse=True,
+        )[:5]
+        expected = [(-neg_c, s) for s, neg_c in sims]
+        got_q = [
+            (r["corpus_id"], r["cosine"]) for r in got if r["query_id"] == qid
+        ]
+        assert got_q == expected
+
+
+def test_l2_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
+    assert df.select(l2_norm("v").alias("n")).first()["n"] == pytest.approx(5.0)
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0.0),
+            (1, 10.0),
+            (1, 45.0),  # gap 35 > 30 → new session
+            (1, 50.0),
+            (2, 0.0),
+        ],
+        "user_id long, ts double",
+    )
+    out = sessionize(df, gap_minutes=30.0).collect()
+    sessions = {(r["user_id"], r["ts"]): r["session_id"] for r in out}
+    assert sessions == {
+        (1, 0.0): 1,
+        (1, 10.0): 1,
+        (1, 45.0): 2,
+        (1, 50.0): 2,
+        (2, 0.0): 1,
+    }
+
+
+def test_running_total_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0), (1, 3, 2.5), (2, 1, 1.0)],
+        "u long, seq long, v double",
+    )
+    out = running_total(
+        df, partition_col="u", order_cols=["seq"], value_col="v"
+    ).collect()
+    got = {(r["u"], r["seq"]): r["running_total"] for r in out}
+    assert got == {(1, 1): 10.0, (1, 2): 15.0, (1, 3): 17.5, (2, 1): 1.0}
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 25), (102, 2, 5)],
+        "event_id long, key long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r1"), (1, 20, "r2"), (1, 25, "r3"), (2, 7, "r4")],
+        "key long, t long, tag string",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="key",
+        left_ts="t",
+        right_ts="t",
+        right_cols=["tag"],
+        tie_break="tag",
+    )
+    got = {r["event_id"]: r["tag"] for r in out.collect()}
+    # event 100 (t=10): r1 (t=5); event 101 (t=25): r3 (t=25, <=);
+    # event 102 (t=5): no right row at or before → NULL
+    assert got == {100: "r1", 101: "r3", 102: None}
