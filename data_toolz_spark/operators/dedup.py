@@ -462,12 +462,15 @@ def _token_hash32(token: Column) -> Column:
     )
 
 
-def simhash32(text_col: Column | str) -> Column:
-    """32-bit SimHash of the distinct token set (bigint).
+def simhash_expr(text_col: Column | str) -> Column:
+    """32-bit SimHash as a pure JVM expression (reference formulation).
 
     bit b of the result = 1 iff Σ_tokens (2·bit_b(hash(tok)) - 1) > 0.
     One aggregate expression per row: fold the token array into a
-    32-slot sign-count array, then repack the sign bits.
+    32-slot sign-count array, then repack the sign bits.  Kept as the
+    no-Python formulation; ``simhash32`` below computes the identical
+    value through an Arrow batch (faster — higher-order lambdas are
+    interpreted, md5+conv per token×bit adds up).
     """
     toks = _distinct_tokens(text_col)
     zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
@@ -498,6 +501,38 @@ def simhash32(text_col: Column | str) -> Column:
         lambda acc, x: acc + x,
     )
     return packed
+
+
+def _simhash32_kernel(toks: pd.Series) -> pd.Series:
+    """Arrow-batched SimHash kernel — same md5-derived value as
+    ``simhash_expr`` / the ANSI-SQL oracle, bit for bit."""
+    import hashlib
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    out = []
+    for arr in toks:
+        if arr is None:
+            out.append(None)
+            continue
+        votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        for t in arr:
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            votes += 2 * ((h >> bit_idx) & 1) - 1
+        out.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+    return pd.Series(out, dtype="object")
+
+
+def simhash32(text_col: Column | str) -> Column:
+    """32-bit SimHash of the distinct token set (bigint).
+
+    Value-identical to ``simhash_expr`` (verified in tests) but
+    computed per Arrow batch with numpy bit math — the hot path for
+    corpus-wide fingerprinting.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    kernel = pandas_udf(_simhash32_kernel, "long")
+    return kernel(_distinct_tokens(text_col))
 
 
 def simhash_near_duplicates(
@@ -542,6 +577,7 @@ __all__ = [
     "exact_jaccard_pairs",
     "jaccard",
     "simhash32",
+    "simhash_expr",
     "simhash_near_duplicates",
     "SIMHASH_BITS",
 ]

@@ -233,13 +233,55 @@ def cosine_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block_cols: Sequence[str] = (),
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, blocked self-join.
 
     Metadata blocking (label, shard, …) keeps this exact and
     oracle-checkable; swap the block for ``lsh_bucket`` equality to get
     the approximate variant at cluster scale.
+
+    With ``use_arrow`` (default) each block is scored as ONE numpy
+    Gram matmul inside ``applyInPandas`` — O(k²·dim) flops but BLAS
+    flops, not interpreted-expression flops, and no k² joined rows ever
+    shuffle.  The contract is the usual blocked-verify one: a single
+    block must fit in one executor's memory (the same assumption the
+    pairwise join makes about its biggest skew bucket, made explicit).
+    ``use_arrow=False`` keeps the pure-JVM pairwise-join formulation.
     """
+    if use_arrow and block_cols:
+        out_ddl = "id_a long, id_b long, cosine double"
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            ids, mat, norms = ids[keep], mat[keep], norms[keep]
+            if len(ids) < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}
+                ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            unit = mat / norms[:, None]
+            gram = np.round(unit @ unit.T, 6)
+            iu = np.triu_indices(len(ids), k=1)
+            sims = gram[iu]
+            mask = sims >= threshold
+            ia, ib = ids[iu[0][mask]], ids[iu[1][mask]]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(ia, ib),
+                    "id_b": np.maximum(ia, ib),
+                    "cosine": sims[mask],
+                }
+            )
+
+        return df.select(
+            *[F.col(c) for c in block_cols], id_col, vec_col
+        ).groupBy(*block_cols).applyInPandas(block_pairs, out_ddl)
+
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),

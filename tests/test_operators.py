@@ -109,6 +109,19 @@ def test_simhash_matches_reference_formula(spark):
     assert got == expected
 
 
+def test_simhash_expr_matches_arrow_kernel(spark, documents):
+    from data_toolz_spark.operators.dedup import simhash_expr
+
+    rows = (
+        documents.limit(50)
+        .select(
+            simhash_expr("text").alias("jvm"), simhash32("text").alias("arrow")
+        )
+        .collect()
+    )
+    assert rows and all(r["jvm"] == r["arrow"] for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
