@@ -591,6 +591,88 @@ def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth (engine surface beyond the reference, SURVEY §2.8):
+# rollup, top-k per group, semi/anti joins, set ops, pivot.
+# ---------------------------------------------------------------------------
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (flag → flag+status → grand)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per priority (window + filter)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recorded events — left-anti hash join."""
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+    return customer.join(
+        events, customer.c_custkey == events.user_id, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def join_semi_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that appear in at least one lineitem — left-semi join."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return part.join(
+        lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+    ).select("p_partkey", "p_brand")
+
+
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both clicked and purchased (INTERSECT of projections)."""
+    events = load(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts, pivoted to columns (explicit value
+    list keeps the schema static, the cluster-safe pivot form)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counts via the BPE-style regex."""
+    from data_toolz_spark.functions.text import bpe_token_count, token_count
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal + streaming qids (SURVEY §2.9): binary columns through
 # Arrow-batched mapInPandas; Structured Streaming drained via
 # availableNow into a memory sink so the driver checks a *real* stream.
@@ -717,6 +799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_user_session": win_user_session_q,
         "win_running_total": win_running_total_q,
         "asof_join_orders": asof_join_orders_q,
+        # relational breadth (§2.8 gap filled from Spark's surface)
+        "agg_rollup": agg_rollup,
+        "topk_per_group": topk_per_group,
+        "join_anti_customers": join_anti_customers,
+        "join_semi_parts": join_semi_parts,
+        "set_ops_users": set_ops_users,
+        "pivot_event_counts": pivot_event_counts,
+        "text_bpe_tokens": text_bpe_tokens,
         # multimodal + streaming
         "multimodal_decode": multimodal_decode_q,
         "multimodal_frames": multimodal_frames_q,
@@ -993,6 +1083,49 @@ SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
        ROUND(AVG(n), 4) AS avg_tokens, MAX(n) AS max_tokens
 FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
 GROUP BY lang
+""",
+        "agg_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "topk_per_group": """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+        "join_anti_customers": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+            "(SELECT 1 FROM events WHERE user_id = c_custkey)"
+        ),
+        "join_semi_parts": (
+            "SELECT p_partkey, p_brand FROM part WHERE EXISTS "
+            "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+        ),
+        "set_ops_users": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "pivot_event_counts": """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events GROUP BY user_id
+""",
+        "text_bpe_tokens": rf"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+    AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
+    AS bpe_tokens
+FROM documents
 """,
         "multimodal_decode": """
 WITH dims AS (

@@ -158,6 +158,31 @@ def _srp_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int):
     return buckets
 
 
+def _unit_vector_udf(dim: int):
+    """Arrow-batched unit-normalization (array<double> → array<double>).
+
+    The JVM ``unit_vector`` expression is interpreted per element
+    (~10 µs/lambda-eval); one numpy divide per batch replaces it on the
+    ANN hot path.  NULL/zero vectors map to NULL, matching the
+    expression's semantics.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def unitize(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(arr)
+            out.append(arr / n if n > 0 else None)
+        return pd.Series(out)
+
+    return unitize
+
+
 def cosine_topk_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -182,39 +207,51 @@ def cosine_topk_ann(
     |corpus|·n_tables shuffled rows — the standard ANN trade.
     """
     bucketize = _srp_buckets_udf(dim, n_bits, n_tables, seed)
+    unitize = _unit_vector_udf(dim)
 
-    def with_buckets(df: DataFrame, id_alias: str, vec_col: str, vec_alias: str):
-        return df.select(
-            F.col(id_alias),
-            unit_vector(F.col(vec_col)).alias(vec_alias),
+    # band tables carry ONLY (id, table, bucket) — vectors never ride
+    # through the explode/shuffle (n_tables× duplication otherwise)
+    q_banded = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"),
             F.posexplode(
-                bucketize(F.col(vec_col).cast("array<double>"))
+                bucketize(F.col(query_vec).cast("array<double>"))
             ).alias("__table", "__bucket"),
         )
-
-    q = F.broadcast(
-        with_buckets(
-            queries.select(F.col(query_id).alias("__qid"), query_vec),
-            "__qid",
-            query_vec,
-            "__qv",
-        )
     )
-    c = with_buckets(
-        corpus.select(F.col(corpus_id).alias("__cid"), corpus_vec),
-        "__cid",
-        corpus_vec,
-        "__cv",
+    c_banded = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.posexplode(
+            bucketize(F.col(corpus_vec).cast("array<double>"))
+        ).alias("__table", "__bucket"),
     )
     candidates = (
-        c.join(q, on=["__table", "__bucket"])
-        .select("__qid", "__cid", "__qv", "__cv")
+        c_banded.join(q_banded, on=["__table", "__bucket"])
+        .select("__qid", "__cid")
         .dropDuplicates(["__qid", "__cid"])
     )
-    scored = candidates.select(
-        F.col("__qid").alias(query_out),
-        F.col("__cid").alias(corpus_out),
-        F.round(dot_product(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    # verify stage: unit vectors join back onto the (small) candidate
+    # set — the query side broadcast, the corpus side one hash join
+    q_units = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            unitize(F.col(query_vec).cast("array<double>")).alias("__qv"),
+        )
+    )
+    c_units = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        unitize(F.col(corpus_vec).cast("array<double>")).alias("__cv"),
+    )
+    scored = (
+        candidates.join(q_units, on="__qid")
+        .join(c_units, on="__cid")
+        .select(
+            F.col("__qid").alias(query_out),
+            F.col("__cid").alias(corpus_out),
+            F.round(dot_product(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy(query_out).orderBy(
         F.col("cosine").desc(), F.col(corpus_out)
