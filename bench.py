@@ -79,6 +79,15 @@ def main() -> int:
     queries["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # spin up the Python worker pool so the first Arrow-UDF query is
+    # not charged ~CPUS × worker-startup (session cost, not query cost)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    ident = pandas_udf(lambda s: s, "long")
+    spark.range(100_000).repartition(CPUS).select(
+        ident(F.col("id")).alias("x")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -217,7 +217,9 @@ def minhash_near_duplicates(
     else:
         elems_expr = F.array_sort(_distinct_tokens(text_col))
 
-    members = df.select(
+    from data_toolz_spark.operators._util import spread
+
+    members = spread(df).select(
         F.col(id_col).alias("__id"),
         F.xxhash64(elems_expr).alias("__fp"),
         elems_expr.alias("__elems"),
@@ -349,8 +351,10 @@ def exact_jaccard_pairs(
         if shingle == 1
         else F.array_distinct(word_shingles(text_col, shingle))
     )
+    from data_toolz_spark.operators._util import spread
+
     blocks = [F.col(c) for c in block_cols]
-    members = df.select(
+    members = spread(df).select(
         *blocks,
         F.col(id_col).alias("__id"),
         F.xxhash64(*blocks, elems).alias("__fp"),

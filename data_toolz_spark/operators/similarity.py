@@ -55,8 +55,10 @@ def cosine_topk(
             unit_vector(F.col(query_vec)).alias("__qv"),
         )
     )
+    from data_toolz_spark.operators._util import spread
+
     # unit-normalize each side once so the per-pair work is one dot
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(corpus_id).alias("__cid"),
         unit_vector(F.col(corpus_vec)).alias("__cv"),
     )
@@ -206,8 +208,11 @@ def cosine_topk_ann(
     the bucket join replaces the full cross product with
     |corpus|·n_tables shuffled rows — the standard ANN trade.
     """
+    from data_toolz_spark.operators._util import spread
+
     bucketize = _srp_buckets_udf(dim, n_bits, n_tables, seed)
     unitize = _unit_vector_udf(dim)
+    corpus = spread(corpus)
 
     # band tables carry ONLY (id, table, bucket) — vectors never ride
     # through the explode/shuffle (n_tables× duplication otherwise)
