@@ -661,6 +661,29 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (hot-key splitter) — must equal the
+    plain GROUP BY, which is exactly what the oracle computes."""
+    from data_toolz_spark.operators.skew import salted_aggregate
+
+    out = salted_aggregate(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_rows",
+        "max_qty",
+    )
+
+
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counts via the BPE-style regex."""
     from data_toolz_spark.functions.text import bpe_token_count, token_count
@@ -805,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti_customers": join_anti_customers,
         "join_semi_parts": join_semi_parts,
         "set_ops_users": set_ops_users,
+        "agg_salted_skew": agg_salted_skew,
         "pivot_event_counts": pivot_event_counts,
         "text_bpe_tokens": text_bpe_tokens,
         # multimodal + streaming
@@ -1119,6 +1143,11 @@ SELECT user_id,
   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
 FROM events GROUP BY user_id
 """,
+        "agg_salted_skew": (
+            "SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "COUNT(l_quantity) AS n_rows, MAX(l_quantity) AS max_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "text_bpe_tokens": rf"""
 SELECT doc_id,
   len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT

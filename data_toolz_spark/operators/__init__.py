@@ -24,6 +24,10 @@ from data_toolz_spark.operators.windows import (
     running_total,
     asof_join,
 )
+from data_toolz_spark.operators.skew import (
+    salted_aggregate,
+    replicate_hot_keys_join,
+)
 from data_toolz_spark.operators.multimodal import (
     decode_media,
     resize_media,
@@ -32,6 +36,8 @@ from data_toolz_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "salted_aggregate",
+    "replicate_hot_keys_join",
     "session_stats",
     "running_total",
     "decode_media",

@@ -219,10 +219,15 @@ def minhash_near_duplicates(
 
     from data_toolz_spark.operators._util import spread
 
+    # shingles are hashed to int64 immediately (one xxhash64 pass):
+    # every downstream shuffle/join/intersect moves 8-byte longs, never
+    # string arrays.  Jaccard on hashed sets equals Jaccard on string
+    # sets up to 64-bit collisions (~1e-10 at 1e5 distinct shingles);
+    # the set fingerprint stays a hash of the *string* array.
     members = spread(df).select(
         F.col(id_col).alias("__id"),
         F.xxhash64(elems_expr).alias("__fp"),
-        elems_expr.alias("__elems"),
+        F.transform(elems_expr, lambda e: F.xxhash64(e)).alias("__elems"),
     )
     reps = members.groupBy("__fp").agg(
         F.min("__id").alias("__rid"),
@@ -240,10 +245,9 @@ def minhash_near_duplicates(
         members = members.persist(StorageLevel.MEMORY_AND_DISK)
         reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
     bucketize = _band_bucket_udf(n_hashes, bands)
-    hashed = F.transform(F.col("__elems"), lambda e: F.xxhash64(e))
     banded = reps.select(
         "__fp",
-        F.posexplode(bucketize(hashed)).alias("__band", "__bucket"),
+        F.posexplode(bucketize(F.col("__elems"))).alias("__band", "__bucket"),
     )
     left, right = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -354,11 +358,14 @@ def exact_jaccard_pairs(
     from data_toolz_spark.operators._util import spread
 
     blocks = [F.col(c) for c in block_cols]
+    # hash elements to int64 up front: the inverted index explodes one
+    # row per element, so 8-byte keys instead of shingle strings cut
+    # the index shuffle by ~an order of magnitude
     members = spread(df).select(
         *blocks,
         F.col(id_col).alias("__id"),
         F.xxhash64(*blocks, elems).alias("__fp"),
-        elems.alias("__elems"),
+        F.transform(elems, lambda e: F.xxhash64(e)).alias("__elems"),
     )
     # collapse identical sets (within a block) to one representative:
     # a cluster of k identical docs costs O(k) instead of inflating the
