@@ -108,11 +108,15 @@ class _Resolved:
         present: bool | None,
         dtype: DataType | None,
         is_json: bool,
+        json_source: Column | None = None,
+        path: Sequence[str] = (),
     ) -> None:
         self.value = value
         self.present = present
         self.dtype = dtype
         self.is_json = is_json
+        self.json_source = json_source
+        self.path = tuple(path)
 
 
 def _lookup_struct_type(schema: StructType, path: Sequence[str]) -> DataType | None:
@@ -139,7 +143,14 @@ def _resolve_json(path: Sequence[str], json_column: str | Column) -> _Resolved:
     source = F.col(json_column) if isinstance(json_column, str) else json_column
     json_path = "$." + ".".join(path)
     expr = F.get_json_object(source, json_path)
-    return _Resolved(expr, present=None, dtype=StringType(), is_json=True)
+    return _Resolved(
+        expr,
+        present=None,
+        dtype=StringType(),
+        is_json=True,
+        json_source=source,
+        path=path,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -240,9 +251,22 @@ def _compile_exists(ref: _Resolved, spec: dict) -> Column:
     if ref.present is not None:
         # compile-time constant — Catalyst folds the whole conjunct away
         return F.lit(wanted == ref.present)
-    # runtime approximation: non-null ⇒ present.  Exact for MapType and
-    # typed columns with no nulls; JSON null vs absent is a documented
-    # delta (SURVEY §7.4.2).
+    if ref.is_json and ref.json_source is not None and len(ref.path) == 1:
+        # EXACT presence test: parse the payload's top level as a map —
+        # unlike get_json_object, map_contains_key distinguishes a key
+        # holding JSON null from an absent key (SURVEY §7.4.2 resolved
+        # for top-level keys).  A NULL/unparseable payload has no keys.
+        contains = F.coalesce(
+            F.map_contains_key(
+                F.from_json(ref.json_source, "map<string,string>"),
+                ref.path[0],
+            ),
+            F.lit(False),
+        )
+        return contains if wanted else ~contains
+    # runtime approximation for typed columns and nested JSON paths:
+    # non-null ⇒ present.  Exact for columns with no nulls; nested JSON
+    # null vs absent remains a documented delta.
     return ref.value.isNotNull() if wanted else ref.value.isNull()
 
 

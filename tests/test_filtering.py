@@ -270,3 +270,45 @@ class TestCompiledColumn:
         plan = df.filter(pred)._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan
         assert "l_returnflag" in plan.split("PushedFilters")[1][:300]
+
+
+class TestJsonExistsExact:
+    """JSON `exists` must distinguish a key holding JSON null from an
+    absent key (reference semantics: dict membership, filtering.py:64-65;
+    resolved delta SURVEY §7.4.2)."""
+
+    def test_null_valued_key_exists(self, spark):
+        from data_toolz_spark.plans.filtering import Filter
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"k": null}'),   # key present, JSON null
+                (2, '{"k": 5}'),      # key present, value
+                (3, '{"x": 1}'),      # key absent
+                (4, None),            # payload NULL → no keys
+            ],
+            "id long, props string",
+        )
+        has_k = Filter([{"k": [{"exists": True}]}])
+        got = {
+            r["id"] for r in df.filter(
+                has_k.column(mode="json", json_column="props")
+            ).collect()
+        }
+        assert got == {1, 2}
+
+        no_k = Filter([{"k": [{"exists": False}]}])
+        got = {
+            r["id"] for r in df.filter(
+                no_k.column(mode="json", json_column="props")
+            ).collect()
+        }
+        assert got == {3, 4}
+
+    def test_python_evaluator_agrees(self):
+        from data_toolz_spark.plans.filtering import Filter
+
+        has_k = Filter([{"k": [{"exists": True}]}])
+        assert has_k({"k": None}) is True
+        assert has_k({"k": 5}) is True
+        assert has_k({"x": 1}) is False
