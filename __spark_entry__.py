@@ -569,6 +569,22 @@ def win_running_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "running_total")
 
 
+def win_lag_lead_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: lag/lead deltas per user in deterministic event order."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
 def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order per customer at each event timestamp.
 
@@ -821,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows / asof (X6)
         "win_user_session": win_user_session_q,
         "win_running_total": win_running_total_q,
+        "win_lag_lead": win_lag_lead_q,
         "asof_join_orders": asof_join_orders_q,
         # relational breadth (§2.8 gap filled from Spark's surface)
         "agg_rollup": agg_rollup,
@@ -1194,6 +1211,13 @@ SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS running_total
 FROM events
+""",
+        "win_lag_lead": """
+SELECT event_id, user_id,
+       ROUND(value - lag(value) OVER w, 2) AS delta_prev,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "asof_join_orders": _ASOF_SQL,
     }

@@ -46,6 +46,12 @@ HEADLINE = [
     "text_lang_id",
     "text_quality",
     "text_token_stats",
+    "agg_rollup",
+    "topk_per_group",
+    "agg_salted_skew",
+    "pivot_event_counts",
+    "multimodal_decode",
+    "stream_windowed_counts",
     "win_user_session",
     "win_running_total",
     "asof_join_orders",

@@ -1,27 +1,27 @@
 """Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
 
-All hot paths are JVM-side expressions (higher-order array functions +
-xxhash64) — no Python UDFs — so they whole-stage-codegen and scale to
-cluster data sizes.  Design notes per operator:
+Execution split: *plumbing* (tokenize, hash-to-int64, joins, set
+intersections, aggregates) stays JVM-side and codegen'd; *per-element
+numeric loops* (minwise signatures, band folding, SimHash bit votes)
+run as Arrow-batched numpy kernels, because Spark evaluates
+higher-order lambda expressions interpreted — a 64-pass minwise loop as
+nested ``transform``/``aggregate`` costs ~10 µs per lambda evaluation,
+10-50× a vectorized batch.  Shuffles carry 8-byte hashed elements and
+ids, never shingle strings.  Design notes per operator:
 
 * ``dedup_exact`` — one hash-aggregate shuffle on the key columns; the
   representative is ``min(id)`` so output is deterministic (unlike
   ``dropDuplicates``, which keeps an arbitrary row per key).
-* ``minhash_near_duplicates`` — the standard shingle → minhash → band →
-  bucket-join pipeline.  Signatures are computed *without any shuffle*
-  (per-row array expressions); the only shuffles are the band-bucket
-  self-join and final dedup.  Banding parameters (n_hashes=64, rows=2
-  per band → 32 bands) give P[miss] = (1-s²)³² ≤ 1e-13 for s ≥ 0.8, so
-  for high thresholds the output equals the exact-Jaccard join with
-  overwhelming probability while scanning ~|bands|·n rows instead of
-  n² pairs.  Skewed buckets (very common shingle sets) are AQE's
-  skew-join territory; callers can also raise ``bands``/``rows``.
-* ``simhash32`` — 32-bit SimHash over the token set, one aggregate
-  expression per row; bit arithmetic only (md5-derived per-token hash
-  so any ANSI-SQL engine can reproduce values bit-for-bit).
-* ``exact_jaccard_pairs`` — blocked O(block²) verification join; used
-  standalone on small blocks (same language, same length bucket) or as
-  the verify stage after LSH candidate generation.
+* ``minhash_near_duplicates`` — shingle → collapse identical sets →
+  minhash/band kernel → payload-free band self-join → exact-Jaccard
+  verify on candidates → expand to member pairs.  Default 16 bands ×
+  4 rows: P[candidate] ≥ 99.97 % at s = 0.8, ≈ 0.2 % at s = 0.3.
+* ``simhash32`` — 32-bit SimHash over the distinct token set
+  (md5-derived per-token hash, so any ANSI-SQL engine reproduces the
+  value bit-for-bit); ``simhash_expr`` is the pure-expression twin.
+* ``exact_jaccard_pairs`` — inverted-index set-similarity join with
+  identical-set collapse; the brute-force verify path and the oracle
+  twin for the LSH pipeline.
 """
 
 from __future__ import annotations
