@@ -606,6 +606,42 @@ def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "o_orderkey", "o_totalprice")
 
 
+def io_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataIO.read(filters=...): the DSL compiled INTO the scan.
+
+    Writes events hive-partitioned by event_type, re-reads with a
+    Filter-DSL spec whose equality criterium prunes partitions and
+    whose numeric criterium pushes into parquet row groups — the
+    reference's read-then-filter-in-Python (io.py:144 +
+    filtering.py:135) collapsed into one pruned scan.
+    """
+    import tempfile
+
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    path = tempfile.mkdtemp(prefix="dtz_fread_") + "/t"
+    io.write(
+        load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        path,
+        partition_by=["event_type"],
+    )
+    back = io.read(
+        spark,
+        path,
+        filters=[
+            {"event_type": ["click"], "value": [{"numeric": [">", 100]}]},
+            {"event_type": ["signup"]},
+        ],
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth (engine surface beyond the reference, SURVEY §2.8):
 # rollup, top-k per group, semi/anti joins, set ops, pivot.
@@ -816,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_jsonlines_roundtrip": scan_jsonlines_roundtrip,
         "part_write_layout": part_write_layout,
         "chunk_counts": chunk_counts,
+        "io_filtered_read": io_filtered_read,
         # joins
         "join_shipping_priority": join_shipping_priority,
         "join_region_volume": join_region_volume,
@@ -1124,6 +1161,12 @@ SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
        ROUND(AVG(n), 4) AS avg_tokens, MAX(n) AS max_tokens
 FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
 GROUP BY lang
+""",
+        "io_filtered_read": """
+SELECT event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE (event_type = 'click' AND value > 100) OR event_type = 'signup'
+GROUP BY event_type
 """,
         "agg_rollup": (
             "SELECT l_returnflag, l_linestatus, "

@@ -49,6 +49,24 @@ def test_projection_prunes_read_schema(spark, lineitem):
     assert "l_comment" not in rs and "l_shipdate" not in rs
 
 
+def test_dsl_equality_prunes_hive_partitions(spark, events, tmp_path):
+    """A Filter-DSL equality on a partition column must become a
+    PartitionFilter (directory pruning), not a data filter."""
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    path = str(tmp_path / "pruned")
+    io.write(
+        events.select("event_id", "event_type", "value"),
+        path,
+        partition_by=["event_type"],
+    )
+    back = io.read(spark, path, filters=[{"event_type": ["click"]}])
+    plan = plan_of(back.select("event_id"))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan
+
+
 def test_small_dim_join_broadcasts(spark, sf_dir):
     import __spark_entry__ as em
 
