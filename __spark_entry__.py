@@ -606,6 +606,39 @@ def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "o_orderkey", "o_totalprice")
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning: quality → lang-ID → exact
+    dedup, composed from the real operators in one lazy plan.
+
+    Keeps documents whose predicted language matches the label and
+    whose quality score clears 0.3, then collapses exact duplicates by
+    normalized-text fingerprint (min doc_id survives).  One scan, two
+    narrow stages, one hash aggregate — the plan a 100 TB curation job
+    wants.
+    """
+    from data_toolz_spark.operators.text_analysis import (
+        fingerprint,
+        language_id,
+        quality_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = language_id(quality_features(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.3)
+        & (F.col("lang_pred") == F.col("lang"))
+    )
+    return (
+        fingerprint(kept)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.round(F.min("quality_score"), 4).alias("quality_score"),
+        )
+    )
+
+
 def io_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataIO.read(filters=...): the DSL compiled INTO the scan.
 
@@ -824,6 +857,67 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window sessions, drained and
+    compared against the batch gap-sessionization formulation.
+
+    session_window merges an event into the open session iff its gap to
+    the previous event is strictly < 30 min; the oracle reproduces that
+    boundary with a lag-based running session id.
+    """
+    import tempfile
+
+    from data_toolz_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        sessionize_stream,
+    )
+
+    path = tempfile.mkdtemp(prefix="dtz_sess_") + "/events"
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    sessions = sessionize_stream(
+        read_events_stream(spark, path), gap_minutes=30.0, watermark="1 hour"
+    )
+    run_to_memory_sink(
+        sessions, query_name="dtz_stream_sessions", output_mode="complete"
+    )
+    return spark.table("dtz_stream_sessions").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+_STREAM_SESSIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL OR tu - prev >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM s
+), g AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+         AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -853,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_write_layout": part_write_layout,
         "chunk_counts": chunk_counts,
         "io_filtered_read": io_filtered_read,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         # joins
         "join_shipping_priority": join_shipping_priority,
         "join_region_volume": join_region_volume,
@@ -889,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode_q,
         "multimodal_frames": multimodal_frames_q,
         "stream_windowed_counts": stream_windowed_counts_q,
+        "stream_sessions": stream_sessions_q,
     }
 
 
@@ -969,6 +1065,24 @@ SELECT doc_id, CASE
 END AS lang_pred
 FROM s
 """
+)
+
+# inline CASE computing lang_pred from a distinct-token column `dtoks`
+_LANG_SCORE = {
+    lang: (
+        f"(len(list_filter(dtoks, x -> x IN {words}))::DOUBLE"
+        f" / greatest(len(dtoks), 1))"
+    )
+    for lang, words in _STOP_SQL.items()
+}
+_LANG_BEST = "greatest(" + ", ".join(_LANG_SCORE.values()) + ")"
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {score} = {_LANG_BEST} THEN '{lang}'"
+        for lang, score in _LANG_SCORE.items()
+    )
+    + " END"
 )
 
 _QUALITY_SQL = f"""
@@ -1162,6 +1276,35 @@ SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
 FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
 GROUP BY lang
 """,
+        "pipeline_clean_corpus": f"""
+WITH t AS (
+  SELECT doc_id, text, lang, {_DD_TOKS} AS toks,
+         list_distinct({_DD_TOKS}) AS dtoks
+  FROM documents
+), f AS (
+  SELECT doc_id, text, lang, toks, dtoks,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mtl,
+    length(text)::DOUBLE AS tl,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS al
+  FROM t
+), q AS (
+  SELECT doc_id, text, lang,
+    ROUND(least(len(toks) / 64.0, 1.0)
+          * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+          * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END), 4) AS quality_score,
+    {_LANG_CASE_SQL} AS lang_pred
+  FROM f
+), kept AS (
+  SELECT doc_id, quality_score,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM q WHERE quality_score >= 0.3 AND lang_pred = lang
+)
+SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+       ROUND(MIN(quality_score), 4) AS quality_score
+FROM kept GROUP BY fingerprint
+""",
         "io_filtered_read": """
 SELECT event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value
 FROM events
@@ -1248,6 +1391,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
 FROM events
 GROUP BY 1, event_type
 """,
+        "stream_sessions": _STREAM_SESSIONS_SQL,
         "win_user_session": _SESSION_SQL,
         "win_running_total": """
 SELECT event_id, user_id,
