@@ -810,6 +810,24 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: header parse + vectorized waveform stats; the
+    oracle recomputes rms/peak/duration arithmetically."""
+    from data_toolz_spark.operators.multimodal import (
+        audio_features,
+        fake_audio_table,
+    )
+
+    return audio_features(fake_audio_table(spark, 150)).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
 def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video shape): one row per kept frame, counted."""
     from data_toolz_spark.operators.multimodal import (
@@ -983,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal + streaming
         "multimodal_decode": multimodal_decode_q,
         "multimodal_frames": multimodal_frames_q,
+        "multimodal_audio": multimodal_audio_q,
         "stream_windowed_counts": stream_windowed_counts_q,
         "stream_sessions": stream_sessions_q,
     }
@@ -1371,6 +1390,23 @@ SELECT m AS media_id, w AS width, h AS height, c AS channels,
   list_max([(m*31 + i*7) % 256
             for i in generate_series(0, w*h*c - 1)]) AS max_byte
 FROM dims
+""",
+        "multimodal_audio": """
+WITH dims AS (
+  SELECT m, 8000 + (m % 3) * 4000 AS rate, 800 + (m % 5) * 400 AS n
+  FROM generate_series(0, 149) t(m)
+), w AS (
+  SELECT m, rate, n,
+         [((m*131 + i*17) % 2048) - 1024
+          for i in generate_series(0, n - 1)] AS s
+  FROM dims
+)
+SELECT m AS media_id, rate AS sample_rate, n AS n_samples,
+  ROUND(n::DOUBLE / rate, 6) AS duration_sec,
+  ROUND(sqrt(list_sum(list_transform(s, x -> x::DOUBLE * x))::DOUBLE / n), 6)
+    AS rms,
+  list_max(list_transform(s, x -> abs(x))) AS peak
+FROM w
 """,
         "multimodal_frames": """
 WITH dims AS (

@@ -214,6 +214,107 @@ def resize_media(
     return df.mapInPandas(resize, df.schema)
 
 
+AUDIO_MAGIC = b"FAKA"
+_AUDIO_HEADER_FMT = ">4sBII"  # magic, version, sample_rate, n_samples
+_AUDIO_HEADER_SIZE = struct.calcsize(_AUDIO_HEADER_FMT)
+
+
+def fake_audio_blob(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic FAKA blob: s16be samples, s_i = ((m·131+i·17) mod 2048) − 1024."""
+    idx = np.arange(n_samples, dtype=np.int64)
+    samples = (((media_id * 131 + idx * 17) % 2048) - 1024).astype(">i2")
+    header = struct.pack(
+        _AUDIO_HEADER_FMT, AUDIO_MAGIC, FAKE_VERSION, sample_rate, n_samples
+    )
+    return header + samples.tobytes()
+
+
+def fake_audio_table(spark, n_rows: int) -> DataFrame:
+    """Synthetic audio table (media_id, content), generated executor-side.
+
+    sample_rate = 8000 + (id % 3)·4000; n_samples = 800 + (id % 5)·400.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            blobs = [
+                fake_audio_blob(
+                    int(m), 8000 + (int(m) % 3) * 4000, 800 + (int(m) % 5) * 400
+                )
+                for m in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return spark.range(n_rows).mapInPandas(gen, out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+) -> DataFrame:
+    """Waveform statistics from a binary audio column.
+
+    Appends sample_rate, n_samples, duration_sec, rms, peak — the
+    audio-pipeline decode shape (parse container header → vectorized
+    sample math), one numpy pass per blob inside an Arrow batch.  A
+    real deployment swaps the s16 parser for soundfile/ffmpeg in the
+    same ``mapInPandas`` stage.
+    """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("sample_rate", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_sec", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("sample_rate", "n_samples", "duration_sec", "rms", "peak")}
+            for blob in pdf[content_col]:
+                if blob is None or len(blob) < _AUDIO_HEADER_SIZE:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                magic, _ver, rate, n = struct.unpack_from(
+                    _AUDIO_HEADER_FMT, bytes(blob[:_AUDIO_HEADER_SIZE])
+                )
+                if magic != AUDIO_MAGIC or rate == 0:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                samples = np.frombuffer(
+                    bytes(blob), dtype=">i2", offset=_AUDIO_HEADER_SIZE
+                ).astype(np.float64)
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(n)
+                cols["duration_sec"].append(n / rate)
+                cols["rms"].append(
+                    float(np.sqrt(np.mean(samples * samples)))
+                    if samples.size
+                    else None
+                )
+                cols["peak"].append(
+                    int(np.abs(samples).max()) if samples.size else None
+                )
+            out = pdf.copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -255,6 +356,10 @@ def sample_frames(
 
 
 __all__ = [
+    "fake_audio_blob",
+    "fake_audio_table",
+    "audio_features",
+    "AUDIO_MAGIC",
     "fake_blob",
     "fake_media_table",
     "decode_media",

@@ -83,3 +83,34 @@ def test_media_table_is_distributed(spark):
     df = fake_media_table(spark, 100)
     assert df.rdd.getNumPartitions() > 1
     assert df.count() == 100
+
+
+def test_audio_features_match_formula(spark):
+    from data_toolz_spark.operators.multimodal import (
+        audio_features,
+        fake_audio_table,
+    )
+
+    rows = audio_features(fake_audio_table(spark, 10)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        m = r["media_id"]
+        rate = 8000 + (m % 3) * 4000
+        n = 800 + (m % 5) * 400
+        assert (r["sample_rate"], r["n_samples"]) == (rate, n)
+        samples = ((m * 131 + np.arange(n, dtype=np.int64) * 17) % 2048) - 1024
+        assert r["duration_sec"] == pytest.approx(n / rate)
+        assert r["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        )
+        assert r["peak"] == int(np.abs(samples).max())
+
+
+def test_audio_features_garbage_blob(spark):
+    from data_toolz_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx")), (2, None)], "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert rows[1]["rms"] is None and rows[2]["rms"] is None
