@@ -34,14 +34,24 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); without nanosAsLong the
+        # scan throws PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable,
+        # so don't depend on the caller's session having it at build time.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; micro precision verified
-        # lossless on the driver tables
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # long nanos → micro-precision timestamp (verified lossless
+            # on the driver tables)
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
     return df
 
 
@@ -844,6 +854,21 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the micro-precision events table once per sf_dir; both
+    streaming qids read the same converted copy."""
+    if sf_dir not in _STREAM_DIRS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="dtz_stream_") + "/events"
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+        _STREAM_DIRS[sf_dir] = path
+    return _STREAM_DIRS[sf_dir]
+
+
 def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming hourly counts, drained with availableNow.
 
@@ -851,16 +876,13 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg → memory sink) over the events table and returns the final
     table; the oracle is the equivalent batch GROUP BY date_trunc.
     """
-    import tempfile
-
     from data_toolz_spark.streaming.events import (
         read_events_stream,
         run_to_memory_sink,
         windowed_event_counts,
     )
 
-    path = tempfile.mkdtemp(prefix="dtz_stream_") + "/events"
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    path = _events_stream_dir(spark, sf_dir)
     counts = windowed_event_counts(
         read_events_stream(spark, path), window="1 hour", watermark="2 hours"
     )
@@ -883,16 +905,13 @@ def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous event is strictly < 30 min; the oracle reproduces that
     boundary with a lag-based running session id.
     """
-    import tempfile
-
     from data_toolz_spark.streaming.events import (
         read_events_stream,
         run_to_memory_sink,
         sessionize_stream,
     )
 
-    path = tempfile.mkdtemp(prefix="dtz_sess_") + "/events"
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    path = _events_stream_dir(spark, sf_dir)
     sessions = sessionize_stream(
         read_events_stream(spark, path), gap_minutes=30.0, watermark="1 hour"
     )
