@@ -133,3 +133,65 @@ def test_filter_context_equals_projection(spark, spec, rows):
     flt = Filter(spec)
     expected = {i for i, r in enumerate(rows) if flt(r)}
     assert kept == expected
+
+
+# -- json mode ---------------------------------------------------------------
+
+json_records = st.fixed_dictionaries(
+    {},
+    optional={
+        "num": st.integers(min_value=-5, max_value=5),
+        "txt": st.sampled_from(["", "a", "ab", "abc", "zig"]),
+        "dbl": st.sampled_from([-1.5, 0.0, 2.25]),
+    },
+)
+
+json_field_entries = st.fixed_dictionaries(
+    {},
+    optional={
+        "num": crit_list(
+            st.one_of(
+                st.integers(min_value=-5, max_value=5),
+                numeric_chain(ints),
+                exists_crit,
+            )
+        ),
+        "txt": crit_list(
+            st.one_of(
+                st.sampled_from(["", "a", "ab", "abc", "zig"]),
+                prefix_crit,
+                exists_crit,
+            )
+        ),
+        "dbl": crit_list(
+            st.one_of(numeric_chain(doubles), exists_crit)
+        ),
+        "nope": crit_list(exists_crit),  # never-present key
+    },
+)
+
+json_specs = st.lists(json_field_entries, min_size=0, max_size=2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(spec=json_specs, rows=st.lists(json_records, min_size=1, max_size=6))
+def test_json_mode_matches_python_evaluator(spark, spec, rows):
+    """json-mode compilation (get_json_object + map_contains_key exists)
+    must agree with dict-record evaluation for flat payloads without
+    JSON nulls (the exactly-equivalent domain; null-vs-absent is only
+    distinguishable through `exists`, which IS exact for top-level keys)."""
+    import json as _json
+
+    flt = Filter(spec)
+    expected = [flt(r) for r in rows]
+    data = [(i, _json.dumps(r)) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(data, "idx long, payload string")
+    kept = {
+        r["idx"]
+        for r in df.filter(
+            flt.column(mode="json", json_column="payload")
+        ).select("idx").collect()
+    }
+    assert kept == {i for i, hit in enumerate(expected) if hit}, (
+        f"spec={spec!r} rows={rows!r}"
+    )
