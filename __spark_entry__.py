@@ -649,6 +649,28 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_SQL = """
+SELECT l_shipdate_year, ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_shipdate_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  WHERE l_quantity < 24 AND l_discount BETWEEN 0.04 AND 0.06
+)
+GROUP BY l_shipdate_year
+"""
+
+
+def sql_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL over catalog views: register the dataset directory once,
+    run TPC-H-Q6-shaped SQL verbatim (same text as the oracle)."""
+    from data_toolz_spark.catalog import register_directory, sql
+
+    register_directory(spark, sf_dir)
+    return sql(spark, _Q6_SQL)
+
+
 def io_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataIO.read(filters=...): the DSL compiled INTO the scan.
 
@@ -984,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_write_layout": part_write_layout,
         "chunk_counts": chunk_counts,
         "io_filtered_read": io_filtered_read,
+        "sql_revenue_by_year": sql_revenue_by_year,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         # joins
         "join_shipping_priority": join_shipping_priority,
@@ -1343,6 +1366,7 @@ SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
        ROUND(MIN(quality_score), 4) AS quality_score
 FROM kept GROUP BY fingerprint
 """,
+        "sql_revenue_by_year": _Q6_SQL,
         "io_filtered_read": """
 SELECT event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value
 FROM events

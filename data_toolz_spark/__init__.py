@@ -28,6 +28,7 @@ from data_toolz_spark.session import get_spark, configure_s3
 from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
 from data_toolz_spark.logging import JsonLogger
+from data_toolz_spark.catalog import register_dataset, register_directory
 
 __version__ = "0.1.0"
 
@@ -38,4 +39,6 @@ __all__ = [
     "compile_filter",
     "DataIO",
     "JsonLogger",
+    "register_dataset",
+    "register_directory",
 ]

@@ -61,3 +61,25 @@ def test_role_chain_requires_boto3_only_when_used(spark):
     if not have_boto3:
         with pytest.raises(ImportError):
             configure_s3(spark, assumed_roles=["arn:aws:iam::1:role/x"])
+
+
+def test_catalog_registers_views(spark, sf_dir):
+    from data_toolz_spark.catalog import register_directory
+
+    names = register_directory(spark, sf_dir)
+    assert "lineitem" in names and "events" in names
+    n = spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"]
+    assert n == 5
+
+
+def test_catalog_register_single_dataset(spark, sf_dir, tmp_path):
+    from data_toolz_spark.catalog import register_dataset
+    from data_toolz_spark.sources.io import DataIO
+
+    src = spark.range(10).selectExpr("id", "id * 2 AS dbl")
+    DataIO().write(src, str(tmp_path / "t"), filetype="jsonlines")
+    df = register_dataset(
+        spark, "tiny_t", str(tmp_path / "t"), filetype="jsonlines"
+    )
+    assert df.count() == 10
+    assert spark.sql("SELECT SUM(dbl) AS s FROM tiny_t").first()["s"] == 90
