@@ -87,6 +87,46 @@ def test_asof_join_is_single_window_not_range_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    zero Exchange operators — the co-located-join contract."""
+    from data_toolz_spark.sources.io import DataIO
+
+    io = DataIO()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    io.write_bucketed(
+        orders, "b_orders", bucket_by=["o_orderkey"], n_buckets=4,
+        sort_by=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    io.write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"),
+        "b_lineitem", bucket_by=["l_orderkey"], n_buckets=4,
+        sort_by=["l_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined.select("l_orderkey", "l_quantity", "o_totalprice"))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # row parity with the plain join
+        assert joined.count() == lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_q1_aggregate_is_partial_then_final(spark, sf_dir):
     import __spark_entry__ as em
 
