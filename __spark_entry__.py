@@ -410,6 +410,38 @@ def join_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: priority counts for orders having a heavy line
+    (EXISTS → left-semi join; no row duplication, no distinct)."""
+    orders = load(spark, sf_dir, "orders")
+    heavy = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 48
+    ).select("l_orderkey")
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity exceeds 250,
+    with customer attribution (aggregate → HAVING → broadcast dims)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension qids (SURVEY §2.9): dedup / similarity / text / windows
 # ---------------------------------------------------------------------------
@@ -644,7 +676,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.round(F.min("quality_score"), 4).alias("quality_score"),
+            F.min("quality_score").alias("quality_score"),
         )
     )
 
@@ -1011,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins
         "join_shipping_priority": join_shipping_priority,
         "join_region_volume": join_region_volume,
+        "q4_order_priority": q4_order_priority,
+        "q18_large_orders": q18_large_orders,
         # dedup family (§2.9 X1/X2)
         "dedup_exact": dedup_exact_q,
         "dedup_fingerprint": dedup_fingerprint_q,
@@ -1162,12 +1196,14 @@ WITH b AS (
   FROM b
 )
 SELECT doc_id, n_tokens,
-  ROUND(mtl, 4) AS mean_tok_len,
-  ROUND(CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END, 4) AS alpha_ratio,
-  ROUND(sr, 4) AS stop_ratio,
-  ROUND(least(n_tokens / 64.0, 1.0)
-        * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
-        * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END), 4) AS quality_score
+  floor(mtl * 10000) / 10000 AS mean_tok_len,
+  floor((CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END) * 10000) / 10000
+    AS alpha_ratio,
+  floor(sr * 10000) / 10000 AS stop_ratio,
+  floor((least(n_tokens / 64.0, 1.0)
+         * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END)) * 10000) / 10000
+    AS quality_score
 FROM f
 """
 
@@ -1206,7 +1242,8 @@ WITH s AS (
   FROM f
 )
 SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
-       ROUND(COUNT(*)::DOUBLE / MAX(session_id), 4) AS events_per_session
+       floor((COUNT(*)::DOUBLE / MAX(session_id)) * 10000) / 10000
+         AS events_per_session
 FROM g GROUP BY user_id
 """
 
@@ -1293,6 +1330,21 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
+        "q4_order_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_quantity > 48) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q18_large_orders": """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
         "dedup_exact": (
             "SELECT user_id, event_type, MIN(event_id) AS event_id, "
             "COUNT(*) AS n_copies FROM events GROUP BY user_id, event_type"
@@ -1352,9 +1404,10 @@ WITH t AS (
   FROM t
 ), q AS (
   SELECT doc_id, text, lang,
-    ROUND(least(len(toks) / 64.0, 1.0)
-          * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
-          * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END), 4) AS quality_score,
+    floor((least(len(toks) / 64.0, 1.0)
+           * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END)) * 10000) / 10000
+      AS quality_score,
     {_LANG_CASE_SQL} AS lang_pred
   FROM f
 ), kept AS (
@@ -1363,7 +1416,7 @@ WITH t AS (
   FROM q WHERE quality_score >= 0.3 AND lang_pred = lang
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
-       ROUND(MIN(quality_score), 4) AS quality_score
+       MIN(quality_score) AS quality_score
 FROM kept GROUP BY fingerprint
 """,
         "sql_revenue_by_year": _Q6_SQL,

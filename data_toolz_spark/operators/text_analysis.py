@@ -100,14 +100,21 @@ def quality_features(
     alpha_term = F.when(text_len > 0, alpha_len / text_len).otherwise(
         F.lit(0.0)
     )
+    # 4-decimal TRUNCATION, not round(): ratios with small denominators
+    # land on exact shortest-decimal .5 boundaries (e.g. 0.59925) where
+    # Spark's round (via the shortest decimal string) and a binary
+    # rounder disagree; floor of the identical double is engine-stable.
+    def trunc4(col: Column) -> Column:
+        return F.floor(col * 10000) / F.lit(10000.0)
+
     return (
         df.withColumn("n_tokens", F.size(toks).cast("long"))
-        .withColumn("mean_tok_len", F.round(mean_tok_len, 4))
-        .withColumn("alpha_ratio", F.round(alpha_term, 4))
-        .withColumn("stop_ratio", F.round(stop_ratio, 4))
+        .withColumn("mean_tok_len", trunc4(mean_tok_len))
+        .withColumn("alpha_ratio", trunc4(alpha_term))
+        .withColumn("stop_ratio", trunc4(stop_ratio))
         .withColumn(
             "quality_score",
-            F.round(length_term * shape_term * alpha_term, 4),
+            trunc4(length_term * shape_term * alpha_term),
         )
     )
 

@@ -67,12 +67,15 @@ def session_stats(
     s = sessionize(
         events, user_col=user_col, ts_col=ts_col, gap_minutes=gap_minutes
     )
+    # truncate, don't round: small-denominator ratios sit on exact .5
+    # rounding boundaries where engines disagree (see text_analysis)
+    ratio = F.count(F.lit(1)).cast("double") / F.max("session_id")
     return s.groupBy(user_col).agg(
         F.max("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.max("session_id"), 4
-        ).alias("events_per_session"),
+        (F.floor(ratio * 10000) / F.lit(10000.0)).alias(
+            "events_per_session"
+        ),
     )
 
 
