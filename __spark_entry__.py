@@ -34,6 +34,12 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # deterministic timestamp rendering (date_format in the streaming
+    # qids) regardless of the caller session's timezone; runtime-settable
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); without nanosAsLong the
         # scan throws PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable,
