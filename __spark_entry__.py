@@ -763,6 +763,33 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via CUBE (flag x status lattice)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont bitwise: same linear interpolation on sorted
+    doubles, so no rounding is needed at all)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.95).alias("p95"),
+            F.percentile("l_quantity", 0.25).alias("q25"),
+        )
+    )
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per priority (window + filter)."""
     from pyspark.sql.window import Window
@@ -1073,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_orders": asof_join_orders_q,
         # relational breadth (§2.8 gap filled from Spark's surface)
         "agg_rollup": agg_rollup,
+        "agg_cube": agg_cube,
+        "agg_percentiles": agg_percentiles,
         "topk_per_group": topk_per_group,
         "join_anti_customers": join_anti_customers,
         "join_semi_parts": join_semi_parts,
@@ -1436,6 +1465,19 @@ GROUP BY event_type
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "agg_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "agg_percentiles": (
+            "SELECT l_returnflag, "
+            "quantile_cont(l_extendedprice, 0.5) AS p50, "
+            "quantile_cont(l_extendedprice, 0.95) AS p95, "
+            "quantile_cont(l_quantity, 0.25) AS q25 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "topk_per_group": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
