@@ -805,6 +805,68 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (identical text runs
+    on both engines)."""
+    from data_toolz_spark.catalog import register_directory, sql
+
+    register_directory(spark, sf_dir)
+    return sql(spark, _GROUPING_SETS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) price quartiles per order priority."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+def json_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-extracted key: decile histogram of props.k."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        events.select(F.floor(k / 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each embedding into (dim, value) and aggregate per dim
+    (order-independent stats only, so no float-summation skew)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+    )
+
+
 def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no recorded events — left-anti hash join."""
     customer = load(spark, sf_dir, "customer")
@@ -1101,6 +1163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational breadth (§2.8 gap filled from Spark's surface)
         "agg_rollup": agg_rollup,
         "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "win_ntile_quartiles": win_ntile_quartiles,
+        "json_key_histogram": json_key_histogram,
+        "emb_dimension_stats": emb_dimension_stats,
         "agg_percentiles": agg_percentiles,
         "topk_per_group": topk_per_group,
         "join_anti_customers": join_anti_customers,
@@ -1466,6 +1532,31 @@ GROUP BY event_type
             "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
+        "agg_grouping_sets": _GROUPING_SETS_SQL,
+        "win_ntile_quartiles": """
+SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+""",
+        "json_key_histogram": """
+SELECT floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)
+         AS k_bucket,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+        "emb_dimension_stats": """
+SELECT d.i - 1 AS dim, COUNT(*) AS n,
+       MIN(CAST(embedding[d.i] AS DOUBLE)) AS v_min,
+       MAX(CAST(embedding[d.i] AS DOUBLE)) AS v_max
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) d
+GROUP BY 1
+""",
         "agg_cube": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
