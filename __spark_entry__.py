@@ -492,6 +492,20 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the drop list a curation pipeline actually consumes — every
+    non-representative member of a near-dup cluster (min id survives)."""
+    from data_toolz_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_duplicate_drop_list,
+    )
+
+    pairs = minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+    return near_duplicate_drop_list(pairs)
+
+
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: blocked exact 3-gram-shingle Jaccard pairs (brute verify path)."""
     from data_toolz_spark.operators.dedup import exact_jaccard_pairs
@@ -1144,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact_q,
         "dedup_fingerprint": dedup_fingerprint_q,
         "dedup_minhash": dedup_minhash_q,
+        "dedup_minhash_drop": dedup_minhash_drop_q,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "text_simhash": text_simhash_q,
         "dedup_embedding": dedup_embedding_q,
@@ -1455,6 +1470,11 @@ JOIN customer ON o_custkey = c_custkey
             r"'\s+', ' ', 'g'))) AS fingerprint FROM documents"
         ),
         "dedup_minhash": _jaccard_pairs_sql(0.8, block=None),
+        "dedup_minhash_drop": (
+            "SELECT DISTINCT id_b AS drop_id FROM ("
+            + _jaccard_pairs_sql(0.8, block=None)
+            + ")"
+        ),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(0.05, block="lang"),
         "text_simhash": _SIMHASH_SQL,
         "dedup_embedding": f"""

@@ -320,6 +320,24 @@ def minhash_near_duplicates(
     return inter.unionByName(intra)
 
 
+def near_duplicate_drop_list(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Greedy keep-lowest-id dedup policy over near-dup pairs.
+
+    With pairs emitted as ``id_a < id_b``, dropping every distinct
+    ``id_b`` keeps exactly one document (the minimum id) per duplicate
+    cluster whenever the pair relation covers the cluster (always true
+    for identical-set clusters and for LSH output at high thresholds;
+    a full connected-components pass is the exact-transitive variant).
+    One distinct-aggregate over the pair set — no iteration.
+    """
+    return pairs.select(F.col(id_b).alias("drop_id")).distinct()
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str,
