@@ -247,13 +247,19 @@ def filter_nested_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the read are jointly lossless.
 # ---------------------------------------------------------------------------
 
+# Canonicalization contract (driver hashes exact values, not %.9g):
+#   * DuckDB SUM(BIGINT) yields HUGEINT, which renders as float64
+#     downstream — cast back to BIGINT so it hashes as an integer.
+#   * double sums are order-dependent at ROUND boundaries — sum in
+#     DECIMAL (exact, order-independent) and cast the result to DOUBLE
+#     in BOTH engines.
 _RT_AGG_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  COUNT(*)                      AS n_rows,
-  SUM(l_orderkey)               AS sum_key,
-  ROUND(SUM(l_quantity), 2)     AS sum_qty
+  COUNT(*)                                              AS n_rows,
+  CAST(SUM(l_orderkey) AS BIGINT)                       AS sum_key,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -263,7 +269,9 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
     return df.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").alias("sum_key"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
@@ -1357,7 +1365,8 @@ WITH s AS (
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM f
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
        floor((COUNT(*)::DOUBLE / MAX(session_id)) * 10000) / 10000
          AS events_per_session
 FROM g GROUP BY user_id
@@ -1505,8 +1514,10 @@ SELECT query_id, corpus_id, cosine FROM (
         "text_lang_id": _LANG_ID_SQL,
         "text_quality": _QUALITY_SQL,
         "text_token_stats": f"""
-SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
-       ROUND(AVG(n), 4) AS avg_tokens, MAX(n) AS max_tokens
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       floor(AVG(n) * 10000) / 10000 AS avg_tokens,
+       MAX(n) AS max_tokens
 FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
 GROUP BY lang
 """,
@@ -1565,8 +1576,8 @@ FROM (
 GROUP BY o_orderpriority, quartile
 """,
         "json_key_histogram": """
-SELECT floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)
-         AS k_bucket,
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)
+            AS BIGINT) AS k_bucket,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
 """,

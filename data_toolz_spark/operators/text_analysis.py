@@ -132,7 +132,12 @@ def token_stats(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n").alias("total_tokens"),
-            F.round(F.avg("__n"), 4).alias("avg_tokens"),
+            # 4-decimal truncation, not round(): engine-stable (round
+            # tie-breaking on doubles differs across engines; see
+            # quality_features.trunc4)
+            (F.floor(F.avg("__n") * 10000) / F.lit(10000.0)).alias(
+                "avg_tokens"
+            ),
             F.max("__n").alias("max_tokens"),
         )
     )

@@ -24,12 +24,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def normalize(value) -> str:
+    """Exact-value rendering (mimics the driver's value hasher).
+
+    Floats render at FULL precision (repr), not %.9g — the driver
+    hashes exact values, so a DuckDB HUGEINT/floor() that arrives as
+    float64 (``6.0``) must NOT silently equal a Spark long (``6``).
+    """
+    import decimal
+
     if value is None:
         return "NULL"
+    if isinstance(value, decimal.Decimal):
+        # HUGEINT / un-cast floor() surface as decimal128 through
+        # Arrow; rendering them distinctly forces the oracle SQL to
+        # CAST to BIGINT/DOUBLE explicitly (what the driver needs).
+        return f"dec({value})"
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        return f"{value:.9g}"
+        return repr(value)
     if isinstance(value, bool):
         return str(value).lower()
     if isinstance(value, list):
@@ -79,9 +92,14 @@ def main() -> int:
             print(f"ok?  {qid}: rows-only check, {len(s_rows)} rows")
             continue
         try:
-            rel = con.execute(oracles[qid])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            # fetch through Arrow: DuckDB coerces HUGEINT (SUM of
+            # BIGINT) and floor() to float64 on this path, exactly as
+            # the driver sees them — fetchall() would hand back python
+            # ints and hide the type divergence.
+            tbl = con.execute(oracles[qid]).arrow()
+            d_cols = tbl.column_names
+            cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            d_rows = list(zip(*cols_py)) if cols_py else []
         except Exception as exc:
             print(f"FAIL {qid}: duckdb error: {exc}")
             failures.append(qid)
