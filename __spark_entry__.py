@@ -514,6 +514,32 @@ def dedup_minhash_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_drop_list(pairs)
 
 
+def dedup_cc_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 exact: drop list via TRUE transitive closure — iterative
+    large-star/small-star connected components over the near-dup pair
+    graph (oracle: recursive-CTE reachability in DuckDB)."""
+    from data_toolz_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_duplicate_drop_list,
+    )
+
+    pairs = minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+    return near_duplicate_drop_list(pairs, exact=True)
+
+
+def dedup_simhash_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c scale path: SimHash pairs at Hamming ≤ 2 via pigeonhole band
+    blocking — EXACT recall without any metadata block (oracle:
+    brute-force xor/bit_count self-join)."""
+    from data_toolz_spark.operators.dedup import simhash_band_pairs
+
+    return simhash_band_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2
+    )
+
+
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: blocked exact 3-gram-shingle Jaccard pairs (brute verify path)."""
     from data_toolz_spark.operators.dedup import exact_jaccard_pairs
@@ -578,6 +604,24 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         threshold=0.4,
         block_cols=["label"],
+    )
+
+
+def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d scale path: UNBLOCKED embedding near-dup pairs via SRP-LSH
+    bucket blocking + exact-cosine verify (oracle: brute-force pair
+    join; seeded hyperplanes make recall deterministic — 1.0 here)."""
+    from data_toolz_spark.operators.similarity import (
+        cosine_near_duplicates_lsh,
+    )
+
+    return cosine_near_duplicates_lsh(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        threshold=0.4,
+        dim=64,
+        n_bits=4,
+        n_tables=64,
     )
 
 
@@ -1132,8 +1176,41 @@ FROM g GROUP BY user_id, sid
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver execution order.
+
+    The round-1 driver recorded only the FIRST 50 of 61 registered qids
+    (cap or time budget), so ordering is part of the verification
+    contract: never-yet-driver-verified qids run first (the 11 a cap
+    would have silently skipped + round-1 hash-mismatch fixes + new
+    round-2 operators), long-green cheap qids run last — they are the
+    least costly to lose to a cap and the easiest to re-verify locally
+    (``tools/check_oracle.py``).
+    """
     return {
-        # flagship + relational parity
+        # --- never driver-recorded in round 1 (see VERDICT.md §missing)
+        "join_anti_customers": join_anti_customers,
+        "join_semi_parts": join_semi_parts,
+        "set_ops_users": set_ops_users,
+        "agg_salted_skew": agg_salted_skew,
+        "pivot_event_counts": pivot_event_counts,
+        "text_bpe_tokens": text_bpe_tokens,
+        "multimodal_decode": multimodal_decode_q,
+        "multimodal_frames": multimodal_frames_q,
+        "multimodal_audio": multimodal_audio_q,
+        "stream_windowed_counts": stream_windowed_counts_q,
+        "stream_sessions": stream_sessions_q,
+        # --- round-1 hash mismatches, fixed via type canonicalization
+        "scan_dsv_roundtrip": scan_dsv_roundtrip,
+        "scan_jsonlines_roundtrip": scan_jsonlines_roundtrip,
+        "part_write_layout": part_write_layout,
+        "text_token_stats": text_token_stats_q,
+        "win_user_session": win_user_session_q,
+        "json_key_histogram": json_key_histogram,
+        # --- new in round 2: exact scale paths
+        "dedup_cc_drop": dedup_cc_drop_q,
+        "dedup_simhash_band": dedup_simhash_band_q,
+        "dedup_embedding_lsh": dedup_embedding_lsh_q,
+        # --- flagship + relational parity
         "q1_pricing_summary": q1_pricing_summary,
         "scan_parquet": scan_parquet,
         "part_distinct": part_distinct,
@@ -1150,9 +1227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_exists": filter_exists,
         "filter_nested_and": filter_nested_and,
         # DataIO round trips (§2.1/2.2)
-        "scan_dsv_roundtrip": scan_dsv_roundtrip,
-        "scan_jsonlines_roundtrip": scan_jsonlines_roundtrip,
-        "part_write_layout": part_write_layout,
         "chunk_counts": chunk_counts,
         "io_filtered_read": io_filtered_read,
         "sql_revenue_by_year": sql_revenue_by_year,
@@ -1177,9 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis (X4)
         "text_lang_id": text_lang_id_q,
         "text_quality": text_quality_q,
-        "text_token_stats": text_token_stats_q,
         # windows / asof (X6)
-        "win_user_session": win_user_session_q,
         "win_running_total": win_running_total_q,
         "win_lag_lead": win_lag_lead_q,
         "asof_join_orders": asof_join_orders_q,
@@ -1188,22 +1260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": agg_cube,
         "agg_grouping_sets": agg_grouping_sets,
         "win_ntile_quartiles": win_ntile_quartiles,
-        "json_key_histogram": json_key_histogram,
         "emb_dimension_stats": emb_dimension_stats,
         "agg_percentiles": agg_percentiles,
         "topk_per_group": topk_per_group,
-        "join_anti_customers": join_anti_customers,
-        "join_semi_parts": join_semi_parts,
-        "set_ops_users": set_ops_users,
-        "agg_salted_skew": agg_salted_skew,
-        "pivot_event_counts": pivot_event_counts,
-        "text_bpe_tokens": text_bpe_tokens,
-        # multimodal + streaming
-        "multimodal_decode": multimodal_decode_q,
-        "multimodal_frames": multimodal_frames_q,
-        "multimodal_audio": multimodal_audio_q,
-        "stream_windowed_counts": stream_windowed_counts_q,
-        "stream_sessions": stream_sessions_q,
     }
 
 
@@ -1484,6 +1543,26 @@ JOIN customer ON o_custkey = c_custkey
             + _jaccard_pairs_sql(0.8, block=None)
             + ")"
         ),
+        # exact transitive closure: recursive reachability, drop every
+        # node whose component holds a smaller id
+        "dedup_cc_drop": f"""
+WITH RECURSIVE pr AS ({_jaccard_pairs_sql(0.8, block=None)}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS drop_id FROM reach GROUP BY u HAVING MIN(v) < u
+""",
+        "dedup_simhash_band": f"""
+WITH sh AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
         "dedup_ngram_jaccard": _jaccard_pairs_sql(0.05, block="lang"),
         "text_simhash": _SIMHASH_SQL,
         "dedup_embedding": f"""
@@ -1491,6 +1570,13 @@ WITH u AS ({_DD_UNIT})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
 FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+""",
+        "dedup_embedding_lsh": f"""
+WITH u AS ({_DD_UNIT})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
 """,
         "sim_topk_exact": f"""

@@ -320,22 +320,146 @@ def minhash_near_duplicates(
     return inter.unionByName(intra)
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an edge list — alternating large-star
+    / small-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"), the standard O(log d)-round distributed CC.
+
+    Output: ``(id, component)`` for every node appearing in ``pairs``,
+    where ``component`` is the minimum id in the node's component
+    (roots map to themselves).
+
+    Each round is two grouped aggregates over the edge set:
+
+    * **large-star** — for each node u, connect every *larger* neighbor
+      to m = min(Γ(u) ∪ {u}); run over the symmetrized neighborhood.
+    * **small-star** — orient edges large→small; for each u, connect
+      its smaller neighbors and itself to their minimum.
+
+    Both stars strictly shrink the forest toward star graphs rooted at
+    component minima; convergence (edge set unchanged) is detected via
+    a count + order-independent hash signature, so the driver loop does
+    O(log d) tiny actions, never ``collect()``ing edges.  Edges shuffle
+    as bare (long, long) pairs throughout.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("v"), F.greatest("u", "v").alias("u"))
+        .select("u", "v")  # u > v invariant (large → small)
+        .distinct()
+    )
+    spark = pairs.sparkSession
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent, overflow-free (edges are
+            # distinct, so cancellation needs a real hash collision)
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input oriented u > v; group the small neighbors per u
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(m, on="u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select("u", F.col("m").alias("v"))
+        return (
+            moved.unionAll(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    # Iterative plans MUST truncate lineage each round — persist alone
+    # keeps the logical plan growing (stack overflow by ~10 rounds).
+    # Use a reliable checkpoint when the session has a checkpoint dir
+    # (cluster fault tolerance); localCheckpoint otherwise.
+    def materialize(e: DataFrame) -> DataFrame:
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return e.checkpoint(eager=True)
+        return e.localCheckpoint(eager=True)
+
+    cur = materialize(edges)
+    cur_sig = signature(cur)
+    for _ in range(max_iterations):
+        nxt = materialize(small_star(large_star(cur)))
+        nxt_sig = signature(nxt)
+        if nxt_sig == cur_sig:
+            cur = nxt
+            break
+        cur, cur_sig = nxt, nxt_sig
+    # fixed point: every edge is (node, component-min); roots self-map
+    members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    isolated = (
+        pairs.select(F.col(id_a).cast("long").alias("id"))
+        .unionAll(pairs.select(F.col(id_b).cast("long").alias("id")))
+        .distinct()
+        .join(members.select("id"), on="id", how="left_anti")
+        .join(roots.select("id"), on="id", how="left_anti")
+        .withColumn("component", F.col("id"))
+    )
+    return members.unionByName(roots).unionByName(isolated).distinct()
+
+
 def near_duplicate_drop_list(
     pairs: DataFrame,
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    exact: bool = True,
 ) -> DataFrame:
-    """Greedy keep-lowest-id dedup policy over near-dup pairs.
+    """Keep-lowest-id dedup policy over near-dup pairs.
 
-    With pairs emitted as ``id_a < id_b``, dropping every distinct
-    ``id_b`` keeps exactly one document (the minimum id) per duplicate
-    cluster whenever the pair relation covers the cluster (always true
-    for identical-set clusters and for LSH output at high thresholds;
-    a full connected-components pass is the exact-transitive variant).
-    One distinct-aggregate over the pair set — no iteration.
+    With ``exact=True`` (default) clusters are the TRUE transitive
+    closure via ``connected_components``; every non-minimum member of
+    a component is dropped — correct even when the pair relation only
+    covers clusters through chains (a~b, b~c but never a~c).
+
+    ``exact=False`` is the single-aggregate greedy variant (drop every
+    distinct ``id_b``): equivalent whenever pairs cover clusters
+    (identical-set clusters, high-threshold LSH output) and one shuffle
+    cheaper — the bulk-pipeline fast path.
     """
-    return pairs.select(F.col(id_b).alias("drop_id")).distinct()
+    if not exact:
+        return pairs.select(F.col(id_b).alias("drop_id")).distinct()
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("drop_id")
+    )
 
 
 def exact_jaccard_pairs(
@@ -407,6 +531,20 @@ def exact_jaccard_pairs(
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col("a.__elem") == F.col("b.__elem"))
     cond.append(F.col("a.__fp") < F.col("b.__fp"))
+    # PPJoin length filter: J(A,B) ≥ t ⇒ |A∩B| ≤ min(|A|,|B|) and
+    # |A∪B| ≥ max(|A|,|B|), so J ≤ min/max — any pair whose sizes
+    # differ by more than the threshold ratio can't qualify and is
+    # pruned BEFORE the intersection-count aggregate.  On skewed
+    # shingle frequencies this cuts the inverted-index blow-up (hot
+    # elements join many docs of wildly different sizes).
+    cond.append(
+        F.col("a.__n").cast("double")
+        >= F.lit(float(threshold)) * F.col("b.__n")
+    )
+    cond.append(
+        F.col("b.__n").cast("double")
+        >= F.lit(float(threshold)) * F.col("a.__n")
+    )
     pair_inter = (
         a.join(b, on=cond)
         .groupBy(
@@ -564,6 +702,80 @@ def simhash32(text_col: Column | str) -> Column:
     return kernel(_distinct_tokens(text_col))
 
 
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 2,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Pairs whose SimHash Hamming distance ≤ ``max_hamming`` — band
+    blocking, EXACT by pigeonhole.
+
+    Split the 32-bit fingerprint into ``n_blocks = max_hamming + 1``
+    contiguous bit blocks: two fingerprints differing in ≤ max_hamming
+    bits must agree on at least one whole block, so the
+    (block_idx, block_value) self-join finds every qualifying pair —
+    this is a lossless blocking scheme, not an approximation.  Verify
+    is one ``bit_count(xor)`` per candidate.
+
+    Scale shape: the band table carries (id, block_idx, block_value)
+    longs only; candidate volume is Σ|bucket|² over blocks, bounded by
+    fingerprint entropy instead of |corpus|².  The metadata-blocked
+    O(block²) variant this replaces survives as the brute-force oracle
+    twin (``simhash_near_duplicates``).
+    """
+    n_blocks = n_blocks or (max_hamming + 1)
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            "n_blocks must be >= max_hamming + 1 for exact recall"
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash32(text_col).alias("__sh")
+    )
+    # block b covers bits [lo, lo+width): extract via shiftright + mod
+    bounds = []
+    per = SIMHASH_BITS // n_blocks
+    extra = SIMHASH_BITS % n_blocks
+    lo = 0
+    for b in range(n_blocks):
+        width = per + (1 if b < extra else 0)
+        bounds.append((lo, width))
+        lo += width
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("__sh"), lo) % F.lit(1 << width)
+            for lo, width in bounds
+        ]
+    )
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(block_vals).alias("__blk", "__val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__val") == F.col("b.__val"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -574,9 +786,9 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs whose SimHash Hamming distance ≤ ``max_hamming``.
 
-    Blocked self-join + ``bit_count(xor)`` verify.  For cluster scale,
-    block on simhash bands (rotate-and-sort / 4×8-bit chunks) instead
-    of metadata columns; metadata blocking keeps this oracle-checkable.
+    Blocked self-join + ``bit_count(xor)`` verify.  Brute-force oracle
+    twin of ``simhash_band_pairs`` (the band-blocked scale path —
+    exact via pigeonhole, use that by default).
     """
     base = df.select(
         *[F.col(c) for c in block_cols],
@@ -603,10 +815,13 @@ __all__ = [
     "dedup_exact",
     "minhash_signature",
     "minhash_near_duplicates",
+    "near_duplicate_drop_list",
+    "connected_components",
     "exact_jaccard_pairs",
     "jaccard",
     "simhash32",
     "simhash_expr",
+    "simhash_band_pairs",
     "simhash_near_duplicates",
     "SIMHASH_BITS",
 ]

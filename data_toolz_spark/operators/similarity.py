@@ -67,11 +67,28 @@ def cosine_topk(
         F.col("__cid").alias(corpus_out),
         F.round(dot_product(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
+    # Two-stage top-k.  A single per-query window would shuffle
+    # |corpus|·|queries| scored rows into just n_queries reducers — a
+    # straggler wall at scale.  Stage 1 takes a LOCAL top-k per
+    # (query, input-partition): spark_partition_id() is stamped in the
+    # map stage (before any shuffle), so the first window fans out over
+    # n_queries·n_partitions keys and keeps ≤ k rows each.  Pruning is
+    # lossless: the global top-k per query survives every local top-k.
+    # Stage 2 ranks the surviving n_queries·n_partitions·k rows — tiny.
+    salted = scored.withColumn("__salt", F.spark_partition_id())
+    w_local = Window.partitionBy(query_out, "__salt").orderBy(
+        F.col("cosine").desc(), F.col(corpus_out)
+    )
+    pruned = (
+        salted.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn", "__salt")
+    )
     w = Window.partitionBy(query_out).orderBy(
         F.col("cosine").desc(), F.col(corpus_out)
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -345,9 +362,96 @@ def cosine_near_duplicates(
     )
 
 
+def cosine_near_duplicates_lsh(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH bucket blocking — the
+    100 TB default path (``cosine_near_duplicates`` with metadata
+    blocks is the exact/oracle twin).
+
+    Plan: sign-random-projection buckets over ``n_tables`` independent
+    tables (OR-amplification) → payload-free self-join per
+    (table, bucket) — only (id, table, bucket) longs shuffle, vectors
+    never ride through the explode — → dropDuplicates on candidate id
+    pairs → ONE hash-join back to unit vectors → exact cosine ≥
+    ``threshold`` verify.  Candidate volume is bounded by bucket
+    structure (Σ|bucket|² per table), not |corpus|²; raise ``n_bits``
+    with corpus size to keep buckets O(1).
+
+    Recall: a qualifying pair is missed only if it splits across every
+    table (P ≈ (1-p^n_bits)^n_tables with p = 1 - θ/π); the seeded
+    hyperplane family makes any given run deterministic, so recall on a
+    fixed corpus is reproducible.  Emitted pairs are always exact
+    (verified), i.e. precision is 1.0.
+    """
+    from data_toolz_spark.operators._util import spread
+
+    bucketize = _srp_buckets_udf(dim, n_bits, n_tables, seed)
+    unitize = _unit_vector_udf(dim)
+    base = spread(df)
+
+    banded = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            bucketize(F.col(vec_col).cast("array<double>"))
+        ).alias("__table", "__bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__table") == F.col("b.__table"),
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    units = base.select(
+        F.col(id_col).alias("__uid"),
+        unitize(F.col(vec_col).cast("array<double>")).alias("__uv"),
+    )
+    return (
+        candidates.join(
+            units.select(
+                F.col("__uid").alias("id_a"), F.col("__uv").alias("__va")
+            ),
+            on="id_a",
+        )
+        .join(
+            units.select(
+                F.col("__uid").alias("id_b"), F.col("__uv").alias("__vb")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_product(F.col("__va"), F.col("__vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 __all__ = [
     "cosine_topk",
     "cosine_topk_ann",
     "cosine_near_duplicates",
+    "cosine_near_duplicates_lsh",
     "lsh_bucket",
 ]
