@@ -1477,9 +1477,13 @@ def oracle_sql() -> dict[str, str]:
         "filter_or": (
             f"{_EVENTS_SELECT} WHERE event_type = 'click' OR value > 480"
         ),
+        # exact top-level key PRESENCE (JSON null ⇒ present), matching
+        # the implementation's map_contains_key semantics — NOT
+        # json_extract IS NOT NULL, which would treat "k": null as
+        # absent (plans/filtering.py exists-matcher contract)
         "filter_exists": (
-            f"{_EVENTS_SELECT} WHERE json_extract_string(props, '$.k') "
-            "IS NOT NULL AND json_extract_string(props, '$.ghost') IS NULL"
+            f"{_EVENTS_SELECT} WHERE list_contains(json_keys(props), 'k') "
+            "AND NOT list_contains(json_keys(props), 'ghost')"
         ),
         "filter_nested_and": (
             f"{_EVENTS_SELECT} WHERE event_type = 'purchase' "

@@ -17,6 +17,9 @@ A from-scratch, Spark-first re-expression of the capabilities of
                   embedding-cosine), similarity search, text analysis,
                   window analytics, as-of joins, multimodal columns.
 * ``streaming`` — Structured Streaming variants over the events table.
+* ``fs``        — driver-side file utilities (ls/rm/cp/sign/…) over the
+                  Hadoop FileSystem (reference: datatoolz/filesystem.py
+                  delegates).
 * ``logging``   — JSON structured logger + instrumentation decorator
                   (reference: datatoolz/logging.py).
 
@@ -27,6 +30,7 @@ DataFrame/SQL API and Catalyst/Tungsten pick the physical strategy.
 from data_toolz_spark.session import get_spark, configure_s3
 from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
+from data_toolz_spark.fs import FsUtil
 from data_toolz_spark.logging import JsonLogger
 from data_toolz_spark.catalog import register_dataset, register_directory
 
@@ -38,6 +42,7 @@ __all__ = [
     "Filter",
     "compile_filter",
     "DataIO",
+    "FsUtil",
     "JsonLogger",
     "register_dataset",
     "register_directory",

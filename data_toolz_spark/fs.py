@@ -1,0 +1,217 @@
+"""Driver-side filesystem utilities — FS6 parity surface.
+
+The reference exposes explicit delegates on its ``FileSystem`` wrapper
+(datatoolz/filesystem.py:109-129): ``_rm``, ``cp_file``, ``created``,
+``ls``, ``modified``, ``sign``, ``fsid`` — the operations a data-toolz
+script runs *around* its reads and writes (listing a prefix, cleaning
+up, presigning a download link).  In the Spark engine the reader/writer
+never touches these (Spark's InMemoryFileIndex + committers own file
+access), so this is a small driver-side utility over the Hadoop
+``FileSystem`` API: one implementation that follows whatever
+filesystems the active session is configured for (``file://``,
+``s3a://`` with the session.py S3 conf helpers, hdfs, …).
+
+Semantics vs the reference (tests/test_filesystem.py:89-110 matrix):
+
+* ``ls(detail=True)`` returns dicts with name/size/type/modified —
+  fsspec-shaped, so ported call sites keep working.
+* ``created``: local → datetime (st_ctime); S3 → NotImplementedError
+  (same as fsspec's s3 backend).
+* ``modified``: datetime for ANY Hadoop filesystem (improvement: the
+  reference's s3 backend raises NotImplementedError; Hadoop tracks
+  modification time uniformly).
+* ``sign``: S3 → boto3 presigned GET URL (expiration seconds); local →
+  NotImplementedError (reference behavior).
+* ``rm``/``cp_file``: recursive delete / server-side copy via Hadoop.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+_S3_SCHEMES = ("s3", "s3a", "s3n")
+
+
+def _require_spark(spark: SparkSession | None) -> SparkSession:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "FsUtil needs an active SparkSession (its JVM hosts the "
+            "Hadoop FileSystem connectors)"
+        )
+    return spark
+
+
+def _scheme(path: str) -> str:
+    head, sep, _ = path.partition("://")
+    return head if sep else "file"
+
+
+class FsUtil:
+    """Unified local / S3 / HDFS file utilities for driver-side plumbing.
+
+    >>> fs = FsUtil(spark)
+    >>> fs.ls("/data/out")            # detail dicts
+    >>> fs.rm("/data/tmp", recursive=True)
+    >>> fs.sign("s3a://bucket/key", expiration=300)
+    """
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self._spark = _require_spark(spark)
+        self._jvm = self._spark._jvm
+        self._conf = self._spark.sparkContext._jsc.hadoopConfiguration()
+
+    # -- internals ----------------------------------------------------
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._jpath(path).getFileSystem(self._conf)
+
+    @staticmethod
+    def _status_detail(status) -> dict[str, Any]:
+        return {
+            "name": status.getPath().toUri().getPath(),
+            "size": status.getLen(),
+            "type": "directory" if status.isDirectory() else "file",
+            "modified": _dt.datetime.fromtimestamp(
+                status.getModificationTime() / 1000.0,
+                tz=_dt.timezone.utc,
+            ),
+        }
+
+    # -- FS6 surface (filesystem.py:109-129) --------------------------
+
+    def ls(self, path: str, detail: bool = True) -> list:
+        """List a file or directory (one level, like fsspec ls)."""
+        statuses = self._fs(path).listStatus(self._jpath(path))
+        details = [self._status_detail(s) for s in statuses]
+        if detail:
+            return details
+        return [d["name"] for d in details]
+
+    def rm(self, path: str, recursive: bool = False) -> bool:
+        """Delete a path; ``recursive`` required for non-empty dirs."""
+        return self._fs(path).delete(self._jpath(path), recursive)
+
+    # reference name (filesystem.py:108) — same operation
+    _rm = rm
+
+    def cp_file(self, path1: str, path2: str) -> None:
+        """Copy one file (within or across Hadoop filesystems)."""
+        src_fs, dst_fs = self._fs(path1), self._fs(path2)
+        util = self._jvm.org.apache.hadoop.fs.FileUtil
+        ok = util.copy(
+            src_fs,
+            self._jpath(path1),
+            dst_fs,
+            self._jpath(path2),
+            False,  # deleteSource
+            True,  # overwrite
+            self._conf,
+        )
+        if not ok:
+            raise IOError(f"copy failed: {path1} -> {path2}")
+
+    def created(self, path: str) -> _dt.datetime:
+        """Creation time — local files only (S3 has no creation time;
+        the reference's s3 backend raises NotImplementedError too)."""
+        if _scheme(path) in _S3_SCHEMES:
+            raise NotImplementedError("created() is not available on S3")
+        local = path[len("file://"):] if path.startswith("file://") else path
+        return _dt.datetime.fromtimestamp(
+            os.stat(local).st_ctime, tz=_dt.timezone.utc
+        )
+
+    def modified(self, path: str) -> _dt.datetime:
+        """Modification time from Hadoop FileStatus (any filesystem)."""
+        status = self._fs(path).getFileStatus(self._jpath(path))
+        return _dt.datetime.fromtimestamp(
+            status.getModificationTime() / 1000.0, tz=_dt.timezone.utc
+        )
+
+    def sign(self, path: str, expiration: int = 100, **kwargs: Any) -> str:
+        """Presigned GET URL for an S3 object (expiration in seconds).
+
+        Local paths raise NotImplementedError — reference behavior
+        (fsspec LocalFileSystem.sign does the same).
+        """
+        scheme = _scheme(path)
+        if scheme not in _S3_SCHEMES:
+            raise NotImplementedError(f"sign() unsupported for {scheme}://")
+        import boto3  # deferred: only needed on the s3 path
+
+        rest = path.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        client = boto3.client("s3", **kwargs)
+        return client.generate_presigned_url(
+            "get_object",
+            Params={"Bucket": bucket, "Key": key},
+            ExpiresIn=expiration,
+        )
+
+    @property
+    def fsid(self) -> str:
+        """Stable id for the default filesystem (scheme + authority)."""
+        uri = self._jvm.org.apache.hadoop.fs.FileSystem.getDefaultUri(
+            self._conf
+        )
+        return str(uri)
+
+    # -- extras the reference gets via fsspec delegation (FS5) --------
+
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._jpath(path))
+
+    def makedirs(self, path: str) -> bool:
+        return self._fs(path).mkdirs(self._jpath(path))
+
+    def open(self, path: str, mode: str = "rb"):
+        """Small driver-side reads/writes (config files, manifests —
+        NOT data paths; datasets go through DataIO/Spark)."""
+        if mode not in ("rb", "wb"):
+            raise ValueError("only 'rb'/'wb' supported")
+        jpath = self._jpath(path)
+        fs = self._fs(path)
+        if mode == "rb":
+            stream = fs.open(jpath)
+            sink = self._jvm.java.io.ByteArrayOutputStream()
+            # JVM-side copy; byte[] return values cross py4j as bytes
+            # (a Python bytearray arg would be passed by VALUE, so
+            # readFully-style mutation never reaches the driver)
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, sink, self._conf, True
+            )
+            import io
+
+            return io.BytesIO(bytes(sink.toByteArray()))
+        stream = fs.create(jpath, True)
+        return _JvmWriter(stream)
+
+
+class _JvmWriter:
+    """Context-managed byte writer over a Hadoop output stream."""
+
+    def __init__(self, stream) -> None:
+        self._stream = stream
+
+    def write(self, data: bytes) -> int:
+        self._stream.write(bytearray(data))
+        return len(data)
+
+    def close(self) -> None:
+        self._stream.close()
+
+    def __enter__(self) -> "_JvmWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+__all__ = ["FsUtil"]

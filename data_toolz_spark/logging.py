@@ -2,14 +2,23 @@
 
 Parity with the reference's ``JsonLogger`` (datatoolz/logging.py:19-105):
 same JSON envelope ``{logger: {application, environment}, level,
-timestamp, message, extra}`` on stdout, ``info``/``error`` methods, and
-a ``decorate`` wrapper capturing wall time and memory.
+timestamp, message}`` on stdout with ``extra`` present ONLY when
+non-empty (logging.py:47-48), ``info(msg, **custom)`` /
+``error(msg, **custom)`` kwargs surface (logging.py:51-65), and a
+``decorate(msg, duration=True, memory=True, **custom)`` instrumentation
+decorator whose callable customs are applied to the wrapped function's
+result (logging.py:67-105; reference key names ``duration`` and
+``memory: {current, peak}``).
 
-Spark adaptation (SURVEY §2.6/L3): driver-side ``tracemalloc`` cannot
-see JVM executors, so the decorator additionally snapshots Spark
-executor/stage aggregates from the SparkContext status tracker when a
-session is active — rows and task metrics live JVM-side where the work
-actually happens.
+Documented extensions beyond the reference (SURVEY §2.6/L3):
+
+* ``extra=`` also accepts a whole mapping (merged under ``**custom``).
+* ``decorate`` may be used bare (``@logger.decorate``) and adds a
+  ``spark`` block from the SparkContext status tracker when a session
+  is live — driver-side ``tracemalloc`` cannot see JVM executors, so
+  executor-side aggregates are the distributed memory/work signal.
+* failures are logged at ERROR with the exception attached and
+  re-raised (the reference logs nothing on failure).
 """
 
 from __future__ import annotations
@@ -23,6 +32,8 @@ import tracemalloc
 from typing import Any, Callable, Mapping
 
 INFO = "info"
+DEBUG = "debug"
+WARNING = "warning"
 ERROR = "error"
 
 
@@ -30,7 +41,7 @@ class JsonLogger:
     """Structured JSON logger writing single-line records to stdout.
 
     >>> logger = JsonLogger(name="my-app", env="dev")
-    >>> logger.info("hello", extra={"rows": 42})
+    >>> logger.info("hello", rows=42)
     {"logger": {"application": "my-app", "environment": "dev"}, ...}
     """
 
@@ -44,7 +55,7 @@ class JsonLogger:
         self.env = env
         self._logger = _pylogging.getLogger(f"data_toolz_spark.{name}.{env}")
         # reset handlers so repeated construction never duplicates output
-        # (reference behavior, logging.py:30-36)
+        # (reference behavior, logging.py:27-28)
         self._logger.handlers.clear()
         handler = _pylogging.StreamHandler(stream or sys.stdout)
         handler.setFormatter(_pylogging.Formatter("%(message)s"))
@@ -58,43 +69,61 @@ class JsonLogger:
             "level": level,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
             "message": message,
-            "extra": dict(extra or {}),
         }
+        # reference envelope: "extra" is OMITTED when empty
+        # (logging.py:47-48) — consumers key on its presence
+        if extra:
+            record["extra"] = dict(extra)
         line = json.dumps(record, default=str)
         if level == ERROR:
             self._logger.error(line)
         else:
             self._logger.info(line)
 
-    def info(self, message: Any, extra: Mapping | None = None) -> None:
-        self._emit(INFO, message, extra)
+    def info(
+        self, message: Any, extra: Mapping | None = None, **custom: Any
+    ) -> None:
+        self._emit(INFO, message, {**dict(extra or {}), **custom})
 
-    def error(self, message: Any, extra: Mapping | None = None) -> None:
-        self._emit(ERROR, message, extra)
+    def error(
+        self, message: Any, extra: Mapping | None = None, **custom: Any
+    ) -> None:
+        self._emit(ERROR, message, {**dict(extra or {}), **custom})
 
     # ------------------------------------------------------------------
 
     def decorate(
         self,
-        function: Callable | None = None,
+        function: Callable | str | None = None,
         *,
+        msg: str | None = None,
+        duration: bool = True,
+        memory: bool = True,
         extras: Mapping | Callable[[Any], Mapping] | None = None,
         spark_metrics: bool = True,
+        **custom: Any,
     ) -> Callable:
-        """Instrument a function: wall time, driver memory, Spark stats.
+        """Instrument a function: duration, memory, Spark stats, customs.
 
-        ``extras`` may be a static mapping or a callable applied to the
-        wrapped function's result (reference logging.py:81-99).  When a
-        SparkSession is live and ``spark_metrics`` is set, executor
-        aggregates from the status tracker are attached — the
-        distributed replacement for tracemalloc, which only sees the
-        driver.
+        Reference-compatible forms (logging.py:67-105)::
+
+            @logger.decorate("loading data")               # static msg
+            @logger.decorate("n", rows=lambda df: df.count())
+
+        callable customs run on the wrapped function's result; statics
+        pass through.  Extensions: bare ``@logger.decorate`` (message
+        defaults to ``"<name> finished"``), ``extras=`` whole-mapping
+        form, and a ``spark`` status-tracker block when a session is
+        live (``spark_metrics``).
         """
+        if isinstance(function, str) and msg is None:
+            function, msg = None, function
 
         def wrap(func: Callable) -> Callable:
             @functools.wraps(func)
             def inner(*args: Any, **kwargs: Any) -> Any:
-                tracemalloc.start()
+                if memory:
+                    tracemalloc.start()
                 started = time.perf_counter()
                 error: BaseException | None = None
                 result = None
@@ -106,26 +135,32 @@ class JsonLogger:
                     raise
                 finally:
                     elapsed = time.perf_counter() - started
-                    _, peak = tracemalloc.get_traced_memory()
-                    tracemalloc.stop()
-                    extra: dict[str, Any] = {
-                        "function": func.__name__,
-                        "wall_time_sec": round(elapsed, 6),
-                        "driver_peak_mem_bytes": peak,
-                    }
+                    log: dict[str, Any] = {"function": func.__name__}
+                    if memory:
+                        current, peak = tracemalloc.get_traced_memory()
+                        tracemalloc.stop()
+                        log["memory"] = {"current": current, "peak": peak}
+                    if duration:
+                        log["duration"] = elapsed
                     if spark_metrics:
                         stats = _spark_status_snapshot()
                         if stats:
-                            extra["spark"] = stats
-                    if extras is not None and error is None:
-                        extra.update(
-                            extras(result) if callable(extras) else extras
-                        )
+                            log["spark"] = stats
                     if error is None:
-                        self.info(f"{func.__name__} finished", extra=extra)
+                        for name, call_or_value in custom.items():
+                            log[name] = (
+                                call_or_value(result)
+                                if callable(call_or_value)
+                                else call_or_value
+                            )
+                        if extras is not None:
+                            log.update(
+                                extras(result) if callable(extras) else extras
+                            )
+                        self.info(msg or f"{func.__name__} finished", **log)
                     else:
-                        extra["error"] = repr(error)
-                        self.error(f"{func.__name__} failed", extra=extra)
+                        log["error"] = repr(error)
+                        self.error(msg or f"{func.__name__} failed", **log)
 
             return inner
 
@@ -152,4 +187,4 @@ def _spark_status_snapshot() -> dict[str, Any] | None:
         return None
 
 
-__all__ = ["JsonLogger", "INFO", "ERROR"]
+__all__ = ["JsonLogger", "INFO", "DEBUG", "WARNING", "ERROR"]

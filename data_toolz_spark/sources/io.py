@@ -13,10 +13,10 @@ Spark-first re-expression of the reference's ``DataIO``
   partition *discovery and pruning* on read, which the reference never
   had (io.py:144 lists and reads everything).
 * chunked output (``suffix`` list of N names → N files per partition,
-  io.py:73-83,93-100) → deterministic ``ntile(N)`` bucketing so every
-  partition directory holds exactly N files with ceil-division row
-  counts — same contract as the reference's ``iloc`` slicing.  Delta:
-  empty tail chunks are not materialized as empty files (SURVEY §7.4.4).
+  io.py:73-83,93-100) → deterministic ``floor((row_number()-1) /
+  ceil(n/N))`` bucketing — the reference's exact ``iloc`` slice sizes
+  (10 rows / 4 chunks → 3/3/3/1), including materialized empty tail
+  files (io.py:79-83).
 * ``drop_partitions`` (io.py:87-88,157): Spark's partitionBy always
   strips partition columns from data files and restores them on read,
   so the *whole-dataset* round trip is lossless either way.  Passing
@@ -159,14 +159,26 @@ class DataIO:
         """Materialize ``df`` under ``path``; returns the output path.
 
         ``suffix=[...]`` requests exactly ``len(suffix)`` files per
-        partition directory with ceil-division row counts — the
-        reference's chunking contract (io.py:73-83).  Implemented as a
-        deterministic ``ntile`` bucketing + repartition by (partition
-        cols, bucket) so each bucket lands in exactly one task file.
+        partition directory with the reference's exact ceil-division
+        slice sizes (io.py:73-83).
+
+        With a custom ``partition_transformer`` the renamed layout loses
+        native partition discovery (dirs are no longer ``f=v``), so the
+        partition columns are always kept in the data files as
+        ``<col>__data`` copies regardless of ``drop_partitions``.
         """
         filetype = self._normalize_filetype(filetype)
         partition_by = list(partition_by or [])
 
+        if self.partition_transformer is not None and partition_by:
+            # A custom layout moves data out of hive-style f=v dirs, so
+            # native partition discovery cannot restore the partition
+            # columns on read — without an in-file copy the values would
+            # be unrecoverable.  Force the `<col>__data` copy (the
+            # reference keeps partition columns in data files by
+            # default, io.py:157, so transformed layouts stay lossless
+            # there too).
+            drop_partitions = False
         if not drop_partitions and partition_by:
             # Spark always strips partition columns from data files and
             # restores them from the directory encoding on read — the
@@ -240,25 +252,49 @@ class DataIO:
     ) -> str:
         """Exactly ``n_chunks`` files per partition dir (reference W7).
 
-        ``ntile(n)`` assigns ceil-division buckets in row order per
-        partition — the same sizing as the reference's ``iloc`` slices
-        (io.py:79,94).  Each bucket is then written in its own append
-        pass with the partition dirs collapsed to one-file-per-dir, so
-        a directory ends up with exactly one file per non-empty bucket.
-        Deltas (SURVEY §7.4.4): empty tail buckets produce no empty
-        file, and Spark owns the task-file names (the ``suffix`` names
-        select chunk *count*, not file names).
+        Chunk assignment reproduces the reference's ``iloc`` slicing
+        bit-for-bit (io.py:79,94): chunk i holds rows
+        ``[i*ceil(n/k), (i+1)*ceil(n/k))`` in sorted row order, i.e.
+        ``floor((row_number()-1) / ceil(n/k))`` — 10 rows into 4 chunks
+        gives 3/3/3/1, NOT ntile's balanced 3/3/2/2.  Each chunk is then
+        written in its own append pass with the partition dirs collapsed
+        to one-file-per-dir.  Un-partitioned writes materialize empty
+        tail chunks as schema-only files (``coalesce(1)`` keeps the
+        single write task alive), matching the reference's guarantee
+        (io.py:79-83); partitioned writes emit one file per *non-empty*
+        chunk per dir (Spark's partitionBy skips empty dirs — delta,
+        SURVEY §7.4.4).  Spark also owns the task-file names (the
+        ``suffix`` names select chunk *count*, not file names).
 
         Scale note: this is a parity operator — it costs one shuffle +
-        ``n_chunks`` write jobs over a cached frame.  For bulk output
-        sizing at scale prefer ``maxRecordsPerFile`` / plain
-        ``partitionBy``, which need no row-order contract.
+        ``n_chunks`` write jobs over a cached frame, and with NO
+        partition columns the row-order contract forces the whole
+        dataset through a single-task sort window (warned below).  For
+        bulk output sizing at scale prefer ``maxRecordsPerFile`` /
+        plain ``partitionBy``, which need no row-order contract.
         """
+        if not partition_by:
+            warnings.warn(
+                "chunked write without partition_by sorts the whole "
+                "dataset through one task; use maxRecordsPerFile for "
+                "bulk sizing at scale",
+                UserWarning,
+                stacklevel=3,
+            )
         order_cols = [c for c in df.columns if c not in partition_by]
         window = Window.partitionBy(
             *(partition_by or [F.lit(1)])
         ).orderBy(*(order_cols or [F.lit(1)]))
-        chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(window))
+        counts = Window.partitionBy(*(partition_by or [F.lit(1)]))
+        chunk_size = F.ceil(
+            F.count(F.lit(1)).over(counts) / F.lit(n_chunks)
+        )
+        chunked = df.withColumn(
+            "__chunk",
+            (
+                F.floor((F.row_number().over(window) - 1) / chunk_size) + 1
+            ).cast("int"),
+        )
         chunked.persist()
         try:
             for i in range(n_chunks):

@@ -130,13 +130,39 @@ def test_chunked_write_rows_split_ceil(spark, tmp_path):
     io = DataIO()
     df = spark.range(5)
     path = str(tmp_path / "t1")
-    io.write(df, path, suffix=["c0", "c1"])
+    with pytest.warns(UserWarning, match="single-task|one task"):
+        io.write(df, path, suffix=["c0", "c1"])
     files = [f for f in os.listdir(path) if f.startswith("part-")]
     assert len(files) == 2
     sizes = sorted(
         spark.read.parquet(os.path.join(path, f)).count() for f in files
     )
     assert sizes == [2, 3]
+
+
+def test_chunked_write_reference_slicing_not_ntile(spark, tmp_path):
+    """10 rows into 4 chunks → iloc slices 3/3/3/1 (ntile would give
+    the balanced 3/3/2/2 — reference io.py:79 contract differs)."""
+    io = DataIO()
+    df = spark.range(10)
+    path = str(tmp_path / "t1")
+    with pytest.warns(UserWarning):
+        io.write(df, path, suffix=["c0", "c1", "c2", "c3"])
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    sizes = sorted(
+        spark.read.parquet(os.path.join(path, f)).count() for f in files
+    )
+    assert sizes == [1, 3, 3, 3]
+    # short input: 2 rows into 4 chunks → 1/1 plus two EMPTY tail
+    # files — the reference materializes empty tails too (io.py:79-83)
+    path2 = str(tmp_path / "t2")
+    with pytest.warns(UserWarning):
+        io.write(spark.range(2), path2, suffix=["c0", "c1", "c2", "c3"])
+    files2 = [f for f in os.listdir(path2) if f.startswith("part-")]
+    sizes2 = sorted(
+        spark.read.parquet(os.path.join(path2, f)).count() for f in files2
+    )
+    assert sizes2 == [0, 0, 1, 1]
 
 
 def test_drop_partitions_false_warns_and_keeps_copy(spark, sample_df, tmp_path):
@@ -183,8 +209,17 @@ def test_partition_transformer_rename_pass(spark, sample_df, tmp_path):
 
     io = DataIO(partition_transformer=transformer)
     path = str(tmp_path / "t1")
-    io.write(sample_df, path, partition_by=["col1"])
+    with pytest.warns(UserWarning):  # forced `<col>__data` copy notice
+        io.write(sample_df, path, partition_by=["col1"])
     names = sorted(
         d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
     )
     assert names == ["custom-a", "custom-b"]
+    # transformed dirs are no longer f=v, so partition values must
+    # survive INSIDE the data files (forced copy regardless of
+    # drop_partitions) — otherwise the layout is lossy
+    back = spark.read.parquet(f"{path}/custom-a", f"{path}/custom-b")
+    assert "col1__data" in back.columns
+    assert sorted(
+        r["col1__data"] for r in back.select("col1__data").distinct().collect()
+    ) == ["a", "b"]

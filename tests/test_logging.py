@@ -59,8 +59,8 @@ def test_decorator_success_extras(capsys):
     assert rec["message"] == "work finished"
     assert rec["extra"]["function"] == "work"
     assert rec["extra"]["result_len"] == 3
-    assert rec["extra"]["wall_time_sec"] >= 0
-    assert rec["extra"]["driver_peak_mem_bytes"] >= 0
+    assert rec["extra"]["duration"] >= 0
+    assert rec["extra"]["memory"]["peak"] >= 0
 
 
 def test_decorator_static_extras(capsys):
@@ -87,6 +87,46 @@ def test_decorator_error_path(capsys):
     assert rec["level"] == "error"
     assert rec["message"] == "explode failed"
     assert "ValueError" in rec["extra"]["error"]
+
+
+def test_reference_kwargs_surface(capsys):
+    """info(msg, **custom) and empty-extra omission (reference
+    logging.py:47-65): the envelope has NO "extra" key when nothing
+    custom is passed."""
+    logger = JsonLogger(name="ref", env="dev")
+    logger.info("bare")
+    rec = _last_record(capsys)
+    assert "extra" not in rec
+    logger.info("kw", rows=3, stage="load")
+    rec = _last_record(capsys)
+    assert rec["extra"] == {"rows": 3, "stage": "load"}
+
+
+def test_reference_decorate_signature(capsys):
+    """decorate(msg, duration=, memory=, **custom) with callable
+    customs applied to the result (reference logging.py:67-105)."""
+    logger = JsonLogger(name="ref2")
+
+    @logger.decorate("loading", rows=lambda result: len(result), kind="x")
+    def work():
+        return [1, 2]
+
+    work()
+    rec = _last_record(capsys)
+    assert rec["message"] == "loading"
+    assert rec["extra"]["rows"] == 2
+    assert rec["extra"]["kind"] == "x"
+    assert rec["extra"]["memory"].keys() == {"current", "peak"}
+    assert rec["extra"]["duration"] >= 0
+
+    @logger.decorate("quiet", duration=False, memory=False)
+    def fast():
+        return None
+
+    fast()
+    rec = _last_record(capsys)
+    assert "duration" not in rec["extra"]
+    assert "memory" not in rec["extra"]
 
 
 def test_decorator_attaches_spark_metrics(spark, capsys):
