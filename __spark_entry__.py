@@ -511,7 +511,8 @@ def dedup_minhash_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(
         load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
     )
-    return near_duplicate_drop_list(pairs)
+    # greedy single-aggregate fast path (dedup_cc_drop is the exact twin)
+    return near_duplicate_drop_list(pairs, exact=False)
 
 
 def dedup_cc_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,10 +1,16 @@
 """Benchmark harness — driver contract.
 
-Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+Runs EVERY registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the HEADLINE-set total (the round-over-round BASELINE.md
+series — fixed membership so the ratio stays meaningful); ``queries``
+carries per-qid wall times for every registered qid so regressions are
+attributable.  ``--headline`` restricts to the headline set; explicit
+qid args restrict to those.
 
 Each query is forced end-to-end with the ``noop`` sink (full execution,
 no driver-side collect, no disk write) so the measured time is scan +
@@ -70,7 +76,17 @@ def _sf_from_dir(path: str) -> float:
 
 def main() -> int:
     only = sys.argv[1:]
-    names = only or HEADLINE
+    all_qids = list(entrymod.queries())
+    if only == ["--headline"]:
+        names = HEADLINE
+    elif only:
+        names = only
+    else:
+        # every registered qid, headline entries first so the numbers
+        # most comparable round-over-round come from a freshly warmed
+        # JVM; "value" stays the HEADLINE total (the BASELINE.md
+        # series), per-qid timings cover everything for attribution
+        names = HEADLINE + [q for q in all_qids if q not in HEADLINE]
     spark = get_spark(
         app_name="data_toolz_spark_bench",
         master=f"local[{CPUS}]",
@@ -102,7 +118,9 @@ def main() -> int:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(t for q, t in timings.items() if q in HEADLINE or q in only), 3
+    )
     print(
         json.dumps(
             {

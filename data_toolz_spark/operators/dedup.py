@@ -471,6 +471,7 @@ def exact_jaccard_pairs(
     threshold: float,
     shingle: int = 1,
     persist: bool = True,
+    length_filter: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard pairs via an inverted-index (set-similarity) join.
 
@@ -487,6 +488,8 @@ def exact_jaccard_pairs(
 
     ``block_cols`` bound the index (same language, length bucket, …);
     ``shingle > 1`` compares n-word-shingle sets instead of token sets.
+    ``length_filter`` toggles the PPJoin length bound (off only for
+    measuring its effect — keep it on).
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for the inverted-index join")
@@ -537,14 +540,15 @@ def exact_jaccard_pairs(
     # pruned BEFORE the intersection-count aggregate.  On skewed
     # shingle frequencies this cuts the inverted-index blow-up (hot
     # elements join many docs of wildly different sizes).
-    cond.append(
-        F.col("a.__n").cast("double")
-        >= F.lit(float(threshold)) * F.col("b.__n")
-    )
-    cond.append(
-        F.col("b.__n").cast("double")
-        >= F.lit(float(threshold)) * F.col("a.__n")
-    )
+    if length_filter:
+        cond.append(
+            F.col("a.__n").cast("double")
+            >= F.lit(float(threshold)) * F.col("b.__n")
+        )
+        cond.append(
+            F.col("b.__n").cast("double")
+            >= F.lit(float(threshold)) * F.col("a.__n")
+        )
     pair_inter = (
         a.join(b, on=cond)
         .groupBy(

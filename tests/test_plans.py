@@ -127,6 +127,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_cosine_topk_is_two_stage(spark, sf_dir):
+    """Top-k must pre-reduce with a LOCAL (query, partition-salt)
+    window before the global per-query window — a single per-query
+    window would funnel |corpus|·|queries| rows into n_queries
+    reducers (VERDICT r1 scale-killer #1)."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.sim_topk_exact_q(spark, sf_dir))
+    # two window stages...
+    assert plan.count("Window") >= 2, plan
+    # ...and the first partitions by the salt too, so fan-out is
+    # n_queries·n_partitions, not n_queries
+    assert "__salt" in plan, plan
+    assert "spark_partition_id" in plan.lower(), plan
+
+
 def test_q1_aggregate_is_partial_then_final(spark, sf_dir):
     import __spark_entry__ as em
 
