@@ -34,6 +34,14 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Persisted intermediates from a PREVIOUS query (dedup family) are
+    # released here, on the next query's first table load — so any
+    # harness that runs qids sequentially (driver, bench) gets cache
+    # hygiene without cooperating.  Unpersist is lineage-safe: a stale
+    # plan re-executed later just recomputes.
+    from data_toolz_spark.cache import release
+
+    release()
     # deterministic timestamp rendering (date_format in the streaming
     # qids) regardless of the caller session's timezone; runtime-settable
     try:

@@ -75,8 +75,17 @@ class FsUtil:
 
     @staticmethod
     def _status_detail(status) -> dict[str, Any]:
+        # fsspec-shaped names: local paths are bare ('/tmp/x'), remote
+        # paths keep the authority ('bucket/key' for s3a://bucket/key)
+        # — dropping the bucket would break name-based joins in ported
+        # fsspec call sites.
+        uri = status.getPath().toUri()
+        authority = uri.getAuthority()
+        name = uri.getPath()
+        if authority:
+            name = authority + name
         return {
-            "name": status.getPath().toUri().getPath(),
+            "name": name,
             "size": status.getLen(),
             "type": "directory" if status.isDirectory() else "file",
             "modified": _dt.datetime.fromtimestamp(

@@ -239,11 +239,16 @@ def minhash_near_duplicates(
         # verify, expand); without a persist the shingling runs once
         # per branch.  MEMORY_AND_DISK so large corpora spill instead
         # of OOM; callers running one-shot pipelines can pass
-        # persist=False to keep the plan fully lazy.
+        # persist=False to keep the plan fully lazy.  Both frames are
+        # registered with cache.track so long sessions can bulk-release
+        # them (cache.release) once the returned plan is materialized —
+        # the caller has no direct handle to these intermediates.
         from pyspark import StorageLevel
 
-        members = members.persist(StorageLevel.MEMORY_AND_DISK)
-        reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+        from data_toolz_spark.cache import track
+
+        members = track(members.persist(StorageLevel.MEMORY_AND_DISK))
+        reps = track(reps.persist(StorageLevel.MEMORY_AND_DISK))
     bucketize = _band_bucket_udf(n_hashes, bands)
     banded = reps.select(
         "__fp",
@@ -412,13 +417,26 @@ def connected_components(
 
     cur = materialize(edges)
     cur_sig = signature(cur)
+    converged = False
     for _ in range(max_iterations):
         nxt = materialize(small_star(large_star(cur)))
         nxt_sig = signature(nxt)
         if nxt_sig == cur_sig:
             cur = nxt
+            converged = True
             break
         cur, cur_sig = nxt, nxt_sig
+    if not converged:
+        # A partial fixed point is a WRONG (id, component) mapping —
+        # near_duplicate_drop_list(exact=True) would silently corrupt
+        # the drop list.  Star contraction halves component diameter
+        # per round, so 25 rounds cover diameters up to ~2^25; hitting
+        # this means pathological data or too-low max_iterations.
+        raise RuntimeError(
+            "connected_components did not converge within "
+            f"{max_iterations} iterations; raise max_iterations "
+            "(rounds needed ~ log2 of the largest component diameter)"
+        )
     # fixed point: every edge is (node, component-min); roots self-map
     members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("id")).distinct().withColumn(
@@ -471,7 +489,7 @@ def exact_jaccard_pairs(
     threshold: float,
     shingle: int = 1,
     persist: bool = True,
-    length_filter: bool = True,
+    length_filter: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard pairs via an inverted-index (set-similarity) join.
 
@@ -488,8 +506,15 @@ def exact_jaccard_pairs(
 
     ``block_cols`` bound the index (same language, length bucket, …);
     ``shingle > 1`` compares n-word-shingle sets instead of token sets.
-    ``length_filter`` toggles the PPJoin length bound (off only for
-    measuring its effect — keep it on).
+
+    ``length_filter`` (default OFF) adds the PPJoin length bound as two
+    extra non-equi join conditions.  Measured on this corpus it is a
+    net LOSS: at 20× sf0.1 the index join takes 8.99 s with the bound
+    vs 1.67 s without, for identical output (SCALE_PROBE.md) — the
+    per-candidate-row comparisons cost more than the pruning saves at
+    low thresholds, where almost no pair is size-ratio-prunable.  Turn
+    it on only for high thresholds (≥ ~0.7), where the min/max size
+    ratio actually eliminates candidates.
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for the inverted-index join")
@@ -522,8 +547,10 @@ def exact_jaccard_pairs(
     if persist:
         from pyspark import StorageLevel
 
-        members = members.persist(StorageLevel.MEMORY_AND_DISK)
-        reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+        from data_toolz_spark.cache import track
+
+        members = track(members.persist(StorageLevel.MEMORY_AND_DISK))
+        reps = track(reps.persist(StorageLevel.MEMORY_AND_DISK))
     index = reps.select(
         *block_cols,
         "__fp",
@@ -706,6 +733,74 @@ def simhash32(text_col: Column | str) -> Column:
     return kernel(_distinct_tokens(text_col))
 
 
+def _token_hash64_portable(token: Column) -> Column:
+    """Engine-portable 64-bit token hash: first 16 hex chars of md5,
+    assembled from two 32-bit halves (a single conv of 16 hex chars
+    overflows the signed-long cast for values ≥ 2⁶³)."""
+    hex16 = F.substring(F.md5(F.encode(token, "UTF-8")), 1, 16)
+    hi = F.conv(F.substring(hex16, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex16, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _simhash64_kernel_udf():
+    """Arrow-batched 64-bit SimHash from per-token int64 hashes.
+
+    Token hashing stays JVM-side (codegen'd md5/xxhash64); the kernel
+    only does the bit-vote fold — one (|tokens| × 64) numpy broadcast
+    per row instead of 64 interpreted lambda passes.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def kernel(hashed: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashed:
+            if arr is None:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(x) == 0:
+                out.append(0)
+                continue
+            bits = (x[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            packed = int(
+                ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                    dtype=np.uint64
+                )
+            )
+            if packed >= 1 << 63:  # two's-complement into signed long
+                packed -= 1 << 64
+            out.append(packed)
+        return pd.Series(out, dtype="object")
+
+    return kernel
+
+
+def simhash64(
+    text_col: Column | str, *, portable_hash: bool = True
+) -> Column:
+    """64-bit SimHash of the distinct token set (bigint) — the SCALE
+    fingerprint for band blocking (``simhash32`` saturates: ~10-11 bits
+    per pigeonhole block ⇒ quadratic candidates on large corpora).
+
+    ``portable_hash=True`` derives per-token hashes from md5 (first 16
+    hex chars), so any ANSI-SQL engine reproduces the fingerprint bit
+    for bit; ``False`` uses ``xxhash64`` — faster, Spark-only.
+    """
+    toks = _distinct_tokens(text_col)
+    token_hash = (
+        _token_hash64_portable
+        if portable_hash
+        else (lambda t: F.xxhash64(t))
+    )
+    kernel = _simhash64_kernel_udf()
+    return kernel(F.transform(toks, token_hash))
+
+
 def simhash_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -713,35 +808,59 @@ def simhash_band_pairs(
     *,
     max_hamming: int = 2,
     n_blocks: int | None = None,
+    bits: int = SIMHASH_BITS,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Pairs whose SimHash Hamming distance ≤ ``max_hamming`` — band
     blocking, EXACT by pigeonhole.
 
-    Split the 32-bit fingerprint into ``n_blocks = max_hamming + 1``
-    contiguous bit blocks: two fingerprints differing in ≤ max_hamming
-    bits must agree on at least one whole block, so the
-    (block_idx, block_value) self-join finds every qualifying pair —
-    this is a lossless blocking scheme, not an approximation.  Verify
-    is one ``bit_count(xor)`` per candidate.
+    Split the ``bits``-wide fingerprint into ``n_blocks =
+    max_hamming + 1`` contiguous bit blocks: two fingerprints differing
+    in ≤ max_hamming bits must agree on at least one whole block, so
+    the (block_idx, block_value) self-join finds every qualifying
+    pair — this is a lossless blocking scheme, not an approximation.
+    Verify is one ``bit_count(xor)`` per candidate.
+
+    ``bits=32`` (default) keeps the cross-engine md5-derived
+    fingerprint; ``bits=64`` is the SCALE setting — a 32-bit
+    fingerprint gives each pigeonhole block only ~10-11 bits, so on
+    ~10⁵+ docs the buckets saturate and candidate volume goes
+    quadratic (311 M pairs at 100 k docs, SCALE_PROBE.md), while 64-bit
+    blocks carry ~21 bits each and keep buckets sparse into the
+    billions.  With ``bits=64``, ``portable_hash`` picks the per-token
+    hash: True (default) = md5-derived (any ANSI-SQL engine reproduces
+    the fingerprint), False = ``xxhash64`` (fastest; Spark-only).
 
     Scale shape: the band table carries (id, block_idx, block_value)
     longs only; candidate volume is Σ|bucket|² over blocks, bounded by
     fingerprint entropy instead of |corpus|².  The metadata-blocked
-    O(block²) variant this replaces survives as the brute-force oracle
-    twin (``simhash_near_duplicates``).
+    O(block²) variant survives as the brute-force oracle twin
+    (``simhash_near_duplicates``).
     """
     n_blocks = n_blocks or (max_hamming + 1)
     if n_blocks < max_hamming + 1:
         raise ValueError(
             "n_blocks must be >= max_hamming + 1 for exact recall"
         )
+    if n_blocks > bits:
+        # width-0 blocks would all collide on value 0 — every doc pair
+        # becomes a candidate and the join silently degrades to O(n²)
+        raise ValueError(f"n_blocks must be <= bits ({bits})")
+    if bits == 32:
+        fingerprint = simhash32(text_col)
+    elif bits == 64:
+        fingerprint = simhash64(text_col, portable_hash=portable_hash)
+    else:
+        raise ValueError("bits must be 32 or 64")
     base = df.select(
-        F.col(id_col).alias("__id"), simhash32(text_col).alias("__sh")
+        F.col(id_col).alias("__id"), fingerprint.alias("__sh")
     )
-    # block b covers bits [lo, lo+width): extract via shiftright + mod
+    # block b covers bits [lo, lo+width): extract via shiftright + mask
+    # (bitwise AND, not %: modulo is sign-preserving and the top block
+    # of a 64-bit fingerprint has the sign bit set)
     bounds = []
-    per = SIMHASH_BITS // n_blocks
-    extra = SIMHASH_BITS % n_blocks
+    per = bits // n_blocks
+    extra = bits % n_blocks
     lo = 0
     for b in range(n_blocks):
         width = per + (1 if b < extra else 0)
@@ -749,7 +868,9 @@ def simhash_band_pairs(
         lo += width
     block_vals = F.array(
         *[
-            F.shiftright(F.col("__sh"), lo) % F.lit(1 << width)
+            F.shiftrightunsigned(F.col("__sh"), lo).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
             for lo, width in bounds
         ]
     )
@@ -824,6 +945,7 @@ __all__ = [
     "exact_jaccard_pairs",
     "jaccard",
     "simhash32",
+    "simhash64",
     "simhash_expr",
     "simhash_band_pairs",
     "simhash_near_duplicates",

@@ -12,6 +12,7 @@ from data_toolz_spark.operators.dedup import (
     connected_components,
     near_duplicate_drop_list,
     simhash32,
+    simhash64,
     simhash_band_pairs,
     simhash_near_duplicates,
 )
@@ -99,6 +100,82 @@ def test_simhash_band_pairs_rejects_lossy_blocks(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         simhash_band_pairs(df, "doc_id", "text", max_hamming=3, n_blocks=2)
+
+
+def test_simhash_band_pairs_rejects_zero_width_blocks(spark):
+    # n_blocks > bits would make every block width 0 / value 0 — all
+    # docs collide and the join silently degrades to O(n²)
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_blocks must be <= bits"):
+        simhash_band_pairs(df, "doc_id", "text", max_hamming=40, bits=32)
+
+
+def test_simhash64_band_pairs_equal_bruteforce(spark, documents):
+    # 64-bit scale fingerprint, both token-hash variants, vs a direct
+    # xor/bit_count self-join on the same fingerprints
+    sample = documents.limit(120).cache()
+    for portable in (True, False):
+        fp = sample.select(
+            F.col("doc_id").alias("id"),
+            simhash64("text", portable_hash=portable).alias("sh"),
+        )
+        a, b = fp.alias("a"), fp.alias("b")
+        brute = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_band_pairs(
+                sample,
+                "doc_id",
+                "text",
+                max_hamming=3,
+                bits=64,
+                portable_hash=portable,
+            ).collect()
+        }
+        assert banded == brute
+
+
+def test_simhash64_vote_sanity(spark):
+    # single-token doc: fingerprint == the token's 64-bit hash pattern
+    # (every bit vote is that token's bit); empty doc → 0
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", simhash64("text", portable_hash=True).alias("sh")
+        ).collect()
+    }
+    import hashlib
+
+    h = int(hashlib.md5(b"hello").hexdigest()[:16], 16)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    assert got[1] == h
+    assert got[2] == 0
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, edges), max_iterations=1)
 
 
 def test_cosine_lsh_equal_bruteforce(spark, embeddings):

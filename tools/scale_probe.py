@@ -36,6 +36,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_heap() -> str:
+    """~40% of physical RAM, capped at 48g, floored at 2g."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(48, int(total * 0.4 / 2**30)))
+    except (ValueError, OSError):
+        gb = 4
+    return f"{gb}g"
+
+
 def replicate(df, id_col: str, mult: int, id_stride: int):
     """mult id-offset copies, generated lazily (no driver data)."""
     if mult == 1:
@@ -65,9 +75,13 @@ def main() -> int:
         shuffle_partitions=CPUS * 2,
         extra_conf={
             "spark.ui.enabled": "false",
-            # local mode: one JVM hosts all 32 worker threads — the 1g
-            # default heap starves the Arrow kernels at 20× corpus
-            "spark.driver.memory": "48g",
+            # local mode: one JVM hosts all worker threads — the 1g
+            # default heap starves the Arrow kernels at 20× corpus.
+            # Overridable for smaller hosts; default ~40% of physical
+            # RAM capped at 48g so the probe launches anywhere.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", _default_heap()
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
