@@ -64,6 +64,56 @@ HEADLINE = [
 ]
 
 
+# The registry was trimmed to 50 qids in round 3 (driver cap); three
+# HEADLINE members were folded out of queries() but their callables
+# survive — resolving them here keeps the headline series' membership
+# IDENTICAL across rounds, so the round-over-round ratio stays valid.
+LEGACY = {
+    "text_simhash": entrymod.text_simhash_q,
+    "agg_rollup": entrymod.agg_rollup,
+    "win_running_total": entrymod.win_running_total_q,
+}
+
+
+def _x_ann_realistic(spark, sf_dir):
+    """sim_topk_ann at a SCALE config (n_bits=12 → ~4k buckets/table):
+    the recall-heavy oracle config times bucket joins that touch most
+    of the corpus; this entry shows what the ANN path costs when the
+    buckets are actually sparse."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.similarity import cosine_topk_ann
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    return cosine_topk_ann(
+        emb.filter(F.col("vec_id") < 5), emb,
+        query_id="vec_id", corpus_id="vec_id",
+        k=10, dim=64, n_bits=12, n_tables=8,
+    )
+
+
+def _x_emb_lsh_realistic(spark, sf_dir):
+    """dedup_embedding_lsh at a SCALE config (θ=0.9 exact-replica
+    regime, n_bits=12/8 tables) vs the qid's recall-heavy θ=0.4,
+    n_bits=4/64-table oracle setting."""
+    from data_toolz_spark.operators.similarity import (
+        cosine_near_duplicates_lsh,
+    )
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates_lsh(
+        emb, id_col="vec_id", threshold=0.9,
+        dim=64, n_bits=12, n_tables=8,
+    )
+
+
+# timed after the registry sweep; never part of the headline total
+EXTRAS = {
+    "x_sim_topk_ann_nbits12": _x_ann_realistic,
+    "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,
+}
+
+
 def _sf_from_dir(path: str) -> float:
     tail = os.path.basename(path.rstrip("/"))
     if tail.startswith("sf"):
@@ -85,8 +135,13 @@ def main() -> int:
         # every registered qid, headline entries first so the numbers
         # most comparable round-over-round come from a freshly warmed
         # JVM; "value" stays the HEADLINE total (the BASELINE.md
-        # series), per-qid timings cover everything for attribution
-        names = HEADLINE + [q for q in all_qids if q not in HEADLINE]
+        # series), per-qid timings cover everything for attribution;
+        # realistic-config LSH extras run last
+        names = (
+            HEADLINE
+            + [q for q in all_qids if q not in HEADLINE]
+            + list(EXTRAS)
+        )
     spark = get_spark(
         app_name="data_toolz_spark_bench",
         master=f"local[{CPUS}]",
@@ -115,7 +170,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
-        fn = queries[name]
+        fn = queries.get(name) or LEGACY.get(name) or EXTRAS[name]
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)

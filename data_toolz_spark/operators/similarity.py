@@ -67,14 +67,21 @@ def cosine_topk(
         F.col("__cid").alias(corpus_out),
         F.round(dot_product(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
-    # Two-stage top-k.  A single per-query window would shuffle
-    # |corpus|·|queries| scored rows into just n_queries reducers — a
-    # straggler wall at scale.  Stage 1 takes a LOCAL top-k per
-    # (query, input-partition): spark_partition_id() is stamped in the
-    # map stage (before any shuffle), so the first window fans out over
-    # n_queries·n_partitions keys and keeps ≤ k rows each.  Pruning is
-    # lossless: the global top-k per query survives every local top-k.
-    # Stage 2 ranks the surviving n_queries·n_partitions·k rows — tiny.
+    return _two_stage_topk(scored, k, query_out, corpus_out)
+
+
+def _two_stage_topk(
+    scored: DataFrame, k: int, query_out: str, corpus_out: str
+) -> DataFrame:
+    """Two-stage top-k.  A single per-query window would shuffle
+    |corpus|·|queries| scored rows into just n_queries reducers — a
+    straggler wall at scale.  Stage 1 takes a LOCAL top-k per
+    (query, input-partition): spark_partition_id() is stamped in the
+    map stage (before any shuffle), so the first window fans out over
+    n_queries·n_partitions keys and keeps ≤ k rows each.  Pruning is
+    lossless: the global top-k per query survives every local top-k.
+    Stage 2 ranks the surviving n_queries·n_partitions·k rows — tiny.
+    """
     salted = scored.withColumn("__salt", F.spark_partition_id())
     w_local = Window.partitionBy(query_out, "__salt").orderBy(
         F.col("cosine").desc(), F.col(corpus_out)
@@ -275,14 +282,11 @@ def cosine_topk_ann(
             ),
         )
     )
-    w = Window.partitionBy(query_out).orderBy(
-        F.col("cosine").desc(), F.col(corpus_out)
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    # same two-stage ranking as the exact path: with hot buckets the
+    # candidate set per query can still be a large fraction of the
+    # corpus, and a single per-query window would funnel it all into
+    # n_queries reducers
+    return _two_stage_topk(scored, k, query_out, corpus_out)
 
 
 def cosine_near_duplicates(

@@ -143,6 +143,19 @@ def test_cosine_topk_is_two_stage(spark, sf_dir):
     assert "spark_partition_id" in plan.lower(), plan
 
 
+def test_cosine_topk_ann_is_two_stage(spark, sf_dir):
+    """The ANN verify stage must use the same two-stage ranking as the
+    exact path: with hot LSH buckets the candidate set per query can be
+    a large corpus fraction, and a single per-query final window would
+    funnel it into n_queries reducers (VERDICT r2 weak #3)."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.sim_topk_ann_q(spark, sf_dir))
+    assert plan.count("Window") >= 2, plan
+    assert "__salt" in plan, plan
+    assert "spark_partition_id" in plan.lower(), plan
+
+
 def test_q1_aggregate_is_partial_then_final(spark, sf_dir):
     import __spark_entry__ as em
 
