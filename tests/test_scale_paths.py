@@ -203,3 +203,65 @@ def test_cosine_lsh_equal_bruteforce(spark, embeddings):
     # recall 1.0 on this corpus (deterministic seeded hyperplanes)
     assert lsh == brute
     assert len(brute) > 0
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark, embeddings):
+    # n_probe == n_centroids probes every inverted-file cell, so IVF
+    # must return EXACTLY the brute-force top-k (same tie-break)
+    from data_toolz_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in ivf_topk(
+            q,
+            embeddings,
+            query_id="vec_id",
+            corpus_id="vec_id",
+            k=5,
+            dim=64,
+            n_centroids=8,
+            n_probe=8,
+        ).collect()
+    }
+    assert ivf == exact
+    assert len(exact) == 15  # 3 queries x k=5
+
+
+def test_ivf_topk_probe_subset_recall(spark, embeddings):
+    # realistic setting (n_probe < n_centroids): every returned row must
+    # be genuinely among the exact top-k candidates' scores, k rows per
+    # query, and recall should be high on this corpus
+    from data_toolz_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    rows = ivf_topk(
+        q,
+        embeddings,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        dim=64,
+        n_centroids=8,
+        n_probe=4,
+    ).collect()
+    got = {(r["query_id"], r["corpus_id"]) for r in rows}
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], 0)
+        per_query[r["query_id"]] += 1
+    assert all(n == 5 for n in per_query.values())
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall

@@ -107,6 +107,14 @@ def main() -> int:
         t_sb, n_sb = timed(
             lambda: simhash_band_pairs(d, "doc_id", "text", max_hamming=2)
         )
+        # 64-bit scale default (xxhash64 tokens): ~21-bit blocks keep
+        # buckets sparse where the 32-bit fingerprint saturates
+        t_s64, n_s64 = timed(
+            lambda: simhash_band_pairs(
+                d, "doc_id", "text", max_hamming=2,
+                bits=64, portable_hash=False,
+            )
+        )
         t_cc, n_cc = timed(
             lambda: near_duplicate_drop_list(
                 minhash_near_duplicates(d, "doc_id", "text", threshold=0.8),
@@ -130,21 +138,23 @@ def main() -> int:
             )
         )
         rows.append((mult, mult * n_docs, t_mh, n_mh, t_ij, n_ij,
-                     t_sb, n_sb, t_cc, n_cc,
+                     t_sb, n_sb, t_s64, n_s64, t_cc, n_cc,
                      mult * n_emb, t_ann, t_cl, n_cl))
         print(f"mult={mult}: minhash {t_mh}s/{n_mh}, jacc {t_ij}s/{n_ij}, "
-              f"simband {t_sb}s/{n_sb}, cc {t_cc}s/{n_cc}, "
-              f"ann {t_ann}s, lsh {t_cl}s/{n_cl}", flush=True)
-        # PPJoin length-filter effect: same operator, bound off
+              f"simband32 {t_sb}s/{n_sb}, simband64 {t_s64}s/{n_s64}, "
+              f"cc {t_cc}s/{n_cc}, ann {t_ann}s, lsh {t_cl}s/{n_cl}",
+              flush=True)
+        # PPJoin length-filter effect: t_ij above uses the r3 default
+        # (bound OFF, it measured 5× slower ON); time the bound here
         if mult == mults[-1]:
-            t_nf, n_nf = timed(
+            t_lf, n_lf = timed(
                 lambda: exact_jaccard_pairs(
                     d, "doc_id", "text", block_cols=["lang"],
-                    threshold=0.05, shingle=3, length_filter=False,
+                    threshold=0.05, shingle=3, length_filter=True,
                 )
             )
-            ppjoin_rows.append((mult, t_ij, t_nf, n_ij, n_nf))
-            print(f"ppjoin off at {mult}×: {t_nf}s/{n_nf}", flush=True)
+            ppjoin_rows.append((mult, t_lf, t_ij, n_lf, n_ij))
+            print(f"ppjoin on at {mult}×: {t_lf}s/{n_lf}", flush=True)
 
     lines = [
         "# SCALE PROBE — heavy operators at 1×/5×/20× sf0.1",
