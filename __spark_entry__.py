@@ -1786,7 +1786,7 @@ WITH t AS (
   FROM f
 ), kept AS (
   SELECT doc_id, quality_score,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
   FROM q WHERE quality_score >= 0.3 AND lang_pred = lang
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,

@@ -1,0 +1,49 @@
+"""Driver-contract invariants that must survive refactors."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_at_most_50_qids():
+    # the driver records at most 50 correctness rows per round; a
+    # larger registry can never be fully attested (VERDICT r2)
+    qids = list(entrymod.queries())
+    assert len(qids) <= 50, len(qids)
+    assert len(qids) == len(set(qids))
+
+
+def test_every_qid_has_an_oracle():
+    # every registered query must be value-checkable — rows-only
+    # entries were eliminated in r3 (the ANN qid gained an exact
+    # oracle via its pinned recall-1.0 config)
+    missing = [q for q in entrymod.queries() if q not in entrymod.oracle_sql()]
+    assert missing == [], missing
+
+
+def test_no_orphan_oracles():
+    orphans = [q for q in entrymod.oracle_sql() if q not in entrymod.queries()]
+    assert orphans == [], orphans
+
+
+def test_bench_headline_resolvable():
+    # the fixed 24-query headline series must keep resolving even as
+    # the registry evolves (folded entries resolve via bench.LEGACY)
+    import bench
+
+    qids = entrymod.queries()
+    unresolved = [
+        q for q in bench.HEADLINE
+        if q not in qids and q not in bench.LEGACY
+    ]
+    assert unresolved == [], unresolved
+
+
+def test_cache_track_release(spark):
+    from data_toolz_spark import cache
+
+    df = spark.range(100).persist()
+    cache.track(df)
+    assert cache.release() >= 1
+    assert df.storageLevel.useMemory is False  # unpersisted
+    assert cache.release() == 0  # idempotent, list cleared

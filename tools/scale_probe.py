@@ -155,7 +155,15 @@ def main() -> int:
             )
             ppjoin_rows.append((mult, t_lf, t_ij, n_lf, n_ij))
             print(f"ppjoin on at {mult}×: {t_lf}s/{n_lf}", flush=True)
+        # write after every mult so an interrupted probe still records
+        _write_md(rows, ppjoin_rows)
 
+    _write_md(rows, ppjoin_rows)
+    print("wrote SCALE_PROBE.md")
+    return 0
+
+
+def _write_md(rows, ppjoin_rows) -> None:
     lines = [
         "# SCALE PROBE — heavy operators at 1×/5×/20× sf0.1",
         "",
@@ -172,14 +180,16 @@ def main() -> int:
         "near-dup at θ=0.9 (exact replicas only).",
         "",
         "| mult | docs | minhash s | pairs | inv-idx s | pairs "
-        "| simband s | pairs | cc s | drops | vecs | ann s | lsh s | pairs |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| simband32 s | pairs | simband64 s | pairs "
+        "| cc s | drops | vecs | ann s | lsh s | pairs |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for (m, nd, tmh, nmh, tij, nij, tsb, nsb, tcc, ncc,
+    for (m, nd, tmh, nmh, tij, nij, tsb, nsb, ts64, ns64, tcc, ncc,
          ne, tann, tcl, ncl) in rows:
         lines.append(
             f"| {m}× | {nd:,} | {tmh} | {nmh:,} | {tij} | {nij:,} "
-            f"| {tsb} | {nsb:,} | {tcc} | {ncc:,} "
+            f"| {tsb} | {nsb:,} | {ts64} | {ns64:,} "
+            f"| {tcc} | {ncc:,} "
             f"| {ne:,} | {tann} | {tcl} | {ncl:,} |"
         )
     if ppjoin_rows:
@@ -197,8 +207,6 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote SCALE_PROBE.md")
-    return 0
 
 
 if __name__ == "__main__":
