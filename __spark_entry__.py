@@ -58,7 +58,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # long nanos → micro-precision timestamp (verified lossless
@@ -66,6 +66,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # testdata regenerated with naive timestamp[us] (NTZ):
+            # watermarks/windows require TIMESTAMP, and with the session
+            # timezone pinned UTC above the cast is value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
