@@ -58,19 +58,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import (
+            LongType,
+            TimestampNTZType,
+            TimestampType,
+        )
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # long nanos → micro-precision timestamp (verified lossless
-            # on the driver tables)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # long nanos → micro-precision timestamp.  Integer division:
+            # (ts / 1000).cast("long") goes through double and can be
+            # off by 1 µs near 1.7e18-ns epochs.
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        elif isinstance(ts_type, TimestampNTZType):
             # testdata regenerated with naive timestamp[us] (NTZ):
-            # watermarks/windows require TIMESTAMP, and with the session
-            # timezone pinned UTC above the cast is value-preserving
+            # watermarks/windows require TIMESTAMP, and the cast is only
+            # value-preserving because the session timezone is UTC —
+            # verify the pin actually took rather than silently shifting
+            # every event time by a tz offset vs the oracle.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    "events.ts is TIMESTAMP_NTZ and the session timezone "
+                    f"is {tz!r}, not UTC — the NTZ→TIMESTAMP cast would "
+                    "shift all event times; pin spark.sql.session.timeZone"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, TimestampType):
+            # fail at load time, not with an opaque AnalysisException
+            # deep inside a streaming qid, if testdata schema drifts
+            raise TypeError(
+                f"events.ts has unexpected type {ts_type}; expected "
+                "long nanos, timestamp_ntz, or timestamp"
+            )
     return df
 
 
@@ -679,6 +701,37 @@ def sim_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_bits=3,
         n_tables=24,
+    )
+
+
+def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c IVF-Flat: VALUE-verified against the exact top-k oracle.
+
+    ``n_probe == n_centroids`` probes every cell, so the IVF path
+    degrades gracefully to exact search (the property pinned by
+    tests/test_scale_paths.py) and the full code path runs — k-means
+    quantizer training (hash-ordered deterministic sample), Arrow
+    matmul cell assignment, probe-cell join, two-stage top-k — while
+    the output hashes equal to the exact oracle.  Production picks
+    n_probe ≪ n_centroids; bench.py times a probe=4 setting separately.
+    (Folded r4: ``sim_topk_exact``'s driver row — the exact operator is
+    transitively attested because this qid and ``sim_topk_ann`` hash
+    against the same exact-top-k SQL, and pytest pins
+    ``cosine_topk == cosine_topk_ann == ivf_topk`` on the test corpora;
+    the callable stays in bench's HEADLINE via ``bench.LEGACY``.)
+    """
+    from data_toolz_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=10,
+        dim=64,
+        n_centroids=8,
+        n_probe=8,
     )
 
 
@@ -1350,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed this round / no round-2 driver row
         "sim_topk_ann": sim_topk_ann_q,
+        "sim_topk_ivf": sim_topk_ivf_q,
         "dedup_simhash64_band": dedup_simhash64_band_q,
         "filter_composite": filter_composite,
         "win_ordered_analytics": win_ordered_analytics_q,
@@ -1394,7 +1448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_drop": dedup_cc_drop_q,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_embedding": dedup_embedding_q,
-        "sim_topk_exact": sim_topk_exact_q,
         "multimodal_decode": multimodal_decode_q,
         "multimodal_frames": multimodal_frames_q,
         "multimodal_audio": multimodal_audio_q,
@@ -1754,10 +1807,13 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
 """,
-        "sim_topk_exact": _TOPK_SQL,
-        # ANN at the pinned recall-1.0 config is value-identical to the
-        # exact top-k (verified at sf0.001/0.01/0.1) — same oracle
+        # ANN at the pinned recall-1.0 config and IVF at
+        # n_probe=n_centroids are value-identical to the exact top-k
+        # (verified at sf0.001/0.01/0.1) — same exact-top-k oracle;
+        # sim_topk_exact folded r4 (transitively attested, see
+        # sim_topk_ivf_q docstring)
         "sim_topk_ann": _TOPK_SQL,
+        "sim_topk_ivf": _TOPK_SQL,
         "text_lang_id": _LANG_ID_SQL,
         "text_quality": _QUALITY_SQL,
         "text_token_stats": f"""

@@ -64,15 +64,16 @@ HEADLINE = [
 ]
 
 
-# The registry was trimmed to 50 qids in round 3 (driver cap); three
-# HEADLINE members were folded out of queries() but their callables
-# survive — resolving them here keeps the headline series' membership
-# IDENTICAL across rounds, so the round-over-round ratio stays valid.
+# The registry was trimmed to 50 qids in round 3 (driver cap); the
+# HEADLINE members below were folded out of queries() but their
+# callables survive — resolving them here keeps the headline series'
+# membership IDENTICAL across rounds, so the ratio stays valid.
 LEGACY = {
     "filter_or": entrymod.filter_or,
     "text_simhash": entrymod.text_simhash_q,
     "agg_rollup": entrymod.agg_rollup,
     "win_running_total": entrymod.win_running_total_q,
+    "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf
 }
 
 

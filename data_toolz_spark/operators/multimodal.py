@@ -59,8 +59,21 @@ def fake_blob(media_id: int, width: int, height: int, channels: int) -> bytes:
     return struct.pack(_HEADER_FMT, FAKE_MAGIC, FAKE_VERSION, width, height, channels) + payload
 
 
+def _range_partitions(spark, n_rows: int, rows_per_partition: int = 64) -> int:
+    """Partition count for a generated table: enough parallelism to use
+    the cluster, but never 32 near-empty slices of a 200-row demo table
+    (each near-empty partition still costs a Python-worker lease per
+    mapInPandas stage — pure overhead)."""
+    want = max(1, n_rows // rows_per_partition)
+    return min(want, spark.sparkContext.defaultParallelism)
+
+
 def fake_media_table(
-    spark, n_rows: int, *, seed_col: str = "media_id"
+    spark,
+    n_rows: int,
+    *,
+    seed_col: str = "media_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed synthetic media table: (media_id, content, meta).
 
@@ -68,6 +81,8 @@ def fake_media_table(
     ``spark.range`` — no driver materialization, so the same code
     builds a 1e9-row table on a cluster.  Dimensions derive from the
     id: width = 16 + id % 48, height = 16 + id % 32, channels = 1 + id % 3.
+    ``n_partitions`` defaults to ~64 rows per partition capped at the
+    cluster's parallelism.
     """
     out_schema = StructType(
         [
@@ -87,7 +102,10 @@ def fake_media_table(
             ]
             yield pd.DataFrame({seed_col: ids, "content": blobs})
 
-    return spark.range(n_rows).mapInPandas(gen, out_schema)
+    n_parts = n_partitions or _range_partitions(spark, n_rows)
+    return spark.range(n_rows, numPartitions=n_parts).mapInPandas(
+        gen, out_schema
+    )
 
 
 def decode_media(
@@ -229,7 +247,9 @@ def fake_audio_blob(media_id: int, sample_rate: int, n_samples: int) -> bytes:
     return header + samples.tobytes()
 
 
-def fake_audio_table(spark, n_rows: int) -> DataFrame:
+def fake_audio_table(
+    spark, n_rows: int, *, n_partitions: int | None = None
+) -> DataFrame:
     """Synthetic audio table (media_id, content), generated executor-side.
 
     sample_rate = 8000 + (id % 3)·4000; n_samples = 800 + (id % 5)·400.
@@ -252,7 +272,10 @@ def fake_audio_table(spark, n_rows: int) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
-    return spark.range(n_rows).mapInPandas(gen, out_schema)
+    n_parts = n_partitions or _range_partitions(spark, n_rows)
+    return spark.range(n_rows, numPartitions=n_parts).mapInPandas(
+        gen, out_schema
+    )
 
 
 def audio_features(

@@ -353,9 +353,18 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = c_units.select(array_to_vector("__cv").alias("features"))
+    # ``limit(n)`` alone would take the first partitions' rows — on a
+    # clustered/sorted corpus the quantizer would see a biased density
+    # and recall would quietly degrade at scale.  Hash-ordering by id
+    # before the limit gives a deterministic pseudo-random sample and
+    # still plans as TakeOrderedAndProject (per-partition top-n + one
+    # small merge), not a full sort.
+    train = c_units
     if train_sample:
-        train = train.limit(train_sample)
+        train = train.orderBy(
+            F.xxhash64(F.col("__cid"), F.lit(seed))
+        ).limit(train_sample)
+    train = train.select(array_to_vector("__cv").alias("features"))
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=kmeans_max_iter
     ).fit(train)

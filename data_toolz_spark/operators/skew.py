@@ -95,11 +95,18 @@ def replicate_hot_keys_join(
     hot = F.lit(None)
     for k in hot_keys:
         hot = F.when(F.col(on) == F.lit(k), F.lit(True)).otherwise(hot)
+    # Salt must be deterministic PER ROW, not per draw: F.rand is seeded
+    # per partition+ordering, so a retried task after an upstream shuffle
+    # can re-draw different salts and duplicate/lose rows under task
+    # retry at cluster scale.  Hashing the whole row gives a stable,
+    # retry-safe bucket (full-duplicate rows share a bucket — acceptable,
+    # the split only needs row-level spread, not uniqueness).
+    row_hash = F.xxhash64(*[F.col(c) for c in fact.columns])
     fact_salted = fact.withColumn(
         "__salt",
         F.when(
             hot.isNotNull(),
-            (F.rand(seed=42) * salt_buckets).cast("int"),
+            F.pmod(row_hash, F.lit(salt_buckets)).cast("int"),
         ).otherwise(F.lit(0)),
     )
     # explode cannot live inside when(); build the replica list and

@@ -19,7 +19,9 @@ Design notes for scale (100 TB / 1000 executors):
 from __future__ import annotations
 
 import os
-from typing import Mapping
+import threading
+import time
+from typing import Callable, Mapping
 
 from pyspark.sql import SparkSession
 
@@ -122,7 +124,18 @@ def configure_s3(
 def _resolve_role_chain(
     roles: list[str], endpoint_url: str | None = None
 ) -> tuple[str, str, str]:
-    """Walk an STS assume-role chain driver-side; return final creds.
+    """Walk an STS assume-role chain driver-side; return final creds."""
+    access, secret, token, _ = _resolve_role_chain_with_expiry(
+        roles, endpoint_url=endpoint_url
+    )
+    return access, secret, token
+
+
+def _resolve_role_chain_with_expiry(
+    roles: list[str], endpoint_url: str | None = None
+) -> tuple[str, str, str, float | None]:
+    """Walk an STS assume-role chain driver-side; return final creds +
+    their expiry as a unix timestamp (None if STS omits it).
 
     Mirrors the reference's multi-hop chain (filesystem.py:69-107) where
     each hop's temporary credentials authenticate the next
@@ -131,7 +144,7 @@ def _resolve_role_chain(
     """
     import boto3  # deferred: only needed on the s3 path
 
-    creds: dict[str, str] = {}
+    creds: dict = {}
     for i, role_arn in enumerate(roles):
         client = boto3.client(
             "sts",
@@ -144,4 +157,126 @@ def _resolve_role_chain(
             RoleArn=role_arn, RoleSessionName=f"data-toolz-spark-hop-{i}"
         )
         creds = resp["Credentials"]
-    return creds["AccessKeyId"], creds["SecretAccessKey"], creds["SessionToken"]
+    expiration = creds.get("Expiration")
+    expiry_ts = expiration.timestamp() if expiration is not None else None
+    return (
+        creds["AccessKeyId"],
+        creds["SecretAccessKey"],
+        creds["SessionToken"],
+        expiry_ts,
+    )
+
+
+class S3CredentialRefresher:
+    """Auto-renewal for STS assume-role chains (reference parity:
+    ``RefreshableCredentials``, filesystem.py:37-45).
+
+    The pre-resolved static-credential path in :func:`configure_s3`
+    loses S3 access when a job outlives the STS token TTL (default
+    3600 s).  This hook closes that gap driver-side: it re-walks the
+    chain and re-sets the ``fs.s3a`` session confs before expiry —
+    either on demand (``refresh_if_needed()`` between jobs / from a
+    listener) or on a timer (``start()``).
+
+    S3A caches filesystem instances per URI, so refreshed confs only
+    reach *new* filesystem instances; the constructor therefore sets
+    ``fs.s3a.impl.disable.cache=true`` while a refresher is active.
+    In-flight tasks keep their current client — renewal takes effect
+    from the next filesystem lookup, which is why ``refresh_margin``
+    defaults to a whole task-attempt's worth of headroom.
+
+    ``clock`` and ``resolver`` are injectable for tests (mocked STS).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        roles: list[str],
+        *,
+        endpoint_url: str | None = None,
+        refresh_margin: float = 600.0,
+        clock: Callable[[], float] = time.time,
+        resolver: Callable[..., tuple[str, str, str, float | None]]
+        | None = None,
+    ) -> None:
+        self._spark = spark
+        self._roles = list(roles)
+        self._endpoint_url = endpoint_url
+        self._margin = float(refresh_margin)
+        self._clock = clock
+        self._resolver = resolver or _resolve_role_chain_with_expiry
+        self._expiry: float | None = None
+        self._timer: threading.Timer | None = None
+        self._lock = threading.Lock()
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hconf.set("fs.s3a.impl.disable.cache", "true")
+        self.refresh()
+
+    # -- core ----------------------------------------------------------
+    def refresh(self) -> None:
+        """Re-walk the chain and re-set the fs.s3a session confs."""
+        access, secret, token, expiry = self._resolver(
+            self._roles, endpoint_url=self._endpoint_url
+        )
+        with self._lock:
+            configure_s3(
+                self._spark,
+                endpoint_url=self._endpoint_url,
+                access_key=access,
+                secret_key=secret,
+                session_token=token,
+            )
+            self._expiry = expiry
+
+    def seconds_until_expiry(self) -> float | None:
+        return None if self._expiry is None else self._expiry - self._clock()
+
+    def refresh_if_needed(self) -> bool:
+        """Refresh when inside the margin; returns True if refreshed."""
+        remaining = self.seconds_until_expiry()
+        if remaining is not None and remaining > self._margin:
+            return False
+        self.refresh()
+        return True
+
+    def assert_headroom(self, expected_duration_sec: float) -> None:
+        """Raise loudly when a planned job would outlive the token.
+
+        For deployments that do not want a background timer: call this
+        before launching a long job instead of discovering mid-flight
+        403s an hour in.
+        """
+        remaining = self.seconds_until_expiry()
+        if remaining is not None and expected_duration_sec > remaining:
+            raise RuntimeError(
+                f"STS token expires in {remaining:.0f}s but the job is "
+                f"expected to run {expected_duration_sec:.0f}s; call "
+                "refresh() first or start() a background renewal timer"
+            )
+
+    # -- background timer ---------------------------------------------
+    def start(self, interval_sec: float | None = None) -> None:
+        """Renew on a daemon timer (default: margin-driven cadence)."""
+        if interval_sec is None:
+            remaining = self.seconds_until_expiry()
+            interval_sec = (
+                max(60.0, remaining - self._margin)
+                if remaining is not None
+                else 1800.0
+            )
+
+        def _tick() -> None:
+            try:
+                self.refresh_if_needed()
+            finally:
+                self.start(interval_sec)
+
+        self.stop()
+        self._timer = threading.Timer(interval_sec, _tick)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def stop(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None

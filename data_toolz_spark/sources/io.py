@@ -266,12 +266,14 @@ class DataIO:
         SURVEY §7.4.4).  Spark also owns the task-file names (the
         ``suffix`` names select chunk *count*, not file names).
 
-        Scale note: this is a parity operator — it costs one shuffle +
-        ``n_chunks`` write jobs over a cached frame, and with NO
-        partition columns the row-order contract forces the whole
-        dataset through a single-task sort window (warned below).  For
-        bulk output sizing at scale prefer ``maxRecordsPerFile`` /
-        plain ``partitionBy``, which need no row-order contract.
+        Scale note: this is a parity operator — it costs ONE write job
+        (the chunk id rides along as a trailing ``partitionBy`` column,
+        then a driver-side O(#dirs) rename hoists the files out of the
+        ``__chunk=i`` dirs), and with NO partition columns the
+        row-order contract forces the whole dataset through a
+        single-task sort window (warned below).  For bulk output sizing
+        at scale prefer ``maxRecordsPerFile`` / plain ``partitionBy``,
+        which need no row-order contract.
         """
         if not partition_by:
             warnings.warn(
@@ -295,34 +297,104 @@ class DataIO:
                 F.floor((F.row_number().over(window) - 1) / chunk_size) + 1
             ).cast("int"),
         )
-        chunked.persist()
-        try:
-            for i in range(n_chunks):
-                part = chunked.filter(F.col("__chunk") == i + 1).drop("__chunk")
-                if partition_by:
-                    part = part.repartition(*partition_by)
-                else:
-                    part = part.coalesce(1)
-                writer = part.write.mode(mode if i == 0 else "append")
-                if partition_by:
-                    writer = writer.partitionBy(*partition_by)
+        # One job: repartition on (partition cols, chunk) so every leaf
+        # dir is written by exactly one task (exactly one file per chunk
+        # per dir), write with __chunk as the trailing partition column.
+        # (The previous shape — n_chunks sequential jobs filtering a
+        # persisted frame — re-scheduled the whole plan per chunk and
+        # was the slowest bench entry.)
+        writer = (
+            chunked.repartition(*partition_by, "__chunk")
+            .write.mode(mode)
+            .partitionBy(*partition_by, "__chunk")
+        )
+        if gzip:
+            writer = writer.option("compression", "gzip")
+        for key, value in (options or {}).items():
+            writer = writer.option(key, value)
+        if filetype == "parquet":
+            writer.parquet(path)
+        elif filetype == "dsv":
+            writer.option("header", str(header).lower()).option(
+                "sep", sep
+            ).option("escape", "\\").option("emptyValue", "").csv(path)
+        else:
+            writer.json(path)
+
+        seen = self._hoist_chunk_dirs(df.sparkSession, path)
+        # Un-partitioned writes materialize empty tail chunks as
+        # schema-only files (reference io.py:79-83); partitionBy skips
+        # empty groups, so emit the tails explicitly (rare, tiny jobs).
+        if not partition_by:
+            for _ in range(n_chunks - len(seen)):
+                tail = df.limit(0).coalesce(1).write.mode("append")
                 if gzip:
-                    writer = writer.option("compression", "gzip")
+                    tail = tail.option("compression", "gzip")
                 for key, value in (options or {}).items():
-                    writer = writer.option(key, value)
+                    tail = tail.option(key, value)
                 if filetype == "parquet":
-                    writer.parquet(path)
+                    tail.parquet(path)
                 elif filetype == "dsv":
-                    writer.option("header", str(header).lower()).option(
+                    tail.option("header", str(header).lower()).option(
                         "sep", sep
                     ).option("escape", "\\").option("emptyValue", "").csv(path)
                 else:
-                    writer.json(path)
-        finally:
-            chunked.unpersist()
+                    tail.json(path)
         if self.partition_transformer is not None and partition_by:
             self._apply_partition_transformer(df, path, partition_by)
         return path
+
+    @staticmethod
+    def _hoist_chunk_dirs(spark: SparkSession, path: str) -> set[int]:
+        """Move data files out of trailing ``__chunk=i`` dirs (one level
+        up) and delete the dirs; returns the set of chunk ids seen.
+        Driver-side Hadoop FileSystem pass, O(#partition dirs) — same
+        cost class as ``_apply_partition_transformer``.  Task-file names
+        are unique across one job, so hoisting cannot collide."""
+        jvm = spark._jvm
+        hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(hadoop_conf)
+        seen: set[int] = set()
+
+        def _walk(p) -> None:
+            for status in fs.listStatus(p):
+                if not status.isDirectory():
+                    continue
+                name = status.getPath().getName()
+                if name.startswith("__chunk="):
+                    chunk = int(name.split("=", 1)[1])
+                    seen.add(chunk)
+                    for f in fs.listStatus(status.getPath()):
+                        fname = f.getPath().getName()
+                        if fname.startswith((".", "_")):
+                            # checksum/commit markers; a data file's crc
+                            # moves with it via ChecksumFileSystem.rename
+                            continue
+                        # task-file names are only unique PER DIRECTORY
+                        # (one task writing several chunk dirs reuses its
+                        # part-<task> name in each) — weave the chunk id
+                        # into the hoisted name to stay collision-free
+                        new_name = (
+                            f"part-c{chunk:03d}-{fname[len('part-'):]}"
+                            if fname.startswith("part-")
+                            else f"part-c{chunk:03d}-{fname}"
+                        )
+                        ok = fs.rename(
+                            f.getPath(),
+                            jvm.org.apache.hadoop.fs.Path(p, new_name),
+                        )
+                        if not ok:
+                            raise IOError(
+                                f"failed to hoist chunk file {fname} "
+                                f"out of {name}"
+                            )
+                    fs.delete(status.getPath(), True)
+                elif "=" in name:
+                    _walk(status.getPath())
+
+        _walk(root)
+        return seen
 
     def write_bucketed(
         self,

@@ -265,3 +265,38 @@ def test_ivf_topk_probe_subset_recall(spark, embeddings):
     assert all(n == 5 for n in per_query.values())
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivf_training_sample_unbiased_on_clustered_corpus(spark, embeddings):
+    """r3 VERDICT fix: the quantizer trained on ``limit(n)`` — a prefix
+    of the first partitions — so a corpus whose physical layout is
+    clustered/sorted fed k-means a skewed density.  The hash-ordered
+    sample must keep recall pinned even when the corpus arrives sorted
+    by a cluster-correlated key and the sample is smaller than the
+    corpus (forcing a genuine subsample)."""
+    from data_toolz_spark.operators.similarity import cosine_topk, ivf_topk
+
+    # adversarial layout: sort by label (cluster-correlated) into few
+    # partitions so any prefix sample would see only one cluster family
+    clustered = embeddings.orderBy("label").repartition(1).sortWithinPartitions("label")
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    rows = ivf_topk(
+        q,
+        clustered,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        dim=64,
+        n_centroids=8,
+        n_probe=4,
+        train_sample=64,  # far below |corpus| → genuine subsample
+    ).collect()
+    got = {(r["query_id"], r["corpus_id"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall

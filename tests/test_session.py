@@ -63,6 +63,52 @@ def test_role_chain_requires_boto3_only_when_used(spark):
             configure_s3(spark, assumed_roles=["arn:aws:iam::1:role/x"])
 
 
+def test_credential_refresher_mocked_clock(spark):
+    """FS3 parity: the reference auto-renews its STS chain via
+    RefreshableCredentials (filesystem.py:37-45); the Spark equivalent
+    re-resolves the chain and re-sets fs.s3a confs before the TTL."""
+    from data_toolz_spark.session import S3CredentialRefresher
+
+    now = [1000.0]
+    calls = []
+
+    def resolver(roles, endpoint_url=None):
+        calls.append(list(roles))
+        n = len(calls)
+        # 3600 s TTL from "now" at each resolve, like a real STS hop
+        return (f"AK{n}", f"SK{n}", f"TOK{n}", now[0] + 3600.0)
+
+    ref = S3CredentialRefresher(
+        spark,
+        ["arn:aws:iam::1:role/a", "arn:aws:iam::1:role/b"],
+        refresh_margin=600.0,
+        clock=lambda: now[0],
+        resolver=resolver,
+    )
+    conf = _hconf(spark)
+    # constructor resolved once and installed the session creds
+    assert len(calls) == 1 and calls[0][-1].endswith("role/b")
+    assert conf.get("fs.s3a.access.key") == "AK1"
+    assert conf.get("fs.s3a.session.token") == "TOK1"
+    # refreshed confs must bypass the cached S3A filesystem instance
+    assert conf.get("fs.s3a.impl.disable.cache") == "true"
+
+    # inside the TTL and outside the margin: no-op
+    now[0] += 1800.0
+    assert ref.refresh_if_needed() is False
+    assert conf.get("fs.s3a.access.key") == "AK1"
+    # within the margin: renew and re-set confs
+    now[0] += 1300.0  # 500 s remaining < 600 s margin
+    assert ref.refresh_if_needed() is True
+    assert conf.get("fs.s3a.access.key") == "AK2"
+    assert conf.get("fs.s3a.session.token") == "TOK2"
+
+    # a job longer than the remaining TTL must fail loudly up front
+    with pytest.raises(RuntimeError, match="expires in"):
+        ref.assert_headroom(7200.0)
+    ref.assert_headroom(120.0)  # plenty of headroom: no raise
+
+
 def test_catalog_registers_views(spark, sf_dir):
     from data_toolz_spark.catalog import register_directory
 
