@@ -201,6 +201,7 @@ def main() -> int:
         from data_toolz_spark.streaming.events import (
             read_events_stream,
             run_to_memory_sink,
+            sessionize_stream,
             windowed_event_counts,
         )
 
@@ -211,6 +212,19 @@ def main() -> int:
                 watermark="2 hours",
             ),
             query_name="dtz_warmup_stream",
+            output_mode="complete",
+        )
+        # session_window plans through a different stateful operator
+        # (merging-sessions exec + its own state format) — warm it too
+        # so stream_sessions, like stream_windowed_counts, measures the
+        # query rather than one-time operator init
+        run_to_memory_sink(
+            sessionize_stream(
+                read_events_stream(spark, warm_dir),
+                gap_minutes=30.0,
+                watermark="2 hours",
+            ),
+            query_name="dtz_warmup_sessions",
             output_mode="complete",
         )
 

@@ -289,6 +289,57 @@ def cosine_topk_ann(
     return _two_stage_topk(scored, k, query_out, corpus_out)
 
 
+def _kmeans_numpy(
+    points: np.ndarray, k: int, *, seed: int, max_iter: int
+) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations, in-memory.
+
+    Sized for quantizer training only: ``points`` is a bounded sample
+    (see caller), so the O(n·k·dim) iterations are milliseconds.  If
+    fewer distinct points than ``k`` exist, the surplus centroids stay
+    on duplicated points — harmless for IVF (empty cells are never
+    probed ahead of full ones).
+    """
+    rng = np.random.RandomState(seed)
+    n = len(points)
+    if n == 0:
+        raise ValueError("cannot train an IVF quantizer on 0 vectors")
+    k = min(k, n)
+    # k-means++ seeding
+    centers = np.empty((k, points.shape[1]), dtype=np.float64)
+    centers[0] = points[rng.randint(n)]
+    d2 = np.full(n, np.inf)
+    for i in range(1, k):
+        d2 = np.minimum(
+            d2, ((points - centers[i - 1]) ** 2).sum(axis=1)
+        )
+        total = d2.sum()
+        if total == 0:
+            centers[i:] = centers[0]
+            break
+        centers[i] = points[rng.choice(n, p=d2 / total)]
+    for _ in range(max_iter):
+        # assign: nearest center by squared distance (one matmul)
+        dists = (
+            (points**2).sum(axis=1)[:, None]
+            - 2.0 * points @ centers.T
+            + (centers**2).sum(axis=1)[None, :]
+        )
+        assign = dists.argmin(axis=1)
+        moved = False
+        for c in range(k):
+            mask = assign == c
+            if not mask.any():
+                continue  # empty cell: keep the old centroid
+            new = points[mask].mean(axis=0)
+            if not np.allclose(new, centers[c]):
+                moved = True
+            centers[c] = new
+        if not moved:
+            break
+    return centers
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -345,31 +396,33 @@ def ivf_topk(
         unitize(F.col(query_vec).cast("array<double>")).alias("__qv"),
     ).filter(F.col("__qv").isNotNull())
 
-    # 1. coarse quantizer: distributed k-means on the unit sphere.
-    # Train on a bounded sample — the quantizer only needs the density
-    # shape, and k-means over the full corpus would add a full-scan
-    # iteration per k-means round (the standard IVF build trains on
-    # O(centroids·100) samples, not the corpus).
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    # 1. coarse quantizer: k-means on the unit sphere over a BOUNDED
+    # sample.  The quantizer only needs the density shape, so the
+    # standard IVF build (faiss-style) trains in memory on
+    # O(centroids·100) sampled vectors — at the defaults that is
+    # ≤ train_sample × dim × 8 B ≈ 10 MB on the driver, a constant
+    # independent of corpus size; the corpus-scale work (assignment,
+    # probing, scoring) stays fully distributed.  A driver-side numpy
+    # Lloyd's loop replaces pyspark.ml.KMeans here because the ML
+    # estimator schedules several full jobs per iteration — pure
+    # overhead at quantizer scale.
+    #
     # ``limit(n)`` alone would take the first partitions' rows — on a
     # clustered/sorted corpus the quantizer would see a biased density
     # and recall would quietly degrade at scale.  Hash-ordering by id
     # before the limit gives a deterministic pseudo-random sample and
-    # still plans as TakeOrderedAndProject (per-partition top-n + one
-    # small merge), not a full sort.
+    # plans as TakeOrderedAndProject (per-partition top-n + one small
+    # merge), not a full sort.
     train = c_units
     if train_sample:
         train = train.orderBy(
             F.xxhash64(F.col("__cid"), F.lit(seed))
         ).limit(train_sample)
-    train = train.select(array_to_vector("__cv").alias("features"))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=kmeans_max_iter
-    ).fit(train)
-    centers = np.array(
-        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    sample = np.array(
+        [np.asarray(r["__cv"], dtype=np.float64) for r in train.collect()]
+    )
+    centers = _kmeans_numpy(
+        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
     )
     # normalize centroids so nearest-by-dot == nearest-by-cosine
     norms = np.linalg.norm(centers, axis=1)

@@ -79,10 +79,16 @@ def test_sample_frames_every_k(spark):
 
 
 def test_media_table_is_distributed(spark):
-    # generation runs executor-side over spark.range partitions
-    df = fake_media_table(spark, 100)
+    # generation runs executor-side over spark.range partitions; the
+    # default sizes partitions to the data (~64 rows each, so a tiny
+    # demo table no longer pays a Python-worker lease per near-empty
+    # slice) and n_partitions overrides for cluster-scale fan-out
+    df = fake_media_table(spark, 1000)
     assert df.rdd.getNumPartitions() > 1
-    assert df.count() == 100
+    assert df.count() == 1000
+    wide = fake_media_table(spark, 100, n_partitions=8)
+    assert wide.rdd.getNumPartitions() == 8
+    assert wide.count() == 100
 
 
 def test_audio_features_match_formula(spark):

@@ -128,6 +128,22 @@ def main() -> int:
                 k=10, dim=64, n_bits=6, n_tables=8,
             )
         )
+        # the r3 realistic config: 12-bit buckets (≈4k/table) keep the
+        # band join sparse as the corpus grows
+        t_ann12, _ = timed(
+            lambda: cosine_topk_ann(
+                e.filter(F.col("vec_id") < 5), e,
+                query_id="vec_id", corpus_id="vec_id",
+                k=10, dim=64, n_bits=12, n_tables=8,
+            )
+        )
+        t_ivf, _ = timed(
+            lambda: ivf_topk(
+                e.filter(F.col("vec_id") < 5), e,
+                query_id="vec_id", corpus_id="vec_id",
+                k=10, dim=64, n_centroids=16, n_probe=4,
+            )
+        )
         # threshold 0.9 keeps only exact replicas (max organic cosine
         # in this data is 0.513) — sign-identical vectors always
         # collide, so recall is exactly 1.0 at any n_bits
@@ -137,12 +153,20 @@ def main() -> int:
                 dim=64, n_bits=8, n_tables=16,
             )
         )
+        t_cl12, _ = timed(
+            lambda: cosine_near_duplicates_lsh(
+                e, id_col="vec_id", threshold=0.9,
+                dim=64, n_bits=12, n_tables=8,
+            )
+        )
         rows.append((mult, mult * n_docs, t_mh, n_mh, t_ij, n_ij,
                      t_sb, n_sb, t_s64, n_s64, t_cc, n_cc,
-                     mult * n_emb, t_ann, t_cl, n_cl))
+                     mult * n_emb, t_ann, t_ann12, t_ivf,
+                     t_cl, t_cl12, n_cl))
         print(f"mult={mult}: minhash {t_mh}s/{n_mh}, jacc {t_ij}s/{n_ij}, "
               f"simband32 {t_sb}s/{n_sb}, simband64 {t_s64}s/{n_s64}, "
-              f"cc {t_cc}s/{n_cc}, ann {t_ann}s, lsh {t_cl}s/{n_cl}",
+              f"cc {t_cc}s/{n_cc}, ann {t_ann}s, ann12 {t_ann12}s, "
+              f"ivf {t_ivf}s, lsh {t_cl}s/{n_cl}, lsh12 {t_cl12}s",
               flush=True)
         # PPJoin length-filter effect: t_ij above uses the r3 default
         # (bound OFF, it measured 5× slower ON); time the bound here
