@@ -27,7 +27,11 @@ Everything is DataFrame-first: logical plans are declared through the
 DataFrame/SQL API and Catalyst/Tungsten pick the physical strategy.
 """
 
-from data_toolz_spark.session import get_spark, configure_s3
+from data_toolz_spark.session import (
+    S3CredentialRefresher,
+    configure_s3,
+    get_spark,
+)
 from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
 from data_toolz_spark.fs import FsUtil
@@ -39,6 +43,7 @@ __version__ = "0.1.0"
 __all__ = [
     "get_spark",
     "configure_s3",
+    "S3CredentialRefresher",
     "Filter",
     "compile_filter",
     "DataIO",

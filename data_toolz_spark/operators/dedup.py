@@ -508,13 +508,16 @@ def exact_jaccard_pairs(
     ``shingle > 1`` compares n-word-shingle sets instead of token sets.
 
     ``length_filter`` (default OFF) adds the PPJoin length bound as two
-    extra non-equi join conditions.  Measured on this corpus it is a
-    net LOSS: at 20× sf0.1 the index join takes 8.99 s with the bound
-    vs 1.67 s without, for identical output (SCALE_PROBE.md) — the
-    per-candidate-row comparisons cost more than the pruning saves at
-    low thresholds, where almost no pair is size-ratio-prunable.  Turn
-    it on only for high thresholds (≥ ~0.7), where the min/max size
-    ratio actually eliminates candidates.
+    extra non-equi join conditions.  Controlled A/B (alternating
+    trials, shared warm shingle cache, 5× and 20× sf0.1 corpora,
+    round 4) measures the bound as a consistent ~10-20% net loss at
+    this low threshold for identical output — at θ=0.05 almost no pair
+    is size-ratio-prunable, so the per-candidate comparisons outweigh
+    the pruning.  (Round 3's "5× slower" figure was a measurement
+    artifact: Spark's CacheManager was substituting the prior call's
+    cached shingle frames into one arm of the comparison.)  Turn it on
+    for high thresholds (≥ ~0.7), where the min/max size ratio
+    actually eliminates candidates.
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for the inverted-index join")

@@ -308,6 +308,13 @@ class DataIO:
             .write.mode(mode)
             .partitionBy(*partition_by, "__chunk")
         )
+        if mode == "overwrite":
+            # the session default (dynamic partition overwrite) would
+            # only replace the __chunk= dirs this job writes — files a
+            # PREVIOUS chunked write hoisted up into the partition dirs
+            # would survive and duplicate the data.  A chunked
+            # overwrite therefore replaces the whole dataset root.
+            writer = writer.option("partitionOverwriteMode", "static")
         if gzip:
             writer = writer.option("compression", "gzip")
         for key, value in (options or {}).items():

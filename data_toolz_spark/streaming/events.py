@@ -156,6 +156,35 @@ def running_user_totals_stream(
     )
 
 
+def run_to_parquet_sink(
+    stream_df: DataFrame,
+    *,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain all available input into a parquet file sink.
+
+    The production sink shape: ``checkpointLocation`` gives
+    exactly-once file output across restarts (offset log + committed
+    file manifest), ``availableNow`` drains the current backlog then
+    stops — the batch-refresh deployment mode.  In append mode a
+    watermarked aggregation emits only FINALIZED windows (watermark
+    passed), so a bounded drain writes the closed windows and holds the
+    open tail in state for the next run — verified against the batch
+    cutoff in tests/test_streaming.py.
+    """
+    query = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     *,
@@ -184,4 +213,5 @@ __all__ = [
     "sessionize_stream",
     "running_user_totals_stream",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
 ]

@@ -125,6 +125,26 @@ def test_chunked_write_exact_file_counts(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_chunked_overwrite_replaces_previous_output(spark, tmp_path):
+    """Re-running a chunked overwrite must not leave the previous
+    run's hoisted files behind (dynamic partition overwrite only sees
+    the transient __chunk= dirs, so the chunked path forces static)."""
+    io = DataIO()
+    df = spark.range(100).withColumn("key", (F.col("id") % 2).cast("string"))
+    path = str(tmp_path / "t1")
+    io.write(df, path, partition_by=["key"], suffix=["c0", "c1"])
+    io.write(df, path, partition_by=["key"], suffix=["c0", "c1"])
+    back = io.read(spark, path)
+    assert back.count() == 100  # not 200
+    for key in ("key=0", "key=1"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, key))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 2, (key, files)
+
+
 def test_chunked_write_rows_split_ceil(spark, tmp_path):
     """ceil-division sizing: 5 rows into 2 chunks → 3 + 2."""
     io = DataIO()

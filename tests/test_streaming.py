@@ -102,6 +102,52 @@ def test_stateful_running_totals_final_state(spark, events_dir):
     assert last == expected
 
 
+def test_parquet_sink_append_emits_finalized_windows(
+    spark, events_dir, tmp_path
+):
+    """Production sink shape: checkpointed parquet file sink in append
+    mode.  A bounded availableNow drain emits exactly the windows the
+    watermark has finalized (window.end <= max(ts) - watermark); the
+    open tail stays in state for the next run."""
+    from data_toolz_spark.streaming.events import run_to_parquet_sink
+
+    stream = read_events_stream(spark, events_dir)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_to_parquet_sink(counts, path=out, checkpoint_dir=ckpt)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_events = spark.read.parquet(events_dir)
+    cutoff = batch_events.select(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")
+    ).first()["c"]
+    batch = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .filter(F.col("w.end") <= F.lit(cutoff))
+        .select(F.col("w.start").alias("s"), "event_type", "n", "tv")
+    )
+    expected = {
+        (r["s"], r["event_type"]): (r["n"], r["tv"]) for r in batch.collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    # restart with the same checkpoint and no new input: exactly-once —
+    # nothing new is emitted, the sink contents are unchanged
+    stream2 = read_events_stream(spark, events_dir)
+    counts2 = windowed_event_counts(
+        stream2, window="1 hour", watermark="2 hours"
+    )
+    run_to_parquet_sink(counts2, path=out, checkpoint_dir=ckpt)
+    assert spark.read.parquet(out).count() == len(got)
+
+
 def test_filter_dsl_composes_with_streams(spark, events_dir):
     """The compiled Filter DSL Column is a plain expression — it must
     work unchanged inside a streaming plan."""

@@ -29,6 +29,7 @@ from data_toolz_spark.operators.dedup import (
 from data_toolz_spark.operators.similarity import (
     cosine_near_duplicates_lsh,
     cosine_topk_ann,
+    ivf_topk,
 )
 from data_toolz_spark.session import get_spark
 
@@ -61,9 +62,22 @@ def replicate(df, id_col: str, mult: int, id_stride: int):
 
 
 def timed(fn) -> tuple[float, int]:
+    """Time one operator end-to-end, then release its tracked persists.
+
+    Without the release, Spark's CacheManager silently substitutes a
+    PREVIOUS operator's still-cached plan fragments (e.g. the shingle
+    sets both jaccard variants build) into later plans, so later rows
+    measure warm-cache hybrids — the confound behind round 3's
+    contradictory PPJoin numbers.  Each measurement here is cold.
+    """
+    from data_toolz_spark.cache import clear_session_caches
+
     start = time.perf_counter()
-    n = fn().count()
-    return round(time.perf_counter() - start, 2), n
+    df = fn()
+    n = df.count()
+    t = round(time.perf_counter() - start, 2)
+    clear_session_caches(df.sparkSession)
+    return t, n
 
 
 def main() -> int:
@@ -89,6 +103,14 @@ def main() -> int:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_docs = docs.count()
     n_emb = emb.count()
+
+    # JVM/codegen + Python-worker warmup (same rationale as bench.py):
+    # without it the 1× row's first entries absorb one-time session
+    # costs and the growth shape across mults reads wrong
+    minhash_near_duplicates(docs.limit(300), "doc_id", "text", threshold=0.8).count()
+    from data_toolz_spark.cache import clear_session_caches
+
+    clear_session_caches(spark)
 
     rows = []
     ppjoin_rows = []
@@ -205,16 +227,31 @@ def _write_md(rows, ppjoin_rows) -> None:
         "",
         "| mult | docs | minhash s | pairs | inv-idx s | pairs "
         "| simband32 s | pairs | simband64 s | pairs "
-        "| cc s | drops | vecs | ann s | lsh s | pairs |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| cc s | drops |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for (m, nd, tmh, nmh, tij, nij, tsb, nsb, ts64, ns64, tcc, ncc,
-         ne, tann, tcl, ncl) in rows:
+         ne, tann, tann12, tivf, tcl, tcl12, ncl) in rows:
         lines.append(
             f"| {m}× | {nd:,} | {tmh} | {nmh:,} | {tij} | {nij:,} "
             f"| {tsb} | {nsb:,} | {ts64} | {ns64:,} "
-            f"| {tcc} | {ncc:,} "
-            f"| {ne:,} | {tann} | {tcl} | {ncl:,} |"
+            f"| {tcc} | {ncc:,} |"
+        )
+    lines += [
+        "",
+        "Similarity scale paths (same replicated corpora; ann = SRP-LSH "
+        "top-k n_tables=8, ivf = IVF-Flat 16 cells probe 4, lsh = "
+        "cosine near-dup θ=0.9):",
+        "",
+        "| mult | vecs | ann n_bits=6 s | ann n_bits=12 s | ivf s "
+        "| lsh n_bits=8 s | lsh n_bits=12 s | lsh pairs |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for (m, nd, tmh, nmh, tij, nij, tsb, nsb, ts64, ns64, tcc, ncc,
+         ne, tann, tann12, tivf, tcl, tcl12, ncl) in rows:
+        lines.append(
+            f"| {m}× | {ne:,} | {tann} | {tann12} | {tivf} "
+            f"| {tcl} | {tcl12} | {ncl:,} |"
         )
     if ppjoin_rows:
         lines += [
