@@ -51,4 +51,47 @@ def unit_vector(vec: Column | str) -> Column:
     return F.when(norm > 0, F.transform(v, lambda x: x / norm))
 
 
-__all__ = ["dot_product", "l2_norm", "cosine_similarity", "unit_vector"]
+def quantize_int8(vec: Column | str) -> Column:
+    """Symmetric int8 quantization: struct(codes array<tinyint>, scale).
+
+    ``codes[i] = round(v[i] / scale)`` with ``scale = max|v| / 127`` —
+    the standard per-vector symmetric scheme.  At 100 TB an
+    ``array<float>`` embedding column is often the single largest
+    column; int8 codes cut its storage and shuffle width 4× while
+    keeping cosine recall high (error bound pinned in tests).  Pure
+    higher-order functions, so quantization runs inside codegen during
+    the ingest scan — no Python boundary.
+
+    The zero vector gets scale 0 and all-zero codes (dequantizes to
+    itself).
+    """
+    v = _as_double(vec)
+    max_abs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = max_abs / F.lit(127.0)
+    codes = F.when(
+        max_abs > 0, F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8`: codes·scale → array<double>."""
+    col = F.col(q) if isinstance(q, str) else q
+    return F.transform(
+        col.getField("codes").cast("array<double>"),
+        lambda x: x * col.getField("scale"),
+    )
+
+
+__all__ = [
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+    "unit_vector",
+    "quantize_int8",
+    "dequantize_int8",
+]

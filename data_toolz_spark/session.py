@@ -33,6 +33,11 @@ DEFAULT_CONF: dict[str, str] = {
     # parquet scans: keep predicate pushdown + vectorized reader explicit
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # answer bare MIN/MAX/COUNT aggregates from parquet footer stats
+    # instead of scanning data — at 100 TB a stats query over a table
+    # becomes a metadata read (off by default in Spark; only applies
+    # when no residual filter needs row evaluation, so always safe)
+    "spark.sql.parquet.aggregatePushdown": "true",
     # partition discovery over hive-style field=value dirs
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # session timezone pinned for deterministic timestamp round-trips

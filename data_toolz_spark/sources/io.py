@@ -6,6 +6,8 @@ Spark-first re-expression of the reference's ``DataIO``
 * parquet / dsv / jsonlines scans (io.py:102-147) →
   ``spark.read.format(...)`` with recursive file lookup; multi-file
   union, schema merge, and task-per-split parallelism are native.
+  ORC is an engine extension beyond the reference trio (same typed
+  round-trip, partitioning, chunking, and bucketing machinery).
 * gzip (io.py:9,115-116,184-185) → codec inferred from the ``.gz``
   extension on read, ``option("compression", "gzip")`` on write.
 * hive-style ``field=value`` partitioned writes (io.py:36-59,61-100) →
@@ -46,7 +48,7 @@ from pyspark.sql.window import Window
 
 from data_toolz_spark.plans.filtering import compile_filter
 
-FILETYPES = ("parquet", "dsv", "jsonlines")
+FILETYPES = ("parquet", "dsv", "jsonlines", "orc")
 
 # PathTransformer(prefix, partition_cols, partition_values) -> relative dir
 PathTransformer = Callable[[str, Sequence[str], Sequence[str]], str]
@@ -110,6 +112,8 @@ class DataIO:
         paths = [path] if isinstance(path, str) else list(path)
         if filetype == "parquet":
             df = reader.option("mergeSchema", "true").parquet(*paths)
+        elif filetype == "orc":
+            df = reader.option("mergeSchema", "true").orc(*paths)
         elif filetype == "dsv":
             df = (
                 reader.option("header", str(header).lower())
@@ -169,6 +173,11 @@ class DataIO:
         """
         filetype = self._normalize_filetype(filetype)
         partition_by = list(partition_by or [])
+        if gzip and filetype == "orc":
+            raise ValueError(
+                "orc has no gzip codec; pass options="
+                "{'compression': 'zlib'} (or zstd/snappy) instead"
+            )
 
         if self.partition_transformer is not None and partition_by:
             # A custom layout moves data out of hive-style f=v dirs, so
@@ -223,18 +232,25 @@ class DataIO:
         for key, value in (options or {}).items():
             writer = writer.option(key, value)
 
-        if filetype == "parquet":
-            writer.parquet(path)
-        elif filetype == "dsv":
-            writer.option("header", str(header).lower()).option("sep", sep).option(
-                "escape", "\\"
-            ).option("emptyValue", "").csv(path)
-        else:
-            writer.json(path)
+        self._finish_write(writer, filetype, path, header=header, sep=sep)
 
         if self.partition_transformer is not None and partition_by:
             self._apply_partition_transformer(df, path, partition_by)
         return path
+
+    @staticmethod
+    def _finish_write(writer, filetype: str, path: str, *, header: bool, sep: str) -> None:
+        """Dispatch a configured DataFrameWriter to its format call."""
+        if filetype == "parquet":
+            writer.parquet(path)
+        elif filetype == "orc":
+            writer.orc(path)
+        elif filetype == "dsv":
+            writer.option("header", str(header).lower()).option(
+                "sep", sep
+            ).option("escape", "\\").option("emptyValue", "").csv(path)
+        else:
+            writer.json(path)
 
     def _write_chunked(
         self,
@@ -319,14 +335,7 @@ class DataIO:
             writer = writer.option("compression", "gzip")
         for key, value in (options or {}).items():
             writer = writer.option(key, value)
-        if filetype == "parquet":
-            writer.parquet(path)
-        elif filetype == "dsv":
-            writer.option("header", str(header).lower()).option(
-                "sep", sep
-            ).option("escape", "\\").option("emptyValue", "").csv(path)
-        else:
-            writer.json(path)
+        self._finish_write(writer, filetype, path, header=header, sep=sep)
 
         seen = self._hoist_chunk_dirs(df.sparkSession, path)
         # Un-partitioned writes materialize empty tail chunks as
@@ -339,14 +348,7 @@ class DataIO:
                     tail = tail.option("compression", "gzip")
                 for key, value in (options or {}).items():
                     tail = tail.option(key, value)
-                if filetype == "parquet":
-                    tail.parquet(path)
-                elif filetype == "dsv":
-                    tail.option("header", str(header).lower()).option(
-                        "sep", sep
-                    ).option("escape", "\\").option("emptyValue", "").csv(path)
-                else:
-                    tail.json(path)
+                self._finish_write(tail, filetype, path, header=header, sep=sep)
         if self.partition_transformer is not None and partition_by:
             self._apply_partition_transformer(df, path, partition_by)
         return path
@@ -427,10 +429,11 @@ class DataIO:
         """
         filetype = self._normalize_filetype(filetype)
         if filetype == "dsv":
-            raise ValueError("bucketed tables require parquet or jsonlines")
+            raise ValueError("bucketed tables require parquet, orc, or jsonlines")
+        fmt = {"parquet": "parquet", "orc": "orc"}.get(filetype, "json")
         writer = (
             df.write.mode(mode)
-            .format("parquet" if filetype == "parquet" else "json")
+            .format(fmt)
             .bucketBy(n_buckets, *bucket_by)
         )
         if sort_by:

@@ -61,6 +61,41 @@ def test_round_trip_value_parity(spark, sample_df, tmp_path, filetype, gzip):
     assert _rows(back) == _rows(sample_df)
 
 
+def test_orc_round_trip_value_parity(spark, sample_df, tmp_path):
+    """ORC joins the format surface (engine extension beyond the
+    reference trio): typed round trip, hive partitioning, chunking and
+    bucketing all share the same write machinery."""
+    io = DataIO()
+    path = str(tmp_path / "t_orc")
+    io.write(sample_df, path, filetype="orc")
+    back = io.read(spark, path, filetype="orc")
+    assert _rows(back) == _rows(sample_df)
+
+
+def test_orc_partitioned_and_chunked(spark, tmp_path):
+    io = DataIO()
+    df = spark.range(40).withColumn("key", (F.col("id") % 2).cast("string"))
+    path = str(tmp_path / "t_orc_part")
+    io.write(df, path, filetype="orc", partition_by=["key"], suffix=["a", "b"])
+    for key in ("key=0", "key=1"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, key))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 2, (key, files)
+    back = io.read(spark, path, filetype="orc")
+    assert back.count() == 40
+    assert set(back.columns) == {"id", "key"}
+
+
+def test_orc_rejects_gzip_flag(spark, sample_df, tmp_path):
+    with pytest.raises(ValueError, match="zlib"):
+        DataIO().write(
+            sample_df, str(tmp_path / "t"), filetype="orc", gzip=True
+        )
+
+
 def test_dsv_custom_separator_and_no_header(spark, sample_df, tmp_path):
     io = DataIO()
     path = str(tmp_path / "t1")

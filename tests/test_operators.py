@@ -164,6 +164,61 @@ def test_l2_norm(spark):
     assert df.select(l2_norm("v").alias("n")).first()["n"] == pytest.approx(5.0)
 
 
+def test_int8_quantization_roundtrip_and_recall(spark, embeddings):
+    """Symmetric int8: per-element error ≤ scale/2 and quantized cosine
+    ordering keeps top-k recall high on the real embeddings table."""
+    from data_toolz_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    q = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        quantize_int8("embedding").alias("q"),
+    ).withColumn("dq", dequantize_int8("q"))
+    # error bound: |v_i - dq_i| <= scale/2 per element (round-to-nearest)
+    bad = q.select(
+        F.exists(
+            F.zip_with(
+                "v",
+                "dq",
+                lambda a, b: F.abs(a - b)
+                > F.col("q.scale") / 2 + F.lit(1e-9),
+            ),
+            lambda e: e,
+        ).alias("bad")
+    ).filter(F.col("bad"))
+    assert bad.count() == 0
+    # codes really are int8-narrow
+    row = q.select("q.codes").first()
+    assert all(-127 <= c <= 127 for c in row["codes"])
+    # cosine on dequantized vectors tracks exact cosine closely
+    drift = q.crossJoin(
+        q.select(
+            F.col("vec_id").alias("vec_id_b"),
+            F.col("v").alias("v_b"),
+            F.col("dq").alias("dq_b"),
+        ).limit(20)
+    ).filter(F.col("vec_id") < F.col("vec_id_b")).select(
+        (
+            F.abs(
+                cosine_similarity("v", "v_b")
+                - cosine_similarity("dq", "dq_b")
+            )
+        ).alias("d")
+    )
+    assert drift.agg(F.max("d")).first()[0] < 0.01
+
+    # zero vector: scale 0, all-zero codes, dequantizes to zeros
+    z = spark.createDataFrame([([0.0, 0.0, 0.0],)], "embedding array<double>")
+    zq = z.select(quantize_int8("embedding").alias("q")).withColumn(
+        "dq", dequantize_int8("q")
+    ).first()
+    assert zq["q"]["scale"] == 0.0 and list(zq["dq"]) == [0.0, 0.0, 0.0]
+
+
 # ---------------------------------------------------------------------------
 # windows
 # ---------------------------------------------------------------------------
