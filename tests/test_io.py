@@ -278,3 +278,30 @@ def test_partition_transformer_rename_pass(spark, sample_df, tmp_path):
     assert sorted(
         r["col1__data"] for r in back.select("col1__data").distinct().collect()
     ) == ["a", "b"]
+
+
+def test_partition_transformer_composes_with_chunking(spark, tmp_path):
+    """W8 + W7 together: the chunk hoist must finish (no __chunk= dirs
+    left) before the rename pass moves the partition dirs."""
+
+    def transformer(prefix, partitions, values):
+        return f"{prefix}/c{'-'.join(values)}"
+
+    io = DataIO(partition_transformer=transformer)
+    df = spark.range(40).withColumn("key", (F.col("id") % 2).cast("string"))
+    path = str(tmp_path / "t1")
+    with pytest.warns(UserWarning):
+        io.write(df, path, partition_by=["key"], suffix=["a", "b"])
+    names = sorted(
+        d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+    )
+    assert names == ["c0", "c1"]
+    for d in names:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 2, (d, files)  # exactly len(suffix) chunks
+    back = spark.read.parquet(f"{path}/c0", f"{path}/c1")
+    assert back.count() == 40
