@@ -153,6 +153,8 @@ class DataIO:
         *,
         partition_by: Sequence[str] | None = None,
         suffix: Sequence[str] | None = None,
+        cluster_by: Sequence[str] | None = None,
+        cluster_files: int | None = None,
         drop_partitions: bool = True,
         gzip: bool = False,
         header: bool = True,
@@ -166,6 +168,20 @@ class DataIO:
         partition directory with the reference's exact ceil-division
         slice sizes (io.py:73-83).
 
+        ``cluster_by=[...]`` data-clusters the output on the given
+        columns: rows are range-partitioned and sorted so each output
+        file (and each parquet/ORC row group) covers a narrow,
+        near-disjoint value range.  Readers filtering on those columns
+        then skip whole files/row groups via min/max footer stats — at
+        100 TB this is the difference between scanning a shard and
+        scanning the table for time-range or key-range queries.  With
+        ``partition_by`` it sorts within each partition dir instead
+        (dir pruning handles the coarse level, stats the fine level).
+        ``cluster_files`` pins the range-partition count (file count);
+        default lets AQE size partitions (~shuffle target) — at small
+        scale AQE may coalesce to one file, so tests/demos pin it.
+        Incompatible with ``suffix`` (chunking owns row order).
+
         With a custom ``partition_transformer`` the renamed layout loses
         native partition discovery (dirs are no longer ``f=v``), so the
         partition columns are always kept in the data files as
@@ -173,10 +189,16 @@ class DataIO:
         """
         filetype = self._normalize_filetype(filetype)
         partition_by = list(partition_by or [])
+        cluster_by = list(cluster_by or [])
         if gzip and filetype == "orc":
             raise ValueError(
                 "orc has no gzip codec; pass options="
                 "{'compression': 'zlib'} (or zstd/snappy) instead"
+            )
+        if cluster_by and suffix:
+            raise ValueError(
+                "cluster_by cannot combine with suffix: chunked writes "
+                "own the row order (reference iloc slicing contract)"
             )
 
         if self.partition_transformer is not None and partition_by:
@@ -221,7 +243,19 @@ class DataIO:
             # one shuffle so each partition dir is written by one task
             # (avoids the many-small-files problem at scale); AQE may
             # split skewed partitions.
-            writer = df.repartition(*partition_by).write.mode(mode)
+            out = df.repartition(*partition_by)
+            if cluster_by:
+                out = out.sortWithinPartitions(*cluster_by)
+            writer = out.write.mode(mode)
+        elif cluster_by:
+            # range shuffle + local sort: files cover near-disjoint
+            # cluster-key ranges, so footer min/max stats prune scans
+            ranged = (
+                df.repartitionByRange(cluster_files, *cluster_by)
+                if cluster_files
+                else df.repartitionByRange(*cluster_by)
+            )
+            writer = ranged.sortWithinPartitions(*cluster_by).write.mode(mode)
         else:
             writer = df.write.mode(mode)
 

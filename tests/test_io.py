@@ -256,6 +256,68 @@ def test_read_with_filter_spec_pushdown(spark, sample_df, tmp_path):
     assert got.count() == 2
 
 
+def test_cluster_by_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Data clustering: each output file covers a near-disjoint key
+    range, so parquet footer min/max stats can prune range scans."""
+    io = DataIO()
+    # shuffled input so clustering has to actually reorder
+    df = spark.range(10_000).withColumn(
+        "k", F.xxhash64("id")
+    ).repartition(8)
+    path = str(tmp_path / "t1")
+    io.write(
+        df.select(F.col("id").alias("key"), "k"),
+        path,
+        cluster_by=["key"],
+        cluster_files=4,
+    )
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(files) > 1  # range shuffle kept parallelism
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(os.path.join(path, f))
+            .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+            .first()
+        )
+        if r["lo"] is not None:
+            ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b  # disjoint: every file is a skippable shard
+    back = DataIO().read(spark, path)
+    assert back.count() == 10_000
+
+
+def test_cluster_by_rejects_suffix_combination(spark, tmp_path):
+    with pytest.raises(ValueError, match="cluster_by"):
+        DataIO().write(
+            spark.range(10),
+            str(tmp_path / "t"),
+            cluster_by=["id"],
+            suffix=["a", "b"],
+        )
+
+
+def test_cluster_by_with_partition_dirs_sorts_within(spark, tmp_path):
+    io = DataIO()
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.col("id").alias("key"),
+    )
+    path = str(tmp_path / "t1")
+    io.write(df, path, partition_by=["p"], cluster_by=["key"])
+    # within one partition dir the single task wrote rows sorted by key
+    part0 = os.path.join(path, "p=0")
+    f = [x for x in os.listdir(part0) if x.startswith("part-")][0]
+    keys = [
+        r["key"]
+        for r in spark.read.parquet(os.path.join(part0, f)).collect()
+    ]
+    assert keys == sorted(keys)
+    assert io.read(spark, path).count() == 1000
+
+
 def test_partition_transformer_rename_pass(spark, sample_df, tmp_path):
     """Custom partition naming via the post-write rename pass (W8)."""
 
