@@ -1,0 +1,156 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+The splits a 100 TB training-data pipeline needs are NOT ``randomSplit``:
+
+* they must be **deterministic per row key** — re-running the pipeline
+  (or a retried task) must assign every document to the same side, with
+  no dependence on partitioning, ordering, or cluster size;
+* they must be **leakage-safe** — near-duplicate documents must land on
+  the same side, or the held-out set silently overlaps the training
+  set and evaluation numbers inflate.
+
+Everything here is pure column expressions (``xxhash64`` + arithmetic),
+so split assignment runs inside codegen during the scan — no shuffle,
+no Python, no state.  ``component_split`` composes with the dedup
+family: it routes every member of a near-duplicate component through
+the component id, so whole duplicate clusters move together.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator for the hash → [0, 1) bucket mapping
+_BUCKETS = 1_000_000
+
+
+def _unit_hash(cols: Sequence[str | Column], seed: int) -> Column:
+    """Deterministic per-row value in [0, 1): xxhash64 → bucket / N."""
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    h = F.xxhash64(*exprs, F.lit(seed))
+    return F.pmod(h, F.lit(_BUCKETS)).cast("double") / F.lit(float(_BUCKETS))
+
+
+def split_column(
+    key_cols: Sequence[str | Column],
+    fractions: Mapping[str, float],
+    *,
+    seed: int = 42,
+) -> Column:
+    """Column assigning each row a split name by hashed key.
+
+    ``fractions`` maps split name → fraction; fractions must sum to 1
+    (±1e-9).  Assignment is a pure function of (key, seed): stable
+    under retries, repartitioning, and incremental reprocessing — a row
+    keyed the same way always lands in the same split, even across
+    separate pipeline runs over different data snapshots.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    u = _unit_hash(key_cols, seed)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(names[-1])
+    return (expr.otherwise(last) if expr is not None else last).alias("split")
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fractions: Mapping[str, float],
+    *,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split assignment column (see
+    :func:`split_column`)."""
+    return df.withColumn(
+        split_col, split_column(key_cols, fractions, seed=seed)
+    )
+
+
+def component_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    *,
+    id_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: near-duplicate clusters move as one unit.
+
+    ``near_dup_pairs`` is any (id_a, id_b) pair frame — the output of
+    ``minhash_near_duplicates``, ``simhash_band_pairs``,
+    ``cosine_near_duplicates`` …  Members of a connected component are
+    all routed by the component's minimum id, so a train/eval boundary
+    can never separate two near-duplicates; rows in no pair route by
+    their own id.  The component map is a broadcast-size frame for
+    realistic duplicate rates (|components| ≪ |corpus|); the main
+    corpus is touched by exactly one left join.
+    """
+    from data_toolz_spark.operators.dedup import connected_components
+
+    comp = connected_components(near_dup_pairs).select(
+        F.col("id").alias("__sid"), F.col("component").alias("__comp")
+    )
+    routed = df.join(
+        comp, on=F.col(id_col).cast("long") == F.col("__sid"), how="left"
+    ).drop("__sid")
+    route_key = F.coalesce(F.col("__comp"), F.col(id_col).cast("long"))
+    return routed.withColumn(
+        split_col, split_column([route_key], fractions, seed=seed)
+    ).drop("__comp")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    fraction: float | Mapping,
+    *,
+    seed: int = 42,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum sampling.
+
+    ``fraction`` is either one rate for every stratum or a mapping
+    {stratum value (single strata col) → rate}.  Unlike ``sampleBy``
+    this is keyed (``key_cols`` default: the strata cols + all columns
+    is unstable, so pass explicit keys for row-level determinism) — the
+    same row is kept or dropped on every run, so downstream joins
+    against a previous run's sample line up.
+    """
+    keys = list(key_cols) if key_cols else list(strata_cols)
+    u = _unit_hash(keys, seed)
+    if isinstance(fraction, Mapping):
+        if len(strata_cols) != 1:
+            raise ValueError(
+                "per-stratum fraction mapping needs exactly one strata col"
+            )
+        rate: Column = F.lit(0.0)
+        for value, frac in fraction.items():
+            rate = F.when(
+                F.col(strata_cols[0]) == F.lit(value), F.lit(float(frac))
+            ).otherwise(rate)
+    else:
+        rate = F.lit(float(fraction))
+    return df.filter(u < rate)
+
+
+__all__ = [
+    "split_column",
+    "hash_split",
+    "component_split",
+    "stratified_sample",
+]

@@ -1,0 +1,100 @@
+"""Deterministic splitting/sampling: stability, exhaustiveness,
+proportions, and near-dup leakage safety."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.sampling import (
+    component_split,
+    hash_split,
+    stratified_sample,
+)
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    df = spark.range(20_000).withColumn("doc", F.concat(F.lit("d"), F.col("id")))
+    a = hash_split(df, ["doc"], FRACS)
+    b = hash_split(df.repartition(13), ["doc"], FRACS)  # different layout
+    ma = {r["doc"]: r["split"] for r in a.collect()}
+    mb = {r["doc"]: r["split"] for r in b.collect()}
+    assert ma == mb  # pure function of (key, seed)
+    assert set(ma.values()) == {"train", "val", "test"}
+    n = len(ma)
+    counts = {s: sum(1 for v in ma.values() if v == s) for s in FRACS}
+    for name, frac in FRACS.items():
+        assert abs(counts[name] / n - frac) < 0.02, (name, counts)
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(spark.range(5), ["id"], {"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_stable_across_snapshots(spark):
+    # incremental reprocessing: a row present in two different corpus
+    # snapshots must keep its assignment
+    full = hash_split(spark.range(10_000), ["id"], FRACS)
+    subset = hash_split(spark.range(0, 10_000, 7), ["id"], FRACS)
+    mf = {r["id"]: r["split"] for r in full.collect()}
+    for r in subset.collect():
+        assert mf[r["id"]] == r["split"]
+
+
+def test_component_split_keeps_near_dups_together(spark):
+    # pairs chain 0-1-2 and 10-11; everything else is a singleton
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = component_split(
+        docs, pairs, id_col="doc_id", fractions=FRACS
+    )
+    m = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(m) == 100  # no row lost or duplicated by the join
+    assert m[0] == m[1] == m[2]  # transitive cluster moves as one
+    assert m[10] == m[11]
+    # and the assignment is still deterministic under re-run
+    m2 = {
+        r["doc_id"]: r["split"]
+        for r in component_split(
+            docs.repartition(7), pairs, id_col="doc_id", fractions=FRACS
+        ).collect()
+    }
+    assert m == m2
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    df = spark.range(30_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    s = stratified_sample(df, ["lang"], {"0": 0.5, "1": 0.1, "2": 0.0},
+                          key_cols=["id"])
+    got = s.groupBy("lang").count().collect()
+    rates = {r["lang"]: r["count"] / 10_000 for r in got}
+    assert abs(rates.get("0", 0) - 0.5) < 0.03
+    assert abs(rates.get("1", 0) - 0.1) < 0.03
+    assert "2" not in rates
+    # determinism: same rows kept on re-run over a different layout
+    ids1 = {r["id"] for r in s.collect()}
+    ids2 = {
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(11), ["lang"], {"0": 0.5, "1": 0.1, "2": 0.0},
+            key_cols=["id"],
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_split_is_codegen_only(spark):
+    # no shuffle, no Python: the split must be a project over the scan
+    df = hash_split(spark.range(1000), ["id"], FRACS)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
