@@ -153,11 +153,60 @@ def fingerprint(
     return df.withColumn(out_col, text_fingerprint(F.col(text_col)))
 
 
+#: boilerplate markers common in crawled web text — the C4/RefinedWeb
+#: cleaning heuristics drop or downweight documents dominated by these
+_BOILERPLATE_MARKERS = (
+    "javascript",
+    "cookie",
+    "copyright",
+    "all rights reserved",
+    "terms of use",
+    "privacy policy",
+)
+
+
+def web_artifact_features(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-cleaning signals: URL/email density and boilerplate markers.
+
+    Appends ``n_urls``, ``n_emails``, ``n_boilerplate`` (marker hits,
+    case-insensitive), and ``artifact_ratio`` (artifact tokens over
+    total tokens, 4-decimal truncated) — the standard C4-style features
+    a pipeline thresholds on before training.  Pure ``regexp_count``
+    column expressions, so the pass rides the ingest scan at any scale;
+    patterns are intentionally simple/portable (full RFC URL parsing
+    belongs in a UDF nobody needs for corpus filtering).
+    """
+    c = F.col(text_col)
+    n_urls = F.regexp_count(c, F.lit(r"https?://[^\s]+"))
+    n_emails = F.regexp_count(
+        c, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    )
+    low = F.lower(c)
+    n_boiler = sum(
+        (F.regexp_count(low, F.lit(m)) for m in _BOILERPLATE_MARKERS),
+        F.lit(0),
+    )
+    n_tok = F.greatest(F.size(tokens(c)), F.lit(1)).cast("double")
+    ratio = (n_urls + n_emails).cast("double") / n_tok
+    return (
+        df.withColumn("n_urls", n_urls.cast("long"))
+        .withColumn("n_emails", n_emails.cast("long"))
+        .withColumn("n_boilerplate", n_boiler.cast("long"))
+        .withColumn(
+            "artifact_ratio", F.floor(ratio * 10000) / F.lit(10000.0)
+        )
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
     "token_stats",
     "fingerprint",
+    "web_artifact_features",
     "STOPWORDS",
     "normalized_text",
 ]

@@ -219,6 +219,36 @@ def test_int8_quantization_roundtrip_and_recall(spark, embeddings):
     assert zq["q"]["scale"] == 0.0 and list(zq["dq"]) == [0.0, 0.0, 0.0]
 
 
+def test_web_artifact_features_counts(spark):
+    from data_toolz_spark.operators.text_analysis import web_artifact_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "visit https://a.example/x and http://b.example now"),
+            (2, "mail me at a.b+c@ex-ample.org or d@e.io thanks"),
+            (3, "Copyright 2024 — All Rights Reserved. cookie notice"),
+            (4, "plain text with nothing special at all"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_urls"],
+            r["n_emails"],
+            r["n_boilerplate"],
+            r["artifact_ratio"],
+        )
+        for r in web_artifact_features(df).collect()
+    }
+    assert got[1][:3] == (2, 0, 0)
+    assert got[1][3] == pytest.approx(2 / 5, abs=1e-4)  # 5 ws-tokens
+    assert got[2][:3] == (0, 2, 0)
+    assert got[3][:3] == (0, 0, 3)  # copyright + all rights reserved + cookie
+    assert got[4] == (0, 0, 0, 0.0)
+    assert got[5] == (0, 0, 0, 0.0)  # empty text, no div-by-zero
+
+
 # ---------------------------------------------------------------------------
 # windows
 # ---------------------------------------------------------------------------
