@@ -210,29 +210,8 @@ def minhash_near_duplicates(
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
     rows = n_hashes // bands
-    if shingle > 1:
-        from data_toolz_spark.functions.text import word_shingles
-
-        elems_expr = F.array_sort(F.array_distinct(word_shingles(text_col, shingle)))
-    else:
-        elems_expr = F.array_sort(_distinct_tokens(text_col))
-
-    from data_toolz_spark.operators._util import spread
-
-    # shingles are hashed to int64 immediately (one xxhash64 pass):
-    # every downstream shuffle/join/intersect moves 8-byte longs, never
-    # string arrays.  Jaccard on hashed sets equals Jaccard on string
-    # sets up to 64-bit collisions (~1e-10 at 1e5 distinct shingles);
-    # the set fingerprint stays a hash of the *string* array.
-    members = spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.xxhash64(elems_expr).alias("__fp"),
-        F.transform(elems_expr, lambda e: F.xxhash64(e)).alias("__elems"),
-    )
-    reps = members.groupBy("__fp").agg(
-        F.min("__id").alias("__rid"),
-        F.any_value("__elems").alias("__elems"),
-        F.count(F.lit(1)).alias("__cnt"),
+    members, reps = _minhash_members_reps(
+        df, id_col, text_col, shingle=shingle
     )
     if persist:
         # members/reps feed 4 downstream branches (band join sides,
@@ -323,6 +302,44 @@ def minhash_near_duplicates(
         )
     )
     return inter.unionByName(intra)
+
+
+def _minhash_members_reps(
+    df: DataFrame, id_col: str, text_col: str, *, shingle: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the MinHash pipeline: per-doc hashed shingle
+    sets plus one representative per DISTINCT set.
+
+    Shingles are hashed to int64 immediately (one xxhash64 pass): every
+    downstream shuffle/join/intersect moves 8-byte longs, never string
+    arrays.  Jaccard on hashed sets equals Jaccard on string sets up to
+    64-bit collisions (~1e-10 at 1e5 distinct shingles); the set
+    fingerprint stays a hash of the *string* array.  Also the basis of
+    the persistent incremental index (operators.incremental) — the
+    fingerprint/element hashing must stay bit-stable across runs.
+    """
+    if shingle > 1:
+        from data_toolz_spark.functions.text import word_shingles
+
+        elems_expr = F.array_sort(
+            F.array_distinct(word_shingles(text_col, shingle))
+        )
+    else:
+        elems_expr = F.array_sort(_distinct_tokens(text_col))
+
+    from data_toolz_spark.operators._util import spread
+
+    members = spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(elems_expr).alias("__fp"),
+        F.transform(elems_expr, lambda e: F.xxhash64(e)).alias("__elems"),
+    )
+    reps = members.groupBy("__fp").agg(
+        F.min("__id").alias("__rid"),
+        F.any_value("__elems").alias("__elems"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return members, reps
 
 
 def connected_components(

@@ -136,8 +136,305 @@ def append_to_catalog(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: a persistent MinHash band index
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> str:
+    """Persist the MinHash state of a corpus for incremental near-dup.
+
+    Three bucketed tables (+ a one-row meta table pinning the LSH
+    config so a mismatched incremental call fails loudly):
+
+    * ``{p}_mh_bands``  (fp, band, bucket) bucketed on (band, bucket) —
+      the LSH candidate join side; an increment's bands shuffle to this
+      layout, the index is read in place.
+    * ``{p}_mh_sets``   (fp, elems) bucketed on fp — hashed shingle
+      sets for the exact-Jaccard verify of candidates.
+    * ``{p}_mh_members``(fp, id) bucketed on fp — pair expansion from
+      representative fingerprints to document ids.
+
+    Identical hashing/banding across runs is guaranteed by the shared
+    ``_minhash_members_reps`` front half and the seeded band kernel.
+    """
+    from data_toolz_spark.operators.dedup import (
+        _band_bucket_udf,
+        _minhash_members_reps,
+    )
+    from data_toolz_spark.sources.io import DataIO
+
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    io = DataIO()
+    members, reps = _minhash_members_reps(
+        df, id_col, text_col, shingle=shingle
+    )
+    bucketize = _band_bucket_udf(n_hashes, bands)
+    banded = reps.select(
+        F.col("__fp").alias("fp"),
+        F.posexplode(bucketize(F.col("__elems"))).alias("band", "bucket"),
+    )
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(n_hashes, bands, shingle, float(threshold))],
+        "n_hashes int, bands int, shingle int, threshold double",
+    )
+    meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_mh_meta")
+    io.write_bucketed(
+        banded,
+        f"{table_prefix}_mh_bands",
+        bucket_by=["band", "bucket"],
+        n_buckets=n_buckets,
+        path=None if path is None else f"{path}/bands",
+    )
+    io.write_bucketed(
+        reps.select(F.col("__fp").alias("fp"), F.col("__elems").alias("elems")),
+        f"{table_prefix}_mh_sets",
+        bucket_by=["fp"],
+        n_buckets=n_buckets,
+        path=None if path is None else f"{path}/sets",
+    )
+    io.write_bucketed(
+        members.select(F.col("__fp").alias("fp"), F.col("__id").alias("id")),
+        f"{table_prefix}_mh_members",
+        bucket_by=["fp"],
+        n_buckets=n_buckets,
+        path=None if path is None else f"{path}/members",
+    )
+    return table_prefix
+
+
+def incremental_near_duplicates(
+    spark: SparkSession,
+    increment: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING the increment: (id_a, id_b, jaccard)
+    with id_a < id_b, covering increment×index and increment×increment —
+    exactly the rows ``minhash_near_duplicates`` over (corpus ∪
+    increment) would emit that involve an increment document, without
+    re-hashing or re-banding the corpus.
+
+    Scale shape: the three index tables are read in place (bucketed);
+    everything that shuffles is sized to the increment and its
+    candidate set.  LSH config comes from the index's meta table, so a
+    drifted caller cannot silently produce a differently-banded join.
+    """
+    from data_toolz_spark.operators.dedup import (
+        _band_bucket_udf,
+        _minhash_members_reps,
+        jaccard,
+    )
+
+    m = spark.table(f"{table_prefix}_mh_meta").first()
+    n_hashes, bands, shingle, threshold = (
+        m["n_hashes"], m["bands"], m["shingle"], m["threshold"],
+    )
+    members, reps = _minhash_members_reps(
+        increment, id_col, text_col, shingle=shingle
+    )
+    members = members.persist()
+    reps = reps.persist()
+    from data_toolz_spark.cache import track
+
+    track(members)
+    track(reps)
+
+    bucketize = _band_bucket_udf(n_hashes, bands)
+    new_bands = reps.select(
+        F.col("__fp").alias("fp"),
+        F.posexplode(bucketize(F.col("__elems"))).alias("band", "bucket"),
+    )
+    old_bands = spark.table(f"{table_prefix}_mh_bands")
+    old_sets = spark.table(f"{table_prefix}_mh_sets")
+    old_members = spark.table(f"{table_prefix}_mh_members")
+
+    new_sets = reps.select(
+        F.col("__fp").alias("fp"), F.col("__elems").alias("elems")
+    )
+    # 1. candidates increment×index (index side read in place)
+    cand_old = (
+        new_bands.alias("n")
+        .join(
+            old_bands.alias("o"),
+            on=[
+                F.col("n.band") == F.col("o.band"),
+                F.col("n.bucket") == F.col("o.bucket"),
+                F.col("n.fp") != F.col("o.fp"),
+            ],
+        )
+        .select(F.col("n.fp").alias("fp_new"), F.col("o.fp").alias("fp_old"))
+        .dropDuplicates(["fp_new", "fp_old"])
+    )
+    # 2. candidates increment×increment
+    cand_new = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.fp") < F.col("b.fp"),
+            ],
+        )
+        .select(F.col("a.fp").alias("fp_new"), F.col("b.fp").alias("fp_old"))
+        .dropDuplicates(["fp_new", "fp_old"])
+    )
+
+    def verify(cand: DataFrame, right_sets: DataFrame) -> DataFrame:
+        return (
+            cand.join(
+                new_sets.select(
+                    F.col("fp").alias("fp_new"), F.col("elems").alias("ea")
+                ),
+                on="fp_new",
+            )
+            .join(
+                right_sets.select(
+                    F.col("fp").alias("fp_old"), F.col("elems").alias("eb")
+                ),
+                on="fp_old",
+            )
+            .withColumn(
+                "jaccard", F.round(jaccard(F.col("ea"), F.col("eb")), 6)
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("fp_new", "fp_old", "jaccard")
+        )
+
+    # 3. expand verified fp pairs to id pairs
+    new_ids = members.select(
+        F.col("__fp").alias("fp"), F.col("__id").alias("id")
+    )
+
+    def expand(pairs: DataFrame, right_ids: DataFrame) -> DataFrame:
+        return (
+            pairs.join(
+                new_ids.select(
+                    F.col("fp").alias("fp_new"), F.col("id").alias("ia")
+                ),
+                on="fp_new",
+            )
+            .join(
+                right_ids.select(
+                    F.col("fp").alias("fp_old"), F.col("id").alias("ib")
+                ),
+                on="fp_old",
+            )
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                "jaccard",
+            )
+        )
+
+    inter_old = expand(verify(cand_old, old_sets), old_members)
+    inter_new = expand(verify(cand_new, new_sets), new_ids)
+    # 4. identical content: same fingerprint ⇒ jaccard 1.0 —
+    #    increment×index members of one fp, and within-increment twins
+    ident_old = (
+        new_ids.alias("n")
+        .join(old_members.alias("o"), on=F.col("n.fp") == F.col("o.fp"))
+        .select(
+            F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("n.id"), F.col("o.id")).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    nonempty = members.filter(F.size("__elems") > 0)
+    ident_new = (
+        nonempty.alias("a")
+        .join(
+            nonempty.alias("b"),
+            on=[
+                F.col("a.__fp") == F.col("b.__fp"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return (
+        inter_old.unionByName(inter_new)
+        .unionByName(ident_old)
+        .unionByName(ident_new)
+    )
+
+
+def append_to_minhash_index(
+    spark: SparkSession,
+    increment: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold an increment into the index (after mining its pairs).
+
+    Members always append; bands/sets append only fingerprints the
+    index has not seen (anti-join on the bucketed sets table), so
+    re-ingesting duplicate content never bloats the LSH join side.
+    ``insertInto`` preserves each table's bucket layout.
+    """
+    from data_toolz_spark.operators.dedup import (
+        _band_bucket_udf,
+        _minhash_members_reps,
+    )
+
+    m = spark.table(f"{table_prefix}_mh_meta").first()
+    members, reps = _minhash_members_reps(
+        increment, id_col, text_col, shingle=m["shingle"]
+    )
+    known = spark.table(f"{table_prefix}_mh_sets").select("fp")
+    novel_reps = (
+        reps.select(
+            F.col("__fp").alias("fp"), F.col("__elems").alias("elems")
+        )
+        .join(known, on="fp", how="left_anti")
+    )
+    novel_reps = novel_reps.persist()
+    from data_toolz_spark.cache import track
+
+    track(novel_reps)
+    bucketize = _band_bucket_udf(m["n_hashes"], m["bands"])
+    (
+        novel_reps.select(
+            "fp",
+            F.posexplode(bucketize(F.col("elems"))).alias("band", "bucket"),
+        ).write.insertInto(f"{table_prefix}_mh_bands")
+    )
+    novel_reps.write.insertInto(f"{table_prefix}_mh_sets")
+    (
+        members.select(
+            F.col("__fp").alias("fp"), F.col("__id").alias("id")
+        ).write.insertInto(f"{table_prefix}_mh_members")
+    )
+
+
 __all__ = [
     "build_fingerprint_catalog",
     "novel_documents",
     "append_to_catalog",
+    "build_minhash_index",
+    "incremental_near_duplicates",
+    "append_to_minhash_index",
 ]

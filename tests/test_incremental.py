@@ -57,6 +57,103 @@ def test_incremental_dedup_over_two_increments(spark, corpus, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_incremental_minhash_equals_batch_on_touching_pairs(
+    spark, documents, tmp_path
+):
+    """The contract: incremental mining over a persisted index returns
+    EXACTLY the pairs a batch run over (corpus ∪ increment) emits that
+    touch an increment document — same ids, same jaccard values."""
+    from data_toolz_spark.operators.dedup import minhash_near_duplicates
+    from data_toolz_spark.operators.incremental import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_near_duplicates,
+    )
+
+    cut = 400
+    old = documents.filter(F.col("doc_id") < cut)
+    new = documents.filter(F.col("doc_id") >= cut)
+    n_new = new.count()
+    assert n_new > 0
+
+    build_minhash_index(
+        old, "mhidx_t1", threshold=0.8, n_buckets=8,
+        path=str(tmp_path / "idx"),
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_near_duplicates(
+            spark, new, "mhidx_t1"
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates(
+            documents, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    expected = {
+        p for p in batch if p[0] in new_ids or p[1] in new_ids
+    }
+    assert got == expected
+    assert expected, "test corpus must contain cross-increment near-dups"
+
+    # fold the increment in: a re-run of the same increment now also
+    # surfaces increment-internal pairs through the index (as identity
+    # content), and the index answers for future increments
+    append_to_minhash_index(spark, new, "mhidx_t1")
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_duplicates(
+            spark, new, "mhidx_t1"
+        ).collect()
+    }
+    # every previously-found pair is still discoverable via the index
+    assert {(a, b) for a, b, _ in expected} <= again
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+        spark.sql(f"DROP TABLE IF EXISTS mhidx_t1_{t}")
+
+
+def test_incremental_minhash_index_side_reads_in_place(
+    spark, documents, tmp_path
+):
+    """Scale property: with broadcast off, no Exchange sits above any
+    index-table scan — only increment-derived frames shuffle."""
+    from data_toolz_spark.operators.incremental import (
+        build_minhash_index,
+        incremental_near_duplicates,
+    )
+
+    build_minhash_index(
+        documents.filter(F.col("doc_id") < 100), "mhidx_t2",
+        n_buckets=8, path=str(tmp_path / "idx"),
+    )
+    inc = documents.filter(F.col("doc_id") >= 480)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            incremental_near_duplicates(spark, inc, "mhidx_t2")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    lines = plan.splitlines()
+    idx_scans = [
+        i for i, l in enumerate(lines) if "FileScan" in l and "mhidx_t2" in l
+    ]
+    assert idx_scans, plan
+    for i in idx_scans:
+        above = "\n".join(lines[max(0, i - 4): i])
+        assert "Exchange" not in above, above
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+        spark.sql(f"DROP TABLE IF EXISTS mhidx_t2_{t}")
+
+
 def test_catalog_side_joins_without_exchange(spark, corpus, tmp_path):
     """The property that makes the pattern scale: the (huge) catalog is
     pre-bucketed, so the anti-join plan has NO Exchange above the
