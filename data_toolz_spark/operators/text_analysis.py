@@ -201,12 +201,53 @@ def web_artifact_features(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition
+    filters): fraction of duplicate lines and duplicate word-bigrams.
+
+    Machine-generated and boilerplate-heavy pages repeat themselves;
+    corpus pipelines drop documents above a duplicate-fraction
+    threshold.  Appends ``dup_line_ratio`` and ``dup_bigram_ratio``
+    (1 − distinct/total, 4-decimal truncated, 0.0 for empty docs) —
+    pure array expressions over one split, no shuffle, no Python.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines).cast("double")
+    dup_lines = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines)).cast("double")) / n_lines,
+    ).otherwise(F.lit(0.0))
+    toks = tokens(c)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bi = F.size(bigrams).cast("double")
+    dup_bi = F.when(
+        n_bi > 0,
+        (n_bi - F.size(F.array_distinct(bigrams)).cast("double")) / n_bi,
+    ).otherwise(F.lit(0.0))
+    trunc = lambda col: F.floor(col * 10000) / F.lit(10000.0)  # noqa: E731
+    return df.withColumn("dup_line_ratio", trunc(dup_lines)).withColumn(
+        "dup_bigram_ratio", trunc(dup_bi)
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
     "token_stats",
     "fingerprint",
     "web_artifact_features",
+    "repetition_features",
     "STOPWORDS",
     "normalized_text",
 ]

@@ -249,6 +249,28 @@ def test_web_artifact_features_counts(spark):
     assert got[5] == (0, 0, 0, 0.0)  # empty text, no div-by-zero
 
 
+def test_repetition_features_ratios(spark):
+    from data_toolz_spark.operators.text_analysis import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 3 lines, 2 distinct → 1/3 dup
+            (2, "x y x y x y"),            # bigrams: xy yx xy yx xy → 5 total 2 distinct
+            (3, "all unique lines here"),  # no dup
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_line_ratio"], r["dup_bigram_ratio"])
+        for r in repetition_features(df).collect()
+    }
+    assert got[1][0] == pytest.approx(1 / 3, abs=1e-4)
+    assert got[2][1] == pytest.approx(3 / 5, abs=1e-4)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # windows
 # ---------------------------------------------------------------------------
