@@ -241,6 +241,80 @@ def repetition_features(
     )
 
 
+def redact_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+) -> DataFrame:
+    """Replace URLs and email addresses with placeholder tokens.
+
+    The standard pre-training scrub for incidental contact info: same
+    simple/portable patterns as :func:`web_artifact_features`, applied
+    with ``regexp_replace`` so redaction rides the scan.  ``out_col``
+    defaults to replacing ``text_col`` in place.
+    """
+    target = out_col or text_col
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, r"https?://[^\s]+", url_token),
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        email_token,
+    )
+    return df.withColumn(target, redacted)
+
+
+#: documented Gopher/C4-flavored default thresholds for keep_document
+QUALITY_FILTER_DEFAULTS = {
+    "min_tokens": 8,
+    "max_tokens": 100_000,
+    "min_alpha_ratio": 0.5,
+    "min_mean_tok_len": 2.0,
+    "max_mean_tok_len": 12.0,
+    "max_dup_line_ratio": 0.3,
+    "max_dup_bigram_ratio": 0.5,
+    "max_artifact_ratio": 0.5,
+}
+
+
+def keep_document(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    thresholds: dict | None = None,
+    out_col: str = "keep",
+) -> DataFrame:
+    """Compose the cleaning signals into one keep/drop decision.
+
+    Appends every underlying feature column plus a boolean ``keep``
+    (Gopher/C4-flavored thresholds, overridable per key via
+    ``thresholds``).  One projection over the scan — the features share
+    subexpressions and nothing shuffles, so the full corpus filter is
+    a map-only pass at any scale.
+    """
+    t = dict(QUALITY_FILTER_DEFAULTS)
+    t.update(thresholds or {})
+    unknown = set(t) - set(QUALITY_FILTER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+    out = quality_features(df, text_col)
+    out = repetition_features(out, text_col)
+    out = web_artifact_features(out, text_col)
+    keep = (
+        (F.col("n_tokens") >= t["min_tokens"])
+        & (F.col("n_tokens") <= t["max_tokens"])
+        & (F.col("alpha_ratio") >= t["min_alpha_ratio"])
+        & (F.col("mean_tok_len") >= t["min_mean_tok_len"])
+        & (F.col("mean_tok_len") <= t["max_mean_tok_len"])
+        & (F.col("dup_line_ratio") <= t["max_dup_line_ratio"])
+        & (F.col("dup_bigram_ratio") <= t["max_dup_bigram_ratio"])
+        & (F.col("artifact_ratio") <= t["max_artifact_ratio"])
+    )
+    return out.withColumn(out_col, keep)
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -248,6 +322,9 @@ __all__ = [
     "fingerprint",
     "web_artifact_features",
     "repetition_features",
+    "redact_artifacts",
+    "keep_document",
+    "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
     "normalized_text",
 ]

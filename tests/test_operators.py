@@ -249,6 +249,41 @@ def test_web_artifact_features_counts(spark):
     assert got[5] == (0, 0, 0, 0.0)  # empty text, no div-by-zero
 
 
+def test_redact_artifacts_replaces_urls_and_emails(spark):
+    from data_toolz_spark.operators.text_analysis import redact_artifacts
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.io/a and mail a@b.co now")],
+        "doc_id long, text string",
+    )
+    out = redact_artifacts(df).first()["text"]
+    assert out == "see <URL> and mail <EMAIL> now"
+
+
+def test_keep_document_composed_filter(spark):
+    from data_toolz_spark.operators.text_analysis import keep_document
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, good),                          # clean → keep
+            (2, "ha " * 200),                   # dup bigrams → drop
+            (3, "x"),                           # too short → drop
+            (4, "!!! ??? *** ###  $$$ %%% ^^^ &&& @@@ ((( )))"),  # non-alpha → drop
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in keep_document(df).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+    # thresholds overridable; unknown keys fail loudly
+    loose = keep_document(df, thresholds={"min_tokens": 1})
+    assert {r["doc_id"]: r["keep"] for r in loose.collect()}[3] is False  # still non... short
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown threshold"):
+        keep_document(df, thresholds={"min_tokenz": 1})
+
+
 def test_repetition_features_ratios(spark):
     from data_toolz_spark.operators.text_analysis import repetition_features
 
