@@ -220,6 +220,49 @@ def test_chunked_write_reference_slicing_not_ntile(spark, tmp_path):
     assert sizes2 == [0, 0, 1, 1]
 
 
+def test_chunked_write_property_matches_reference_slicing(spark, tmp_path):
+    """Property check of the iloc contract over a sweep of (rows,
+    chunks): chunk sizes must be ceil(n/k) slices — sizes
+    [ceil, ceil, ..., remainder, 0...] — and exactly k files exist."""
+    import itertools
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n_rows=st.integers(min_value=1, max_value=40),
+        n_chunks=st.integers(min_value=1, max_value=6),
+    )
+    def check(n_rows, n_chunks):
+        path = str(tmp_path / f"prop_{n_rows}_{n_chunks}")
+        with pytest.warns(UserWarning):
+            DataIO().write(
+                spark.range(n_rows),
+                path,
+                suffix=[f"c{i}" for i in range(n_chunks)],
+            )
+        files = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(files) == n_chunks, (n_rows, n_chunks, files)
+        sizes = sorted(
+            (
+                spark.read.parquet(os.path.join(path, f)).count()
+                for f in files
+            ),
+            reverse=True,
+        )
+        chunk = -(-n_rows // n_chunks)  # ceil division, reference io.py:79
+        expected = []
+        remaining = n_rows
+        for _ in range(n_chunks):
+            expected.append(min(chunk, max(remaining, 0)))
+            remaining -= chunk
+        assert sizes == sorted(expected, reverse=True), (
+            n_rows, n_chunks, sizes, expected,
+        )
+
+    check()
+
+
 def test_drop_partitions_false_warns_and_keeps_copy(spark, sample_df, tmp_path):
     io = DataIO()
     path = str(tmp_path / "t1")
