@@ -148,9 +148,62 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def pack_greedy(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: int = 42,
+    bin_col: str = "pack_bin",
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a token-budget
+    bin for training-shard assembly.
+
+    Documents are hashed into ``n_shards`` independent shards (so
+    packing parallelizes — one sort per shard, never a global sort),
+    ordered deterministically, and cut by cumulative token count: a
+    document goes to the bin its starting offset falls in.  Guarantees,
+    pinned by tests:
+
+    * every document lands in exactly one bin, deterministically
+      (pure function of ids + seed, layout-independent);
+    * a bin's token total exceeds ``budget`` only by its final
+      document's overhang: ``total < budget + max_doc_tokens`` — the
+      standard trade of document-preserving greedy packing.  Cap
+      ``token_col <= budget`` upstream (``keep_document`` /
+      ``F.filter``) to bound the overhang.
+
+    Output adds ``bin_col`` as a struct (shard, bin) — globally unique,
+    stable keys for a later ``partitionBy``/``groupBy`` shard write.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+    with_shard = df.withColumn("__shard", shard)
+    w = Window.partitionBy("__shard").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    return (
+        with_shard.withColumn(
+            bin_col,
+            F.struct(
+                F.col("__shard").alias("shard"),
+                F.floor(start / F.lit(budget)).alias("bin"),
+            ),
+        ).drop("__shard")
+    )
+
+
 __all__ = [
     "split_column",
     "hash_split",
     "component_split",
     "stratified_sample",
+    "pack_greedy",
 ]

@@ -90,6 +90,46 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert ids1 == ids2
 
 
+def test_pack_greedy_bounds_and_determinism(spark):
+    from data_toolz_spark.operators.sampling import pack_greedy
+
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 90 + 10).alias("n_tok")
+    )
+    budget, max_tok = 512, 99
+    packed = pack_greedy(
+        df, id_col="id", token_col="n_tok", budget=budget, n_shards=8
+    )
+    rows = packed.collect()
+    assert len(rows) == 5_000  # every doc exactly once
+    totals = {}
+    for r in rows:
+        key = (r["pack_bin"]["shard"], r["pack_bin"]["bin"])
+        totals[key] = totals.get(key, 0) + r["n_tok"]
+    # overhang bound: total < budget + max doc size
+    assert all(t < budget + max_tok for t in totals.values()), max(
+        totals.values()
+    )
+    # bins are well-filled: all but each shard's last bin reach budget
+    # minus one doc's overhang
+    last_bins = {}
+    for s, b in totals:
+        last_bins[s] = max(last_bins.get(s, -1), b)
+    for (s, b), t in totals.items():
+        if b < last_bins[s]:
+            assert t >= budget - max_tok, (s, b, t)
+    # deterministic under different physical layout
+    again = {
+        r["id"]: (r["pack_bin"]["shard"], r["pack_bin"]["bin"])
+        for r in pack_greedy(
+            df.repartition(17), id_col="id", token_col="n_tok",
+            budget=budget, n_shards=8,
+        ).collect()
+    }
+    first = {r["id"]: (r["pack_bin"]["shard"], r["pack_bin"]["bin"]) for r in rows}
+    assert first == again
+
+
 def test_split_is_codegen_only(spark):
     # no shuffle, no Python: the split must be a project over the scan
     df = hash_split(spark.range(1000), ["id"], FRACS)
