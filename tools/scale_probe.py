@@ -181,14 +181,43 @@ def main() -> int:
                 dim=64, n_bits=12, n_tables=8,
             )
         )
+        # incremental near-dup: one-time index build over the mult×
+        # corpus, then mine a FIXED-SIZE increment (the 1× corpus,
+        # id-shifted to be disjoint).  The claim this measures: batch
+        # minhash cost grows with the corpus, per-increment mining cost
+        # does not — the index is read in place.
+        import tempfile
+
+        from data_toolz_spark.operators.incremental import (
+            build_minhash_index,
+            incremental_near_duplicates,
+        )
+
+        prefix = f"probe_mh_{mult}"
+        idx_dir = tempfile.mkdtemp(prefix="dtz_probe_idx_")
+        t0 = time.perf_counter()
+        build_minhash_index(
+            d, prefix, threshold=0.8, n_buckets=64, path=idx_dir
+        )
+        t_build = round(time.perf_counter() - t0, 2)
+        inc = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(900_000_000)
+        )
+        t_inc, n_inc = timed(
+            lambda: incremental_near_duplicates(spark, inc, prefix)
+        )
+        for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
         rows.append((mult, mult * n_docs, t_mh, n_mh, t_ij, n_ij,
                      t_sb, n_sb, t_s64, n_s64, t_cc, n_cc,
                      mult * n_emb, t_ann, t_ann12, t_ivf,
-                     t_cl, t_cl12, n_cl))
+                     t_cl, t_cl12, n_cl, t_build, t_inc, n_inc))
         print(f"mult={mult}: minhash {t_mh}s/{n_mh}, jacc {t_ij}s/{n_ij}, "
               f"simband32 {t_sb}s/{n_sb}, simband64 {t_s64}s/{n_s64}, "
               f"cc {t_cc}s/{n_cc}, ann {t_ann}s, ann12 {t_ann12}s, "
-              f"ivf {t_ivf}s, lsh {t_cl}s/{n_cl}, lsh12 {t_cl12}s",
+              f"ivf {t_ivf}s, lsh {t_cl}s/{n_cl}, lsh12 {t_cl12}s, "
+              f"idx_build {t_build}s, incr_mine {t_inc}s/{n_inc}",
               flush=True)
         # PPJoin length-filter effect: t_ij above uses the r3 default
         # (bound OFF, it measured 5× slower ON); time the bound here
@@ -231,11 +260,27 @@ def _write_md(rows, ppjoin_rows) -> None:
         "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for (m, nd, tmh, nmh, tij, nij, tsb, nsb, ts64, ns64, tcc, ncc,
-         ne, tann, tann12, tivf, tcl, tcl12, ncl) in rows:
+         ne, tann, tann12, tivf, tcl, tcl12, ncl, tbld, tinc, ninc) in rows:
         lines.append(
             f"| {m}× | {nd:,} | {tmh} | {nmh:,} | {tij} | {nij:,} "
             f"| {tsb} | {nsb:,} | {ts64} | {ns64:,} "
             f"| {tcc} | {ncc:,} |"
+        )
+    lines += [
+        "",
+        "Incremental near-dup (persistent MinHash band index): one-time "
+        "index build over the mult× corpus, then mine a FIXED 1×-sized "
+        "increment against it.  Batch cost grows with the corpus; "
+        "per-increment mining should not:",
+        "",
+        "| mult | corpus docs | batch minhash s | idx build s (once) "
+        "| incr mine s | incr pairs |",
+        "|---|---|---|---|---|---|",
+    ]
+    for (m, nd, tmh, nmh, tij, nij, tsb, nsb, ts64, ns64, tcc, ncc,
+         ne, tann, tann12, tivf, tcl, tcl12, ncl, tbld, tinc, ninc) in rows:
+        lines.append(
+            f"| {m}× | {nd:,} | {tmh} | {tbld} | {tinc} | {ninc:,} |"
         )
     lines += [
         "",
@@ -248,7 +293,7 @@ def _write_md(rows, ppjoin_rows) -> None:
         "|---|---|---|---|---|---|---|---|",
     ]
     for (m, nd, tmh, nmh, tij, nij, tsb, nsb, ts64, ns64, tcc, ncc,
-         ne, tann, tann12, tivf, tcl, tcl12, ncl) in rows:
+         ne, tann, tann12, tivf, tcl, tcl12, ncl, tbld, tinc, ninc) in rows:
         lines.append(
             f"| {m}× | {ne:,} | {tann} | {tann12} | {tivf} "
             f"| {tcl} | {tcl12} | {ncl:,} |"
