@@ -347,9 +347,19 @@ def incremental_near_duplicates(
     inter_old = expand(verify(cand_old, old_sets), old_members)
     inter_new = expand(verify(cand_new, new_sets), new_ids)
     # 4. identical content: same fingerprint ⇒ jaccard 1.0 —
-    #    increment×index members of one fp, and within-increment twins
+    #    increment×index members of one fp, and within-increment twins.
+    #    Batch parity: minhash_near_duplicates filters empty shingle
+    #    sets (size(__elems) > 0) out of its identical-content path, so
+    #    empty/whitespace docs never pair.  The pair join requires
+    #    n.fp == o.fp and the empty set has one deterministic
+    #    fingerprint, so excluding empty sets on the increment side
+    #    also excludes every pair with an empty index member.
+    nonempty_ids = (
+        members.filter(F.size("__elems") > 0)
+        .select(F.col("__fp").alias("fp"), F.col("__id").alias("id"))
+    )
     ident_old = (
-        new_ids.alias("n")
+        nonempty_ids.alias("n")
         .join(old_members.alias("o"), on=F.col("n.fp") == F.col("o.fp"))
         .select(
             F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),

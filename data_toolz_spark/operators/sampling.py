@@ -100,15 +100,43 @@ def component_split(
     realistic duplicate rates (|components| ≪ |corpus|); the main
     corpus is touched by exactly one left join.
     """
+    from pyspark.sql import types as T
+
     from data_toolz_spark.operators.dedup import connected_components
+
+    dtype = df.schema[id_col].dataType
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        cast_id = F.col(id_col).cast("long")
+    else:
+        # A non-numeric value (e.g. a string id) would cast to NULL
+        # silently under non-ANSI semantics: the join never matches and
+        # every such row hashes identically into one split.  Fail loudly
+        # per-row instead (try_cast keeps the check ANSI-independent and
+        # the message ours).
+        plain = F.col(id_col).try_cast("long")
+        cast_id = F.when(
+            F.col(id_col).isNotNull() & plain.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"component_split: id column {id_col!r} value "
+                        "not castable to long (route string ids through "
+                        "xxhash64 into a long column first): "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(plain)
 
     comp = connected_components(near_dup_pairs).select(
         F.col("id").alias("__sid"), F.col("component").alias("__comp")
     )
     routed = df.join(
-        comp, on=F.col(id_col).cast("long") == F.col("__sid"), how="left"
+        comp, on=cast_id == F.col("__sid"), how="left"
     ).drop("__sid")
-    route_key = F.coalesce(F.col("__comp"), F.col(id_col).cast("long"))
+    route_key = F.coalesce(F.col("__comp"), cast_id)
     return routed.withColumn(
         split_col, split_column([route_key], fractions, seed=seed)
     ).drop("__comp")
@@ -126,12 +154,35 @@ def stratified_sample(
 
     ``fraction`` is either one rate for every stratum or a mapping
     {stratum value (single strata col) → rate}.  Unlike ``sampleBy``
-    this is keyed (``key_cols`` default: the strata cols + all columns
-    is unstable, so pass explicit keys for row-level determinism) — the
-    same row is kept or dropped on every run, so downstream joins
-    against a previous run's sample line up.
+    this is keyed: the same row is kept or dropped on every run, so
+    downstream joins against a previous run's sample line up.
+
+    ``key_cols`` is REQUIRED and must identify rows (e.g. a document
+    id).  If the key were the strata columns themselves, the hash would
+    be constant within each stratum and ``u < rate`` would keep or drop
+    whole strata wholesale — sampling strata, not rows — so that case
+    raises instead of silently producing a statistically wrong sample.
     """
-    keys = list(key_cols) if key_cols else list(strata_cols)
+    if not key_cols:
+        raise ValueError(
+            "stratified_sample: key_cols is required and must identify "
+            "rows (e.g. ['id']); hashing only the strata columns would "
+            "keep or drop entire strata wholesale"
+        )
+    keys = list(key_cols)
+    rates = (
+        set(float(v) for v in fraction.values())
+        if isinstance(fraction, Mapping)
+        else {float(fraction)}
+    )
+    if set(map(str, keys)) <= set(map(str, strata_cols)) and not (
+        rates <= {0.0, 1.0}
+    ):
+        raise ValueError(
+            "stratified_sample: key_cols must include at least one "
+            "column outside strata_cols — a stratum-constant key makes "
+            "the keep/drop decision per-stratum, not per-row"
+        )
     u = _unit_hash(keys, seed)
     if isinstance(fraction, Mapping):
         if len(strata_cols) != 1:

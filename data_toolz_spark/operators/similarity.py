@@ -362,11 +362,16 @@ def ivf_topk(
 
     Plan, built cluster-first:
 
-    1. **Train** ``n_centroids`` centroids with distributed k-means
-       (``pyspark.ml.clustering.KMeans``) over unit-normalized corpus
-       vectors — the standard IVF coarse quantizer.  The centroid
-       matrix is tiny (n_centroids × dim) and ships to executors as a
-       broadcast constant inside the assignment kernel.
+    1. **Train** ``n_centroids`` centroids with a driver-side numpy
+       Lloyd's loop over a BOUNDED hash-ordered sample of
+       ``train_sample`` unit-normalized corpus vectors (faiss-style:
+       the quantizer only needs the density shape, never the full
+       corpus).  ``train_sample`` must be positive — it is the only
+       thing standing between the driver and collecting the whole
+       corpus, so a falsy value raises rather than silently scaling
+       driver memory with corpus size.  The centroid matrix is tiny
+       (n_centroids × dim) and ships to executors as a broadcast
+       constant inside the assignment kernel.
     2. **Assign** each corpus row to its nearest centroid by cosine:
        one numpy matmul per Arrow batch.  This is the inverted file —
        a plain ``cell`` column, naturally partition-prunable if the
@@ -384,6 +389,13 @@ def ivf_topk(
     """
     from data_toolz_spark.operators._util import spread
 
+    if not train_sample or train_sample <= 0:
+        raise ValueError(
+            "ivf_topk: train_sample must be a positive sample size — "
+            "the quantizer trains on a bounded driver-side sample; "
+            "collecting the full corpus would OOM the driver at scale "
+            "(use the 20_000 default unless you need a denser quantizer)"
+        )
     unitize = _unit_vector_udf(dim)
     corpus = spread(corpus)
 
@@ -413,11 +425,9 @@ def ivf_topk(
     # before the limit gives a deterministic pseudo-random sample and
     # plans as TakeOrderedAndProject (per-partition top-n + one small
     # merge), not a full sort.
-    train = c_units
-    if train_sample:
-        train = train.orderBy(
-            F.xxhash64(F.col("__cid"), F.lit(seed))
-        ).limit(train_sample)
+    train = c_units.orderBy(
+        F.xxhash64(F.col("__cid"), F.lit(seed))
+    ).limit(train_sample)
     sample = np.array(
         [np.asarray(r["__cv"], dtype=np.float64) for r in train.collect()]
     )

@@ -353,8 +353,14 @@ class DataIO:
         # (The previous shape — n_chunks sequential jobs filtering a
         # persisted frame — re-scheduled the whole plan per chunk and
         # was the slowest bench entry.)
+        # sortWithinPartitions restores the reference's intra-file row
+        # order (the iloc slices are cut from sorted order; the
+        # repartition alone would leave rows hash-shuffled within each
+        # chunk file).  Cheap: the order columns are already computed
+        # for row_number, and the sort is per-task, no extra exchange.
         writer = (
             chunked.repartition(*partition_by, "__chunk")
+            .sortWithinPartitions(*(order_cols or ["__chunk"]))
             .write.mode(mode)
             .partitionBy(*partition_by, "__chunk")
         )

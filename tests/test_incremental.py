@@ -194,3 +194,47 @@ def test_catalog_side_joins_without_exchange(spark, corpus, tmp_path):
         above = "\n".join(lines[max(0, i - 4): i])
         assert "Exchange" not in above, above
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_minhash_ignores_empty_documents(spark, tmp_path):
+    """ADVICE r4: empty/whitespace docs share the empty-shingle-set
+    fingerprint; batch filters them out of the identical-content path,
+    so the incremental ident_old path must too."""
+    from data_toolz_spark.operators.dedup import minhash_near_duplicates
+    from data_toolz_spark.operators.incremental import (
+        build_minhash_index,
+        incremental_near_duplicates,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(10, ""), (11, "alpha beta gamma delta"), (12, "  ")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        old, "mhidx_empty", threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_duplicates(
+            spark, inc, "mhidx_empty"
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            old.unionByName(inc), "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    expected = {p for p in batch if p[0] >= 10 or p[1] >= 10}
+    assert got == expected
+    assert (1, 11) in got          # real identical content still pairs
+    assert not any(               # no pair involves an empty doc
+        a in (2, 3, 10, 12) or b in (2, 3, 10, 12) for a, b in got
+    ), got
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+        spark.sql(f"DROP TABLE IF EXISTS mhidx_empty_{t}")

@@ -410,3 +410,39 @@ def test_partition_transformer_composes_with_chunking(spark, tmp_path):
         assert len(files) == 2, (d, files)  # exactly len(suffix) chunks
     back = spark.read.parquet(f"{path}/c0", f"{path}/c1")
     assert back.count() == 40
+
+
+def test_chunked_write_preserves_intra_file_row_order(spark, tmp_path):
+    """ADVICE r4: the reference's iloc slices are cut from SORTED row
+    order, so each chunk file must also be internally sorted — the
+    one-job repartition alone would leave rows hash-shuffled in-file."""
+    io = DataIO()
+    df = (
+        spark.range(200)
+        .withColumn("key", (F.col("id") % 2).cast("string"))
+        .repartition(7)  # scramble the incoming layout
+    )
+    path = str(tmp_path / "ordered")
+    io.write(df, path, partition_by=["key"], suffix=["c0", "c1"])
+    for key in ("key=0", "key=1"):
+        d = os.path.join(path, key)
+        files = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+        assert len(files) == 2
+        chunk_rows = [
+            [r["id"] for r in spark.read.parquet(os.path.join(d, f)).collect()]
+            for f in files
+        ]
+        for rows in chunk_rows:
+            assert rows == sorted(rows), rows[:10]  # in-file order
+        # chunks partition the sorted sequence contiguously
+        flat = [x for rows in chunk_rows for x in rows]
+        assert flat == sorted(flat)
+
+    # un-partitioned path too (single sort task, warned)
+    path2 = str(tmp_path / "ordered_flat")
+    with pytest.warns(UserWarning):
+        io.write(spark.range(50).repartition(5), path2, suffix=["c0", "c1"])
+    files = sorted(f for f in os.listdir(path2) if f.startswith("part-"))
+    for f in files:
+        rows = [r["id"] for r in spark.read.parquet(os.path.join(path2, f)).collect()]
+        assert rows == sorted(rows)

@@ -138,3 +138,46 @@ def test_split_is_codegen_only(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_stratified_sample_requires_row_identifying_key(spark):
+    """ADVICE r4 (high): a stratum-constant key makes u constant per
+    stratum, so `u < rate` keeps or drops whole strata — raise instead."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    with pytest.raises(ValueError, match="key_cols is required"):
+        stratified_sample(df, ["lang"], 0.5)
+    with pytest.raises(ValueError, match="outside strata_cols"):
+        stratified_sample(df, ["lang"], 0.5, key_cols=["lang"])
+    with pytest.raises(ValueError, match="outside strata_cols"):
+        stratified_sample(
+            df, ["lang"], {"0": 0.5, "1": 0.1, "2": 0.0}, key_cols=["lang"]
+        )
+    # degenerate rates are per-stratum-constant anyway: still allowed
+    kept = stratified_sample(
+        df, ["lang"], {"0": 1.0, "1": 0.0, "2": 0.0}, key_cols=["lang"]
+    )
+    assert {r["lang"] for r in kept.collect()} == {"0"}
+
+
+def test_component_split_rejects_non_numeric_string_ids(spark):
+    """ADVICE r4: a non-numeric id silently cast to NULL used to funnel
+    every unpaired row into one split — now it raises per-row."""
+    docs = spark.range(20).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = component_split(docs, pairs, id_col="doc_id", fractions=FRACS)
+    with pytest.raises(Exception, match="not castable"):
+        out.collect()
+    # numeric strings still cast cleanly and route like longs
+    docs2 = spark.range(20).select(F.col("id").cast("string").alias("doc_id"))
+    m = {
+        r["doc_id"]: r["split"]
+        for r in component_split(
+            docs2, pairs, id_col="doc_id", fractions=FRACS
+        ).collect()
+    }
+    assert len(m) == 20
+    assert m["0"] == m["1"]  # the pair still routes together

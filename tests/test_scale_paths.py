@@ -315,3 +315,19 @@ def test_ivf_training_sample_unbiased_on_clustered_corpus(spark, embeddings):
     got = run(clustered, 100_000)  # >= |corpus|: full-density training
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivf_topk_rejects_falsy_train_sample(spark, embeddings):
+    """ADVICE r4 (medium): train_sample=0/None used to collect the
+    ENTIRE corpus to the driver — now it raises."""
+    import pytest
+
+    from data_toolz_spark.operators.similarity import ivf_topk
+
+    q = embeddings.limit(2)
+    for bad in (0, None):
+        with pytest.raises(ValueError, match="train_sample"):
+            ivf_topk(
+                q, embeddings, query_id="vec_id", corpus_id="vec_id",
+                k=2, train_sample=bad,
+            )
