@@ -556,6 +556,41 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_novel_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 (r4): incremental exact dedup against a persistent bucketed
+    fingerprint catalog — the production shape of daily ingestion.
+
+    History = even doc_ids (builds the catalog: one bucketed write,
+    pre-shuffled once); increment = odd doc_ids, mined via a left-anti
+    join that reads the catalog IN PLACE (exchange-free on the catalog
+    side, plan-asserted in tests/test_incremental.py).  The returned
+    frame is the novel increment documents with their min-id
+    within-increment representative — directly SQL-expressible, so the
+    driver value-verifies the whole catalog round trip.
+
+    Reference pattern extended: datatoolz/io.py:102-147 (path-prefix
+    dataset reads) has no incremental story; this is the §2.9 X28
+    production variant.
+    """
+    import tempfile
+
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+        novel_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    increment = docs.filter(F.col("doc_id") % 2 == 1)
+    table = "dtz_qid_fp_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = tempfile.mkdtemp(prefix="dtz_cat_") + "/catalog"
+    build_fingerprint_catalog(history, table, n_buckets=8, path=path)
+    return novel_documents(spark, increment, table).select(
+        "doc_id", "fingerprint"
+    )
+
+
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash-LSH near-dup pairs (3-shingle sets), Jaccard-verified.
 
@@ -1402,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new or changed this round / no round-2 driver row
+        "incremental_novel_docs": incremental_novel_docs_q,
         "sim_topk_ann": sim_topk_ann_q,
         "sim_topk_ivf": sim_topk_ivf_q,
         "dedup_simhash64_band": dedup_simhash64_band_q,
@@ -1420,7 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "scan_parquet": scan_parquet,
         "agg_partition_rowcounts": agg_partition_rowcounts,
-        "proj_drop_columns": proj_drop_columns,
+        # proj_drop_columns folded r5 → scan_parquet covers pruning and
+        # every projection-bearing qid exercises drop; slot freed for
+        # incremental_novel_docs (VERDICT r4 item 1)
         "filter_exists": filter_exists,
         "filter_nested_and": filter_nested_and,
         "scan_dsv_roundtrip": scan_dsv_roundtrip,
@@ -1696,9 +1734,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        "proj_drop_columns": (
-            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
-        ),
+        # incremental exact dedup: history = even ids (the catalog),
+        # increment = odd ids; novel = anti-join on the md5 fingerprint
+        # of normalized text, min-id representative within the increment
+        "incremental_novel_docs": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+SELECT doc_id, fingerprint
+FROM (
+  SELECT i.doc_id, i.fingerprint,
+         row_number() OVER (PARTITION BY i.fingerprint ORDER BY i.doc_id) AS rn
+  FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hist h WHERE h.fingerprint = i.fingerprint
+  )
+)
+WHERE rn = 1
+""",
         # one disjunct per filter dict of the composite spec; DSL
         # reference semantics (null-guarded anything-but, NULL→False
         # numeric/prefix) mirrored in SQL exactly as the per-matcher
