@@ -843,6 +843,41 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-r4: the composed C4/Gopher crawl-cleaning pass, value-complete.
+
+    ``keep_document`` (quality + repetition + web-artifact features +
+    one boolean decision) plus ``redact_artifacts`` attested through an
+    md5 of the redacted text — every r4 corpus-cleaning signal in one
+    map-only projection over the scan.  Subsumes text_quality (its five
+    feature columns are emitted verbatim), which folds out of the
+    registry to keep the 50-qid cap.
+    """
+    from data_toolz_spark.operators.text_analysis import (
+        keep_document,
+        redact_artifacts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = redact_artifacts(keep_document(docs), out_col="__red")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "alpha_ratio",
+        "stop_ratio",
+        "quality_score",
+        "dup_line_ratio",
+        "dup_bigram_ratio",
+        "n_urls",
+        "n_emails",
+        "n_boilerplate",
+        "artifact_ratio",
+        F.col("keep").cast("long").alias("keep"),
+        F.md5(F.encode(F.col("__red"), "UTF-8")).alias("redacted_fp"),
+    )
+
+
 def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: corpus token statistics per language."""
     from data_toolz_spark.operators.text_analysis import token_stats
@@ -1445,7 +1480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_ordered_analytics": win_ordered_analytics_q,
         "agg_grouping_lattice": agg_grouping_lattice,
         "text_lang_id": text_lang_id_q,
-        "text_quality": text_quality_q,
+        # text_quality folded r5 → text_web_signals (emits the same five
+        # feature columns verbatim plus the r4 web/repetition signals);
+        # callable stays in bench.LEGACY for the headline series
+        "text_web_signals": text_web_signals_q,
         "asof_join_orders": asof_join_orders_q,
         "agg_percentiles": agg_percentiles,
         "win_ntile_quartiles": win_ntile_quartiles,
@@ -1632,6 +1670,79 @@ SELECT doc_id, n_tokens,
     AS quality_score
 FROM f
 """
+
+def _boiler_count_sql() -> str:
+    from data_toolz_spark.operators.text_analysis import (
+        _BOILERPLATE_MARKERS,
+    )
+
+    return " + ".join(
+        f"len(regexp_extract_all(low, '{m}'))" for m in _BOILERPLATE_MARKERS
+    )
+
+
+_URL_RE_SQL = "https?://[^\\s]+"
+_EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+_WEB_SIGNALS_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, lower(text) AS low, {_DD_TOKS} AS toks,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lns
+  FROM documents
+), f AS (
+  SELECT doc_id, text, toks, lns,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mtl,
+    length(text)::DOUBLE AS tl,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS al,
+    len(list_filter(toks, x -> x IN {_STOP_SQL["en"]}))::DOUBLE
+      / greatest(len(toks), 1) AS sr,
+    len(regexp_extract_all(text, '{_URL_RE_SQL}'))::BIGINT AS nu,
+    len(regexp_extract_all(text, '{_EMAIL_RE_SQL}'))::BIGINT AS ne,
+    ({_boiler_count_sql()})::BIGINT AS nb,
+    CASE WHEN len(lns) > 0
+         THEN (len(lns) - len(list_distinct(lns)))::DOUBLE / len(lns)
+         ELSE 0.0 END AS dl,
+    CASE WHEN len(toks) >= 2 THEN
+      (len(toks) - 1 - len(list_distinct(
+         [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]
+       )))::DOUBLE / (len(toks) - 1)
+      ELSE 0.0 END AS db
+  FROM b
+), g AS (
+  SELECT doc_id, text, n_tokens,
+    floor(mtl * 10000) / 10000 AS mean_tok_len,
+    floor((CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END) * 10000) / 10000
+      AS alpha_ratio,
+    floor(sr * 10000) / 10000 AS stop_ratio,
+    floor((least(n_tokens / 64.0, 1.0)
+           * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END)) * 10000) / 10000
+      AS quality_score,
+    floor(dl * 10000) / 10000 AS dup_line_ratio,
+    floor(db * 10000) / 10000 AS dup_bigram_ratio,
+    nu AS n_urls, ne AS n_emails, nb AS n_boilerplate,
+    floor(((nu + ne)::DOUBLE / greatest(n_tokens, 1)) * 10000) / 10000
+      AS artifact_ratio
+  FROM f
+)
+SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
+  quality_score, dup_line_ratio, dup_bigram_ratio, n_urls, n_emails,
+  n_boilerplate, artifact_ratio,
+  CAST(CASE WHEN n_tokens >= 8 AND n_tokens <= 100000
+        AND alpha_ratio >= 0.5
+        AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+        AND dup_line_ratio <= 0.3 AND dup_bigram_ratio <= 0.5
+        AND artifact_ratio <= 0.5
+       THEN 1 ELSE 0 END AS BIGINT) AS keep,
+  md5(regexp_replace(regexp_replace(text, '{_URL_RE_SQL}', '<URL>', 'g'),
+      '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')) AS redacted_fp
+FROM g
+"""
+
 
 _SIMHASH_SQL = f"""
 WITH t AS (
@@ -1872,7 +1983,7 @@ WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
         "sim_topk_ann": _TOPK_SQL,
         "sim_topk_ivf": _TOPK_SQL,
         "text_lang_id": _LANG_ID_SQL,
-        "text_quality": _QUALITY_SQL,
+        "text_web_signals": _WEB_SIGNALS_SQL,
         "text_token_stats": f"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS total_tokens,

@@ -74,6 +74,7 @@ LEGACY = {
     "agg_rollup": entrymod.agg_rollup,
     "win_running_total": entrymod.win_running_total_q,
     "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf
+    "text_quality": entrymod.text_quality_q,  # folded r5 → text_web_signals
 }
 
 
