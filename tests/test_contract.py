@@ -47,3 +47,21 @@ def test_cache_track_release(spark):
     assert cache.release() >= 1
     assert df.storageLevel.useMemory is False  # unpersisted
     assert cache.release() == 0  # idempotent, list cleared
+
+
+def test_folded_callables_still_run(spark):
+    # every qid folded out of the 50-slot registry keeps a working
+    # callable (bench series continuity + judge parity audits); this
+    # pins them against silent rot
+    import __spark_entry__ as entrymod
+
+    folded = [
+        entrymod.proj_drop_columns,       # r5 → scan_parquet et al.
+        entrymod.win_ntile_quartiles,     # r5 → win_ordered_analytics
+        entrymod.text_quality_q,          # r5 → text_web_signals
+        entrymod.part_distinct,           # r3 → agg_partition_rowcounts
+    ]
+    for fn in folded:
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns, fn.__name__
+        assert df.limit(1).count() >= 0, fn.__name__
