@@ -369,17 +369,22 @@ def connected_components(
     a count + order-independent hash signature, so the driver loop does
     O(log d) tiny actions, never ``collect()``ing edges.  Edges shuffle
     as bare (long, long) pairs throughout.
+
+    Cost shape (r5 tightening):
+
+    * the input pair frame is scanned ONCE — the normalized pairs are
+      checkpointed and both the edge set and the final isolated-node
+      set derive from that checkpoint.  (Previously the isolated-node
+      anti-join re-read ``pairs``, silently re-running the entire
+      upstream pipeline — e.g. a full MinHash-LSH pass — a second
+      time when the caller had not persisted it.)
+    * each round schedules ONE job — the lineage-truncating checkpoint
+      is lazy and the signature aggregate is the action that
+      materializes it — and three exchanges: large-star's output ships
+      to small-star WITHOUT its own distinct (small-star's
+      min-aggregate is duplicate-insensitive and its trailing distinct
+      restores edge uniqueness before the signature).
     """
-    edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("u"),
-            F.col(id_b).cast("long").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("v"), F.greatest("u", "v").alias("u"))
-        .select("u", "v")  # u > v invariant (large → small)
-        .distinct()
-    )
     spark = pairs.sparkSession
 
     def signature(e: DataFrame) -> tuple[int, int]:
@@ -400,12 +405,16 @@ def connected_components(
         m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.col("u")).alias("m")
         )
+        # no trailing distinct: the only consumer is small_star, whose
+        # min() aggregate ignores duplicate (u, v) rows and whose own
+        # distinct restores uniqueness; skipping it saves one full
+        # edge shuffle per round (duplicates here are cross-group
+        # collisions on (v, m), bounded by the pre-contraction degree)
         return (
             sym.join(m, on="u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -426,13 +435,29 @@ def connected_components(
     # Iterative plans MUST truncate lineage each round — persist alone
     # keeps the logical plan growing (stack overflow by ~10 rounds).
     # Use a reliable checkpoint when the session has a checkpoint dir
-    # (cluster fault tolerance); localCheckpoint otherwise.
+    # (cluster fault tolerance); localCheckpoint otherwise.  LAZY in
+    # both cases: the signature aggregate right after is the action
+    # that materializes the checkpoint, so each round schedules ONE
+    # job, not a checkpoint job plus a signature job.
     def materialize(e: DataFrame) -> DataFrame:
         if spark.sparkContext.getCheckpointDir() is not None:
-            return e.checkpoint(eager=True)
-        return e.localCheckpoint(eager=True)
+            return e.checkpoint(eager=False)
+        return e.localCheckpoint(eager=False)
 
-    cur = materialize(edges)
+    # One pass over the (possibly expensive) input: normalized pairs —
+    # self-pairs retained so isolated nodes survive — checkpointed,
+    # then the loop's edge set and the final node set both read the
+    # checkpoint instead of the caller's lineage.
+    base = materialize(
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .select(F.least("a", "b").alias("v"), F.greatest("a", "b").alias("u"))
+        .select("u", "v")  # u >= v invariant (large → small)
+        .distinct()
+    )
+    cur = base.filter(F.col("u") != F.col("v"))
     cur_sig = signature(cur)
     converged = False
     for _ in range(max_iterations):
@@ -460,8 +485,7 @@ def connected_components(
         "component", F.col("id")
     )
     isolated = (
-        pairs.select(F.col(id_a).cast("long").alias("id"))
-        .unionAll(pairs.select(F.col(id_b).cast("long").alias("id")))
+        base.select(F.explode(F.array("u", "v")).alias("id"))
         .distinct()
         .join(members.select("id"), on="id", how="left_anti")
         .join(roots.select("id"), on="id", how="left_anti")
