@@ -108,6 +108,136 @@ def fake_media_table(
     )
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# IHDR color type -> channel count (8-bit, non-interlaced support only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer for tests/demos (8-bit, filter 0, one IDAT).
+
+    ``pixels`` is ``(h, w)`` grayscale or ``(h, w, c)`` with c in
+    {1, 2, 3, 4} (gray, gray+alpha, RGB, RGBA), dtype uint8.  Pure
+    stdlib (zlib + struct) — exists so the real-codec decode branch has
+    an executed round-trip test in codec-less environments.
+    """
+    import zlib
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[dict, np.ndarray] | None:
+    """Parse a PNG blob: ``(meta dict, flat uint8 pixel array)``.
+
+    Real-codec reference path, pure stdlib: signature + chunk walk,
+    zlib-inflate the IDAT stream, undo scanline filters 0-4 (None/Sub/
+    Up/Average/Paeth per the PNG spec).  Supports 8-bit non-interlaced
+    gray / gray+alpha / RGB / RGBA — the shapes a training pipeline's
+    thumbnails use.  Returns ``None`` for anything else (the caller
+    emits nulls, same as a corrupt FAKE blob).
+
+    The unfilter loop is per-scanline Python over numpy rows — fine for
+    thumbnail-sized media inside an Arrow batch; a production deployment
+    swaps this kernel for Pillow/libvips inside the SAME ``mapInPandas``
+    stage, which is the part of the design that carries to 100 TB.
+    """
+    import zlib
+
+    b = bytes(blob)
+    if len(b) < len(PNG_SIGNATURE) + 25 or not b.startswith(PNG_SIGNATURE):
+        return None
+    pos, width = len(PNG_SIGNATURE), None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack_from(">I", b, pos)
+            tag = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # len + tag + data + crc
+            if tag == b"IHDR":
+                width, height, depth, color, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if (
+                    depth != 8
+                    or color not in _PNG_CHANNELS
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                ):
+                    return None
+                channels = _PNG_CHANNELS[color]
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+        if width is None or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except (struct.error, zlib.error):
+        return None
+    stride = width * channels
+    if raw.size != height * (stride + 1):
+        return None
+    raw = raw.reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    c = channels
+    for y in range(height):
+        line, up = lines[y], out[y - 1] if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + up) & 0xFF
+        else:  # Sub / Average / Paeth need the in-progress scanline
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + up[x]) >> 1)) & 0xFF
+                elif f == 4:
+                    bb, cc = up[x], (up[x - c] if x >= c else 0)
+                    p = a + bb - cc
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    return None
+    meta = {
+        "media_type": "image",
+        "format": "png",
+        "width": int(width),
+        "height": int(height),
+        "channels": int(channels),
+        "n_bytes": len(b),
+    }
+    return meta, out.astype(np.uint8).ravel()
+
+
 def decode_media(
     df: DataFrame,
     content_col: str = "content",
@@ -122,10 +252,13 @@ def decode_media(
     byte math vectorized in numpy.
 
     ``decoder="fake"`` parses the FAKE toy format (always available).
-    ``decoder="pil"`` decodes real images via Pillow when installed;
-    in this environment it raises ``NotImplementedError`` — the
-    surrounding plumbing (schema, batching, partitioning) is identical
-    either way, which is the part that matters for the engine.
+    ``decoder="png"`` decodes real 8-bit PNGs via the stdlib-only
+    reference codec (:func:`decode_png`) — a genuinely executed
+    real-format branch even in this codec-less container.
+    ``decoder="pil"`` decodes arbitrary images via Pillow when
+    installed; here it raises ``NotImplementedError``.  The surrounding
+    plumbing (schema, batching, partitioning) is identical across all
+    three, which is the part that matters for the engine.
     """
     if decoder == "pil":
         try:
@@ -133,9 +266,10 @@ def decode_media(
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
                 "decoder='pil' needs Pillow, which is not installed in "
-                "this environment; use decoder='fake' for the toy codec"
+                "this environment; use decoder='fake' for the toy codec "
+                "or decoder='png' for the stdlib PNG path"
             ) from exc
-    elif decoder != "fake":
+    elif decoder not in ("fake", "png"):
         raise ValueError(f"unknown decoder: {decoder!r}")
 
     out_schema = StructType(
@@ -147,32 +281,37 @@ def decode_media(
         ]
     )
 
+    def _parse_fake(blob: bytes):
+        if len(blob) < _HEADER_SIZE:
+            return None
+        magic, ver, w, h, c = struct.unpack_from(_HEADER_FMT, blob[:_HEADER_SIZE])
+        if magic != FAKE_MAGIC:
+            return None
+        payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER_SIZE)
+        meta = {
+            "media_type": "image",
+            "format": f"fake_v{ver}",
+            "width": w,
+            "height": h,
+            "channels": c,
+            "n_bytes": len(blob),
+        }
+        return meta, payload
+
+    parse = decode_png if decoder == "png" else _parse_fake
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas, means, maxs = [], [], []
             for blob in pdf[content_col]:
-                if blob is None or len(blob) < _HEADER_SIZE:
+                parsed = None if blob is None else parse(bytes(blob))
+                if parsed is None:
                     metas.append(None)
                     means.append(None)
                     maxs.append(None)
                     continue
-                magic, ver, w, h, c = struct.unpack_from(_HEADER_FMT, bytes(blob[: _HEADER_SIZE]))
-                if magic != FAKE_MAGIC:
-                    metas.append(None)
-                    means.append(None)
-                    maxs.append(None)
-                    continue
-                payload = np.frombuffer(bytes(blob), dtype=np.uint8, offset=_HEADER_SIZE)
-                metas.append(
-                    {
-                        "media_type": "image",
-                        "format": f"fake_v{ver}",
-                        "width": w,
-                        "height": h,
-                        "channels": c,
-                        "n_bytes": len(blob),
-                    }
-                )
+                meta, payload = parsed
+                metas.append(meta)
                 means.append(float(payload.mean()) if payload.size else None)
                 maxs.append(int(payload.max()) if payload.size else None)
             out = pdf.copy()
@@ -386,6 +525,9 @@ __all__ = [
     "fake_blob",
     "fake_media_table",
     "decode_media",
+    "decode_png",
+    "encode_png",
+    "PNG_SIGNATURE",
     "resize_media",
     "sample_frames",
     "FAKE_MAGIC",

@@ -190,6 +190,16 @@ class S3CredentialRefresher:
     from the next filesystem lookup, which is why ``refresh_margin``
     defaults to a whole task-attempt's worth of headroom.
 
+    **Mid-task staleness window**: a single task that holds one S3A
+    client across a refresh (e.g. a multi-hour multipart upload) keeps
+    the OLD credentials until that client is re-created — the refresher
+    cannot swap tokens inside a live connection.  Size
+    ``refresh_margin`` to at least your longest task attempt, so any
+    client a task creates has a token that outlives the task; for
+    known-long jobs, call :meth:`refresh` (or :meth:`assert_headroom`)
+    up front rather than relying on the timer mid-flight
+    (``tests/test_session.py::test_credential_refresher_staleness_window``).
+
     ``clock`` and ``resolver`` are injectable for tests (mocked STS).
     """
 

@@ -66,6 +66,131 @@ def test_pil_decoder_is_gated(spark):
     assert exc_info.type in (NotImplementedError,) or True
 
 
+def _png_cases() -> list[tuple[int, np.ndarray]]:
+    rng = np.random.default_rng(7)
+    return [
+        (1, rng.integers(0, 256, (5, 7), dtype=np.uint8)),  # gray
+        (2, rng.integers(0, 256, (4, 3, 2), dtype=np.uint8)),  # gray+alpha
+        (3, rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)),  # RGB
+        (4, rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)),  # RGBA
+        (5, np.zeros((1, 1), dtype=np.uint8)),  # 1-px floor case
+    ]
+
+
+def test_png_decoder_pure_python_roundtrip():
+    """The real-codec branch EXECUTES here: encode with the stdlib
+    writer, decode with the stdlib parser, compare pixel-for-pixel."""
+    from data_toolz_spark.operators.multimodal import decode_png, encode_png
+
+    for _mid, arr in _png_cases():
+        meta, flat = decode_png(encode_png(arr))
+        h, w = arr.shape[:2]
+        c = arr.shape[2] if arr.ndim == 3 else 1
+        assert (meta["width"], meta["height"], meta["channels"]) == (w, h, c)
+        assert meta["format"] == "png"
+        np.testing.assert_array_equal(flat, arr.reshape(-1))
+
+
+def test_png_decoder_all_filter_types():
+    """Unfiltering parity for Sub/Up/Average/Paeth: hand-build a PNG
+    whose scanlines each use a different filter byte and check the
+    decoder reconstructs the original pixels."""
+    import struct as _struct
+    import zlib
+
+    from data_toolz_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    # filter each scanline differently (0=None 1=Sub 2=Up 3=Avg 4=Paeth)
+    prev = np.zeros(w * c, dtype=np.int32)
+    raw = b""
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        line = arr[y].reshape(-1).astype(np.int32)
+        enc = np.zeros_like(line)
+        for x in range(w * c):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    meta, flat = decode_png(blob)
+    np.testing.assert_array_equal(flat, arr.reshape(-1))
+
+
+def test_png_decoder_rejects_unsupported():
+    from data_toolz_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    assert decode_png(b"nope") is None
+    assert decode_png(PNG_SIGNATURE + b"\x00" * 30) is None
+    # 16-bit depth / interlace are out of scope -> None, not garbage
+    good = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16  # IHDR bit-depth byte
+    assert decode_png(bytes(bad_depth)) is None
+
+
+def test_decode_media_png_branch(spark):
+    """decode_media(decoder='png') runs the real-format branch through
+    the full mapInPandas plumbing — the formerly never-executed gate."""
+    from data_toolz_spark.operators.multimodal import encode_png
+
+    cases = _png_cases()
+    rows = [(mid, bytearray(encode_png(arr))) for mid, arr in cases]
+    rows.append((99, bytearray(b"not-a-png")))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r["media_id"]: r
+        for r in decode_media(df, decoder="png").collect()
+    }
+    for mid, arr in cases:
+        r = out[mid]
+        h, w = arr.shape[:2]
+        c = arr.shape[2] if arr.ndim == 3 else 1
+        meta = r["meta"]
+        assert (meta["width"], meta["height"], meta["channels"]) == (w, h, c)
+        assert meta["format"] == "png"
+        assert r["mean_byte"] == pytest.approx(float(arr.mean()))
+        assert r["max_byte"] == int(arr.max())
+    assert out[99]["meta"] is None and out[99]["mean_byte"] is None
+
+
 def test_sample_frames_every_k(spark):
     # one media row: 4x4x1 → 16-byte payload → 4 frames of 4 bytes
     df = spark.createDataFrame(

@@ -109,6 +109,48 @@ def test_credential_refresher_mocked_clock(spark):
     ref.assert_headroom(120.0)  # plenty of headroom: no raise
 
 
+def test_credential_refresher_staleness_window(spark):
+    """The mid-task staleness contract: a refresh only swaps confs for
+    the NEXT filesystem lookup — a task already holding an S3A client
+    keeps the old token until its own creds expire.  The operational
+    guard is therefore headroom, not mid-task swap: an explicit
+    ``refresh()`` before launching a job must restore a full TTL of
+    margin (> refresh_margin), so every client created during the job
+    starts from fresh creds that outlive the longest task."""
+    from data_toolz_spark.session import S3CredentialRefresher
+
+    now = [0.0]
+    resolves = []
+
+    def resolver(roles, endpoint_url=None):
+        resolves.append(now[0])
+        return ("AK", "SK", f"TOK@{now[0]:.0f}", now[0] + 3600.0)
+
+    ref = S3CredentialRefresher(
+        spark,
+        ["arn:aws:iam::1:role/a"],
+        refresh_margin=900.0,
+        clock=lambda: now[0],
+        resolver=resolver,
+    )
+    conf = _hconf(spark)
+    # 40 min in: still outside the margin, so refresh_if_needed is a
+    # no-op — but a 35-min task launched NOW would outlive the token.
+    now[0] += 2400.0
+    assert ref.refresh_if_needed() is False
+    with pytest.raises(RuntimeError, match="expires in"):
+        ref.assert_headroom(2100.0)  # 35 min task vs 20 min left
+    # the documented remedy: proactive refresh() before the job, which
+    # re-walks the chain and restores full-TTL headroom
+    ref.refresh()
+    assert ref.seconds_until_expiry() == 3600.0
+    ref.assert_headroom(2100.0)  # now fits
+    assert conf.get("fs.s3a.session.token") == "TOK@2400"
+    # the refresher never mutated confs behind the job's back between
+    # the two explicit calls — exactly constructor + refresh()
+    assert resolves == [0.0, 2400.0]
+
+
 def test_catalog_registers_views(spark, sf_dir):
     from data_toolz_spark.catalog import register_directory
 
