@@ -1,0 +1,140 @@
+"""Train/eval decontamination: n-gram overlap against a benchmark set.
+
+The training-pipeline operator the reference has no analogue for (it is
+part of the §2.9 LLM-data surface): before training, every document
+that shares word n-grams with an evaluation benchmark must be flagged
+(and usually dropped), or downstream eval numbers are meaningless.
+The standard recipe is exact n-gram collision at n≈8-13 words.
+
+Scale shape (the part that matters at 100 TB):
+
+* The eval side is small (benchmarks are 1e3-1e6 documents).  Its
+  DISTINCT n-gram set is aggregated once and **broadcast**, so the
+  training corpus — the 100 TB side — is scanned exactly once with a
+  map-side hash join and never shuffles its text.
+* With ``hash_grams=True`` (default) grams join as ``xxhash64`` longs:
+  the broadcast table carries 8-byte keys instead of n-word strings
+  (~10x smaller), and the probe side hashes each gram inline in
+  codegen.  Collisions at 64 bits are ~n²/2⁶⁵ — for a 1e8-gram eval
+  set that is ~1e-4 expected false collisions corpus-wide.
+* Per-document totals (``n_grams``) are per-row expressions over the
+  row's own text — no extra shuffle; the only aggregation is over the
+  *matching* grams, which is output-sized, not corpus-sized.
+* For eval sets too big to broadcast, pass ``broadcast_eval=False``:
+  the join becomes a regular shuffled hash join on the 8-byte gram
+  key — still payload-free (ids and longs only).
+
+No reference counterpart (datatoolz core is IO/filtering); included as
+part of the training-data extension surface alongside dedup/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_grams(text: Column, n: int) -> Column:
+    """DISTINCT word n-grams of a text column, as an array<string>.
+
+    Words = maximal ``[a-z0-9]+`` runs of the lowercased text (ANSI-SQL
+    reproducible: DuckDB's ``regexp_extract_all`` has identical
+    semantics, which is what makes the qid oracle exact).  A text with
+    fewer than ``n`` words yields an empty array.
+    """
+    words = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def eval_gram_set(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """One-column frame of the eval set's distinct n-grams.
+
+    Materialize this once per benchmark release and reuse it across
+    decontamination runs — the expensive side of the check is the
+    corpus scan, not this.
+    """
+    grams = eval_df.select(
+        F.explode(_word_grams(F.col(text_col), n)).alias("__gram")
+    ).distinct()
+    if hash_grams:
+        grams = grams.select(F.xxhash64("__gram").alias("__gram"))
+    return grams
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+    hash_grams: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing word ``n``-grams with an eval set.
+
+    Returns ``(id_col, n_hits, n_grams, hit_ratio)`` for documents with
+    at least ``min_hits`` distinct colliding n-grams — ``n_hits`` is the
+    number of the document's DISTINCT n-grams that appear anywhere in
+    the eval set, ``n_grams`` its total distinct n-gram count, and
+    ``hit_ratio`` their quotient.  Dropping is the caller's policy
+    (left_anti on the returned ids); reporting and dropping are
+    separate so audits can see *why* a document left the corpus.
+    """
+    ev = eval_gram_set(
+        eval_df, eval_text_col or text_col, n=n, hash_grams=hash_grams
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+
+    grams = _word_grams(F.col(text_col), n)
+    exploded = train.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.explode(grams).alias("__gram"),
+    )
+    if hash_grams:
+        exploded = exploded.withColumn("__gram", F.xxhash64("__gram"))
+    # grams are distinct per document, so count(*) after the join IS
+    # the distinct-collision count — no countDistinct shuffle needed
+    return (
+        exploded.join(ev, on="__gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(
+            id_col,
+            "n_hits",
+            "n_grams",
+            (F.col("n_hits") / F.col("n_grams")).alias("hit_ratio"),
+        )
+    )
+
+
+def decontaminated(
+    train: DataFrame,
+    eval_df: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """The corpus minus contaminated documents (left_anti on the flags)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    flags = ngram_decontaminate(train, eval_df, **kwargs).select(id_col)
+    return train.join(flags, on=id_col, how="left_anti")
+
+
+__all__ = ["eval_gram_set", "ngram_decontaminate", "decontaminated"]

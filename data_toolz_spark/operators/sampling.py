@@ -199,6 +199,99 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def mixture_rates(
+    counts: Mapping[object, int],
+    *,
+    target_rows: int,
+    temperature: float = 1.0,
+) -> dict[object, float]:
+    """Per-source sampling rates for a temperature-weighted mixture.
+
+    Source ``s`` gets mixture weight ``p_s ∝ n_s^(1/temperature)``:
+    ``temperature=1`` reproduces natural proportions, larger values
+    flatten toward uniform (the standard smoothing for low-resource
+    sources in multilingual / multi-domain training), values below 1
+    sharpen toward the biggest sources.  The returned rate is
+    ``target_rows * p_s / n_s`` — may exceed 1, meaning the source must
+    be upsampled (repeated) to honor the mixture.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if target_rows < 0:
+        raise ValueError("target_rows must be non-negative")
+    if not counts:
+        return {}
+    powed = {s: float(n) ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(powed.values())
+    return {
+        s: (target_rows * powed[s] / z) / counts[s] if counts[s] else 0.0
+        for s in counts
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    *,
+    target_rows: int,
+    temperature: float = 1.0,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    allow_upsample: bool = False,
+    copy_col: str = "mix_copy",
+) -> DataFrame:
+    """Deterministic temperature-weighted mixing across data sources.
+
+    Computes per-source keep rates (:func:`mixture_rates`) from one
+    small ``groupBy(source).count()`` aggregate (collected — source
+    cardinality is tiny), then applies them as a pure hash filter on
+    ``key_cols`` — so like every sampler here, the decision is a
+    deterministic per-row function, stable under retries and
+    repartitioning, and the corpus-sized side never shuffles.
+
+    With ``allow_upsample=False`` rates clamp at 1.0 (a low-resource
+    source contributes everything it has and the realized total falls
+    short of ``target_rows``).  With ``allow_upsample=True`` a rate of
+    e.g. 2.3 emits every row twice plus a hash-chosen 30% a third time,
+    tagged ``copy_col`` (0, 1, …) so downstream shuffles/packing can
+    tell the copies apart.  Expected totals hit ``target_rows``; the
+    realized count carries per-row binomial noise like any rate-based
+    sampler.
+    """
+    if not key_cols:
+        raise ValueError("mixture_sample: key_cols is required")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = mixture_rates(
+        counts, target_rows=target_rows, temperature=temperature
+    )
+    rate: Column = F.lit(0.0)
+    for value, r in rates.items():
+        capped = r if allow_upsample else min(r, 1.0)
+        rate = F.when(
+            F.col(source_col) == F.lit(value), F.lit(float(capped))
+        ).otherwise(rate)
+    u = _unit_hash(list(key_cols), seed)
+    copies = (F.floor(rate) + (u < rate - F.floor(rate)).cast("int")).cast(
+        "int"
+    )
+    if not allow_upsample:
+        return df.filter(copies >= 1)
+    return (
+        df.withColumn("__n_copies", copies)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     *,
@@ -256,5 +349,7 @@ __all__ = [
     "hash_split",
     "component_split",
     "stratified_sample",
+    "mixture_rates",
+    "mixture_sample",
     "pack_greedy",
 ]

@@ -315,6 +315,98 @@ def keep_document(
     return out.withColumn(out_col, keep)
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1,
+    sep: str = "\n",
+    min_line_chars: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet/RefinedWeb-style
+    boilerplate removal): drop every line that occurs in more than
+    ``max_doc_freq`` DISTINCT documents — navigation chrome, cookie
+    banners, license footers — and re-assemble each document from its
+    surviving lines in original order.
+
+    Complements :func:`repetition_features` (within-document signals):
+    this is the ACROSS-document pass a crawl-cleaning pipeline runs
+    before near-dup detection, so shared boilerplate stops gluing
+    unrelated pages into one MinHash cluster.
+
+    Output: ``(id_col, out_col, n_lines, n_removed)`` — one row per
+    input document (documents whose every line is boilerplate come
+    back with an empty ``out_col``).
+
+    Scale shape: lines shuffle once as ``(xxhash64(line), id)`` longs
+    to count distinct documents per line (map-side combinable); the
+    over-frequency line set is a tiny fraction of the corpus by
+    construction, so the second pass marks lines with a broadcast-size
+    semi-join against it and re-assembly is per-document array algebra
+    (``filter``/``array_join``) — the full text shuffles only inside
+    the per-document ``collect_list``, grouped by the id it is already
+    keyed by.  Trimmed lines shorter than ``min_line_chars`` are kept
+    verbatim (never counted, never removed) — blank separators are not
+    evidence of boilerplate.
+    """
+    if max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    # sep is a Java regex (Spark split semantics); NULL text behaves as
+    # empty so a document never silently vanishes from the output
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
+    exploded = df.select(
+        F.col(id_col),
+        F.size(lines).alias("__n_lines"),
+        F.posexplode(lines).alias("__pos", "__line"),
+    ).withColumn("__trim", F.trim(F.col("__line")))
+    countable = F.length(F.col("__trim")) >= min_line_chars
+    # pass 1: lines over the document-frequency cap (longs only)
+    frequent = (
+        exploded.filter(countable)
+        .groupBy(F.xxhash64("__trim").alias("__lh"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__lh")
+    )
+    # pass 2: mark, then re-assemble in original position order
+    marked = exploded.join(
+        F.broadcast(frequent),
+        on=(F.xxhash64("__trim") == F.col("__lh")) & countable,
+        how="left",
+    ).select(
+        id_col,
+        "__n_lines",
+        "__pos",
+        "__line",
+        F.col("__lh").isNotNull().alias("__drop"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("__drop"),
+                F.struct(F.col("__pos"), F.col("__line")),
+            )
+        )
+    )
+    return (
+        marked.groupBy(id_col, "__n_lines")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s["__line"]), sep
+            ).alias(out_col),
+            F.sum(F.col("__drop").cast("int")).alias("__removed"),
+        )
+        .select(
+            id_col,
+            out_col,
+            F.col("__n_lines").cast("long").alias("n_lines"),
+            F.col("__removed").cast("long").alias("n_removed"),
+        )
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -324,6 +416,7 @@ __all__ = [
     "repetition_features",
     "redact_artifacts",
     "keep_document",
+    "line_dedup",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
     "normalized_text",

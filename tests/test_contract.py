@@ -57,6 +57,8 @@ def test_folded_callables_still_run(spark):
 
     folded = [
         entrymod.proj_drop_columns,       # r5 → scan_parquet et al.
+        entrymod.scan_parquet,            # r5 → every load()-based qid
+        entrymod.agg_partition_rowcounts,  # r5 → q1 count_order per group
         entrymod.win_ntile_quartiles,     # r5 → win_ordered_analytics
         entrymod.text_quality_q,          # r5 → text_web_signals
         entrymod.part_distinct,           # r3 → agg_partition_rowcounts

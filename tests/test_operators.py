@@ -367,3 +367,74 @@ def test_asof_join_picks_latest_at_or_before(spark):
     # event 100 (t=10): r1 (t=5); event 101 (t=25): r3 (t=25, <=);
     # event 102 (t=5): no right row at or before → NULL
     assert got == {100: "r1", 101: "r3", 102: None}
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = [
+        (1, "COOKIE BANNER\nunique alpha content\nCOPYRIGHT FOOTER"),
+        (2, "COOKIE BANNER\nunique beta content\nCOPYRIGHT FOOTER"),
+        (3, "COOKIE BANNER\nunique gamma content"),
+        (4, "standalone document with its own text"),
+        (5, "COOKIE BANNER"),  # all-boilerplate doc -> empty, not lost
+        (6, None),             # null text -> survives as empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, max_doc_freq=2).collect()
+    }
+    assert len(out) == 6
+    # banner in 4 docs (> 2) -> dropped; footer in 2 docs (== 2) -> kept
+    assert out[1]["clean_text"] == "unique alpha content\nCOPYRIGHT FOOTER"
+    assert out[2]["clean_text"] == "unique beta content\nCOPYRIGHT FOOTER"
+    assert out[3]["clean_text"] == "unique gamma content"
+    assert out[4]["clean_text"] == "standalone document with its own text"
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+    assert out[6]["clean_text"] == "" and out[6]["n_removed"] == 0
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+
+
+def test_line_dedup_order_and_trim_matching(spark):
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = [
+        (1, "a first\n  SHARED  \nz last"),
+        (2, "SHARED\nother"),
+        (3, "SHARED"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup(df, max_doc_freq=2).collect()
+    }
+    # trim-matched: "  SHARED  " counts as the same line as "SHARED";
+    # surviving lines keep original order AND original whitespace
+    assert out[1] == "a first\nz last"
+    assert out[2] == "other"
+    assert out[3] == ""
+
+
+def test_line_dedup_blank_lines_never_removed(spark):
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = [(i, "top\n\nbottom") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = line_dedup(df, max_doc_freq=1).collect()
+    # every content line repeats across all 5 docs -> removed; the
+    # blank separator is not evidence and stays
+    assert all(r["clean_text"] == "" and r["n_removed"] == 2 for r in rows)
+
+
+def test_line_dedup_default_keeps_singletons(spark):
+    from data_toolz_spark.operators.text_analysis import line_dedup
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "only one doc\nhas these lines")], "doc_id long, text string"
+    )
+    r = line_dedup(df).collect()[0]
+    assert r["clean_text"] == "only one doc\nhas these lines"
+    with _pytest.raises(ValueError):
+        line_dedup(df, max_doc_freq=0)

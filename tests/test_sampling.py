@@ -181,3 +181,89 @@ def test_component_split_rejects_non_numeric_string_ids(spark):
     }
     assert len(m) == 20
     assert m["0"] == m["1"]  # the pair still routes together
+
+
+def test_mixture_rates_math():
+    from data_toolz_spark.operators.sampling import mixture_rates
+
+    counts = {"a": 800, "b": 100, "c": 100}
+    # T=1: natural proportions -> every rate equals target/total
+    r1 = mixture_rates(counts, target_rows=500, temperature=1.0)
+    assert all(abs(v - 0.5) < 1e-12 for v in r1.values())
+    # T->inf limit: uniform mixture -> small sources need upsampling
+    r = mixture_rates(counts, target_rows=600, temperature=1e9)
+    assert abs(r["a"] - 200 / 800) < 1e-6
+    assert abs(r["b"] - 200 / 100) < 1e-6  # rate 2.0: must repeat
+    # expected totals always hit target_rows exactly
+    for t in (0.5, 1.0, 3.0):
+        rr = mixture_rates(counts, target_rows=600, temperature=t)
+        assert abs(sum(rr[s] * counts[s] for s in counts) - 600) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_rates(counts, target_rows=10, temperature=0.0)
+
+
+def test_mixture_sample_downsample_deterministic(spark):
+    from data_toolz_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "id", "CASE WHEN id % 10 < 8 THEN 'web' ELSE 'books' END AS source"
+    )
+    out1 = mixture_sample(
+        df, "source", target_rows=1000, temperature=2.0, key_cols=["id"]
+    )
+    got1 = sorted(r["id"] for r in out1.collect())
+    got2 = sorted(r["id"] for r in mixture_sample(
+        df, "source", target_rows=1000, temperature=2.0, key_cols=["id"]
+    ).collect())
+    assert got1 == got2  # deterministic per key
+    # realized per-source counts within binomial noise of expectation
+    rates = mixture_rates(
+        {"web": 1600, "books": 400}, target_rows=1000, temperature=2.0
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n_s in (("web", 1600), ("books", 400)):
+        exp = min(rates[s], 1.0) * n_s
+        sd = (n_s * min(rates[s], 1.0) * (1 - min(rates[s], 1.0))) ** 0.5
+        assert abs(by_src.get(s, 0) - exp) <= 5 * sd + 1, (s, by_src, exp)
+
+
+def test_mixture_sample_upsample_repeats_tagged(spark):
+    from data_toolz_spark.operators.sampling import mixture_sample
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id < 900 THEN 'big' ELSE 'rare' END AS source"
+    )
+    out = mixture_sample(
+        df, "source", target_rows=1000, temperature=1e9,
+        key_cols=["id"], allow_upsample=True,
+    ).collect()
+    rare = [r for r in out if r["source"] == "rare"]
+    # uniform mixture: rare should contribute ~500 rows from 100 docs
+    # (rate 5.0) - every doc appears >= 5 times... rate exactly 5.0:
+    # floor=5, frac=0 -> exactly 5 copies each, tagged 0..4
+    from collections import Counter
+
+    per_doc = Counter(r["id"] for r in rare)
+    assert set(per_doc.values()) == {5}
+    copies = sorted(r["mix_copy"] for r in rare if r["id"] == rare[0]["id"])
+    assert copies == [0, 1, 2, 3, 4]
+    big = [r for r in out if r["source"] == "big"]
+    # big side downsampled toward 500: every kept row exactly once
+    assert all(r["mix_copy"] == 0 for r in big)
+    assert abs(len(big) - 500) <= 5 * (900 * (5 / 9) * (4 / 9)) ** 0.5
+
+
+def test_mixture_sample_requires_keys(spark):
+    from data_toolz_spark.operators.sampling import mixture_sample
+
+    df = spark.range(10).selectExpr("id", "'x' AS source")
+    with pytest.raises(ValueError, match="key_cols"):
+        mixture_sample(df, "source", target_rows=5, key_cols=[])
