@@ -34,15 +34,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _word_grams(text: Column, n: int) -> Column:
-    """DISTINCT word n-grams of a text column, as an array<string>.
-
-    Words = maximal ``[a-z0-9]+`` runs of the lowercased text (ANSI-SQL
+def _words(text: Column) -> Column:
+    """Maximal ``[a-z0-9]+`` runs of the lowercased text (ANSI-SQL
     reproducible: DuckDB's ``regexp_extract_all`` has identical
-    semantics, which is what makes the qid oracle exact).  A text with
-    fewer than ``n`` words yields an empty array.
-    """
-    words = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    semantics, which is what makes the qid oracle exact)."""
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+def _grams_of_words(words: Column, n: int) -> Column:
+    """DISTINCT word n-grams from a word-array column.  A document with
+    fewer than ``n`` words yields an empty array."""
     grams = F.when(
         F.size(words) >= n,
         F.transform(
@@ -51,6 +52,22 @@ def _word_grams(text: Column, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def _word_grams(text: Column, n: int) -> Column:
+    """DISTINCT word n-grams of a text column, as an array<string>.
+
+    One-shot expression form — fine when the result feeds exactly ONE
+    consumer (e.g. a bare explode).  When both the array and a derived
+    value (size) are needed, stage the array through its own projection
+    first (see :func:`ngram_decontaminate`): Catalyst re-derives a
+    single-use alias from its input columns past a Generate, which
+    re-evaluates this whole O(words²) expression per EXPLODED row — a
+    200x wall-time cliff measured at sf0.1.  A non-cheap alias
+    referenced more than once is left materialized (CollapseProject's
+    reference-count guard), which is what the staged form relies on.
+    """
+    return _grams_of_words(_words(text), n)
 
 
 def eval_gram_set(
@@ -66,9 +83,10 @@ def eval_gram_set(
     decontamination runs — the expensive side of the check is the
     corpus scan, not this.
     """
-    grams = eval_df.select(
-        F.explode(_word_grams(F.col(text_col), n)).alias("__gram")
-    ).distinct()
+    staged = eval_df.select(
+        _words(F.col(text_col)).alias("__w")
+    ).select(_grams_of_words(F.col("__w"), n).alias("__grams"))
+    grams = staged.select(F.explode("__grams").alias("__gram")).distinct()
     if hash_grams:
         grams = grams.select(F.xxhash64("__gram").alias("__gram"))
     return grams
@@ -102,11 +120,20 @@ def ngram_decontaminate(
     if broadcast_eval:
         ev = F.broadcast(ev)
 
-    grams = _word_grams(F.col(text_col), n)
-    exploded = train.select(
+    # Stage words, then grams, as their own projections: each alias is
+    # non-cheap and referenced more than once downstream, so Catalyst
+    # materializes it once per row instead of re-deriving the full
+    # expression per EXPLODED row above the Generate (a measured 200x
+    # cliff at sf0.1 — see _word_grams docstring).
+    staged = train.select(
+        F.col(id_col), _words(F.col(text_col)).alias("__w")
+    ).select(
+        F.col(id_col), _grams_of_words(F.col("__w"), n).alias("__grams")
+    )
+    exploded = staged.select(
         F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        F.explode(grams).alias("__gram"),
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("__gram"),
     )
     if hash_grams:
         exploded = exploded.withColumn("__gram", F.xxhash64("__gram"))

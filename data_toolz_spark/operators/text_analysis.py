@@ -354,13 +354,21 @@ def line_dedup(
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
     # sep is a Java regex (Spark split semantics); NULL text behaves as
-    # empty so a document never silently vanishes from the output
+    # empty so a document never silently vanishes from the output.
+    # The line array is staged as its own projection so size() above
+    # the Generate reads the materialized array instead of re-splitting
+    # the text per exploded line (the O(lines²)-per-doc re-derivation
+    # cliff — see decontamination._word_grams).
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
-    exploded = df.select(
-        F.col(id_col),
-        F.size(lines).alias("__n_lines"),
-        F.posexplode(lines).alias("__pos", "__line"),
-    ).withColumn("__trim", F.trim(F.col("__line")))
+    exploded = (
+        df.select(F.col(id_col), lines.alias("__lines"))
+        .select(
+            F.col(id_col),
+            F.size("__lines").alias("__n_lines"),
+            F.posexplode("__lines").alias("__pos", "__line"),
+        )
+        .withColumn("__trim", F.trim(F.col("__line")))
+    )
     countable = F.length(F.col("__trim")) >= min_line_chars
     # pass 1: lines over the document-frequency cap (longs only)
     frequent = (
