@@ -415,6 +415,70 @@ def line_dedup(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_words: int = 512,
+    overlap: int = 64,
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split long documents into overlapping context-window chunks.
+
+    The training-shard preprocessor: one output row per chunk —
+    ``(id_col, chunk_index, out_col, n_words)`` — where chunk ``i``
+    covers words ``[i·stride, i·stride + max_words)`` with
+    ``stride = max_words - overlap``.  Whitespace-token granularity;
+    chunk text is the words re-joined with single spaces (original
+    inter-word whitespace is not preserved — the standard trade for
+    token-aligned chunking).  Documents with no words yield no rows.
+
+    Pure column expressions: the word array and the chunk array are
+    each staged as their own projection (computed once per row, not
+    re-derived per exploded chunk — see
+    ``decontamination._word_grams``), then ``posexplode`` fans out.
+    No shuffle, no Python — the full corpus chunks in one codegen'd
+    scan at any scale, and composes with :func:`pack_greedy
+    <data_toolz_spark.operators.sampling.pack_greedy>` for shard
+    assembly.
+    """
+    if max_words <= 0:
+        raise ValueError("max_words must be positive")
+    if not 0 <= overlap < max_words:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_words")
+    stride = max_words - overlap
+    raw = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", -1)
+    words = F.filter(raw, lambda w: w != F.lit(""))
+    staged = df.select(F.col(id_col), words.alias("__words"))
+    n = F.size(F.col("__words"))
+    # chunks = ceil((n - overlap) / stride), min 1 for any non-empty doc
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(F.col("__words"), i * stride + 1, max_words), " "
+            ).alias("txt"),
+            F.least(n - i * F.lit(stride), F.lit(max_words)).alias("wc"),
+        ),
+    )
+    chunked = staged.filter(n > 0).select(
+        F.col(id_col), chunks.alias("__chunks")
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.posexplode("__chunks").alias("chunk_index", "__c"),
+    ).select(
+        id_col,
+        "chunk_index",
+        F.col("__c.txt").alias(out_col),
+        F.col("__c.wc").cast("long").alias("n_words"),
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -425,6 +489,7 @@ __all__ = [
     "redact_artifacts",
     "keep_document",
     "line_dedup",
+    "chunk_documents",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
     "normalized_text",

@@ -438,3 +438,61 @@ def test_line_dedup_default_keeps_singletons(spark):
     assert r["clean_text"] == "only one doc\nhas these lines"
     with _pytest.raises(ValueError):
         line_dedup(df, max_doc_freq=0)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from data_toolz_spark.operators.text_analysis import chunk_documents
+
+    words = [f"w{i}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        df, max_words=10, overlap=3
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride 7: starts 0,7,14 -> 3 chunks for 23 words
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert [r["chunk_index"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == " ".join(words[0:10])
+    assert c1[1]["chunk_text"] == " ".join(words[7:17])
+    assert c1[2]["chunk_text"] == " ".join(words[14:23])
+    assert [r["n_words"] for r in c1] == [10, 10, 9]
+    # consecutive chunks share exactly `overlap` words
+    assert c1[0]["chunk_text"].split()[-3:] == c1[1]["chunk_text"].split()[:3]
+    # short doc -> one whole chunk; empty/null docs -> no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_documents_reconstructs_document(spark):
+    from data_toolz_spark.operators.text_analysis import chunk_documents
+
+    words = [f"t{i}" for i in range(57)]
+    df = spark.createDataFrame(
+        [(9, "  " + "  ".join(words) + " ")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, max_words=16, overlap=4).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    stride = 12
+    rebuilt = rows[0]["chunk_text"].split()
+    for r in rows[1:]:
+        toks = r["chunk_text"].split()
+        assert rebuilt[r["chunk_index"] * stride :] == toks[: len(rebuilt) - r["chunk_index"] * stride]
+        rebuilt.extend(toks[len(rebuilt) - r["chunk_index"] * stride :])
+    assert rebuilt == words  # lossless word coverage, messy whitespace ok
+
+
+def test_chunk_documents_validation(spark):
+    from data_toolz_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_words=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_words=8, overlap=8)
