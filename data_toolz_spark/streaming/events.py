@@ -156,6 +156,31 @@ def running_user_totals_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    The ingestion-pipeline twin of ``operators.dedup.dedup_exact``:
+    at-least-once upstream delivery (replays, producer retries) becomes
+    exactly-once downstream by keying on ``key_cols`` —
+    ``dropDuplicatesWithinWatermark`` keeps one fingerprint per key
+    only until the watermark passes it, so state is bounded by the
+    duplicate-arrival horizon instead of growing with the full stream
+    history (the difference between a deployable dedup and an OOM at
+    100 TB/day).  A duplicate arriving later than ``watermark`` after
+    the first copy is NOT suppressed — choose the horizon from the
+    upstream redelivery SLA.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_parquet_sink(
     stream_df: DataFrame,
     *,
@@ -212,6 +237,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "running_user_totals_stream",
+    "dedup_stream",
     "run_to_memory_sink",
     "run_to_parquet_sink",
 ]

@@ -167,3 +167,34 @@ def test_filter_dsl_composes_with_streams(spark, events_dir):
     )
     expected = {r["event_type"]: r["count"] for r in batch.collect()}
     assert got == expected and got
+
+
+def test_dedup_stream_suppresses_replayed_events(spark, tmp_path):
+    """At-least-once replay becomes exactly-once: a duplicated backlog
+    drains to exactly the batch-distinct row set, keyed on event_id."""
+    from data_toolz_spark.streaming.events import dedup_stream
+
+    base = spark.range(200).selectExpr(
+        "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+        "id % 40 AS user_id",
+        "CAST(id AS DOUBLE) AS value",
+        "id AS event_id",
+    )
+    # replay half the events (redelivery within seconds of the original)
+    dup = base.filter(F.col("event_id") % 2 == 0)
+    path = str(tmp_path / "ev")
+    base.unionByName(dup).write.mode("overwrite").parquet(path)
+
+    stream = read_events_stream(spark, path)
+    run_to_memory_sink(
+        dedup_stream(stream, key_cols=("event_id",), watermark="1 hour"),
+        query_name="dedup_stream_t",
+        output_mode="append",
+    )
+    got = spark.table("dedup_stream_t")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+    # value columns survive intact for the kept copy
+    assert (
+        got.filter(F.col("event_id") == 10).first()["value"] == 10.0
+    )
