@@ -178,3 +178,54 @@ def test_whole_stage_codegen_covers_scan_filter_agg(spark, sf_dir):
     # formatted explain marks whole-stage-codegen operators with "* "
     assert "* HashAggregate" in plan
     assert "* Filter" in plan or "* ColumnarToRow" in plan
+
+
+def test_decontaminate_generate_does_not_rederive_grams(spark, sf_dir):
+    """The round-5 cliff, pinned mechanically: the Project feeding the
+    aggregation must read the staged gram array (size(__grams)), never
+    re-derive the gram expression from text per exploded row."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.decontamination import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=4,
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side broadcasts
+    # the corpus-side Generate's parent computes size() of an attribute
+    # reference, not of a regexp_extract_all(...) re-derivation; the
+    # regex appears only below the Generate (and on the eval side)
+    for line in plan.splitlines():
+        if "size(" in line and "Project" in line:
+            assert "regexp_extract_all" not in line, line
+
+
+def test_line_dedup_frequent_set_broadcasts(spark, sf_dir):
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        line_dedup(docs, max_doc_freq=2, sep=" ")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_single_scan_no_exchange(spark, sf_dir):
+    """Chunking must be a map-only pass: no Exchange anywhere in the
+    plan — the property that makes it free at 100 TB."""
+    from data_toolz_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        chunk_documents(docs, max_words=32, overlap=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
