@@ -164,12 +164,31 @@ def _x_topk_int8(spark, sf_dir):
     )
 
 
+def _x_decon_hashed(spark, sf_dir):
+    """text_decontaminate's PRODUCTION config: grams join as xxhash64
+    longs (the qid uses string grams so DuckDB can verify values; the
+    two paths are equality-pinned in tests/test_decontamination.py)."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.decontamination import (
+        ngram_decontaminate,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=4,
+    )
+
+
 # timed after the registry sweep; never part of the headline total
 EXTRAS = {
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
     "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,
     "x_ivf_topk_probe4": _x_ivf_topk,
     "x_topk_int8_dequant": _x_topk_int8,
+    "x_decon_hashed": _x_decon_hashed,
 }
 
 

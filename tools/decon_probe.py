@@ -65,6 +65,11 @@ def main() -> int:
     # warmup
     ngram_decontaminate(base_train.limit(200), eval_df.limit(50), n=4).count()
 
+    from data_toolz_spark.operators.text_analysis import (
+        chunk_documents,
+        line_dedup,
+    )
+
     rows = []
     for mult in mults:
         train = replicate(base_train, "doc_id", mult)
@@ -76,11 +81,19 @@ def main() -> int:
             train, eval_df, n=4, broadcast_eval=False
         ).count()
         t_shuf = round(time.perf_counter() - t0, 2)
+        corpus = replicate(docs, "doc_id", mult)
+        t0 = time.perf_counter()
+        n_ld = line_dedup(corpus, max_doc_freq=2, sep=" ").count()
+        t_ld = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_ch = chunk_documents(corpus, max_words=16, overlap=4).count()
+        t_ch = round(time.perf_counter() - t0, 2)
         rows.append((mult, mult * (n_docs - n_docs // 20), t_hash, n_hash,
-                     t_shuf, n_shuf))
+                     t_shuf, n_shuf, mult * n_docs, t_ld, n_ld, t_ch, n_ch))
         print(
             f"mult={mult}: broadcast {t_hash}s/{n_hash:,} "
-            f"shuffled {t_shuf}s/{n_shuf:,}",
+            f"shuffled {t_shuf}s/{n_shuf:,} "
+            f"line_dedup {t_ld}s/{n_ld:,} chunk {t_ch}s/{n_ch:,}",
             flush=True,
         )
         _write_md(rows)
@@ -92,8 +105,7 @@ def _write_md(rows) -> None:
     lines = [
         MARKER_BEGIN,
         "",
-        "## Decontamination — growing corpus vs fixed eval set "
-        "(tools/decon_probe.py)",
+        "## Text-pipeline ops — growing corpus (tools/decon_probe.py)",
         "",
         "4-gram collision vs the fixed `doc_id % 20 == 0` eval slice;",
         "`broadcast` = shipped default (hashed grams, broadcast eval",
@@ -101,12 +113,21 @@ def _write_md(rows) -> None:
         "`broadcast_eval=False` fallback for eval sets too big to",
         "broadcast.  Wall time per corpus row must stay flat:",
         "",
+        "broadcast.  `line_dedup` (word-sep pseudo-lines, k=2) and",
+        "`chunk` (16-word windows, overlap 4) run over the replicated",
+        "full corpus — one hashed-long shuffle and a pure scan",
+        "respectively:",
+        "",
         "| mult | train docs | broadcast s | flagged | shuffled s "
-        "| flagged |",
-        "|---|---|---|---|---|---|",
+        "| flagged | corpus docs | line_dedup s | rows | chunk s "
+        "| chunks |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for m, nd, th, nh, ts, ns in rows:
-        lines.append(f"| {m}× | {nd:,} | {th} | {nh:,} | {ts} | {ns:,} |")
+    for m, nd, th, nh, ts, ns, nc, tld, nld, tch, nch in rows:
+        lines.append(
+            f"| {m}× | {nd:,} | {th} | {nh:,} | {ts} | {ns:,} "
+            f"| {nc:,} | {tld} | {nld:,} | {tch} | {nch:,} |"
+        )
     lines += ["", MARKER_END]
     section = "\n".join(lines)
 
