@@ -37,6 +37,7 @@ from data_toolz_spark.sources.io import DataIO
 from data_toolz_spark.fs import FsUtil
 from data_toolz_spark.logging import JsonLogger
 from data_toolz_spark.catalog import register_dataset, register_directory
+from data_toolz_spark.pipelines import prepare_training_corpus
 
 __version__ = "0.1.0"
 
@@ -51,4 +52,5 @@ __all__ = [
     "JsonLogger",
     "register_dataset",
     "register_directory",
+    "prepare_training_corpus",
 ]

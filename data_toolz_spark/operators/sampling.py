@@ -82,12 +82,13 @@ def hash_split(
 
 def component_split(
     df: DataFrame,
-    near_dup_pairs: DataFrame,
+    near_dup_pairs: DataFrame | None = None,
     *,
     id_col: str,
     fractions: Mapping[str, float],
     seed: int = 42,
     split_col: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe split: near-duplicate clusters move as one unit.
 
@@ -99,10 +100,21 @@ def component_split(
     their own id.  The component map is a broadcast-size frame for
     realistic duplicate rates (|components| ≪ |corpus|); the main
     corpus is touched by exactly one left join.
+
+    Pass ``components`` (an ``(id, component)`` frame, e.g. an already
+    computed ``connected_components`` result) to skip the internal CC
+    run — the pipeline composition computes CC once and shares it
+    between the dedup drop list and this split.
     """
     from pyspark.sql import types as T
 
     from data_toolz_spark.operators.dedup import connected_components
+
+    if (near_dup_pairs is None) == (components is None):
+        raise ValueError(
+            "component_split: pass exactly one of near_dup_pairs or "
+            "components"
+        )
 
     dtype = df.schema[id_col].dataType
     if isinstance(
@@ -130,7 +142,12 @@ def component_split(
             ).cast("long"),
         ).otherwise(plain)
 
-    comp = connected_components(near_dup_pairs).select(
+    cc = (
+        components
+        if components is not None
+        else connected_components(near_dup_pairs)
+    )
+    comp = cc.select(
         F.col("id").alias("__sid"), F.col("component").alias("__comp")
     )
     routed = df.join(

@@ -1,0 +1,231 @@
+"""End-to-end training-corpus preparation: the composition a user
+actually runs, wiring the §2.9 operator families together in the
+canonical order with state shared between stages.
+
+    raw docs
+      → quality/repetition/web-artifact filter   (keep_document)
+      → cross-document boilerplate removal       (line_dedup)
+      → near-duplicate removal                   (MinHash-LSH + CC)
+      → eval-set decontamination                 (ngram_decontaminate)
+      → leakage-safe train/val/test split        (component_split)
+      → context-window chunking                  (chunk_documents)
+      → token-budget packing                     (pack_greedy)
+
+Composition details that matter at 100 TB:
+
+* The MinHash near-dup PAIRS are computed once and used twice — for
+  the drop list AND for ``component_split``, so surviving members of a
+  duplicate cluster can never straddle the train/eval boundary.  A
+  pipeline that deduped and then hash-split independently would leak.
+* Decontamination runs AFTER near-dup removal (fewer docs to scan) and
+  BEFORE splitting (a contaminated doc must not reach any split).
+* Every stage is lazy DataFrame algebra — calling this function builds
+  ONE logical plan; nothing executes until the caller writes or
+  counts.  ``stage_counts`` triggers one action per stage and is for
+  audits, not production runs.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_thresholds: dict | None = None,
+    line_dedup_max_doc_freq: int | None = None,
+    line_sep: str = "\n",
+    near_dup_threshold: float | None = 0.8,
+    decontaminate_n: int = 8,
+    fractions: Mapping[str, float] | None = None,
+    chunk_max_words: int | None = None,
+    chunk_overlap: int = 0,
+    pack_budget: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the full cleaning → dedup → decontaminate → split (→ chunk
+    → pack) plan over a raw document corpus.
+
+    Returns one DataFrame.  Without chunking: one row per surviving
+    document — original columns plus ``split``.  With
+    ``chunk_max_words``: one row per chunk ``(id_col, split,
+    chunk_index, chunk_text, n_words)``, plus ``pack_bin`` when
+    ``pack_budget`` is set.  Stages toggle off via ``None``.
+
+    ``eval_df`` (the benchmark set) enables decontamination; it only
+    needs ``text_col``.
+    """
+    from data_toolz_spark.operators.text_analysis import (
+        keep_document,
+        line_dedup,
+    )
+
+    base_cols = docs.columns
+    out = docs
+
+    # 1. per-document quality gate (map-only)
+    out = keep_document(out, text_col, thresholds=quality_thresholds)
+    out = out.filter(F.col("keep")).select(*base_cols)
+
+    # 2. cross-document boilerplate removal (optional)
+    if line_dedup_max_doc_freq is not None:
+        cleaned = line_dedup(
+            out,
+            id_col=id_col,
+            text_col=text_col,
+            max_doc_freq=line_dedup_max_doc_freq,
+            sep=line_sep,
+        ).select(id_col, F.col("clean_text"))
+        out = (
+            out.drop(text_col)
+            .join(cleaned, on=id_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*base_cols)
+        )
+
+    # 3. near-duplicate removal; the CC map is computed ONCE and shared
+    # with the split below (drop list = non-representative members,
+    # route key = component min) — the leakage-safety coupling
+    cc = None
+    if near_dup_threshold is not None:
+        from data_toolz_spark.operators.dedup import (
+            connected_components,
+            minhash_near_duplicates,
+        )
+
+        pairs = minhash_near_duplicates(
+            out, id_col, text_col, threshold=near_dup_threshold
+        )
+        cc = connected_components(pairs)
+        drops = cc.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(drops, on=id_col, how="left_anti")
+
+    # 4. benchmark decontamination (optional)
+    if eval_df is not None:
+        from data_toolz_spark.operators.decontamination import (
+            ngram_decontaminate,
+        )
+
+        flagged = ngram_decontaminate(
+            out,
+            eval_df,
+            id_col=id_col,
+            text_col=text_col,
+            n=decontaminate_n,
+        ).select(id_col)
+        out = out.join(flagged, on=id_col, how="left_anti")
+
+    # 5. deterministic split — leakage-safe when a component map exists
+    fracs = dict(fractions or {"train": 0.98, "val": 0.01, "test": 0.01})
+    if cc is not None:
+        from data_toolz_spark.operators.sampling import component_split
+
+        out = component_split(
+            out,
+            id_col=id_col,
+            fractions=fracs,
+            seed=seed,
+            components=cc,
+        )
+    else:
+        from data_toolz_spark.operators.sampling import hash_split
+
+        out = hash_split(out, [id_col], fracs, seed=seed)
+
+    # 6. context-window chunking (optional)
+    if chunk_max_words is not None:
+        from data_toolz_spark.operators.text_analysis import chunk_documents
+
+        splits = out.select(id_col, "split")
+        chunks = chunk_documents(
+            out,
+            id_col=id_col,
+            text_col=text_col,
+            max_words=chunk_max_words,
+            overlap=chunk_overlap,
+        )
+        out = chunks.join(splits, on=id_col)
+
+        # 7. token-budget packing for shard assembly (optional)
+        if pack_budget is not None:
+            from data_toolz_spark.operators.sampling import pack_greedy
+
+            out = out.withColumn(
+                "__chunk_key",
+                F.concat_ws("#", F.col(id_col), F.col("chunk_index")),
+            )
+            out = pack_greedy(
+                out,
+                id_col="__chunk_key",
+                token_col="n_words",
+                budget=pack_budget,
+                seed=seed,
+            ).drop("__chunk_key")
+    elif pack_budget is not None:
+        raise ValueError("pack_budget requires chunk_max_words")
+
+    return out
+
+
+def stage_counts(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    **kwargs,
+) -> dict[str, int]:
+    """Audit helper: row count surviving each pipeline stage.
+
+    Runs the pipeline several times with later stages disabled — one
+    action per stage, for sign-off reports at modest scale (use the
+    single-plan :func:`prepare_training_corpus` for production runs).
+    """
+    base = dict(kwargs)
+    counts: dict[str, int] = {"raw": docs.count()}
+    counts["quality"] = prepare_training_corpus(
+        docs,
+        None,
+        **{
+            **base,
+            "near_dup_threshold": None,
+            "line_dedup_max_doc_freq": None,
+            "chunk_max_words": None,
+            "pack_budget": None,
+        },
+    ).count()
+    if base.get("line_dedup_max_doc_freq") is not None:
+        counts["line_dedup"] = prepare_training_corpus(
+            docs,
+            None,
+            **{
+                **base,
+                "near_dup_threshold": None,
+                "chunk_max_words": None,
+                "pack_budget": None,
+            },
+        ).count()
+    if base.get("near_dup_threshold", 0.8) is not None:
+        counts["near_dup"] = prepare_training_corpus(
+            docs,
+            None,
+            **{**base, "chunk_max_words": None, "pack_budget": None},
+        ).count()
+    if eval_df is not None:
+        counts["decontaminated"] = prepare_training_corpus(
+            docs,
+            eval_df,
+            **{**base, "chunk_max_words": None, "pack_budget": None},
+        ).count()
+    final = prepare_training_corpus(docs, eval_df, **base)
+    counts["final"] = final.count()
+    return counts
+
+
+__all__ = ["prepare_training_corpus", "stage_counts"]

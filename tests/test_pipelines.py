@@ -1,0 +1,162 @@
+"""End-to-end training-corpus pipeline: stage composition, leakage
+safety, determinism, and the shared-CC coupling between dedup and
+split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_toolz_spark.pipelines import prepare_training_corpus, stage_counts
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic corpus with every hazard the pipeline must handle:
+    a near-dup cluster, shared boilerplate, a benchmark leak, junk."""
+    def body(tag: str) -> str:
+        return " ".join(f"{tag}{i % 37} w{tag}{i % 11}" for i in range(60))
+
+    near_a = "the quick brown fox " + body("na")
+    near_b = "the quick brown fox " + body("na") + " extra tail words here"
+    banner = "SHARED COOKIE BANNER LINE"
+    rows = [
+        (1, near_a),
+        (2, near_b),                       # near-dup of 1
+        (3, banner + "\nalpha document body " + body("al")),
+        (4, banner + "\nbeta document body " + body("be")),
+        (5, banner + "\ngamma document body " + body("ga")),
+        (6, "leaky document containing the benchmark passage about rivers "
+            "and maps " + body("lk")),
+        (7, "x"),                          # fails quality (too short)
+        (8, "standalone healthy document " + body("sa")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark):
+    return spark.createDataFrame(
+        [(100, "an essay: the benchmark passage about rivers and maps")],
+        "doc_id long, text string",
+    )
+
+
+def test_full_pipeline_stages_compose(spark, corpus, eval_df):
+    out = prepare_training_corpus(
+        corpus,
+        eval_df,
+        quality_thresholds={"min_tokens": 5},
+        line_dedup_max_doc_freq=2,
+        near_dup_threshold=0.8,
+        decontaminate_n=5,
+        fractions=FRACS,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 7 not in rows            # quality-dropped
+    assert 6 not in rows            # decontaminated (5-gram leak)
+    assert not ({1, 2} <= set(rows))  # near-dup cluster: one survivor
+    survivor = 1 if 1 in rows else 2
+    assert rows[survivor]["split"] in FRACS
+    # boilerplate banner removed from the 3-doc sharers, bodies kept
+    for i in (3, 4, 5):
+        assert "SHARED COOKIE BANNER LINE" not in rows[i]["text"]
+        assert "document body" in rows[i]["text"]
+    assert set(out.columns) == set(corpus.columns) | {"split"}
+
+
+def test_pipeline_is_deterministic(spark, corpus, eval_df):
+    kwargs = dict(
+        quality_thresholds={"min_tokens": 5},
+        line_dedup_max_doc_freq=2,
+        near_dup_threshold=0.8,
+        decontaminate_n=5,
+        fractions=FRACS,
+    )
+    a = sorted(
+        (r["doc_id"], r["split"])
+        for r in prepare_training_corpus(corpus, eval_df, **kwargs).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in prepare_training_corpus(corpus, eval_df, **kwargs).collect()
+    )
+    assert a == b
+
+
+def test_near_dups_never_straddle_splits(spark, documents):
+    """On the real testdata: every minhash near-dup pair of the
+    SURVIVING corpus must sit inside one split (the shared-CC
+    coupling working end-to-end)."""
+    from data_toolz_spark.operators.dedup import minhash_near_duplicates
+
+    out = prepare_training_corpus(
+        documents,
+        None,
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8,
+        fractions=FRACS,
+    ).select("doc_id", "split", "text")
+    pairs = minhash_near_duplicates(out, "doc_id", "text", threshold=0.8)
+    sa = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddling = (
+        pairs.join(sa, on="id_a").join(sb, on="id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddling == 0
+
+
+def test_pipeline_chunking_and_packing(spark, corpus):
+    out = prepare_training_corpus(
+        corpus,
+        None,
+        quality_thresholds={"min_tokens": 5},
+        near_dup_threshold=None,
+        chunk_max_words=16,
+        chunk_overlap=4,
+        pack_budget=64,
+        fractions=FRACS,
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= 16
+        assert len(r["chunk_text"].split()) == r["n_words"]
+        assert r["split"] in FRACS
+        assert r["pack_bin"]["shard"] is not None
+    # a document's chunks all inherit its split
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_doc.values())
+
+
+def test_pack_requires_chunking(spark, corpus):
+    with pytest.raises(ValueError, match="pack_budget"):
+        prepare_training_corpus(corpus, None, pack_budget=64)
+
+
+def test_stage_counts_monotonic(spark, corpus, eval_df):
+    counts = stage_counts(
+        corpus,
+        eval_df,
+        quality_thresholds={"min_tokens": 5},
+        line_dedup_max_doc_freq=2,
+        near_dup_threshold=0.8,
+        decontaminate_n=5,
+        fractions=FRACS,
+    )
+    assert counts["raw"] == 8
+    order = [
+        counts["raw"],
+        counts["quality"],
+        counts["near_dup"],
+        counts["decontaminated"],
+        counts["final"],
+    ]
+    assert order == sorted(order, reverse=True)
+    assert counts["final"] >= 1
