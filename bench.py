@@ -182,6 +182,30 @@ def _x_decon_hashed(spark, sf_dir):
     )
 
 
+def _x_prepare_corpus(spark, sf_dir):
+    """The full end-to-end training-corpus pipeline (quality → line
+    dedup → near-dup removal → decontamination → leakage-safe split →
+    chunk → pack) as ONE plan over the documents table — the number a
+    production deployment actually cares about."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.pipelines import prepare_training_corpus
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return prepare_training_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 20 == 0).select("text"),
+        quality_thresholds={"min_tokens": 5},
+        line_dedup_max_doc_freq=20,
+        near_dup_threshold=0.8,
+        decontaminate_n=8,
+        chunk_max_words=64,
+        chunk_overlap=8,
+        pack_budget=2048,
+        line_sep=" ",
+    )
+
+
 # timed after the registry sweep; never part of the headline total
 EXTRAS = {
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
@@ -189,6 +213,7 @@ EXTRAS = {
     "x_ivf_topk_probe4": _x_ivf_topk,
     "x_topk_int8_dequant": _x_topk_int8,
     "x_decon_hashed": _x_decon_hashed,
+    "x_prepare_corpus": _x_prepare_corpus,
 }
 
 
