@@ -1,61 +1,140 @@
 """Large-scale LLM-data-pipeline operators (SURVEY §2.9 extensions)."""
 
 from data_toolz_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
-    minhash_signature,
-    minhash_near_duplicates,
-    simhash32,
     exact_jaccard_pairs,
+    minhash_near_duplicates,
+    minhash_signature,
+    near_duplicate_drop_list,
+    simhash32,
+    simhash_band_pairs,
 )
 from data_toolz_spark.operators.similarity import (
-    cosine_topk,
-    lsh_bucket,
-    cosine_topk_ann,
     cosine_near_duplicates,
+    cosine_near_duplicates_lsh,
+    cosine_topk,
+    cosine_topk_ann,
+    ivf_topk,
+    lsh_bucket,
 )
 from data_toolz_spark.operators.text_analysis import (
+    chunk_documents,
+    fingerprint,
+    keep_document,
     language_id,
+    line_dedup,
     quality_features,
+    redact_artifacts,
+    repetition_features,
     token_stats,
+    web_artifact_features,
+)
+from data_toolz_spark.operators.decontamination import (
+    decontaminated,
+    eval_gram_set,
+    ngram_decontaminate,
+)
+from data_toolz_spark.operators.sampling import (
+    component_split,
+    hash_split,
+    mixture_rates,
+    mixture_sample,
+    pack_greedy,
+    split_column,
+    stratified_sample,
+)
+from data_toolz_spark.operators.incremental import (
+    append_to_catalog,
+    append_to_minhash_index,
+    build_fingerprint_catalog,
+    build_minhash_index,
+    incremental_near_duplicates,
+    novel_documents,
 )
 from data_toolz_spark.operators.windows import (
-    sessionize,
-    session_stats,
-    running_total,
     asof_join,
+    running_total,
+    session_stats,
+    sessionize,
 )
 from data_toolz_spark.operators.skew import (
-    salted_aggregate,
     replicate_hot_keys_join,
+    salted_aggregate,
 )
 from data_toolz_spark.operators.multimodal import (
+    audio_features,
     decode_media,
+    decode_png,
+    encode_png,
+    fake_audio_table,
+    fake_media_table,
     resize_media,
     sample_frames,
-    fake_media_table,
 )
 
 __all__ = [
-    "salted_aggregate",
-    "replicate_hot_keys_join",
-    "session_stats",
+    # dedup
+    "connected_components",
+    "dedup_exact",
+    "exact_jaccard_pairs",
+    "minhash_near_duplicates",
+    "minhash_signature",
+    "near_duplicate_drop_list",
+    "simhash32",
+    "simhash_band_pairs",
+    # similarity
+    "cosine_near_duplicates",
+    "cosine_near_duplicates_lsh",
+    "cosine_topk",
+    "cosine_topk_ann",
+    "ivf_topk",
+    "lsh_bucket",
+    # text analysis
+    "chunk_documents",
+    "fingerprint",
+    "keep_document",
+    "language_id",
+    "line_dedup",
+    "quality_features",
+    "redact_artifacts",
+    "repetition_features",
+    "token_stats",
+    "web_artifact_features",
+    # decontamination
+    "decontaminated",
+    "eval_gram_set",
+    "ngram_decontaminate",
+    # sampling / splitting / packing
+    "component_split",
+    "hash_split",
+    "mixture_rates",
+    "mixture_sample",
+    "pack_greedy",
+    "split_column",
+    "stratified_sample",
+    # incremental state
+    "append_to_catalog",
+    "append_to_minhash_index",
+    "build_fingerprint_catalog",
+    "build_minhash_index",
+    "incremental_near_duplicates",
+    "novel_documents",
+    # windows
+    "asof_join",
     "running_total",
+    "session_stats",
+    "sessionize",
+    # skew
+    "replicate_hot_keys_join",
+    "salted_aggregate",
+    # multimodal
+    "audio_features",
     "decode_media",
+    "decode_png",
+    "encode_png",
+    "fake_audio_table",
+    "fake_media_table",
     "resize_media",
     "sample_frames",
-    "fake_media_table",
-    "dedup_exact",
-    "minhash_signature",
-    "minhash_near_duplicates",
-    "simhash32",
-    "exact_jaccard_pairs",
-    "cosine_topk",
-    "lsh_bucket",
-    "cosine_topk_ann",
-    "cosine_near_duplicates",
-    "language_id",
-    "quality_features",
-    "token_stats",
-    "sessionize",
-    "asof_join",
 ]
