@@ -1253,10 +1253,14 @@ def sampling_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_toolz_spark.operators.sampling import (
         hash_split,
+        mixture_sample,
         stratified_sample,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    full = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    docs = full.select("doc_id", "lang")
     assigned = hash_split(
         docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
     )
@@ -1264,8 +1268,25 @@ def sampling_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stratified_sample(
         docs, ["lang"], rates, key_cols=["doc_id"]
     ).select("doc_id", F.lit(1).alias("sampled"))
-    flagged = assigned.join(kept, on="doc_id", how="left").na.fill(
-        {"sampled": 0}
+    # r5 extension: temperature-2 mixture over `source` with tagged
+    # upsampling — the materialized per-doc copy count attests the
+    # deterministic mixture path the same way split/sampled do
+    n_total = full.count()
+    mixed = mixture_sample(
+        full.select("doc_id", "source"),
+        "source",
+        target_rows=n_total,
+        temperature=2.0,
+        key_cols=["doc_id"],
+        allow_upsample=True,
+    )
+    copies = mixed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("mix_copies")
+    )
+    flagged = (
+        assigned.join(kept, on="doc_id", how="left")
+        .join(copies, on="doc_id", how="left")
+        .na.fill({"sampled": 0, "mix_copies": 0})
     )
     path = "/tmp/dtz_split_assignment"
     flagged.write.mode("overwrite").parquet(path)
@@ -1275,13 +1296,15 @@ def sampling_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_id").alias("sum_ids"),
+            F.sum("mix_copies").alias("sum_copies"),
         )
     )
 
 
 _SPLIT_COUNTS_SQL = """
 SELECT split, lang, sampled, COUNT(*) AS n_docs,
-       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(mix_copies) AS BIGINT) AS sum_copies
 FROM read_parquet('/tmp/dtz_split_assignment/*.parquet')
 GROUP BY split, lang, sampled
 """
