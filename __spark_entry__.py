@@ -1417,13 +1417,42 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token counts via the BPE-style regex."""
+    """Sub-word-ish token counts via the BPE-style regex, plus (r5)
+    context-window chunking attested value-for-value: per document the
+    chunk count and an md5 over the in-order chunk texts (24-word
+    windows, overlap 6) — the oracle rebuilds the identical windows in
+    SQL, so X33's whole split/overlap/reassembly semantics are
+    hash-verified, not just row-counted."""
     from data_toolz_spark.functions.text import bpe_token_count, token_count
+    from data_toolz_spark.operators.text_analysis import chunk_documents
 
-    return load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
         "doc_id",
         token_count("text").alias("ws_tokens"),
         bpe_token_count("text").alias("bpe_tokens"),
+    )
+    chunks = chunk_documents(docs, max_words=24, overlap=6)
+    agg = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_index", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                "\x1f",
+            )
+        ).alias("chunks_md5"),
+    )
+    return base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("chunks_md5", F.md5(F.lit(""))).alias("chunks_md5"),
     )
 
 
@@ -2300,12 +2329,32 @@ FROM events GROUP BY user_id
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "text_bpe_tokens": rf"""
-SELECT doc_id,
-  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
-    AS ws_tokens,
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wl,
+         text
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i,
+         array_to_string(wl[(i-1)*18+1 : (i-1)*18+24], ' ') AS txt
+  FROM w,
+       unnest(generate_series(
+         1, greatest(CAST(ceil((len(wl) - 6) / 18.0) AS INT), 1))) t(i)
+  WHERE len(wl) > 0
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         md5(string_agg(txt, chr(31) ORDER BY i)) AS chunks_md5
+  FROM ch GROUP BY doc_id
+)
+SELECT w.doc_id,
+  len(wl)::BIGINT AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
-    AS bpe_tokens
-FROM documents
+    AS bpe_tokens,
+  COALESCE(agg.n_chunks, 0)::BIGINT AS n_chunks,
+  COALESCE(agg.chunks_md5, md5('')) AS chunks_md5
+FROM w LEFT JOIN agg USING (doc_id)
 """,
         "multimodal_decode": """
 WITH dims AS (
