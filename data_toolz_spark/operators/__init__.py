@@ -46,10 +46,13 @@ from data_toolz_spark.operators.sampling import (
 )
 from data_toolz_spark.operators.incremental import (
     append_to_catalog,
+    append_to_ivf_index,
     append_to_minhash_index,
     build_fingerprint_catalog,
+    build_ivf_index,
     build_minhash_index,
     incremental_near_duplicates,
+    ivf_query_index,
     novel_documents,
 )
 from data_toolz_spark.operators.windows import (
@@ -115,7 +118,10 @@ __all__ = [
     "stratified_sample",
     # incremental state
     "append_to_catalog",
+    "append_to_ivf_index",
     "append_to_minhash_index",
+    "build_ivf_index",
+    "ivf_query_index",
     "build_fingerprint_catalog",
     "build_minhash_index",
     "incremental_near_duplicates",

@@ -238,3 +238,133 @@ def test_incremental_minhash_ignores_empty_documents(spark, tmp_path):
     ), got
     for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
         spark.sql(f"DROP TABLE IF EXISTS mhidx_empty_{t}")
+
+
+def _drop_ivf_tables(spark, prefix):
+    """DROP + remove orphaned warehouse dirs (a fresh session's
+    in-memory metastore forgets tables, so DROP alone leaves the old
+    managed-table directory and the next save hits
+    LOCATION_ALREADY_EXISTS)."""
+    import os
+    import shutil
+
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(
+            os.path.join(os.getcwd(), "spark-warehouse", f"{prefix}_{t}"),
+            ignore_errors=True,
+        )
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _topk_sets(df):
+    """{query: [(corpus, cosine), ...]} sorted by (-cosine, corpus)."""
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(
+            (r["corpus_id"], r["cosine"])
+        )
+    return {
+        q: sorted(v, key=lambda t: (-t[1], t[0])) for q, v in out.items()
+    }
+
+
+def test_ivf_index_full_probe_equals_exact(spark, emb, tmp_path):
+    """n_probe == n_centroids degrades to exact search over the
+    indexed rows — same pin as the batch ivf_topk."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from data_toolz_spark.operators.similarity import cosine_topk
+
+    prefix = "t_ivf_a"
+    _drop_ivf_tables(spark, prefix)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    build_ivf_index(
+        corpus, prefix, dim=64, n_centroids=8,
+        path=str(tmp_path / "ivf_a"),
+    )
+    got = ivf_query_index(
+        spark, queries, prefix, k=10, n_probe=8
+    )
+    want = cosine_topk(
+        queries, corpus, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+    assert _topk_sets(got) == _topk_sets(want)
+
+
+def test_ivf_index_append_then_query_and_stable_centroids(
+    spark, emb, tmp_path
+):
+    from data_toolz_spark.operators.incremental import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from data_toolz_spark.operators.similarity import cosine_topk
+
+    prefix = "t_ivf_b"
+    _drop_ivf_tables(spark, prefix)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    build_ivf_index(
+        half_a, prefix, dim=64, n_centroids=8,
+        path=str(tmp_path / "ivf_b"),
+    )
+    before = {
+        r["cell"]: tuple(r["vector"])
+        for r in spark.table(f"{prefix}_ivf_centroids").collect()
+    }
+    append_to_ivf_index(spark, half_b, prefix)
+    after = {
+        r["cell"]: tuple(r["vector"])
+        for r in spark.table(f"{prefix}_ivf_centroids").collect()
+    }
+    assert before == after  # appends never retrain
+    got = ivf_query_index(spark, queries, prefix, k=10, n_probe=8)
+    want = cosine_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+    assert _topk_sets(got) == _topk_sets(want)
+    # the inverted file now holds every vector exactly once
+    n = spark.table(f"{prefix}_ivf_inv").count()
+    assert n == emb.count()
+
+
+def test_ivf_index_probe_prunes_partitions(spark, emb, tmp_path):
+    """The serving contract: a partial probe must reach the inverted
+    file as a PARTITION filter on cell — unprobed cells stay unread."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    prefix = "t_ivf_c"
+    _drop_ivf_tables(spark, prefix)
+    build_ivf_index(
+        emb, prefix, dim=64, n_centroids=8,
+        path=str(tmp_path / "ivf_c"),
+    )
+    q = ivf_query_index(
+        spark, emb.filter(F.col("vec_id") < 3), prefix, k=5, n_probe=2
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    # the inverted-file scan block must carry a partition filter on
+    # cell (static isin from the probed-cell union; Spark may add a
+    # dynamic-pruning expression on top)
+    blocks = plan.split("\n\n")
+    inv_blocks = [b for b in blocks if f"{prefix}_ivf_inv" in b]
+    assert inv_blocks, plan
+    assert any(
+        "PartitionFilters" in b and "cell" in b.split("PartitionFilters")[1]
+        for b in inv_blocks
+    ), inv_blocks
