@@ -198,3 +198,70 @@ def test_dedup_stream_suppresses_replayed_events(spark, tmp_path):
     assert (
         got.filter(F.col("event_id") == 10).first()["value"] == 10.0
     )
+
+
+def test_streaming_dedup_ingest_across_cycles(spark, tmp_path):
+    """Two ingestion cycles over a growing file source: every unique
+    text reaches the corpus exactly once, including duplicates that
+    arrive in a LATER cycle than their original."""
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+    )
+    from data_toolz_spark.streaming.ingest import run_dedup_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = "t_ingest_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {catalog}")
+    import os
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(os.getcwd(), "spark-warehouse", catalog),
+        ignore_errors=True,
+    )
+    # seed the catalog from an empty frame: everything starts novel
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_fingerprint_catalog(
+        empty, catalog, n_buckets=4, path=str(tmp_path / "cat")
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon zeta"),
+            (3, "alpha beta gamma"),   # within-batch dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_dedup_ingest(
+        stream, catalog_table=catalog, output_path=out, checkpoint_dir=ckpt
+    )
+    got1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1: "alpha beta gamma", 2: "delta epsilon zeta"}
+
+    # cycle 2: a cross-cycle dup (of doc 1) + one genuinely new doc
+    batch2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),   # dup of cycle-1 content
+            (11, "eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_dedup_ingest(
+        stream2, catalog_table=catalog, output_path=out, checkpoint_dir=ckpt
+    )
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {
+        1: "alpha beta gamma",
+        2: "delta epsilon zeta",
+        11: "eta theta iota",
+    }
+    # and the catalog holds exactly the three unique fingerprints
+    assert spark.table(catalog).count() == 3
+    spark.sql(f"DROP TABLE IF EXISTS {catalog}")
