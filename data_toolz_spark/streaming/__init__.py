@@ -1,17 +1,23 @@
 """Structured Streaming operators (extension surface; SURVEY §2.9 X6)."""
 
 from data_toolz_spark.streaming.events import (
+    dedup_stream,
     read_events_stream,
-    windowed_event_counts,
-    sessionize_stream,
-    running_user_totals_stream,
     run_to_memory_sink,
+    run_to_parquet_sink,
+    running_user_totals_stream,
+    sessionize_stream,
+    windowed_event_counts,
 )
+from data_toolz_spark.streaming.ingest import run_dedup_ingest
 
 __all__ = [
+    "dedup_stream",
     "read_events_stream",
-    "windowed_event_counts",
-    "sessionize_stream",
-    "running_user_totals_stream",
+    "run_dedup_ingest",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
+    "running_user_totals_stream",
+    "sessionize_stream",
+    "windowed_event_counts",
 ]
