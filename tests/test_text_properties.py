@@ -135,3 +135,45 @@ def test_line_dedup_matches_python_oracle(spark, docs, max_doc_freq):
         )]
         removed = len(raw) - len(kept)
         assert got[i] == ("\n".join(kept), len(raw), removed), (i, raw)
+
+
+# -- n-gram construction: the zip_with formulation vs brute force -----------
+
+word_strategy = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "x1", "0", "bb"]),  # dups included
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    docs=st.lists(word_strategy, min_size=1, max_size=8),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_gram_construction_matches_bruteforce(spark, docs, n):
+    """_grams_of_words builds grams via n-1 chained zip_with passes
+    with a truncating slice — property-pinned against the obvious
+    Python set-of-joined-windows oracle, covering n=1, docs shorter
+    than n, and duplicate grams (array_distinct)."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.decontamination import (
+        _grams_of_words,
+        _words,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["g"])
+        for r in df.select(
+            "doc_id",
+            _grams_of_words(_words(F.col("text")), n).alias("g"),
+        ).collect()
+    }
+    for i, ws in enumerate(docs):
+        expect = sorted(
+            {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+        )
+        assert got[i] == expect, (i, ws, n)
