@@ -950,6 +950,26 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(load(spark, sf_dir, "documents"))
 
 
+def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: deterministic top-24 vocabulary (the cut lands inside a tf tie at sf0.01, attesting the deterministic boundary) with term + document
+    frequency — the vocab-trainer input, cut by (tf DESC, token ASC)
+    so the boundary is reproducible.  Plans as one explode → one
+    partial-combined hash aggregate → TakeOrderedAndProject."""
+    from data_toolz_spark.operators.text_analysis import build_vocab
+
+    return build_vocab(
+        load(spark, sf_dir, "documents"),
+        "text",
+        doc_id_col="doc_id",
+        top_v=24,
+    ).select(
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def win_user_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: gap-based sessionization (30 min) per user."""
     from data_toolz_spark.operators.windows import session_stats
@@ -1692,7 +1712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "join_shipping_priority": join_shipping_priority,
         "join_region_volume": join_region_volume,
-        "q4_order_priority": q4_order_priority,
+        # q4_order_priority folded r5 → its EXISTS-as-semi-join shape
+        # stays attested by join_semi_parts (left-semi) and X19 keeps
+        # q18's aggregate-HAVING path; callable pinned in
+        # tests/test_contract.py.  Slot freed for text_vocab_topk.
+        "text_vocab_topk": text_vocab_topk_q,
         "q18_large_orders": q18_large_orders,
         "join_anti_customers": join_anti_customers,
         "join_semi_parts": join_semi_parts,
@@ -2162,12 +2186,24 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
-        "q4_order_priority": (
-            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
-            "WHERE EXISTS (SELECT 1 FROM lineitem "
-            "WHERE l_orderkey = o_orderkey AND l_quantity > 48) "
-            "GROUP BY o_orderpriority"
-        ),
+        # q4_order_priority oracle retired with its qid (folded r5)
+        "text_vocab_topk": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token,
+       COUNT(*)::BIGINT AS tf,
+       COUNT(DISTINCT doc_id)::BIGINT AS doc_freq,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token) AS INTEGER)
+         AS rank
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 24
+""",
         "q18_large_orders": """
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
 FROM (

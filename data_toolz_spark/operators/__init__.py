@@ -19,6 +19,7 @@ from data_toolz_spark.operators.similarity import (
     lsh_bucket,
 )
 from data_toolz_spark.operators.text_analysis import (
+    build_vocab,
     chunk_documents,
     fingerprint,
     keep_document,
@@ -28,6 +29,7 @@ from data_toolz_spark.operators.text_analysis import (
     redact_artifacts,
     repetition_features,
     token_stats,
+    vocab_coverage,
     web_artifact_features,
 )
 from data_toolz_spark.operators.decontamination import (
@@ -94,6 +96,8 @@ __all__ = [
     "ivf_topk",
     "lsh_bucket",
     # text analysis
+    "build_vocab",
+    "vocab_coverage",
     "chunk_documents",
     "fingerprint",
     "keep_document",

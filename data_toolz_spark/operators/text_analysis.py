@@ -479,6 +479,113 @@ def chunk_documents(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    doc_id_col: str | None = None,
+    top_v: int | None = None,
+    min_count: int = 1,
+    lowercase: bool = True,
+    rank_col: str | None = "rank",
+) -> DataFrame:
+    """Corpus vocabulary: token frequency table, optionally truncated
+    to a deterministic top-V — the input a tokenizer/vocab trainer
+    needs from a 100 TB corpus.
+
+    Scale shape: one ``explode`` → one hash aggregate with map-side
+    partial combine (only (token, partial count) pairs cross the
+    shuffle — bounded by DISTINCT vocabulary per task, not corpus
+    tokens).  ``doc_id_col`` adds document frequency via Spark's
+    two-phase distinct-aggregate rewrite; omit it to skip that second
+    shuffle when only term frequency matters.  ``top_v`` plans as
+    ``TakeOrderedAndProject`` (per-partition top-V + one small merge,
+    never a global sort); ties at the cut break deterministically by
+    (tf DESC, token ASC), so the selected set is reproducible.
+    ``rank_col`` (top-V only) numbers the ≤ V survivors with a window
+    over the already-limited frame — single-partition by construction,
+    but over at most ``top_v`` rows, never the corpus.
+
+    Output: ``token, tf[, doc_freq][, rank]``.
+    """
+    if top_v is not None and top_v <= 0:
+        raise ValueError("build_vocab: top_v must be positive")
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    sel = [F.explode(tokens(txt)).alias("token")]
+    if doc_id_col:
+        sel.append(F.col(doc_id_col).alias("__doc"))
+    base = df.select(*sel)
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if doc_id_col:
+        aggs.append(F.count_distinct(F.col("__doc")).alias("doc_freq"))
+    vocab = base.groupBy("token").agg(*aggs)
+    if min_count > 1:
+        vocab = vocab.filter(F.col("tf") >= F.lit(min_count))
+    if top_v is not None:
+        vocab = vocab.orderBy(
+            F.col("tf").desc(), F.col("token").asc()
+        ).limit(top_v)
+        if rank_col:
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+            vocab = vocab.withColumn(rank_col, F.row_number().over(w))
+    return vocab
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    *,
+    group_cols: tuple[str, ...] = (),
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token coverage of a vocabulary over a corpus: the fraction of
+    corpus token OCCURRENCES found in ``vocab`` (the standard
+    tokenizer-eval metric; 1 − coverage = OOV rate).
+
+    The vocab side (≤ a few hundred thousand rows) broadcasts; the
+    corpus side is one explode + map-side hash join + one aggregate —
+    the corpus never shuffles.  Optional ``group_cols`` (e.g. lang)
+    report coverage per group in the same single pass.
+
+    Output: ``group_cols + [total_tokens, covered_tokens, coverage]``
+    (coverage truncated to 4 decimals for cross-engine comparability).
+    """
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(tokens(txt)).alias("token"),
+    )
+    marked = base.join(
+        F.broadcast(vocab.select("token").distinct().withColumn(
+            "__in", F.lit(1)
+        )),
+        on="token",
+        how="left",
+    )
+    total = F.count(F.lit(1))
+    covered = F.sum(F.coalesce(F.col("__in"), F.lit(0)))
+    grouped = marked.groupBy(*group_cols) if group_cols else marked.groupBy()
+    return grouped.agg(
+        total.alias("total_tokens"),
+        covered.cast("long").alias("covered_tokens"),
+        (
+            F.floor(
+                covered.cast("double")
+                / F.greatest(total, F.lit(1)).cast("double")
+                * 10000
+            )
+            / 10000
+        ).alias("coverage"),
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -490,6 +597,8 @@ __all__ = [
     "keep_document",
     "line_dedup",
     "chunk_documents",
+    "build_vocab",
+    "vocab_coverage",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
     "normalized_text",

@@ -62,6 +62,7 @@ def test_folded_callables_still_run(spark):
         entrymod.win_ntile_quartiles,     # r5 → win_ordered_analytics
         entrymod.text_quality_q,          # r5 → text_web_signals
         entrymod.part_distinct,           # r3 → agg_partition_rowcounts
+        entrymod.q4_order_priority,       # r5 → join_semi_parts + q18
     ]
     for fn in folded:
         df = fn(spark, "/root/testdata/sf0.001")
