@@ -207,7 +207,24 @@ def _x_prepare_corpus(spark, sf_dir):
 
 
 # timed after the registry sweep; never part of the headline total
+def _x_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table: 8-cell
+    quantizer, θ=0.6, centroid_far keep policy — the clustered-scope
+    Gram-kernel path a web-scale curation run would use."""
+    from data_toolz_spark.operators.similarity import semantic_dedup
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        id_col="vec_id",
+        threshold=0.6,
+        n_centroids=8,
+        keep="centroid_far",
+    )
+
+
 EXTRAS = {
+    "x_semantic_dedup": _x_semantic_dedup,
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
     "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,
     "x_ivf_topk_probe4": _x_ivf_topk,

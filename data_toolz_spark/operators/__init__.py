@@ -17,6 +17,7 @@ from data_toolz_spark.operators.similarity import (
     cosine_topk_ann,
     ivf_topk,
     lsh_bucket,
+    semantic_dedup,
 )
 from data_toolz_spark.operators.text_analysis import (
     build_vocab,
@@ -95,6 +96,7 @@ __all__ = [
     "cosine_topk_ann",
     "ivf_topk",
     "lsh_bucket",
+    "semantic_dedup",
     # text analysis
     "build_vocab",
     "vocab_coverage",
