@@ -58,6 +58,11 @@ from data_toolz_spark.operators.incremental import (
     ivf_query_index,
     novel_documents,
 )
+from data_toolz_spark.operators.urls import (
+    canonical_url,
+    extract_urls,
+    url_dedup,
+)
 from data_toolz_spark.operators.windows import (
     asof_join,
     running_total,
@@ -132,6 +137,10 @@ __all__ = [
     "build_minhash_index",
     "incremental_near_duplicates",
     "novel_documents",
+    # urls
+    "canonical_url",
+    "extract_urls",
+    "url_dedup",
     # windows
     "asof_join",
     "running_total",

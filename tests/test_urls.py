@@ -1,0 +1,142 @@
+"""URL canonicalization + dedup: Spark ≡ DuckDB differential over a
+hand-built corpus of canonicalization cases, plus drop-list semantics.
+
+The synthetic documents table contains no URLs, so attestation here is
+the differential test — the same pure-regex formula evaluated by both
+engines must agree byte-for-byte on every case.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.urls import (
+    canonical_url,
+    extract_urls,
+    url_dedup,
+)
+
+CASES = [
+    # (id, raw url)
+    (1, "HTTP://WWW.Example.com:80/a/b/?utm_source=x&b=1#frag"),
+    (2, "http://example.com/a/b?b=1"),
+    (3, "https://Example.COM:443/"),
+    (4, "https://example.com"),
+    (5, "https://example.com/path/?z=2&a=1"),
+    (6, "https://example.com/path?a=1&z=2"),
+    (7, "https://example.com/path?a=1&z=2&fbclid=zzz&gclid=q"),
+    (8, "https://sub.example.com/path"),
+    (9, "not a url"),
+    (10, "ftp://example.com/file"),  # non-http scheme still parses
+    (11, "https://example.com/x)."),  # trailing prose punctuation
+    (12, "https://example.com/x"),
+    (13, "http://example.com:8080/x"),  # non-default port kept
+    (14, "https://example.com/?utm_campaign=a&utm_medium=b"),
+    (15, "https://example.com/a//"),
+    (16, "https://example.com/search?q=a+b&ref=home"),
+]
+
+# the same formula, DuckDB dialect
+DUCK_CANON = r"""
+WITH s AS (
+  SELECT id, regexp_replace(url, '[.,;:!?)''"\]]+$', '') AS u FROM t
+), p AS (
+  SELECT id, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\.', ''), ':(80|443)$', '') AS host,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+  FROM s
+), q AS (
+  SELECT id, scheme, host,
+    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+    )) AS params
+  FROM p
+)
+SELECT id,
+  CASE WHEN scheme <> '' AND host <> ''
+       THEN scheme || '://' || host || path ||
+            CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END
+  END AS canonical
+FROM q ORDER BY id
+"""
+
+
+def test_canonical_matches_duckdb(spark):
+    df = spark.createDataFrame(CASES, ["id", "url"])
+    got = {
+        r["id"]: r["canonical"]
+        for r in df.select(
+            "id", canonical_url("url").alias("canonical")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", CASES)
+    want = dict(con.execute(DUCK_CANON).fetchall())
+    assert got == want
+
+
+def test_canonical_specific_forms(spark):
+    df = spark.createDataFrame(CASES, ["id", "url"])
+    got = {
+        r["id"]: r["canonical"]
+        for r in df.select(
+            "id", canonical_url("url").alias("canonical")
+        ).collect()
+    }
+    assert got[1] == "http://example.com/a/b?b=1"  # == case 2
+    assert got[1] == got[2]
+    assert got[3] == "https://example.com"
+    assert got[3] == got[4]
+    assert got[5] == got[6] == "https://example.com/path?a=1&z=2"
+    assert got[7] == got[6]  # tracking params dropped
+    assert got[8] == "https://sub.example.com/path"  # subdomain kept
+    assert got[9] is None
+    assert got[10] == "ftp://example.com/file"
+    assert got[11] == got[12] == "https://example.com/x"
+    assert got[13] == "http://example.com:8080/x"
+    assert got[14] == "https://example.com"
+    assert got[16] == "https://example.com/search?q=a+b"
+
+
+def test_url_dedup_drop_list(spark):
+    df = spark.createDataFrame(CASES, ["id", "url"])
+    drops = {
+        r["drop_id"]: r["kept_id"]
+        for r in url_dedup(df, id_col="id", url_col="url").collect()
+    }
+    # groups: {1,2}, {3,4,14}, {5,6,7}, {11,12}
+    assert drops == {2: 1, 4: 3, 14: 3, 6: 5, 7: 5, 12: 11}
+
+
+def test_extract_urls(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://a.com/x and http://b.org, ok"), (2, "none")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["u"] for r in df.select(
+        "id", extract_urls("text").alias("u")
+    ).collect()}
+    assert got[1] == ["https://a.com/x", "http://b.org,"]
+    assert got[2] == []
+
+
+def test_dedup_single_shuffle_codegen(spark):
+    df = spark.createDataFrame(CASES, ["id", "url"])
+    plan = (
+        url_dedup(df, id_col="id", url_col="url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan  # pure expressions, no UDFs
