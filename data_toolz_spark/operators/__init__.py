@@ -30,6 +30,7 @@ from data_toolz_spark.operators.text_analysis import (
     redact_artifacts,
     repetition_features,
     token_stats,
+    unigram_logprob,
     vocab_coverage,
     web_artifact_features,
 )
@@ -105,6 +106,7 @@ __all__ = [
     # text analysis
     "build_vocab",
     "vocab_coverage",
+    "unigram_logprob",
     "chunk_documents",
     "fingerprint",
     "keep_document",

@@ -586,6 +586,69 @@ def vocab_coverage(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    alpha: float = 1.0,
+    out_col: str = "nll",
+) -> DataFrame:
+    """Per-document mean negative log-probability under a unigram LM —
+    the CCNet-style fluency signal, with the corpus's own
+    :func:`build_vocab` output standing in for the KenLM model.
+
+    CCNet buckets a crawl into head/middle/tail by LM perplexity; the
+    unigram version keeps the same pipeline shape (score every doc
+    against a broadcast model, bucket on the score) while the "model"
+    is just ``(token, tf)`` rows.  Smoothing is add-``alpha``: an OOV
+    token costs ``-log(alpha / (N + alpha·(V+1)))`` — the most
+    expensive token in the model, so OOV-dense docs rank as tail.
+
+    Scale shape: the model broadcasts (it is a vocab, not a corpus),
+    the corpus side is one explode → map-side hash join → one
+    re-aggregation keyed by ``id_col`` — one shuffle of (id, partial
+    sums), never of text.  Docs with zero tokens get NULL.
+
+    Output: the (id, ``out_col``) score frame, ready for
+    ``win_ntile``-style bucketing or a threshold filter.
+    """
+    if alpha <= 0:
+        raise ValueError("unigram_logprob: alpha must be positive")
+    import math
+
+    stats = vocab.agg(
+        F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_tokens, v_size = int(stats["n"]), int(stats["v"])
+    denom = float(n_tokens) + alpha * (v_size + 1)
+    oov_nll = -math.log(alpha / denom)
+
+    model = F.broadcast(
+        vocab.select(
+            "token",
+            (-F.log((F.col("tf") + F.lit(alpha)) / F.lit(denom))).alias(
+                "__nll"
+            ),
+        )
+    )
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(txt)).alias("token")
+    )
+    scored = exploded.join(model, on="token", how="left").select(
+        id_col,
+        F.coalesce(F.col("__nll"), F.lit(oov_nll)).alias("__nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        (F.floor(F.avg("__nll") * 10000) / 10000).alias(out_col)
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -599,6 +662,7 @@ __all__ = [
     "chunk_documents",
     "build_vocab",
     "vocab_coverage",
+    "unigram_logprob",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
     "normalized_text",
