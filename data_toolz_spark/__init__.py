@@ -34,6 +34,7 @@ from data_toolz_spark.session import (
 )
 from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
+from data_toolz_spark.sources.maintenance import compact_dataset, dataset_stats
 from data_toolz_spark.fs import FsUtil
 from data_toolz_spark.logging import JsonLogger
 from data_toolz_spark.catalog import register_dataset, register_directory
@@ -48,6 +49,8 @@ __all__ = [
     "Filter",
     "compile_filter",
     "DataIO",
+    "compact_dataset",
+    "dataset_stats",
     "FsUtil",
     "JsonLogger",
     "register_dataset",
