@@ -919,12 +919,20 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry to keep the 50-qid cap.
     """
     from data_toolz_spark.operators.text_analysis import (
+        build_vocab,
         keep_document,
         redact_artifacts,
+        unigram_logprob,
     )
 
     docs = load(spark, sf_dir, "documents")
-    out = redact_artifacts(keep_document(docs), out_col="__red")
+    # r5: the CCNet-style fluency score joins the composite — the model
+    # is the corpus's own vocab, so every token is in-vocab here (the
+    # OOV path is pytest-pinned); zero-token docs carry NULL
+    nll = unigram_logprob(docs, build_vocab(docs), alpha=1.0)
+    out = redact_artifacts(keep_document(docs), out_col="__red").join(
+        nll, on="doc_id", how="left"
+    )
     return out.select(
         "doc_id",
         "n_tokens",
@@ -940,6 +948,7 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "artifact_ratio",
         F.col("keep").cast("long").alias("keep"),
         F.md5(F.encode(F.col("__red"), "UTF-8")).alias("redacted_fp"),
+        "nll",
     )
 
 
@@ -1893,7 +1902,24 @@ _URL_RE_SQL = "https?://[^\\s]+"
 _EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
 _WEB_SIGNALS_SQL = f"""
-WITH b AS (
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY token
+), vst AS (
+  SELECT SUM(tf) + 1.0 * (COUNT(*) + 1) AS denom FROM vocab
+), lm AS (
+  -- add-1 unigram NLL; the model is the corpus's own vocab, so
+  -- coalesce(tf,0) never fires here (OOV path is pytest-pinned)
+  SELECT tok.doc_id,
+         floor(AVG(-ln((COALESCE(vb.tf, 0) + 1.0) / vst.denom)) * 10000)
+           / 10000 AS nll
+  FROM tok JOIN vocab vb USING (token), vst
+  GROUP BY tok.doc_id
+), b AS (
   SELECT doc_id, text, lower(text) AS low, {_DD_TOKS} AS toks,
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                 l -> l <> '') AS lns
@@ -1947,8 +1973,9 @@ SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
         AND artifact_ratio <= 0.5
        THEN 1 ELSE 0 END AS BIGINT) AS keep,
   md5(regexp_replace(regexp_replace(text, '{_URL_RE_SQL}', '<URL>', 'g'),
-      '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')) AS redacted_fp
-FROM g
+      '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')) AS redacted_fp,
+  lm.nll AS nll
+FROM g LEFT JOIN lm USING (doc_id)
 """
 
 
