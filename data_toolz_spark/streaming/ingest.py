@@ -42,6 +42,7 @@ def run_dedup_ingest(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sketch_table: str | None = None,
 ) -> None:
     """Drain the available stream backlog into a deduplicated corpus.
 
@@ -53,10 +54,21 @@ def run_dedup_ingest(
     into the catalog.  ``availableNow`` drains then stops — rerun per
     ingestion cycle; the checkpoint carries source offsets so replayed
     files are never re-read.
+
+    ``sketch_table`` (optional) appends one HLL sketch row per batch —
+    ``(batch_id, n_rows, sketch)`` over the novel ids — so "how many
+    distinct documents has this corpus ever ingested" is a
+    ``rollup_sketches`` over the tiny stats table, never a corpus
+    scan (see ``functions.sketches``).  Like the sink append, the
+    stats row is at-least-once on epoch retry; HLL union makes a
+    replayed row idempotent in the ESTIMATE (same ids fold to the
+    same sketch), only ``n_rows`` can double-count a retried batch.
     """
     in_cols = stream_df.columns
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
         novel = novel_documents(
             spark,
@@ -65,10 +77,28 @@ def run_dedup_ingest(
             text_col=text_col,
             id_col=id_col,
         )
-        # one pass over the anti-join result feeds both writes
+        # one pass over the anti-join result feeds all writes.  The
+        # catalog fold must come LAST: insertInto invalidates every
+        # cached plan referencing the catalog table — including
+        # ``novel`` itself — and a consumer running after the fold
+        # would re-evaluate the anti-join against the UPDATED catalog
+        # and see zero novel rows.
         novel = novel.persist()
         try:
             novel.select(*in_cols).write.mode("append").parquet(output_path)
+            if sketch_table:
+                from data_toolz_spark.functions.sketches import hll_sketch
+
+                (
+                    novel.agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        hll_sketch(id_col).alias("sketch"),
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .select("batch_id", "n_rows", "sketch")
+                    .write.mode("append")
+                    .saveAsTable(sketch_table)
+                )
             append_to_catalog(novel, catalog_table, id_col=id_col)
         finally:
             novel.unpersist()

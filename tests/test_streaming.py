@@ -265,3 +265,63 @@ def test_streaming_dedup_ingest_across_cycles(spark, tmp_path):
     # and the catalog holds exactly the three unique fingerprints
     assert spark.table(catalog).count() == 3
     spark.sql(f"DROP TABLE IF EXISTS {catalog}")
+
+
+def test_ingest_sketch_table_tracks_corpus_cardinality(spark, tmp_path):
+    """With sketch_table set, each ingest batch appends one HLL row and
+    rollup_sketches over the stats table matches the corpus's true
+    distinct-id count — cardinality with no corpus scan."""
+    from data_toolz_spark.functions.sketches import rollup_sketches
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+    )
+    from data_toolz_spark.streaming.ingest import run_dedup_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    catalog, stats = "t_sk_catalog", "t_sk_stats"
+    import os
+    import shutil
+
+    for t in (catalog, stats):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(os.getcwd(), "spark-warehouse", t),
+            ignore_errors=True,
+        )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_fingerprint_catalog(
+        empty, catalog, n_buckets=4, path=str(tmp_path / "cat")
+    )
+
+    for cycle, rows in enumerate(
+        (
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+            [(10, "alpha beta"), (11, "epsilon zeta")],
+        )
+    ):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        run_dedup_ingest(
+            stream,
+            catalog_table=catalog,
+            output_path=out,
+            checkpoint_dir=ckpt,
+            sketch_table=stats,
+        )
+
+    stat_rows = spark.table(stats).collect()
+    assert len(stat_rows) >= 2  # one row per non-empty batch
+    assert sum(r["n_rows"] for r in stat_rows) == 3  # novel rows only
+    est = rollup_sketches(spark.table(stats), []).collect()[0][
+        "approx_distinct"
+    ]
+    true = spark.read.parquet(out).select("doc_id").distinct().count()
+    assert est == true == 3
+    for t in (catalog, stats):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
