@@ -223,7 +223,20 @@ def _x_semantic_dedup(spark, sf_dir):
     )
 
 
+def _x_span_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicate-span removal over the documents
+    table (8-word spans, cross-doc): gram shuffle as hashed longs,
+    row-local rebuild."""
+    from data_toolz_spark.operators.text_analysis import (
+        remove_duplicate_spans,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=8, out_col="cleaned")
+
+
 EXTRAS = {
+    "x_span_dedup": _x_span_dedup,
     "x_semantic_dedup": _x_semantic_dedup,
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
     "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,

@@ -28,6 +28,7 @@ from data_toolz_spark.operators.text_analysis import (
     line_dedup,
     quality_features,
     redact_artifacts,
+    remove_duplicate_spans,
     repetition_features,
     token_stats,
     unigram_logprob,
@@ -114,6 +115,7 @@ __all__ = [
     "line_dedup",
     "quality_features",
     "redact_artifacts",
+    "remove_duplicate_spans",
     "repetition_features",
     "token_stats",
     "web_artifact_features",

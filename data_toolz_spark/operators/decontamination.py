@@ -99,7 +99,13 @@ def eval_gram_set(
     staged = eval_df.select(
         _words(F.col(text_col)).alias("__w")
     ).select(_grams_of_words(F.col("__w"), n).alias("__grams"))
-    grams = staged.select(F.explode("__grams").alias("__gram")).distinct()
+    # outer + null-drop for the same InferFiltersFromGenerate reason
+    # as ngram_decontaminate below (smaller frame, same 2x shape)
+    grams = (
+        staged.select(F.explode_outer("__grams").alias("__gram"))
+        .filter(F.col("__gram").isNotNull())
+        .distinct()
+    )
     if hash_grams:
         grams = grams.select(F.xxhash64("__gram").alias("__gram"))
     return grams
@@ -143,11 +149,17 @@ def ngram_decontaminate(
     ).select(
         F.col(id_col), _grams_of_words(F.col("__w"), n).alias("__grams")
     )
+    # explode_OUTER + null filter, not plain explode:
+    # InferFiltersFromGenerate would add ``size(__grams) > 0`` and
+    # push it below the staged projections, re-inlining the whole
+    # gram chain into a Filter that evaluates per INPUT row — the
+    # same cliff the staging exists to avoid, reintroduced from the
+    # side (see remove_duplicate_spans; measured 4x there).
     exploded = staged.select(
         F.col(id_col),
         F.size("__grams").alias("n_grams"),
-        F.explode("__grams").alias("__gram"),
-    )
+        F.explode_outer("__grams").alias("__gram"),
+    ).filter(F.col("__gram").isNotNull())
     if hash_grams:
         exploded = exploded.withColumn("__gram", F.xxhash64("__gram"))
     # grams are distinct per document, so count(*) after the join IS

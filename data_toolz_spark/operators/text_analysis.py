@@ -468,10 +468,15 @@ def chunk_documents(
     chunked = staged.filter(n > 0).select(
         F.col(id_col), chunks.alias("__chunks")
     )
+    # posexplode_OUTER: the inferred ``size(__chunks) > 0`` guard a
+    # plain posexplode gets would push below this projection and
+    # re-inline the whole chunk-building transform into a Filter
+    # (see remove_duplicate_spans / ngram_decontaminate); n > 0 above
+    # already guarantees non-empty, so no null rows exist to drop
     return chunked.select(
         F.col(id_col),
-        F.posexplode("__chunks").alias("chunk_index", "__c"),
-    ).select(
+        F.posexplode_outer("__chunks").alias("chunk_index", "__c"),
+    ).filter(F.col("chunk_index").isNotNull()).select(
         id_col,
         "chunk_index",
         F.col("__c.txt").alias(out_col),
@@ -586,6 +591,148 @@ def vocab_coverage(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_docs: int = 2,
+    out_col: str = "text",
+    count_col: str = "n_dropped_words",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``n``-word span occurring in ≥ ``min_docs`` distinct documents is
+    cut from every document EXCEPT the lowest-id one holding it, so
+    exactly one canonical copy of each long repeated passage survives
+    the corpus.
+
+    The published implementation builds a suffix array over the whole
+    corpus; the distributed shape here is the hashed-gram inverted
+    index (the same candidate structure the decontamination and
+    line-dedup passes use):
+
+    1. each doc emits its word ``n``-grams WITH positions — grams leave
+       the row as ``xxhash64`` longs, so the shuffle payload is
+       (id, pos, hash), never text;
+    2. one aggregate per gram hash finds cross-doc spans
+       (``n_docs >= min_docs``) and their keeper (``min(id)``);
+    3. flagged positions ship back to their docs (payload-free join on
+       the hash), and the rebuild is ROW-LOCAL: a word survives unless
+       some flagged span ``[p, p+n)`` covers its index — one
+       codegen'd ``filter``/``exists`` over the token array.
+
+    Total cost: one gram shuffle bounded by corpus token count, one
+    aggregate bounded by DISTINCT gram content, one join back.  No
+    suffix array, no global sort.  The trade vs the paper: only spans
+    aligned on word boundaries and exactly ``n`` words long seed the
+    match (a shared passage of length L ≥ n is covered by its L-n+1
+    overlapping grams, so whole passages are still cut).
+
+    Docs that lose a span are re-joined with single spaces (original
+    inter-word whitespace is not reconstructed); untouched docs keep
+    their text byte-identical.  Spans repeated only WITHIN one doc are
+    kept (cross-doc boilerplate is the target; use
+    ``repetition_features`` to gate within-doc repeats).
+    """
+    if n < 2:
+        raise ValueError("remove_duplicate_spans: n must be >= 2")
+    if min_docs < 2:
+        raise ValueError(
+            "remove_duplicate_spans: min_docs must be >= 2 (a span "
+            "must repeat across documents to be a duplicate)"
+        )
+    toks = tokens(F.col(text_col))
+    # Stage the word array BEFORE building grams: the zip_with chain
+    # references its input ~2n times, and substituting the
+    # split+filter+lower expression at every site re-tokenizes the
+    # text ~2n times per row (lambda-bearing expressions defeat
+    # codegen's subexpression elimination — measured 2.6x on this
+    # operator).  A multiply-referenced non-cheap alias survives
+    # CollapseProject, so the tokenization runs once.  Same reasoning
+    # as decontamination.eval_gram_set's ``__w`` staging.
+    worded = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(toks, F.lower).alias("__w"),
+    )
+    staged = worded.select(
+        "__id", _grams_of_words_ordered(F.col("__w"), n).alias("__grams")
+    )
+    # posexplode_OUTER, then drop the null rows ourselves:
+    # InferFiltersFromGenerate gives plain posexplode a
+    # ``size(__grams) > 0`` guard that pushes below the projections
+    # and re-inlines the whole gram+tokenize chain into a Filter —
+    # measured 4x this operator's scan stage.  The outer variant gets
+    # no inferred filter; empty-gram docs surface as one null row and
+    # die in the cheap post-explode filter instead.
+    pos_grams = (
+        staged.select(
+            "__id",
+            F.posexplode_outer("__grams").alias("__pos", "__g"),
+        )
+        .filter(F.col("__pos").isNotNull())
+        .select("__id", "__pos", F.xxhash64("__g").alias("__k"))
+    )
+
+    spans = pos_grams.groupBy("__k").agg(
+        F.count_distinct("__id").alias("__nd"),
+        F.min("__id").alias("__keeper"),
+    ).filter(F.col("__nd") >= F.lit(min_docs))
+
+    flagged = (
+        pos_grams.join(spans, on="__k")
+        .filter(F.col("__id") != F.col("__keeper"))
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__cuts"))
+    )
+
+    # rebuild staging mirrors the gram side: tokens once, the
+    # filtered survivor array once, THEN the two consumers (text join,
+    # drop count) read the staged columns
+    out = (
+        df.join(flagged, on=F.col(id_col) == F.col("__id"), how="left")
+        .drop("__id")
+        .withColumn("__t", toks)
+        .withColumn(
+            "__r",
+            F.when(F.col("__cuts").isNull(), F.col("__t")).otherwise(
+                F.filter(
+                    F.col("__t"),
+                    lambda t, i: ~F.exists(
+                        F.col("__cuts"),
+                        lambda p: (p <= i) & (i < p + F.lit(n)),
+                    ),
+                )
+            ),
+        )
+    )
+    kept = F.when(
+        F.col("__cuts").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(F.col("__r"), " "))
+    dropped = F.size(F.col("__t")) - F.size(F.col("__r"))
+    return (
+        out.withColumn(count_col, dropped.cast("long"))
+        .withColumn(out_col, kept)
+        .drop("__cuts", "__t", "__r")
+    )
+
+
+def _grams_of_words_ordered(words: Column, n: int) -> Column:
+    """Word n-grams IN POSITION ORDER (no distinct): gram ``i`` starts
+    at word index ``i``.  Same chained zip_with construction as
+    ``decontamination._grams_of_words``."""
+    g = words
+    for k in range(1, n):
+        shifted = F.slice(
+            words, k + 1, F.greatest(F.size(words) - F.lit(k), F.lit(0))
+        )
+        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(
+        F.size(words) >= n, F.slice(g, 1, F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def unigram_logprob(
     df: DataFrame,
     vocab: DataFrame,
@@ -663,6 +810,7 @@ __all__ = [
     "build_vocab",
     "vocab_coverage",
     "unigram_logprob",
+    "remove_duplicate_spans",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
     "normalized_text",
