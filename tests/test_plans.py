@@ -229,3 +229,38 @@ def test_chunk_documents_is_single_scan_no_exchange(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_no_inferred_filter_re_derivation_on_gram_explodes(spark, sf_dir):
+    """InferFiltersFromGenerate must NOT re-inline the gram/chunk
+    construction into a pushed-down size() Filter: the expensive-array
+    explode sites use the outer variant precisely to avoid it.  The
+    tokenization/gram chain may appear ONCE (its staged projection);
+    a second appearance means the inferred filter is back."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.decontamination import (
+        ngram_decontaminate,
+    )
+    from data_toolz_spark.operators.text_analysis import (
+        chunk_documents,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plans = {
+        "span": remove_duplicate_spans(docs, n=4),
+        "decon": ngram_decontaminate(
+            docs, docs.filter(F.col("doc_id") % 5 == 0), n=4
+        ),
+        "chunk": chunk_documents(docs, max_words=32, overlap=8),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # each split site marks one full tokenization of the text;
+        # span re-tokenizes once per side (build + rebuild), others once
+        budget = {"span": 3, "decon": 2, "chunk": 2}[name]
+        assert plan.count("split(") <= budget, (
+            name,
+            plan.count("split("),
+        )
