@@ -5,6 +5,7 @@ canonical order with state shared between stages.
     raw docs
       → quality/repetition/web-artifact filter   (keep_document)
       → cross-document boilerplate removal       (line_dedup)
+      → repeated-passage removal                 (remove_duplicate_spans)
       → near-duplicate removal                   (MinHash-LSH + CC)
       → eval-set decontamination                 (ngram_decontaminate)
       → leakage-safe train/val/test split        (component_split)
@@ -42,6 +43,7 @@ def prepare_training_corpus(
     quality_thresholds: dict | None = None,
     line_dedup_max_doc_freq: int | None = None,
     line_sep: str = "\n",
+    span_dedup_n: int | None = None,
     near_dup_threshold: float | None = 0.8,
     decontaminate_n: int = 8,
     fractions: Mapping[str, float] | None = None,
@@ -89,6 +91,19 @@ def prepare_training_corpus(
             .withColumnRenamed("clean_text", text_col)
             .select(*base_cols)
         )
+
+    # 2b. exact duplicate-span removal (optional): cut repeated
+    # passages (ExactSubstr) before near-dup detection so a shared
+    # boilerplate block does not glue otherwise-distinct docs into one
+    # MinHash cluster
+    if span_dedup_n is not None:
+        from data_toolz_spark.operators.text_analysis import (
+            remove_duplicate_spans,
+        )
+
+        out = remove_duplicate_spans(
+            out, id_col=id_col, text_col=text_col, n=span_dedup_n
+        ).select(*base_cols)
 
     # 3. near-duplicate removal; the CC map is computed ONCE and shared
     # with the split below (drop list = non-representative members,
@@ -196,6 +211,7 @@ def stage_counts(
             **base,
             "near_dup_threshold": None,
             "line_dedup_max_doc_freq": None,
+            "span_dedup_n": None,
             "chunk_max_words": None,
             "pack_budget": None,
         },
@@ -207,6 +223,7 @@ def stage_counts(
             **{
                 **base,
                 "near_dup_threshold": None,
+                "span_dedup_n": None,
                 "chunk_max_words": None,
                 "pack_budget": None,
             },

@@ -160,3 +160,33 @@ def test_stage_counts_monotonic(spark, corpus, eval_df):
     ]
     assert order == sorted(order, reverse=True)
     assert counts["final"] >= 1
+
+
+def test_span_dedup_stage_composes(spark):
+    """span_dedup_n cuts a shared passage from all but one doc before
+    near-dup detection; the pipeline still emits one row per survivor
+    with a split column."""
+    from data_toolz_spark.pipelines import prepare_training_corpus
+
+    passage = " ".join(f"p{i}" for i in range(6))
+    rows = [
+        (
+            i,
+            f"unique{i} {passage} tail{i} "
+            + " ".join(f"filler{i}x{j}" for j in range(10)),
+        )
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_training_corpus(
+        docs,
+        None,
+        quality_thresholds={"min_tokens": 2},
+        span_dedup_n=6,
+        near_dup_threshold=None,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert len(got) == 6 and "split" in out.columns
+    # doc 0 keeps the passage; every other doc lost it
+    assert passage in got[0]
+    assert all(passage not in got[i] for i in range(1, 6))
