@@ -34,7 +34,11 @@ from data_toolz_spark.session import (
 )
 from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
-from data_toolz_spark.sources.maintenance import compact_dataset, dataset_stats
+from data_toolz_spark.sources.maintenance import (
+    compact_dataset,
+    dataset_stats,
+    zorder_write,
+)
 from data_toolz_spark.fs import FsUtil
 from data_toolz_spark.logging import JsonLogger
 from data_toolz_spark.catalog import register_dataset, register_directory
@@ -51,6 +55,7 @@ __all__ = [
     "DataIO",
     "compact_dataset",
     "dataset_stats",
+    "zorder_write",
     "FsUtil",
     "JsonLogger",
     "register_dataset",

@@ -168,4 +168,113 @@ def compact_dataset(
     }
 
 
-__all__ = ["dataset_stats", "compact_dataset"]
+def zorder_value(
+    cols: Sequence[str],
+    ranges: Mapping[str, tuple[float, float]],
+    *,
+    bits: int = 10,
+):
+    """Column expression: interleaved-bit Z-value over ``cols``.
+
+    Each column is quantized to ``2^bits`` uniform buckets inside its
+    ``(min, max)`` range, then the bucket bits are interleaved
+    (column 0 owns the most-significant position of each group).  Rows
+    close in Z-value are close in EVERY quantized dimension, which is
+    what makes a range-partitioned, Z-sorted file carry narrow min/max
+    stats on all the clustered columns at once.
+
+    Uniform quantization is deliberate: it needs only one (min, max)
+    per column — no quantile sketch job — and Z-order survives skew
+    with degraded (never wrong) pruning.  Pass tighter ranges to zoom
+    the resolution into the hot region when the skew is known.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 20:
+        raise ValueError("zorder_value: bits must be in [1, 20]")
+    if len(cols) < 2:
+        raise ValueError(
+            "zorder_value: needs >= 2 columns (use cluster_by for one)"
+        )
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"zorder_value: {len(cols)} cols x {bits} bits exceeds the "
+            "62-bit long budget; lower bits"
+        )
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = ranges[c]
+        span = float(hi) - float(lo) or 1.0
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+        ) * F.lit(n_buckets)
+        bucket = F.least(
+            F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+            F.lit(n_buckets - 1),
+        )
+        for bit in range(bits):
+            src = F.shiftrightunsigned(bucket, bit).bitwiseAND(F.lit(1))
+            # bit position: group `bit` holds one bit per column,
+            # column 0 most significant within the group
+            dst = bit * len(cols) + (len(cols) - 1 - ci)
+            z = z.bitwiseOR(F.shiftleft(src, dst))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    *,
+    bits: int = 10,
+    n_files: int | None = None,
+    mode: str = "error",
+    ranges: Mapping[str, tuple[float, float]] | None = None,
+) -> None:
+    """Write ``df`` Z-ordered on ``zorder_cols`` (numeric): range
+    partition + local sort on the interleaved Z-value, so every output
+    file covers a narrow min/max window in EVERY clustered column and
+    parquet row-group stats prune multi-column range predicates — the
+    multi-dimensional counterpart of ``DataIO.write(cluster_by=…)``
+    (which orders on one key at the expense of all others).
+
+    One extra aggregate job computes per-column (min, max) unless
+    ``ranges`` is given; the write itself is one range exchange + local
+    sort, identical in shape to ``cluster_by``.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(zorder_cols)
+    if ranges is None:
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        ranges = {
+            c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols
+        }
+    z = zorder_value(cols, ranges, bits=bits)
+    shaped = df.withColumn("__z", z)
+    ranged = (
+        shaped.repartitionByRange(n_files, "__z")
+        if n_files
+        else shaped.repartitionByRange("__z")
+    )
+    (
+        ranged.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+__all__ = [
+    "dataset_stats",
+    "compact_dataset",
+    "zorder_value",
+    "zorder_write",
+]

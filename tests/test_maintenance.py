@@ -129,3 +129,88 @@ def test_target_size_splits_output(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         compact_dataset(spark, "/nonexistent", target_file_mb=0)
+
+
+def _file_ranges(spark, path, cols):
+    """Per-file (min, max) of each col, via the file-name virtual col."""
+    df = spark.read.parquet(path).withColumn(
+        "__f", F.input_file_name()
+    )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    return df.groupBy("__f").agg(*aggs).collect()
+
+
+def test_zorder_value_interleaving(spark):
+    """The Z-value is the exact bit interleave of the bucket indices:
+    for bits=2 over unit ranges, (x,y) buckets (bx1 bx0, by1 by0)
+    produce z = bx1 by1 bx0 by0 — checked against a Python reference
+    on the full 4x4 grid."""
+    from data_toolz_spark.sources.maintenance import zorder_value
+
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    ranges = {"x": (0, 4), "y": (0, 4)}
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_value(["x", "y"], ranges, bits=2).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for bit in range(2):
+            z |= ((x >> bit) & 1) << (bit * 2 + 1)
+            z |= ((y >> bit) & 1) << (bit * 2)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x, y in pts}
+
+
+def test_zorder_write_bounds_every_dimension(spark, tmp_path):
+    """Z-ordered files must carry narrow min/max windows in BOTH
+    clustered columns; a single-column cluster_by leaves the other
+    column's per-file range at ~full width."""
+    from data_toolz_spark.sources.maintenance import zorder_write
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        F.floor(F.col("id") / 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "z")
+    zorder_write(df, zpath, ["x", "y"], bits=8, n_files=16)
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert set(back.columns) == {"x", "y", "payload"}  # __z dropped
+
+    rows = _file_ranges(spark, zpath, ["x", "y"])
+    assert len(rows) >= 8
+    avg_w_x = sum(r["hi_x"] - r["lo_x"] for r in rows) / len(rows)
+    avg_w_y = sum(r["hi_y"] - r["lo_y"] for r in rows) / len(rows)
+    # both dims bounded well below full width (200 each)
+    assert avg_w_x < 120 and avg_w_y < 120
+
+    # contrast: single-key clustering leaves y unbounded per file
+    cpath = str(tmp_path / "c")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        cpath
+    )
+    crows = _file_ranges(spark, cpath, ["x", "y"])
+    avg_cw_y = sum(r["hi_y"] - r["lo_y"] for r in crows) / len(crows)
+    assert avg_cw_y > 150  # ~full width
+    assert avg_w_y < avg_cw_y / 2
+
+
+def test_zorder_validation():
+    from data_toolz_spark.sources.maintenance import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(["a"], {"a": (0, 1)})
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b"], {}, bits=0)
+    with pytest.raises(ValueError):
+        zorder_value(list("abcdef"), {}, bits=12)  # 72 bits > 62
