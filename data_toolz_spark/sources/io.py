@@ -93,6 +93,7 @@ class DataIO:
         sep: str = "\t",
         filters: list[dict] | None = None,
         options: Mapping[str, str] | None = None,
+        on_corrupt: str = "fail",
     ) -> DataFrame:
         """Load every file under ``path`` (file or directory prefix).
 
@@ -101,9 +102,50 @@ class DataIO:
         natively and ``filters`` (the Filter DSL, §2.4) compile into the
         scan so Catalyst pushes eligible predicates into parquet
         row-group skipping.
+
+        ``on_corrupt`` governs malformed records on the TEXT formats
+        (dsv/jsonlines) — at crawl scale some corrupt lines are a
+        certainty and a job that dies at 97% on one bad byte is the
+        operational failure mode this guards:
+
+        * ``"fail"`` (default, reference parity) — first malformed
+          record aborts the job (FAILFAST);
+        * ``"drop"`` — malformed records are silently dropped
+          (DROPMALFORMED);
+        * ``"keep"`` — malformed records survive as NULL-columned rows
+          with the raw line in ``_corrupt_record`` (PERMISSIVE) for
+          quarantine-and-audit flows.  Requires an explicit ``schema``
+          (Spark cannot infer the corrupt column).
+
+        Parquet/ORC are structurally checksummed; ``on_corrupt`` does
+        not apply (a corrupt footer is data loss, not a bad row) and a
+        non-default value raises.
         """
+        modes = {"fail": "FAILFAST", "drop": "DROPMALFORMED",
+                 "keep": "PERMISSIVE"}
+        if on_corrupt not in modes:
+            raise ValueError(
+                f"on_corrupt must be one of {sorted(modes)}, "
+                f"got {on_corrupt!r}"
+            )
         filetype = self._normalize_filetype(filetype)
+        if filetype in ("parquet", "orc") and on_corrupt != "fail":
+            raise ValueError(
+                "on_corrupt applies to text formats (dsv/jsonlines); "
+                f"{filetype} is structurally checksummed"
+            )
         reader = spark.read.option("recursiveFileLookup", "false")
+        if filetype in ("dsv", "jsonlines"):
+            if on_corrupt == "keep" and schema is None:
+                raise ValueError(
+                    "on_corrupt='keep' needs an explicit schema "
+                    "including a '_corrupt_record string' column"
+                )
+            reader = reader.option("mode", modes[on_corrupt])
+            if on_corrupt == "keep":
+                reader = reader.option(
+                    "columnNameOfCorruptRecord", "_corrupt_record"
+                )
         if schema is not None:
             reader = reader.schema(schema)
         for key, value in (options or {}).items():
@@ -126,10 +168,12 @@ class DataIO:
             # an empty field is the empty string, never NULL/NaN
             # (io.py:120-125).  Spark's CSV reader surfaces "" as NULL,
             # so restore the stringly contract declaratively.
+            # (_corrupt_record stays NULL-able so "is this row corrupt"
+            # remains an isNotNull test under on_corrupt='keep')
             df = df.select(
                 *[
                     F.coalesce(F.col(c), F.lit("")).alias(c)
-                    if isinstance(t, StringType)
+                    if isinstance(t, StringType) and c != "_corrupt_record"
                     else F.col(c)
                     for c, t in ((f.name, f.dataType) for f in df.schema.fields)
                 ]

@@ -446,3 +446,115 @@ def test_chunked_write_preserves_intra_file_row_order(spark, tmp_path):
     for f in files:
         rows = [r["id"] for r in spark.read.parquet(os.path.join(path2, f)).collect()]
         assert rows == sorted(rows)
+
+
+class TestCorruptRecords:
+    """on_corrupt: fail (reference parity) / drop / keep-and-quarantine
+    on the text formats; rejected for checksummed formats."""
+
+    def _bad_jsonl(self, tmp_path):
+        p = tmp_path / "j"
+        p.mkdir()
+        (p / "part-0.json").write_text(
+            '{"a": 1, "b": "x"}\n'
+            "{this is not json}\n"
+            '{"a": 2, "b": "y"}\n'
+        )
+        return str(p)
+
+    def test_fail_is_default(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        io = DataIO()
+        df = io.read(
+            spark,
+            self._bad_jsonl(tmp_path),
+            "jsonlines",
+            schema="a long, b string",
+        )
+        with pytest.raises(Exception):
+            df.collect()
+
+    def test_drop_skips_bad_rows(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        io = DataIO()
+        df = io.read(
+            spark,
+            self._bad_jsonl(tmp_path),
+            "jsonlines",
+            schema="a long, b string",
+            on_corrupt="drop",
+        )
+        assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+            (1, "x"),
+            (2, "y"),
+        ]
+
+    def test_keep_quarantines_raw_line(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        io = DataIO()
+        df = io.read(
+            spark,
+            self._bad_jsonl(tmp_path),
+            "jsonlines",
+            schema="a long, b string, _corrupt_record string",
+            on_corrupt="keep",
+        )
+        rows = df.collect()
+        assert len(rows) == 3
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 1
+        assert bad[0]["_corrupt_record"] == "{this is not json}"
+        assert bad[0]["a"] is None
+        good = sorted(
+            (r["a"], r["b"]) for r in rows if r["_corrupt_record"] is None
+        )
+        assert good == [(1, "x"), (2, "y")]
+
+    def test_keep_requires_schema(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        with pytest.raises(ValueError, match="schema"):
+            DataIO().read(
+                spark, self._bad_jsonl(tmp_path), "jsonlines",
+                on_corrupt="keep",
+            )
+
+    def test_rejected_for_parquet(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        with pytest.raises(ValueError, match="checksummed"):
+            DataIO().read(
+                spark, str(tmp_path), "parquet", on_corrupt="drop"
+            )
+
+    def test_bad_mode_name(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        with pytest.raises(ValueError, match="on_corrupt"):
+            DataIO().read(
+                spark, str(tmp_path), "jsonlines", on_corrupt="ignore"
+            )
+
+    def test_dsv_drop(self, spark, tmp_path):
+        from data_toolz_spark import DataIO
+
+        p = tmp_path / "d"
+        p.mkdir()
+        (p / "part-0.csv").write_text(
+            "a\tb\n1\tx\nonly-one-field\n2\ty\n"
+        )
+        io = DataIO()
+        df = io.read(
+            spark,
+            str(p),
+            "dsv",
+            schema="a string, b string",
+            on_corrupt="drop",
+        )
+        assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+            ("1", "x"),
+            ("2", "y"),
+        ]
