@@ -35,8 +35,10 @@ from data_toolz_spark.session import (
 from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
 from data_toolz_spark.sources.maintenance import (
+    assert_append_compatible,
     compact_dataset,
     dataset_stats,
+    schema_problems,
     zorder_write,
 )
 from data_toolz_spark.fs import FsUtil
@@ -56,6 +58,8 @@ __all__ = [
     "compact_dataset",
     "dataset_stats",
     "zorder_write",
+    "schema_problems",
+    "assert_append_compatible",
     "FsUtil",
     "JsonLogger",
     "register_dataset",

@@ -168,6 +168,74 @@ def compact_dataset(
     }
 
 
+def schema_problems(existing, incoming) -> list[str]:
+    """Data-contract check for appending ``incoming`` onto a dataset
+    whose files carry ``existing`` (both ``StructType``).
+
+    Returns human-readable problems (empty = compatible):
+
+    * a column present in both with a DIFFERENT type — parquet
+      ``mergeSchema`` refuses to reconcile (e.g. int vs bigint), so a
+      single append would brick every future full-dataset read;
+    * an existing column missing from the append — older readers see
+      NULLs for the new files, which is only safe if surfaced
+      deliberately, so it is reported and the caller opts in.
+
+    NEW incoming columns are allowed (additive evolution —
+    ``mergeSchema`` unions them; old files read them as NULL).
+    """
+    ex = {f.name: f for f in existing.fields}
+    inc = {f.name: f for f in incoming.fields}
+    problems = []
+    for name, f in ex.items():
+        if name not in inc:
+            problems.append(
+                f"column {name!r} ({f.dataType.simpleString()}) missing "
+                "from the append — new files would read as NULL"
+            )
+        elif inc[name].dataType != f.dataType:
+            problems.append(
+                f"column {name!r} changes type "
+                f"{f.dataType.simpleString()} → "
+                f"{inc[name].dataType.simpleString()} — mergeSchema "
+                "cannot reconcile; the dataset would become unreadable"
+            )
+    return problems
+
+
+def assert_append_compatible(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    filetype: str = "parquet",
+    allow_missing: bool = False,
+) -> None:
+    """Raise ``ValueError`` (with the full problem list) if appending
+    ``df`` to the dataset at ``path`` would corrupt its read contract.
+    A missing/empty target is trivially compatible (first write).
+
+    ``allow_missing=True`` waives the missing-column problems (the
+    append simply lacks some columns; readers get NULLs) while still
+    failing hard on type changes — the unrecoverable class.
+    """
+    _, fs, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return
+    try:
+        existing = DataIO().read(spark, path, filetype).schema
+    except Exception:
+        return  # empty dir — nothing to conflict with
+    problems = schema_problems(existing, df.schema)
+    if allow_missing:
+        problems = [p for p in problems if "missing from" not in p]
+    if problems:
+        raise ValueError(
+            "append would break the dataset's schema contract:\n  - "
+            + "\n  - ".join(problems)
+        )
+
+
 def zorder_value(
     cols: Sequence[str],
     ranges: Mapping[str, tuple[float, float]],
@@ -275,6 +343,8 @@ def zorder_write(
 __all__ = [
     "dataset_stats",
     "compact_dataset",
+    "schema_problems",
+    "assert_append_compatible",
     "zorder_value",
     "zorder_write",
 ]

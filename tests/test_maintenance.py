@@ -214,3 +214,39 @@ def test_zorder_validation():
         zorder_value(["a", "b"], {}, bits=0)
     with pytest.raises(ValueError):
         zorder_value(list("abcdef"), {}, bits=12)  # 72 bits > 62
+
+
+def test_schema_contract_guard(spark, tmp_path):
+    from data_toolz_spark.sources.maintenance import (
+        assert_append_compatible,
+        schema_problems,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(10).select(
+        F.col("id"), F.lit("x").alias("tag")
+    )
+    base.write.parquet(path)
+
+    # identical schema: fine
+    assert_append_compatible(spark, path, base)
+    # additive evolution: fine
+    assert_append_compatible(
+        spark, path, base.withColumn("extra", F.lit(1.0))
+    )
+    # missing column: reported, waivable
+    dropped = base.drop("tag")
+    with pytest.raises(ValueError, match="missing from"):
+        assert_append_compatible(spark, path, dropped)
+    assert_append_compatible(spark, path, dropped, allow_missing=True)
+    # type change: never waivable
+    retyped = base.withColumn("id", F.col("id").cast("int"))
+    with pytest.raises(ValueError, match="changes type"):
+        assert_append_compatible(
+            spark, path, retyped, allow_missing=True
+        )
+    # empty target: trivially compatible
+    assert_append_compatible(spark, str(tmp_path / "nope"), base)
+    # problem list shape
+    probs = schema_problems(base.schema, retyped.schema)
+    assert len(probs) == 1 and "bigint" in probs[0] and "int" in probs[0]
