@@ -140,3 +140,58 @@ def test_dedup_single_shuffle_codegen(spark):
     )
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan  # pure expressions, no UDFs
+
+
+def test_randomized_differential(spark):
+    """Fuzz the canonicalization formula: 150 structured-random URLs
+    (plus garbage) must canonicalize identically in Spark and DuckDB —
+    any regex-semantics divergence between the engines shows up here
+    before it can reach a production oracle."""
+    import random
+
+    rng = random.Random(99)
+    schemes = ["http", "https", "HTTP", "Https", "ftp"]
+    hosts = ["Example.com", "sub.test.ORG", "www.Data.io", "a-b.co"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b/", "/x//", "/p.q"]
+    params = [
+        "a=1", "z=2", "utm_source=x", "utm_campaign=", "fbclid=abc",
+        "ref=home", "q=a+b", "", "gclid=1",
+    ]
+    frags = ["", "#frag", "#a/b"]
+    tails = ["", ".", ",", ")."]
+
+    rows = []
+    for i in range(150):
+        if i % 10 == 9:
+            rows.append((i, rng.choice(["not a url", "", "http//x", "x"])))
+            continue
+        q = "&".join(
+            rng.sample(params, rng.randint(0, 4))
+        )
+        rows.append(
+            (
+                i,
+                rng.choice(schemes)
+                + "://"
+                + rng.choice(hosts)
+                + rng.choice(ports)
+                + rng.choice(paths)
+                + ("?" + q if q else "")
+                + rng.choice(frags)
+                + rng.choice(tails),
+            )
+        )
+
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {
+        r["id"]: r["canonical"]
+        for r in df.select(
+            "id", canonical_url("url").alias("canonical")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute(DUCK_CANON).fetchall())
+    assert got == want
