@@ -41,9 +41,12 @@ def _words(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
 
 
-def _grams_of_words(words: Column, n: int) -> Column:
-    """DISTINCT word n-grams from a word-array column.  A document with
-    fewer than ``n`` words yields an empty array.
+def _grams_of_words_ordered(words: Column, n: int) -> Column:
+    """Word n-grams IN POSITION ORDER (gram ``i`` starts at word index
+    ``i``); a document with fewer than ``n`` words yields an empty
+    array.  The ONE canonical gram builder — decontamination, span
+    dedup, and chunk-free consumers all derive from it, so the hashed
+    gram space stays bit-stable across every operator that joins on it.
 
     Built as ``n-1`` chained ``zip_with`` concat passes over shifted
     copies of the array (truncated to the ``L-n+1`` complete grams)
@@ -61,10 +64,15 @@ def _grams_of_words(words: Column, n: int) -> Column:
         # NULLs, so tail entries hold partial grams — the final slice
         # keeps only the L-n+1 complete ones
         g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(
+    return F.when(
         F.size(words) >= n, F.slice(g, 1, F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def _grams_of_words(words: Column, n: int) -> Column:
+    """DISTINCT word n-grams (order-free set form of
+    :func:`_grams_of_words_ordered`)."""
+    return F.array_distinct(_grams_of_words_ordered(words, n))
 
 
 def _word_grams(text: Column, n: int) -> Column:

@@ -493,7 +493,7 @@ def build_ivf_index(
     ``ivf_topk`` (see its docstring for the bias/size rationale).
     """
     from data_toolz_spark.operators.similarity import (
-        _kmeans_numpy,
+        _train_quantizer,
         _unit_vector_udf,
     )
 
@@ -506,25 +506,27 @@ def build_ivf_index(
         unitize(F.col(vec_col).cast("array<double>")).alias("vector"),
     ).filter(F.col("vector").isNotNull())
 
-    train = units.orderBy(F.xxhash64(F.col("id"), F.lit(seed))).limit(
-        train_sample
+    centers = _train_quantizer(
+        units,
+        "id",
+        "vector",
+        n_centroids,
+        seed=seed,
+        max_iter=kmeans_max_iter,
+        train_sample=train_sample,
     )
-    sample = np.array(
-        [np.asarray(r["vector"], dtype=np.float64) for r in train.collect()]
-    )
-    centers = _kmeans_numpy(
-        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
-    )
-    norms = np.linalg.norm(centers, axis=1)
-    norms[norms == 0] = 1.0
-    centers = centers / norms[:, None]
 
+    # _kmeans_numpy clamps k to the number of distinct training points
+    # (a sample smaller than n_centroids is legitimate on small
+    # corpora) — the stored cell count must be the ACTUAL count or the
+    # centroid-table build would index past the array
+    n_cells = len(centers)
     meta = spark.createDataFrame(
-        [(dim, n_centroids, seed)], "dim int, n_centroids int, seed int"
+        [(dim, n_cells, seed)], "dim int, n_centroids int, seed int"
     )
     meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_meta")
     cent = spark.createDataFrame(
-        [(i, [float(x) for x in centers[i]]) for i in range(n_centroids)],
+        [(i, [float(x) for x in centers[i]]) for i in range(n_cells)],
         "cell int, vector array<double>",
     )
     cent.write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_centroids")

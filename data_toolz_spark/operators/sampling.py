@@ -289,9 +289,16 @@ def mixture_sample(
     rate: Column = F.lit(0.0)
     for value, r in rates.items():
         capped = r if allow_upsample else min(r, 1.0)
-        rate = F.when(
-            F.col(source_col) == F.lit(value), F.lit(float(capped))
-        ).otherwise(rate)
+        # NULL sources form a real group in the counts aggregate, but
+        # ``col == lit(None)`` is never true — route them through an
+        # explicit isNull branch or their whole allocation silently
+        # drops to rate 0
+        cond = (
+            F.col(source_col).isNull()
+            if value is None
+            else F.col(source_col) == F.lit(value)
+        )
+        rate = F.when(cond, F.lit(float(capped))).otherwise(rate)
     u = _unit_hash(list(key_cols), seed)
     copies = (F.floor(rate) + (u < rate - F.floor(rate)).cast("int")).cast(
         "int"

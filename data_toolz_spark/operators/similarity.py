@@ -340,6 +340,46 @@ def _kmeans_numpy(
     return centers
 
 
+def _train_quantizer(
+    units: DataFrame,
+    id_field: str,
+    vec_field: str,
+    n_centroids: int,
+    *,
+    seed: int,
+    max_iter: int,
+    train_sample: int,
+):
+    """Shared coarse-quantizer training (ivf_topk / semantic_dedup /
+    the persistent IVF index): bounded hash-ordered sample → driver
+    numpy Lloyd's loop → unit-normalized centroid matrix.
+
+    One implementation on purpose — cell assignments must stay
+    bit-stable across every module that stores or joins on them.
+    ``limit(n)`` alone would take the first partitions' rows (a biased
+    density on clustered corpora); hash-ordering by id first gives a
+    deterministic pseudo-random sample and plans as
+    TakeOrderedAndProject, never a full sort.  May return FEWER rows
+    than ``n_centroids`` when the sample has fewer distinct points —
+    callers must size cell structures from ``len(centers)``.
+    """
+    train = units.orderBy(
+        F.xxhash64(F.col(id_field), F.lit(seed))
+    ).limit(train_sample)
+    sample = np.array(
+        [
+            np.asarray(r[vec_field], dtype=np.float64)
+            for r in train.collect()
+        ]
+    )
+    centers = _kmeans_numpy(
+        sample, n_centroids, seed=seed, max_iter=max_iter
+    )
+    norms = np.linalg.norm(centers, axis=1)
+    norms[norms == 0] = 1.0
+    return centers / norms[:, None]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -419,25 +459,15 @@ def ivf_topk(
     # estimator schedules several full jobs per iteration — pure
     # overhead at quantizer scale.
     #
-    # ``limit(n)`` alone would take the first partitions' rows — on a
-    # clustered/sorted corpus the quantizer would see a biased density
-    # and recall would quietly degrade at scale.  Hash-ordering by id
-    # before the limit gives a deterministic pseudo-random sample and
-    # plans as TakeOrderedAndProject (per-partition top-n + one small
-    # merge), not a full sort.
-    train = c_units.orderBy(
-        F.xxhash64(F.col("__cid"), F.lit(seed))
-    ).limit(train_sample)
-    sample = np.array(
-        [np.asarray(r["__cv"], dtype=np.float64) for r in train.collect()]
+    centers = _train_quantizer(
+        c_units,
+        "__cid",
+        "__cv",
+        n_centroids,
+        seed=seed,
+        max_iter=kmeans_max_iter,
+        train_sample=train_sample,
     )
-    centers = _kmeans_numpy(
-        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
-    )
-    # normalize centroids so nearest-by-dot == nearest-by-cosine
-    norms = np.linalg.norm(centers, axis=1)
-    norms[norms == 0] = 1.0
-    centers = centers / norms[:, None]
 
     def _cells_udf(top_n: int):
         from pyspark.sql.functions import pandas_udf
@@ -709,18 +739,15 @@ def semantic_dedup(
         unitize(F.col(vec_col).cast("array<double>")).alias("__v"),
     ).filter(F.col("__v").isNotNull())
 
-    train = units.orderBy(
-        F.xxhash64(F.col("__id"), F.lit(seed))
-    ).limit(train_sample)
-    sample = np.array(
-        [np.asarray(r["__v"], dtype=np.float64) for r in train.collect()]
+    centers = _train_quantizer(
+        units,
+        "__id",
+        "__v",
+        n_centroids,
+        seed=seed,
+        max_iter=kmeans_max_iter,
+        train_sample=train_sample,
     )
-    centers = _kmeans_numpy(
-        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
-    )
-    norms = np.linalg.norm(centers, axis=1)
-    norms[norms == 0] = 1.0
-    centers = centers / norms[:, None]
 
     from pyspark.sql.functions import pandas_udf
 

@@ -324,6 +324,7 @@ def line_dedup(
     sep: str = "\n",
     min_line_chars: int = 1,
     out_col: str = "clean_text",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication (CCNet/RefinedWeb-style
     boilerplate removal): drop every line that occurs in more than
@@ -353,6 +354,21 @@ def line_dedup(
     """
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
+    # ``sep`` splits as a Java REGEX but survivors re-join with a
+    # LITERAL string.  For a literal sep (the "\n" default) the same
+    # string serves both roles; a regex sep (e.g. r"\r?\n") would
+    # inject its metacharacters verbatim into every document, so it
+    # demands an explicit ``join_sep``.
+    import re as _re
+
+    if join_sep is None:
+        if _re.escape(sep) != sep and sep not in ("\n", "\t", " "):
+            raise ValueError(
+                f"line_dedup: sep {sep!r} contains regex "
+                "metacharacters; pass join_sep with the literal "
+                "separator to re-assemble documents with"
+            )
+        join_sep = sep
     # sep is a Java regex (Spark split semantics); NULL text behaves as
     # empty so a document never silently vanishes from the output.
     # The line array is staged as its own projection so size() above
@@ -402,7 +418,7 @@ def line_dedup(
         marked.groupBy(id_col, "__n_lines")
         .agg(
             F.array_join(
-                F.transform(kept, lambda s: s["__line"]), sep
+                F.transform(kept, lambda s: s["__line"]), join_sep
             ).alias(out_col),
             F.sum(F.col("__drop").cast("int")).alias("__removed"),
         )
@@ -643,6 +659,10 @@ def remove_duplicate_spans(
             "remove_duplicate_spans: min_docs must be >= 2 (a span "
             "must repeat across documents to be a duplicate)"
         )
+    from data_toolz_spark.operators.decontamination import (
+        _grams_of_words_ordered,
+    )
+
     toks = tokens(F.col(text_col))
     # Stage the word array BEFORE building grams: the zip_with chain
     # references its input ~2n times, and substituting the
@@ -718,21 +738,6 @@ def remove_duplicate_spans(
     )
 
 
-def _grams_of_words_ordered(words: Column, n: int) -> Column:
-    """Word n-grams IN POSITION ORDER (no distinct): gram ``i`` starts
-    at word index ``i``.  Same chained zip_with construction as
-    ``decontamination._grams_of_words``."""
-    g = words
-    for k in range(1, n):
-        shifted = F.slice(
-            words, k + 1, F.greatest(F.size(words) - F.lit(k), F.lit(0))
-        )
-        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(
-        F.size(words) >= n, F.slice(g, 1, F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def unigram_logprob(
     df: DataFrame,
     vocab: DataFrame,
@@ -769,6 +774,12 @@ def unigram_logprob(
     stats = vocab.agg(
         F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
+    if stats["n"] is None or stats["v"] == 0:
+        raise ValueError(
+            "unigram_logprob: empty vocabulary model — build_vocab "
+            "returned no rows (over-aggressive min_count, or an empty "
+            "training corpus)"
+        )
     n_tokens, v_size = int(stats["n"]), int(stats["v"])
     denom = float(n_tokens) + alpha * (v_size + 1)
     oov_nll = -math.log(alpha / denom)

@@ -56,10 +56,15 @@ def canonical_url(url: Column | str) -> Column:
     hostport = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""),
-        r":(80|443)$",
-        "",
+    nowww = F.regexp_replace(hostport, r"^www\.", "")
+    # default-port strip is scheme-conditional: :443 on http (or :80
+    # on https) is a real non-default origin and must stay distinct
+    host = (
+        F.when(
+            scheme == "http", F.regexp_replace(nowww, r":80$", "")
+        )
+        .when(scheme == "https", F.regexp_replace(nowww, r":443$", ""))
+        .otherwise(nowww)
     )
     rest = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
@@ -97,14 +102,17 @@ def url_dedup(
     One shuffle (hash partition on the canonical key) — the standard
     min-over-window drop-list shape shared with ``dedup_exact``.  Rows
     whose URL fails to parse canonicalize to NULL and are never
-    grouped.  Output: ``drop_id, canonical, kept_id``.
+    grouped.  Output: ``drop_id, canonical, kept_id``, carrying the id
+    column's OWN type — "lowest id" is numeric order for numeric ids
+    and lexicographic for string ids (a silent ``cast('long')`` here
+    would NULL every string id and return an empty drop list).
     """
     from pyspark.sql.window import Window
 
     canon = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         canonical_url(F.col(url_col)).alias("canonical"),
-    ).filter(F.col("canonical").isNotNull())
+    ).filter(F.col("canonical").isNotNull() & F.col("__id").isNotNull())
     w = Window.partitionBy("canonical")
     marked = canon.withColumn("__keep", F.min("__id").over(w))
     return marked.filter(F.col("__id") != F.col("__keep")).select(

@@ -20,10 +20,15 @@ Composition details that matter at 100 TB:
   pipeline that deduped and then hash-split independently would leak.
 * Decontamination runs AFTER near-dup removal (fewer docs to scan) and
   BEFORE splitting (a contaminated doc must not reach any split).
-* Every stage is lazy DataFrame algebra — calling this function builds
-  ONE logical plan; nothing executes until the caller writes or
-  counts.  ``stage_counts`` triggers one action per stage and is for
-  audits, not production runs.
+* Every stage except one is lazy DataFrame algebra folded into ONE
+  logical plan.  The exception: with ``near_dup_threshold`` set, the
+  near-dup stage runs the MinHash pair mining and the iterative
+  connected-components loop AT CALL TIME (CC is a driver loop of
+  Spark jobs — it cannot be a lazy plan node), so calling this
+  function on a large corpus does that work up front; everything
+  downstream of the returned frame stays lazy.  ``stage_counts``
+  additionally triggers one action per stage and is for audits, not
+  production runs.
 """
 
 from __future__ import annotations

@@ -136,11 +136,30 @@ class DataIO:
             )
         reader = spark.read.option("recursiveFileLookup", "false")
         if filetype in ("dsv", "jsonlines"):
-            if on_corrupt == "keep" and schema is None:
-                raise ValueError(
-                    "on_corrupt='keep' needs an explicit schema "
-                    "including a '_corrupt_record string' column"
+            if on_corrupt == "keep":
+                names = (
+                    []
+                    if schema is None
+                    else (
+                        [f.name for f in schema.fields]
+                        if isinstance(schema, StructType)
+                        else [
+                            part.strip().split()[0].strip("`")
+                            for part in str(schema).split(",")
+                            if part.strip()
+                        ]
+                    )
                 )
+                if "_corrupt_record" not in names:
+                    # without the column PERMISSIVE has nowhere to put
+                    # the raw line: corrupt rows come back as all-NULL
+                    # rows indistinguishable from real data — the
+                    # quarantine contract silently vanishes
+                    raise ValueError(
+                        "on_corrupt='keep' needs an explicit schema "
+                        "that includes a '_corrupt_record string' "
+                        "column to quarantine raw malformed lines into"
+                    )
             reader = reader.option("mode", modes[on_corrupt])
             if on_corrupt == "keep":
                 reader = reader.option(

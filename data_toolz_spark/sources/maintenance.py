@@ -103,6 +103,18 @@ def compact_dataset(
     """
     if target_file_mb <= 0:
         raise ValueError("compact_dataset: target_file_mb must be positive")
+    if filetype not in ("parquet", "orc") and dest is None:
+        # text formats round-trip through layout defaults (sep, header,
+        # compression) that this function cannot verify match the
+        # original files; an in-place swap would DELETE the only good
+        # copy after a potentially lossy rewrite.  Writing to an
+        # explicit dest keeps the source intact for comparison.
+        raise ValueError(
+            "compact_dataset: in-place compaction is limited to "
+            "self-describing formats (parquet/orc); for "
+            f"{filetype!r} pass an explicit dest and verify the "
+            "rewrite before swapping"
+        )
     before = dataset_stats(spark, path)
     if before["n_files"] < min_files or before["total_bytes"] == 0:
         return {"compacted": False, "before": before, "after": before}

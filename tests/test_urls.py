@@ -42,14 +42,20 @@ CASES = [
 DUCK_CANON = r"""
 WITH s AS (
   SELECT id, regexp_replace(url, '[.,;:!?)''"\]]+$', '') AS u FROM t
-), p AS (
+), p0 AS (
   SELECT id, u,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    regexp_replace(regexp_replace(
+    regexp_replace(
       lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-      '^www\.', ''), ':(80|443)$', '') AS host,
+      '^www\.', '') AS nowww,
     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
   FROM s
+), p AS (
+  SELECT id, u, scheme, rest,
+    CASE WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$', '')
+         ELSE nowww END AS host
+  FROM p0
 ), q AS (
   SELECT id, scheme, host,
     regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
@@ -195,3 +201,37 @@ def test_randomized_differential(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = dict(con.execute(DUCK_CANON).fetchall())
     assert got == want
+
+
+def test_url_dedup_string_ids(spark):
+    """String ids must dedup via lexicographic min, not silently
+    NULL-cast into an empty drop list."""
+    rows = [
+        ("doc-b", "https://example.com/x"),
+        ("doc-a", "https://EXAMPLE.com/x"),
+        ("doc-c", "https://other.com/y"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    drops = {
+        r["drop_id"]: r["kept_id"]
+        for r in url_dedup(df, id_col="id", url_col="url").collect()
+    }
+    assert drops == {"doc-b": "doc-a"}
+
+
+def test_port_strip_is_scheme_conditional(spark):
+    rows = [
+        (1, "http://example.com:443/x"),   # real non-default origin
+        (2, "https://example.com:80/x"),   # ditto
+        (3, "ftp://example.com:80/x"),     # non-http: keep any port
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {
+        r["id"]: r["canonical"]
+        for r in df.select(
+            "id", canonical_url("url").alias("canonical")
+        ).collect()
+    }
+    assert got[1] == "http://example.com:443/x"
+    assert got[2] == "https://example.com:80/x"
+    assert got[3] == "ftp://example.com:80/x"
