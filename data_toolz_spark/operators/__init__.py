@@ -30,6 +30,7 @@ from data_toolz_spark.operators.text_analysis import (
     redact_artifacts,
     remove_duplicate_spans,
     repetition_features,
+    tfidf_terms,
     token_stats,
     unigram_logprob,
     vocab_coverage,

@@ -738,6 +738,79 @@ def remove_duplicate_spans(
     )
 
 
+def tfidf_terms(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    lowercase: bool = True,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by TF-IDF — keyword extraction
+    against a corpus model, the labeling/routing signal curation
+    pipelines attach before sharding.
+
+    ``vocab`` is a :func:`build_vocab` output WITH ``doc_freq`` (pass
+    ``doc_id_col`` when building).  Scoring uses the smooth idf
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's formulation), tf is the raw
+    in-document count, and scores truncate to 4 decimals so results
+    are engine-comparable.  Ties at the cut break deterministically by
+    (score DESC, token ASC).
+
+    Scale shape: the model broadcasts; the corpus side is one explode
+    → map-side join → one (doc, token) aggregate → per-doc window
+    top-k (partitioned by doc — no global sort).  Output:
+    ``id_col, token, tf, score, rank``.
+    """
+    if top_k <= 0:
+        raise ValueError("tfidf_terms: top_k must be positive")
+    if "doc_freq" not in vocab.columns:
+        raise ValueError(
+            "tfidf_terms: vocab lacks doc_freq — call build_vocab with "
+            "doc_id_col so document frequency is computed"
+        )
+    import math
+
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    model = F.broadcast(
+        vocab.select(
+            "token",
+            (
+                F.log(
+                    (F.lit(float(n_docs) + 1.0))
+                    / (F.col("doc_freq").cast("double") + 1.0)
+                )
+                + 1.0
+            ).alias("__idf"),
+        )
+    )
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(txt)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = counts.join(model, on="token").withColumn(
+        "score",
+        F.floor(F.col("tf") * F.col("__idf") * 10000) / 10000,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "score", "rank")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     vocab: DataFrame,
@@ -821,6 +894,7 @@ __all__ = [
     "build_vocab",
     "vocab_coverage",
     "unigram_logprob",
+    "tfidf_terms",
     "remove_duplicate_spans",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",

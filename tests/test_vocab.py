@@ -108,3 +108,58 @@ def test_coverage_grouped_and_broadcast(spark, documents):
     full = build_vocab(documents, rank_col=None)
     row = vocab_coverage(documents, full).collect()[0]
     assert row["covered_tokens"] == row["total_tokens"]
+
+
+def test_tfidf_exact_scores(spark):
+    """TF-IDF against a hand-computed reference on a toy corpus."""
+    import math
+
+    from data_toolz_spark.operators.text_analysis import tfidf_terms
+
+    df = _toy(spark)  # 1:"b b b a a c" 2:"a b D d" 3:"d c c B"
+    vocab = build_vocab(df, doc_id_col="doc_id")
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["score"], r["rank"])
+        for r in tfidf_terms(df, vocab, top_k=2).collect()
+    }
+
+    def idf(dfreq):
+        return math.log(4.0 / (dfreq + 1.0)) + 1.0
+
+    def trunc(x):
+        return math.floor(x * 10000) / 10000
+
+    # doc 1: b tf=3 (df=3), a tf=2 (df=2), c tf=1 (df=2)
+    assert got[(1, "b")] == (3, trunc(3 * idf(3)), 1)
+    assert got[(1, "a")] == (2, trunc(2 * idf(2)), 2)
+    assert (1, "c") not in got  # cut at top_k=2
+    # doc 3 ("d c c B"): c tf=2 ranks 1; d (tf=1, df=2) outscores
+    # b (tf=1, df=3 → idf exactly 1.0) on idf alone
+    assert got[(3, "c")][2] == 1
+    assert got[(3, "d")] == (1, trunc(idf(2)), 2)
+    assert (3, "b") not in got
+
+
+def test_tfidf_requires_doc_freq_and_validates(spark):
+    from data_toolz_spark.operators.text_analysis import tfidf_terms
+
+    df = _toy(spark)
+    with pytest.raises(ValueError, match="doc_freq"):
+        tfidf_terms(df, build_vocab(df))  # tf-only vocab
+    with pytest.raises(ValueError, match="top_k"):
+        tfidf_terms(df, build_vocab(df, doc_id_col="doc_id"), top_k=0)
+
+
+def test_tfidf_plan_broadcast_no_global_sort(spark, documents):
+    from data_toolz_spark.operators.text_analysis import tfidf_terms
+
+    vocab = build_vocab(documents, doc_id_col="doc_id")
+    plan = (
+        tfidf_terms(documents, vocab, n_docs=500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only sort is the per-doc window partition sort
+    assert "rangepartitioning" not in plan.lower()
