@@ -61,6 +61,11 @@ from data_toolz_spark.operators.incremental import (
     ivf_query_index,
     novel_documents,
 )
+from data_toolz_spark.operators.search import (
+    append_to_text_index,
+    build_text_index,
+    search_terms,
+)
 from data_toolz_spark.operators.urls import (
     canonical_url,
     extract_urls,
@@ -142,6 +147,10 @@ __all__ = [
     "build_minhash_index",
     "incremental_near_duplicates",
     "novel_documents",
+    # search
+    "append_to_text_index",
+    "build_text_index",
+    "search_terms",
     # urls
     "canonical_url",
     "extract_urls",
