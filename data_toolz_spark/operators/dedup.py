@@ -549,16 +549,18 @@ def exact_jaccard_pairs(
     ``shingle > 1`` compares n-word-shingle sets instead of token sets.
 
     ``length_filter`` (default OFF) adds the PPJoin length bound as two
-    extra non-equi join conditions.  Controlled A/B (alternating
-    trials, shared warm shingle cache, 5× and 20× sf0.1 corpora,
-    round 4) measures the bound as a consistent ~10-20% net loss at
-    this low threshold for identical output — at θ=0.05 almost no pair
-    is size-ratio-prunable, so the per-candidate comparisons outweigh
-    the pruning.  (Round 3's "5× slower" figure was a measurement
-    artifact: Spark's CacheManager was substituting the prior call's
-    cached shingle frames into one arm of the comparison.)  Turn it on
-    for high thresholds (≥ ~0.7), where the min/max size ratio
-    actually eliminates candidates.
+    extra non-equi join conditions.  Measured history, all with
+    identical output: round 4's controlled A/B (alternating trials,
+    shared warm shingle cache) found ~10-20% net loss at 1× sf0.1;
+    a round-5 COLD alternating A/B at 20× (cache-cleared between arms)
+    found parity — off 7.9-9.6 s vs on 7.8-8.1 s.  At θ=0.05 almost no
+    pair is size-ratio-prunable, so the bound only pays when the
+    min/max size ratio bites: leave it off at low thresholds, turn it
+    on for high thresholds (≥ ~0.7).  (Two earlier contradictory
+    figures were both measurement artifacts: round 3's "5× slower ON"
+    came from CacheManager substituting a prior call's cached shingle
+    frames into one arm, and round 5's probe briefly showed "4× faster
+    ON" by comparing arms run under different heap pressure.)
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for the inverted-index join")

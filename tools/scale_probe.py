@@ -219,17 +219,29 @@ def main() -> int:
               f"ivf {t_ivf}s, lsh {t_cl}s/{n_cl}, lsh12 {t_cl12}s, "
               f"idx_build {t_build}s, incr_mine {t_inc}s/{n_inc}",
               flush=True)
-        # PPJoin length-filter effect: t_ij above uses the r3 default
-        # (bound OFF, it measured 5× slower ON); time the bound here
+        # PPJoin length-filter A/B: measure BOTH arms back-to-back here
+        # — reusing t_ij from earlier in the loop would compare a run
+        # made under different heap/GC conditions (the r5 probe showed
+        # a phantom 4x "win" that a controlled alternating A/B
+        # (7.9-9.6 s off vs 7.8-8.1 s on at 20x) did not reproduce)
         if mult == mults[-1]:
+            t_off, n_off = timed(
+                lambda: exact_jaccard_pairs(
+                    d, "doc_id", "text", block_cols=["lang"],
+                    threshold=0.05, shingle=3, length_filter=False,
+                )
+            )
             t_lf, n_lf = timed(
                 lambda: exact_jaccard_pairs(
                     d, "doc_id", "text", block_cols=["lang"],
                     threshold=0.05, shingle=3, length_filter=True,
                 )
             )
-            ppjoin_rows.append((mult, t_lf, t_ij, n_lf, n_ij))
-            print(f"ppjoin on at {mult}×: {t_lf}s/{n_lf}", flush=True)
+            ppjoin_rows.append((mult, t_lf, t_off, n_lf, n_off))
+            print(
+                f"ppjoin at {mult}×: on {t_lf}s/{n_lf}, off {t_off}s/{n_off}",
+                flush=True,
+            )
         # write after every mult so an interrupted probe still records
         _write_md(rows, ppjoin_rows)
 
