@@ -43,6 +43,7 @@ def run_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     sketch_table: str | None = None,
+    index_prefix: str | None = None,
 ) -> None:
     """Drain the available stream backlog into a deduplicated corpus.
 
@@ -63,6 +64,13 @@ def run_dedup_ingest(
     stats row is at-least-once on epoch retry; HLL union makes a
     replayed row idempotent in the ESTIMATE (same ids fold to the
     same sketch), only ``n_rows`` can double-count a retried batch.
+
+    ``index_prefix`` (optional) folds each batch's novel documents
+    into an existing inverted text index (``operators.search``) —
+    searchable the moment they land, postings sized to the batch.  A
+    replayed epoch can duplicate posting rows; searches stay correct
+    (``count_distinct`` semantics), run ``compact_dataset`` or a
+    periodic ``distinct`` rewrite to reclaim the space.
     """
     in_cols = stream_df.columns
 
@@ -98,6 +106,17 @@ def run_dedup_ingest(
                     .select("batch_id", "n_rows", "sketch")
                     .write.mode("append")
                     .saveAsTable(sketch_table)
+                )
+            if index_prefix:
+                from data_toolz_spark.operators.search import (
+                    append_to_text_index,
+                )
+
+                append_to_text_index(
+                    novel,
+                    index_prefix,
+                    id_col=id_col,
+                    text_col=text_col,
                 )
             append_to_catalog(novel, catalog_table, id_col=id_col)
         finally:

@@ -325,3 +325,70 @@ def test_ingest_sketch_table_tracks_corpus_cardinality(spark, tmp_path):
     assert est == true == 3
     for t in (catalog, stats):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ingest_folds_search_index(spark, tmp_path):
+    """index_prefix makes each ingested batch searchable: novel docs'
+    postings land per batch, duplicates never index twice."""
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+    )
+    from data_toolz_spark.operators.search import (
+        build_text_index,
+        search_terms,
+    )
+    from data_toolz_spark.streaming.ingest import run_dedup_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    catalog, prefix = "t_ixing_catalog", "t_ixing"
+    import os
+    import shutil
+
+    for t in (catalog, f"{prefix}_ix_meta", f"{prefix}_ix_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(os.getcwd(), "spark-warehouse", t),
+            ignore_errors=True,
+        )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_fingerprint_catalog(
+        empty, catalog, n_buckets=4, path=str(tmp_path / "cat")
+    )
+    build_text_index(
+        empty, prefix, n_buckets=4, path=str(tmp_path / "ix")
+    )
+
+    for rows in (
+        [(1, "alpha beta"), (2, "gamma beta"), (3, "alpha beta")],
+        [(10, "alpha beta"), (11, "delta beta")],
+    ):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        run_dedup_ingest(
+            stream,
+            catalog_table=catalog,
+            output_path=out,
+            checkpoint_dir=ckpt,
+            index_prefix=prefix,
+        )
+
+    hits = {
+        r["id"]
+        for r in search_terms(spark, prefix, ["beta"], mode="and").collect()
+    }
+    # novel docs only: 3 (within-batch dup) and 10 (cross-cycle dup)
+    # never reached the corpus or the index
+    assert hits == {1, 2, 11}
+    alpha = {
+        r["id"]
+        for r in search_terms(spark, prefix, ["alpha"], mode="and").collect()
+    }
+    assert alpha == {1}
+    for t in (catalog, f"{prefix}_ix_meta", f"{prefix}_ix_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
