@@ -192,11 +192,17 @@ def _x_prepare_corpus(spark, sf_dir):
     from data_toolz_spark.pipelines import prepare_training_corpus
 
     docs = entrymod.load(spark, sf_dir, "documents")
+    n_docs = docs.count()
     return prepare_training_corpus(
         docs,
         docs.filter(F.col("doc_id") % 20 == 0).select("text"),
         quality_thresholds={"min_tokens": 5},
-        line_dedup_max_doc_freq=20,
+        # word-level pseudo-lines: drop only near-UNIVERSAL words
+        # (> 90% of docs).  The synthetic corpus has a ~31-token
+        # vocabulary, so an absolute cap like 20 would drop every
+        # word and the "end-to-end" bench would time a pipeline that
+        # EMPTIES the corpus (caught in round 5 — output was 0 rows).
+        line_dedup_max_doc_freq=int(n_docs * 0.9),
         near_dup_threshold=0.8,
         decontaminate_n=8,
         chunk_max_words=64,
