@@ -36,6 +36,7 @@ from data_toolz_spark.plans.filtering import Filter, compile_filter
 from data_toolz_spark.sources.io import DataIO
 from data_toolz_spark.sources.maintenance import (
     assert_append_compatible,
+    column_profile,
     compact_dataset,
     dataset_stats,
     schema_problems,
@@ -60,6 +61,7 @@ __all__ = [
     "zorder_write",
     "schema_problems",
     "assert_append_compatible",
+    "column_profile",
     "FsUtil",
     "JsonLogger",
     "register_dataset",

@@ -180,6 +180,73 @@ def compact_dataset(
     }
 
 
+def column_profile(df: DataFrame, *, approx_rsd: float = 0.05) -> DataFrame:
+    """Per-column data-quality census in ONE pass: ``column, dtype,
+    n_rows, n_nulls, null_frac, approx_distinct[, min_val, max_val]``.
+
+    The monitoring primitive an ingest pipeline records per batch:
+    joined against yesterday's profile, null-rate jumps and distinct
+    collapses (a upstream join gone wrong, a column silently defaulted)
+    surface before they poison a training run.  All measures are
+    partial-aggregable (count / HyperLogLog++ / min / max), so the scan
+    cost is one pass with map-side combine regardless of width.
+    min/max are reported for orderable atomic types, rendered as
+    strings so one narrow frame covers every column type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    orderable = (
+        T.NumericType,
+        T.StringType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.BooleanType,
+    )
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(
+            F.sum(c.isNull().cast("long")).alias(f"__nulls_{f.name}")
+        )
+        aggs.append(
+            F.approx_count_distinct(c, approx_rsd).alias(
+                f"__dist_{f.name}"
+            )
+        )
+        if isinstance(f.dataType, orderable):
+            aggs.append(F.min(c).cast("string").alias(f"__min_{f.name}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{f.name}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    out = []
+    for f in df.schema.fields:
+        nulls = row[f"__nulls_{f.name}"] or 0
+        out.append(
+            (
+                f.name,
+                f.dataType.simpleString(),
+                n,
+                nulls,
+                round(nulls / n, 6) if n else 0.0,
+                row[f"__dist_{f.name}"],
+                row[f"__min_{f.name}"]
+                if isinstance(f.dataType, orderable)
+                else None,
+                row[f"__max_{f.name}"]
+                if isinstance(f.dataType, orderable)
+                else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "null_frac double, approx_distinct long, "
+        "min_val string, max_val string",
+    )
+
+
 def schema_problems(existing, incoming) -> list[str]:
     """Data-contract check for appending ``incoming`` onto a dataset
     whose files carry ``existing`` (both ``StructType``).
@@ -357,6 +424,7 @@ __all__ = [
     "compact_dataset",
     "schema_problems",
     "assert_append_compatible",
+    "column_profile",
     "zorder_value",
     "zorder_write",
 ]

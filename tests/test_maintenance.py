@@ -250,3 +250,39 @@ def test_schema_contract_guard(spark, tmp_path):
     # problem list shape
     probs = schema_problems(base.schema, retyped.schema)
     assert len(probs) == 1 and "bigint" in probs[0] and "int" in probs[0]
+
+
+def test_column_profile(spark, documents):
+    from data_toolz_spark.sources.maintenance import column_profile
+
+    prof = {
+        r["column"]: r for r in column_profile(documents).collect()
+    }
+    assert set(prof) == set(documents.columns)
+    n = documents.count()
+    for r in prof.values():
+        assert r["n_rows"] == n
+    assert prof["doc_id"]["n_nulls"] == 0
+    assert prof["doc_id"]["null_frac"] == 0.0
+    # exact 500 distinct ids; rsd=5% tolerance
+    assert abs(prof["doc_id"]["approx_distinct"] - n) <= 0.15 * n
+    assert prof["doc_id"]["dtype"] == "bigint"
+    assert int(prof["doc_id"]["min_val"]) == 0
+    assert prof["lang"]["approx_distinct"] <= 7  # 5 langs + slack
+    assert prof["text"]["min_val"] is not None  # strings orderable
+
+
+def test_column_profile_nulls_and_arrays(spark):
+    from data_toolz_spark.sources.maintenance import column_profile
+
+    df = spark.createDataFrame(
+        [(1, None, [1.0]), (2, "x", None), (3, None, [2.0])],
+        "id long, s string, v array<double>",
+    )
+    prof = {r["column"]: r for r in column_profile(df).collect()}
+    assert prof["s"]["n_nulls"] == 2
+    assert prof["s"]["null_frac"] == round(2 / 3, 6)
+    # arrays: no min/max, but null + distinct still reported
+    assert prof["v"]["min_val"] is None
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["v"]["approx_distinct"] >= 2
