@@ -235,3 +235,22 @@ def test_port_strip_is_scheme_conditional(spark):
     assert got[1] == "http://example.com:443/x"
     assert got[2] == "https://example.com:80/x"
     assert got[3] == "ftp://example.com:80/x"
+
+
+def test_canonicalization_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — re-processing an
+    already-canonical URL column (a re-run over a partially processed
+    dataset) must be a no-op."""
+    rows = CASES + [(100 + i, u) for i, u in enumerate([
+        "https://www.a.com:443/p/?utm_source=1&b=2&a=3#f).",
+        "HTTP://B.ORG:80//",
+    ])]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    once = df.select(
+        "id", canonical_url("url").alias("c1")
+    ).filter(F.col("c1").isNotNull())
+    twice = once.select(
+        "id", "c1", canonical_url("c1").alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad
