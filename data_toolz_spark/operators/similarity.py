@@ -719,7 +719,19 @@ def semantic_dedup(
     Returns the DROP list: ``drop_id, cell, rep_id`` (the kept
     representative), composable with ``component_split`` and the
     curation joins exactly like ``near_duplicate_drop_list`` output.
+    ``drop_id``/``rep_id`` carry the id column's OWN type (like
+    ``url_dedup``): numeric ids keep numeric order, string ids dedup
+    by lexicographic min — never a silent ``cast('long')`` that would
+    fail mid-job under ANSI mode (or NULL every id outside it).
     """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
     from data_toolz_spark.operators._util import spread
 
     if keep not in ("min_id", "centroid_far"):
@@ -732,10 +744,20 @@ def semantic_dedup(
             "semantic_dedup: train_sample must be a positive sample "
             "size (bounded driver-side quantizer training)"
         )
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType, StringType)
+    ):
+        raise ValueError(
+            f"semantic_dedup: id column {id_col!r} must be an integer or "
+            f"string type (got {id_type.simpleString()}) — 'min_id' keep "
+            "policy needs a totally ordered, groupable id"
+        )
+    id_ddl = id_type.simpleString()
 
     unitize = _unit_vector_udf(dim)
     units = spread(df).select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         unitize(F.col(vec_col).cast("array<double>")).alias("__v"),
     ).filter(F.col("__v").isNotNull())
 
@@ -761,15 +783,19 @@ def semantic_dedup(
 
     assigned = units.withColumn("__cell", cell_of("__v"))
 
-    out_ddl = "drop_id long, cell int, rep_id long"
+    out_ddl = f"drop_id {id_ddl}, cell int, rep_id {id_ddl}"
 
     def dedup_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(key[0])
         ids = pdf["__id"].to_numpy()
         n = len(ids)
         empty = pd.DataFrame(
-            {"drop_id": [], "cell": [], "rep_id": []}
-        ).astype({"drop_id": "int64", "cell": "int32", "rep_id": "int64"})
+            {
+                "drop_id": pd.Series([], dtype=object),
+                "cell": pd.Series([], dtype="int32"),
+                "rep_id": pd.Series([], dtype=object),
+            }
+        )
         if n < 2:
             return empty
         # sort by id so group discovery is layout-independent
@@ -814,11 +840,13 @@ def semantic_dedup(
                 if m != keeper:
                     drops.append(ids[m])
                     reps.append(ids[keeper])
+        # object dtype carries numeric AND string ids losslessly; the
+        # Arrow writer coerces to out_ddl's declared id type
         return pd.DataFrame(
             {
-                "drop_id": np.array(drops, dtype=np.int64),
+                "drop_id": pd.Series(list(drops), dtype=object),
                 "cell": np.full(len(drops), cell, dtype=np.int32),
-                "rep_id": np.array(reps, dtype=np.int64),
+                "rep_id": pd.Series(list(reps), dtype=object),
             }
         )
 

@@ -25,6 +25,7 @@ Design notes (what transfers to a 1000-executor cluster):
 
 from __future__ import annotations
 
+import json
 import math
 import uuid
 from typing import Mapping, Sequence
@@ -91,6 +92,16 @@ def compact_dataset(
     pass an explicit ``dest`` and swap the table location/catalog
     pointer instead.**
 
+    **Crash window.** The two renames are individually atomic but not
+    jointly: a process death between them leaves NO dataset at
+    ``path`` — the data survives intact in the ``{path}__old_<uuid>``
+    sibling, and the rewrite in ``{path}__compact_<uuid>``.  To make
+    recovery mechanical, a ``{path}__swap_<uuid>.marker`` JSON file
+    ``{"original", "old", "new"}`` is written BEFORE the first rename
+    and deleted only after the swap completes; any surviving marker
+    means "rename ``old`` back to ``original``, then delete ``new``"
+    (the rewrite is re-runnable, the original is the source of truth).
+
     ``partition_by`` preserves an existing hive layout (the rewrite
     shuffles once on those columns, giving one writer per partition
     dir); row-group-internal order is not preserved — compaction is
@@ -153,19 +164,41 @@ def compact_dataset(
 
     if dest is None:
         jvm, fs, root = _hadoop_fs(spark, path)
+        swap_id = uuid.uuid4().hex[:8]
         tmp_old = jvm.org.apache.hadoop.fs.Path(
-            f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+            f"{path.rstrip('/')}__old_{swap_id}"
         )
         new_p = jvm.org.apache.hadoop.fs.Path(out_path)
+        # recovery marker BEFORE the first rename: a crash between the
+        # two renames leaves no dataset at `path`, and this file is
+        # what tells an operator (or a sweep job) how to undo the swap
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}__swap_{swap_id}.marker"
+        )
+        manifest = json.dumps(
+            {
+                "original": path,
+                "old": tmp_old.toString(),
+                "new": out_path,
+            }
+        ).encode()
+        stream = fs.create(marker, True)
+        try:
+            stream.write(manifest)
+        finally:
+            stream.close()
         if not fs.rename(root, tmp_old):
+            fs.delete(marker, False)
             raise IOError(f"compact_dataset: could not move {path} aside")
         if not fs.rename(new_p, root):
             # roll back so the dataset is never left missing
             fs.rename(tmp_old, root)
+            fs.delete(marker, False)
             raise IOError(
                 f"compact_dataset: could not move rewrite into {path}"
             )
         fs.delete(tmp_old, True)
+        fs.delete(marker, False)
         final_path = path
     else:
         final_path = dest
@@ -404,6 +437,17 @@ def zorder_write(
         ranges = {
             c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols
         }
+        for c, (lo, hi) in ranges.items():
+            if lo is None or hi is None:
+                # an all-NULL (or empty-input) column has no range; a
+                # bare float(None) TypeError deep in zorder_value would
+                # hide which column is at fault
+                raise ValueError(
+                    f"zorder_write: column {c!r} has no non-NULL values "
+                    "to derive a range from — pass an explicit "
+                    f"ranges={{{c!r}: (lo, hi)}} or drop it from "
+                    "zorder_cols"
+                )
     z = zorder_value(cols, ranges, bits=bits)
     shaped = df.withColumn("__z", z)
     ranged = (

@@ -286,3 +286,31 @@ def test_column_profile_nulls_and_arrays(spark):
     assert prof["v"]["min_val"] is None
     assert prof["v"]["n_nulls"] == 1
     assert prof["v"]["approx_distinct"] >= 2
+
+
+def test_compact_swap_marker_cleaned_up(spark):
+    """The crash-recovery marker must exist only DURING the swap: after
+    a successful in-place compaction no __swap_*.marker (and no
+    __old_* sibling) survives next to the dataset."""
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "ds")
+        _fragmented(spark, path, n_files=8)
+        out = compact_dataset(spark, path, target_file_mb=64)
+        assert out["compacted"] is True
+        leftovers = [
+            n for n in os.listdir(root)
+            if "__swap_" in n or "__old_" in n or "__compact_" in n
+        ]
+        assert leftovers == []
+
+
+def test_zorder_all_null_column_raises(spark, tmp_path):
+    from data_toolz_spark.sources.maintenance import zorder_write
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit(None).cast("double").alias("dead")
+    )
+    with pytest.raises(ValueError, match="dead"):
+        zorder_write(
+            df, str(tmp_path / "z"), zorder_cols=["id", "dead"]
+        )

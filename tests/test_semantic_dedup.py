@@ -117,3 +117,39 @@ def test_single_shuffle_plan(spark, embeddings):
     # corpus-wide sort
     assert plan.count("Exchange") <= 2  # hashpartition (+AQE read)
     assert "SortMergeJoin" not in plan
+
+
+def test_string_ids_preserved(spark, embeddings):
+    """String ids must flow through with their OWN type (lexicographic
+    min-id keep), never a silent/failing cast to long."""
+    tagged = embeddings.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias(
+            "sid"
+        ),
+        "embedding",
+    )
+    got = semantic_dedup(
+        tagged, id_col="sid", threshold=0.4, n_centroids=1
+    )
+    assert dict(got.dtypes)["drop_id"] == "string"
+    rows = got.collect()
+    assert rows  # testdata has near-dups
+    # zero-padded string order == numeric order, so the drop set must
+    # mirror the numeric-id run exactly
+    num = {
+        r["drop_id"]
+        for r in semantic_dedup(
+            embeddings, id_col="vec_id", threshold=0.4, n_centroids=1
+        ).collect()
+    }
+    assert {int(r["drop_id"][4:]) for r in rows} == num
+
+
+def test_unorderable_id_type_raises(spark, embeddings):
+    import pytest
+
+    bad = embeddings.select(
+        F.array("vec_id").alias("aid"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integer or string"):
+        semantic_dedup(bad, id_col="aid", threshold=0.4, n_centroids=1)

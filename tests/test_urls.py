@@ -30,7 +30,7 @@ CASES = [
     (8, "https://sub.example.com/path"),
     (9, "not a url"),
     (10, "ftp://example.com/file"),  # non-http scheme still parses
-    (11, "https://example.com/x)."),  # trailing prose punctuation
+    (11, "https://example.com/x)."),  # prose tail — canonical keeps it
     (12, "https://example.com/x"),
     (13, "http://example.com:8080/x"),  # non-default port kept
     (14, "https://example.com/?utm_campaign=a&utm_medium=b"),
@@ -41,7 +41,7 @@ CASES = [
 # the same formula, DuckDB dialect
 DUCK_CANON = r"""
 WITH s AS (
-  SELECT id, regexp_replace(url, '[.,;:!?)''"\]]+$', '') AS u FROM t
+  SELECT id, url AS u FROM t
 ), p0 AS (
   SELECT id, u,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -108,7 +108,11 @@ def test_canonical_specific_forms(spark):
     assert got[8] == "https://sub.example.com/path"  # subdomain kept
     assert got[9] is None
     assert got[10] == "ftp://example.com/file"
-    assert got[11] == got[12] == "https://example.com/x"
+    # canonical_url is strip-free: a prose tail is a DIFFERENT path.
+    # trim_prose_punctuation (the extraction context) is what maps 11
+    # onto 12 — see test_trim_prose_punctuation.
+    assert got[11] == "https://example.com/x)."
+    assert got[12] == "https://example.com/x"
     assert got[13] == "http://example.com:8080/x"
     assert got[14] == "https://example.com"
     assert got[16] == "https://example.com/search?q=a+b"
@@ -120,8 +124,9 @@ def test_url_dedup_drop_list(spark):
         r["drop_id"]: r["kept_id"]
         for r in url_dedup(df, id_col="id", url_col="url").collect()
     }
-    # groups: {1,2}, {3,4,14}, {5,6,7}, {11,12}
-    assert drops == {2: 1, 4: 3, 14: 3, 6: 5, 7: 5, 12: 11}
+    # groups: {1,2}, {3,4,14}, {5,6,7}.  11 and 12 no longer collide:
+    # canonical_url is strip-free, so the prose-tailed 11 is distinct.
+    assert drops == {2: 1, 4: 3, 14: 3, 6: 5, 7: 5}
 
 
 def test_extract_urls(spark):
@@ -132,8 +137,38 @@ def test_extract_urls(spark):
     got = {r["id"]: r["u"] for r in df.select(
         "id", extract_urls("text").alias("u")
     ).collect()}
-    assert got[1] == ["https://a.com/x", "http://b.org,"]
+    assert got[1] == ["https://a.com/x", "http://b.org"]
     assert got[2] == []
+    raw = {r["id"]: r["u"] for r in df.select(
+        "id", extract_urls("text", trim=False).alias("u")
+    ).collect()}
+    assert raw[1] == ["https://a.com/x", "http://b.org,"]
+
+
+def test_trim_prose_punctuation(spark):
+    from data_toolz_spark.operators.urls import trim_prose_punctuation
+
+    cases = [
+        (1, "https://example.com/x).", "https://example.com/x"),
+        (2, "https://en.wikipedia.org/wiki/Foo_(bar)",
+            "https://en.wikipedia.org/wiki/Foo_(bar)"),  # balanced: keep
+        (3, "https://en.wikipedia.org/wiki/Foo_(bar)).",
+            "https://en.wikipedia.org/wiki/Foo_(bar)"),  # excess ) goes
+        (4, "https://x.com/a,", "https://x.com/a"),
+        (5, "https://x.com/a.).", "https://x.com/a"),
+        (6, "https://x.com/q?a=(1)", "https://x.com/q?a=(1)"),
+        (7, "https://x.com/plain", "https://x.com/plain"),
+        (8, 'https://x.com/quoted"', "https://x.com/quoted"),
+        (9, "https://x.com/))", "https://x.com/"),  # two excess parens
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], ["id", "url"]
+    )
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", trim_prose_punctuation("url").alias("t")
+    ).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
 
 
 def test_dedup_single_shuffle_codegen(spark):
