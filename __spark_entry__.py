@@ -811,6 +811,29 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-r6: SemDeDup semantic deduplication, driver-attested in the
+    1-cell configuration.
+
+    With ``n_centroids=1`` every pair lands in the same cell, so the
+    operator's Gram + in-kernel union-find must reproduce brute-force
+    cosine pairs → transitive closure → keep-min-id exactly — the same
+    closure shape ``dedup_cc_drop`` oracles, here over embeddings via a
+    recursive CTE.  The multi-cell scale path (k-means cells, Σ|cell|²
+    work, one shuffle) is pinned against this config in
+    tests/test_semantic_dedup.py (more cells never ADD drops; 4-cell
+    layout-invariance) and probed at 5×/20× in SCALE_PROBE.md.
+    """
+    from data_toolz_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        threshold=0.4,
+        n_centroids=1,
+    ).select("drop_id", "cell", "rep_id")
+
+
 def emb_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: L2 norm per embedding (JVM-side higher-order fns)."""
     from data_toolz_spark.functions.vectors import l2_norm
@@ -905,6 +928,110 @@ def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("clean_text")).alias("clean_md5"),
         "n_lines",
         "n_removed",
+    )
+
+
+def text_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-r6: ExactSubstr duplicate-span removal (Lee et al. 2022),
+    driver-attested.
+
+    Any 8-word span occurring in ≥2 distinct documents is cut from
+    every document except the lowest-id holder.  The qid emits per-doc
+    ``n_dropped_words`` plus an md5 over the rebuilt text, so the
+    VALUES of the row-local rebuild (not just counts) are checked; the
+    oracle builds the identical positioned word grams in DuckDB (the
+    same string-gram twin trick ``text_decontaminate`` uses — Spark
+    groups gram xxhash64 longs, the oracle gram strings; equal absent
+    collisions, which the 6k-distinct-gram corpus cannot produce).
+    Near-dup clusters in the testdata share long passages, so the
+    removal path is genuinely exercised (24 docs touched at sf0.01).
+    """
+    from data_toolz_spark.operators.text_analysis import (
+        remove_duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_dropped_words",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"),
+    )
+
+
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-r6: URL canonicalization + first-tier URL dedup.
+
+    The synthetic documents carry no URLs, so the qid synthesizes a
+    deterministic URL per doc from ``doc_id`` residues — covering the
+    full canonicalization surface: mixed-case scheme/host, ``www.``
+    and default-port stripping, tracking-param drop + param sort,
+    trailing-slash strip, a balanced-paren Wikipedia-style path that
+    must SURVIVE trimming, and prose tails that must not.  The same
+    arithmetic builds the same strings in DuckDB, so every branch is
+    value-checked end-to-end: trim → canonicalize → min-id drop
+    window (``is_dup``).
+    """
+    from data_toolz_spark.operators.urls import (
+        canonical_url,
+        trim_prose_punctuation,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pick = lambda col, *vals: F.element_at(  # noqa: E731
+        F.array(*[F.lit(v) for v in vals]),
+        (col % len(vals) + 1).cast("int"),
+    )
+    d = F.col("doc_id")
+    raw = F.concat(
+        pick(d, "http", "https", "HTTPS"),
+        F.lit("://"),
+        pick(d, "www.Example.com", "example.com", "Sub.test.org:443",
+             "example.com:80", "data.io"),
+        pick(d, "/a/b/", "/a/b", "/wiki/Foo_(bar)", "", "/x//",
+             "/p.q", "/Archive_(1999)"),
+        pick(d, "?utm_source=x&b=1", "?b=1", "", "?z=2&a=1",
+             "?a=1&z=2&fbclid=q", "?utm_campaign=only"),
+        pick(d, "", ".", ").", ",", ""),
+    )
+    urls = docs.select(
+        "doc_id",
+        canonical_url(trim_prose_punctuation(raw)).alias("canonical"),
+    )
+    w = Window.partitionBy("canonical")
+    return urls.withColumn(
+        "is_dup",
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("long"),
+    )
+
+
+def text_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-r6: persistent inverted text index, built + searched in one
+    qid.
+
+    Builds the bucketed+sorted posting-list table over the documents
+    corpus (one tokenize → explode → distinct pass), then answers an
+    OR search for three terms with one posting scan + one aggregate —
+    the ``token IN (…)`` predicate pushes into the parquet scan
+    (plan-asserted in tests/test_search.py) and AND semantics is the
+    ``n_matched == n_terms`` flag, never a per-term self-join.  Oracle
+    = brute-force token scan in DuckDB over the same corpus.
+    """
+    from data_toolz_spark.operators.search import (
+        build_text_index,
+        search_terms,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = "dtz_searchq"
+    build_text_index(docs, prefix, n_buckets=16)
+    terms = ["dup", "vector", "window"]
+    hits = search_terms(spark, prefix, terms, mode="or")
+    return hits.select(
+        "id",
+        "n_matched",
+        (F.col("n_matched") == len(terms)).cast("long").alias("and_hit"),
     )
 
 
@@ -1673,7 +1800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage.  Never-driver-verified and new/changed qids run first.
     """
     return {
-        # --- new or changed this round / no round-2 driver row
+        # --- new this round (r6): the four r5-new operator families
+        # promoted to VALUE-verified driver rows (VERDICT r5 items
+        # 1/2/3/7); the slots come from four folds documented below
+        "semantic_dedup": semantic_dedup_q,
+        "span_dedup": text_span_dedup_q,
+        "url_canonicalize": url_canonicalize_q,
+        "text_search": text_search_q,
+        # --- new or changed previous rounds / no round-2 driver row
         "incremental_novel_docs": incremental_novel_docs_q,
         "sampling_split_counts": sampling_split_counts_q,
         "sim_topk_ann": sim_topk_ann_q,
@@ -1694,7 +1828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # win_ntile_quartiles folded r5 → win_ordered_analytics now
         # carries ntile(4) in the same window spec; slot freed for
         # sampling_split_counts (VERDICT r4 item 5)
-        "emb_dimension_stats": emb_dimension_stats,
+        # emb_dimension_stats folded r6 → its posexplode+per-dim agg
+        # operators run inside every similarity qid's unit-vector path
+        # (sim_topk_*, dedup_embedding*, semantic_dedup); callable in
+        # bench.LEGACY.  Slot freed for semantic_dedup (VERDICT r5 #1).
         "topk_per_group": topk_per_group,
         # --- round-2 green
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
@@ -1729,13 +1866,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "join_anti_customers": join_anti_customers,
         "join_semi_parts": join_semi_parts,
-        "set_ops_users": set_ops_users,
+        # set_ops_users folded r6 → INTERSECT plans as the left-semi
+        # join join_semi_parts attests and EXCEPT as join_anti_customers'
+        # left-anti; callable in bench.LEGACY.  Slot freed for
+        # text_search (VERDICT r5 #7).
         "agg_salted_skew": agg_salted_skew,
         "pivot_event_counts": pivot_event_counts,
         "text_bpe_tokens": text_bpe_tokens,
-        "text_token_stats": text_token_stats_q,
+        # text_token_stats folded r6 → its per-language token/char aggs
+        # are a strict subset of text_web_signals (n_tokens per doc,
+        # value-verified) + text_vocab_topk (corpus token counts);
+        # callable in bench.LEGACY (headline member).  Slot freed for
+        # span_dedup (VERDICT r5 #2).
         "win_user_session": win_user_session_q,
-        "json_key_histogram": json_key_histogram,
+        # json_key_histogram folded r6 → filter_exists/filter_nested_and
+        # attest the same JSON-key machinery (json_keys presence +
+        # get_json_object extraction feeding a numeric agg); callable in
+        # bench.LEGACY.  Slot freed for url_canonicalize (VERDICT r5 #3).
         "dedup_exact": dedup_exact_q,
         "dedup_minhash": dedup_minhash_q,
         "dedup_cc_drop": dedup_cc_drop_q,
@@ -2160,6 +2307,164 @@ FROM (
 )
 WHERE rn = 1
 """,
+        # SemDeDup in the 1-cell config: brute-force cosine pairs →
+        # transitive closure (recursive CTE) → keep-min-id; rep_id is
+        # the component minimum, cell is the single cell 0
+        "semantic_dedup": f"""
+WITH RECURSIVE u AS ({_DD_UNIT}),
+pr AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+),
+edges AS (SELECT ida AS s, idb AS t FROM pr
+          UNION SELECT idb, ida FROM pr),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS drop_id, CAST(0 AS INTEGER) AS cell, MIN(t) AS rep_id
+FROM reach GROUP BY s HAVING MIN(t) < s
+""",
+        # ExactSubstr span dedup, string-gram twin of the Spark hashed
+        # grams (n=8, min_docs=2): positioned grams → cross-doc spans
+        # with min-id keeper → flagged positions → row-local rebuild.
+        # Untouched docs hash their ORIGINAL text byte-identically;
+        # touched docs re-join surviving words with single spaces.
+        "span_dedup": f"""
+WITH toksrc AS (
+  SELECT doc_id, text, {_DD_TOKS} AS t FROM documents
+),
+w AS (
+  SELECT doc_id, text, t, list_transform(t, x -> lower(x)) AS lw
+  FROM toksrc
+),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(lw[i:i+7], ' ') AS gram
+  FROM w, unnest(generate_series(1, len(lw) - 7)) AS s(i)
+),
+spans AS (
+  SELECT gram, MIN(doc_id) AS keeper
+  FROM pg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cuts AS (
+  SELECT DISTINCT pg.doc_id, pg.pos
+  FROM pg JOIN spans USING (gram)
+  WHERE pg.doc_id <> spans.keeper
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS word
+  FROM w, unnest(generate_series(1, len(t))) AS s(i)
+),
+marked AS (
+  SELECT tp.doc_id, tp.pos, tp.word, COUNT(c.pos) > 0 AS cut
+  FROM tokpos tp
+  LEFT JOIN cuts c ON c.doc_id = tp.doc_id
+       AND tp.pos >= c.pos AND tp.pos < c.pos + 8
+  GROUP BY tp.doc_id, tp.pos, tp.word
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT cut THEN word END, ' '
+                    ORDER BY pos) AS joined,
+         CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         bool_or(cut) AS touched
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped_words,
+       md5(CASE WHEN COALESCE(a.touched, FALSE)
+                THEN COALESCE(a.joined, '') ELSE d.text END) AS clean_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        # deterministic synthesized URLs (same doc_id-residue string
+        # arithmetic on both engines) → paren-balanced prose trim →
+        # strip-free canonicalization → min-id dup window
+        "url_canonicalize": r"""
+WITH synth AS (
+  SELECT doc_id,
+    (['http','https','HTTPS'])[CAST(doc_id % 3 AS INT) + 1] || '://' ||
+    (['www.Example.com','example.com','Sub.test.org:443',
+      'example.com:80','data.io'])[CAST(doc_id % 5 AS INT) + 1] ||
+    (['/a/b/','/a/b','/wiki/Foo_(bar)','','/x//','/p.q',
+      '/Archive_(1999)'])[CAST(doc_id % 7 AS INT) + 1] ||
+    (['?utm_source=x&b=1','?b=1','','?z=2&a=1','?a=1&z=2&fbclid=q',
+      '?utm_campaign=only'])[CAST(doc_id % 6 AS INT) + 1] ||
+    (['','.',').',',',''])[CAST(doc_id % 5 AS INT) + 1] AS raw
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, regexp_replace(raw, '[.,;:!?''"\]]+$', '') AS b1
+  FROM synth
+),
+t2 AS (
+  SELECT doc_id, substr(b1, 1, length(b1) - least(
+      length(regexp_extract(b1, '(\)+)$', 1)),
+      greatest(0, (length(b1) - length(replace(b1, ')', '')))
+                - (length(b1) - length(replace(b1, '(', '')))))
+  ) AS b2 FROM t1
+),
+t3 AS (
+  SELECT doc_id, regexp_replace(b2, '[.,;:!?''"\]]+$', '') AS u
+  FROM t2
+),
+p0 AS (
+  SELECT doc_id, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\.', '') AS nowww,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+  FROM t3
+),
+p AS (
+  SELECT doc_id, scheme, rest,
+    CASE WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$', '')
+         ELSE nowww END AS host
+  FROM p0
+),
+q AS (
+  SELECT doc_id, scheme, host,
+    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+    )) AS params
+  FROM p
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme <> '' AND host <> ''
+         THEN scheme || '://' || host || path ||
+              CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END
+    END AS canonical
+  FROM q
+)
+SELECT doc_id, canonical,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canonical)
+            AS BIGINT) AS is_dup
+FROM canon
+""",
+        # inverted-index search, brute-force token-scan oracle: OR over
+        # three fixed terms, n_matched = distinct matched terms per doc,
+        # and_hit flags full conjunction coverage
+        "text_search": f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({_DD_TOKS},
+                x -> lower(x)))) AS token
+  FROM documents
+)
+SELECT doc_id AS id, COUNT(*) AS n_matched,
+       CAST(COUNT(*) = 3 AS BIGINT) AS and_hit
+FROM tok WHERE token IN ('dup', 'vector', 'window')
+GROUP BY doc_id
+""",
         # one disjunct per filter dict of the composite spec; DSL
         # reference semantics (null-guarded anything-but, NULL→False
         # numeric/prefix) mirrored in SQL exactly as the per-matcher
@@ -2289,14 +2594,7 @@ WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
         "sim_topk_ivf": _TOPK_SQL,
         "text_lang_id": _LANG_ID_SQL,
         "text_web_signals": _WEB_SIGNALS_SQL,
-        "text_token_stats": f"""
-SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(n) AS BIGINT) AS total_tokens,
-       floor(AVG(n) * 10000) / 10000 AS avg_tokens,
-       MAX(n) AS max_tokens
-FROM (SELECT lang, len({_DD_TOKS})::BIGINT AS n FROM documents)
-GROUP BY lang
-""",
+        # text_token_stats oracle retired with its qid (folded r6)
         "pipeline_clean_corpus": f"""
 WITH t AS (
   SELECT doc_id, text, lang, {_DD_TOKS} AS toks,
@@ -2336,19 +2634,8 @@ GROUP BY event_type
 """,
         "agg_grouping_lattice": _GROUPING_LATTICE_SQL,
         "sampling_split_counts": _SPLIT_COUNTS_SQL,
-        "json_key_histogram": """
-SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)
-            AS BIGINT) AS k_bucket,
-       COUNT(*) AS n_events
-FROM events GROUP BY 1
-""",
-        "emb_dimension_stats": """
-SELECT d.i - 1 AS dim, COUNT(*) AS n,
-       MIN(CAST(embedding[d.i] AS DOUBLE)) AS v_min,
-       MAX(CAST(embedding[d.i] AS DOUBLE)) AS v_max
-FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) d
-GROUP BY 1
-""",
+        # json_key_histogram / emb_dimension_stats oracles retired with
+        # their qids (folded r6)
         "agg_percentiles": (
             "SELECT l_returnflag, "
             "quantile_cont(l_extendedprice, 0.5) AS p50, "
@@ -2372,11 +2659,7 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
             "SELECT p_partkey, p_brand FROM part WHERE EXISTS "
             "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
         ),
-        "set_ops_users": (
-            "SELECT user_id FROM events WHERE event_type = 'click' "
-            "INTERSECT "
-            "SELECT user_id FROM events WHERE event_type = 'purchase'"
-        ),
+        # set_ops_users oracle retired with its qid (folded r6)
         "pivot_event_counts": """
 SELECT user_id,
   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -88,6 +88,12 @@ LEGACY = {
     "filter_or": entrymod.filter_or,
     "text_simhash": entrymod.text_simhash_q,
     "agg_rollup": entrymod.agg_rollup,
+    # r6 folds (slots freed for semantic_dedup / span_dedup /
+    # url_canonicalize / text_search driver rows)
+    "text_token_stats": entrymod.text_token_stats_q,  # headline member
+    "emb_dimension_stats": entrymod.emb_dimension_stats,
+    "json_key_histogram": entrymod.json_key_histogram,
+    "set_ops_users": entrymod.set_ops_users,
     "win_running_total": entrymod.win_running_total_q,
     "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf
     "text_quality": entrymod.text_quality_q,  # folded r5 → text_web_signals

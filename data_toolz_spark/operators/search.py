@@ -32,6 +32,28 @@ from pyspark.sql import functions as F
 from data_toolz_spark.functions.text import tokens
 
 
+def _drop_stale(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode='overwrite')`` idempotent across
+    SESSIONS: with an in-memory catalog, a managed-table directory left
+    by a previous process is invisible to DROP TABLE but still blocks
+    the new write with LOCATION_ALREADY_EXISTS — so drop the catalog
+    entry AND clear a stale local warehouse dir."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    if wh.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        wh = unquote(urlparse(wh).path)
+    if "://" in wh:
+        return  # non-local warehouse: the catalog owns cleanup
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+
 def _postings(
     df: DataFrame, id_col: str, text_col: str, lowercase: bool
 ) -> DataFrame:
@@ -62,6 +84,9 @@ def build_text_index(
     from data_toolz_spark.sources.io import DataIO
 
     spark = df.sparkSession
+    _drop_stale(spark, f"{table_prefix}_ix_meta")
+    if path is None:
+        _drop_stale(spark, f"{table_prefix}_ix_postings")
     meta = spark.createDataFrame(
         [(bool(lowercase),)], "lowercase boolean"
     )

@@ -63,6 +63,10 @@ def test_folded_callables_still_run(spark):
         entrymod.text_quality_q,          # r5 → text_web_signals
         entrymod.part_distinct,           # r3 → agg_partition_rowcounts
         entrymod.q4_order_priority,       # r5 → join_semi_parts + q18
+        entrymod.text_token_stats_q,      # r6 → web_signals + vocab_topk
+        entrymod.emb_dimension_stats,     # r6 → similarity unit-vector path
+        entrymod.json_key_histogram,      # r6 → filter_exists/nested_and
+        entrymod.set_ops_users,           # r6 → join_semi/anti
     ]
     for fn in folded:
         df = fn(spark, "/root/testdata/sf0.001")
