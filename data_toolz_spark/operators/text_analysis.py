@@ -325,6 +325,7 @@ def line_dedup(
     min_line_chars: int = 1,
     out_col: str = "clean_text",
     join_sep: str | None = None,
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
     """Corpus-level line deduplication (CCNet/RefinedWeb-style
     boilerplate removal): drop every line that occurs in more than
@@ -342,15 +343,24 @@ def line_dedup(
     back with an empty ``out_col``).
 
     Scale shape: lines shuffle once as ``(xxhash64(line), id)`` longs
-    to count distinct documents per line (map-side combinable); the
-    over-frequency line set is a tiny fraction of the corpus by
-    construction, so the second pass marks lines with a broadcast-size
-    semi-join against it and re-assembly is per-document array algebra
-    (``filter``/``array_join``) — the full text shuffles only inside
-    the per-document ``collect_list``, grouped by the id it is already
-    keyed by.  Trimmed lines shorter than ``min_line_chars`` are kept
-    verbatim (never counted, never removed) — blank separators are not
-    evidence of boilerplate.
+    to count distinct documents per line (map-side combinable) — the
+    document TEXT never crosses the wire.  With ``broadcast_frequent``
+    (default) the rebuild is text-shuffle-free: the over-frequency
+    hash set — bounded by DISTINCT boilerplate content, not corpus
+    size — joins broadcast against the exploded hashes, each affected
+    document's own frequent-hash set aggregates as longs, and that
+    per-doc set broadcasts back onto the corpus so line removal is a
+    row-local array ``filter`` over the document's own line array.
+    The only exchanges are longs (pass-1 agg + the per-doc set agg);
+    at 100 TB this removes what used to be the operator's single
+    biggest data movement (the full corpus text re-grouping through a
+    ``collect_list``).  Set ``broadcast_frequent=False`` when the
+    AFFECTED-document set is too large to broadcast even as bare
+    (id, hashes) rows — that path marks lines with a broadcast
+    semi-join and re-assembles per document, shuffling the text once
+    grouped by its own id.  Trimmed lines shorter than
+    ``min_line_chars`` are kept verbatim (never counted, never
+    removed) — blank separators are not evidence of boilerplate.
     """
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
@@ -394,7 +404,45 @@ def line_dedup(
         .filter(F.col("__df") > max_doc_freq)
         .select("__lh")
     )
-    # pass 2: mark, then re-assemble in original position order
+
+    if broadcast_frequent:
+        # text-shuffle-free rebuild: gather each affected document's
+        # OWN frequent-hash set (longs only — hashes of frequent lines
+        # join broadcast, then one (id, hash) shuffle), broadcast those
+        # per-doc sets back onto the corpus, and drop lines row-locally
+        # with an array filter.  The document text never enters any
+        # exchange; membership tests run against the doc's own few
+        # hashes, not the global set.
+        flagged = (
+            exploded.filter(countable)
+            .select(F.col(id_col), F.xxhash64("__trim").alias("__lh"))
+            .join(F.broadcast(frequent), on="__lh")
+            .groupBy(id_col)
+            .agg(F.collect_set("__lh").alias("__fh"))
+        )
+        is_dup = lambda l: (  # noqa: E731
+            F.length(F.trim(l)) >= min_line_chars
+        ) & F.array_contains(F.col("__fh"), F.xxhash64(F.trim(l)))
+        staged = (
+            df.select(F.col(id_col), lines.alias("__lines"))
+            .join(F.broadcast(flagged), on=id_col, how="left")
+            .withColumn(
+                "__kept",
+                F.when(
+                    F.col("__fh").isNull(), F.col("__lines")
+                ).otherwise(F.filter("__lines", lambda l: ~is_dup(l))),
+            )
+        )
+        return staged.select(
+            id_col,
+            F.array_join("__kept", join_sep).alias(out_col),
+            F.size("__lines").cast("long").alias("n_lines"),
+            (F.size("__lines") - F.size("__kept"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+
+    # pass 2 (join path): mark, then re-assemble in position order
     marked = exploded.join(
         F.broadcast(frequent),
         on=(F.xxhash64("__trim") == F.col("__lh")) & countable,
