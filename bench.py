@@ -202,13 +202,27 @@ def _x_prepare_corpus(spark, sf_dir):
     return prepare_training_corpus(
         docs,
         docs.filter(F.col("doc_id") % 20 == 0).select("text"),
+        **_prepare_corpus_config(n_docs),
+    )
+
+
+def _prepare_corpus_config(n_docs: int) -> dict:
+    """The canonical end-to-end config (x_prepare_corpus + the stage
+    attribution share it, so the stage sum explains the same number).
+
+    Word-level pseudo-lines drop only near-UNIVERSAL words (> 90 % of
+    docs): the synthetic corpus has a ~31-token vocabulary, so an
+    absolute cap like 20 would drop every word and the "end-to-end"
+    bench would time a pipeline that EMPTIES the corpus (caught in
+    round 5 — output was 0 rows).  r6 adds ``span_dedup_n=8``: the
+    ExactSubstr pass is part of the canonical pipeline order, so the
+    end-to-end number now includes it (definition change, like
+    text_bpe_tokens in r5 — the series is not comparable to r5's
+    17.8 s without subtracting the span stage)."""
+    return dict(
         quality_thresholds={"min_tokens": 5},
-        # word-level pseudo-lines: drop only near-UNIVERSAL words
-        # (> 90% of docs).  The synthetic corpus has a ~31-token
-        # vocabulary, so an absolute cap like 20 would drop every
-        # word and the "end-to-end" bench would time a pipeline that
-        # EMPTIES the corpus (caught in round 5 — output was 0 rows).
         line_dedup_max_doc_freq=int(n_docs * 0.9),
+        span_dedup_n=8,
         near_dup_threshold=0.8,
         decontaminate_n=8,
         chunk_max_words=64,
@@ -216,6 +230,63 @@ def _x_prepare_corpus(spark, sf_dir):
         pack_budget=2048,
         line_sep=" ",
     )
+
+
+def _prepare_corpus_stage_times(spark) -> dict:
+    """Stage-attributed timing for the end-to-end pipeline (VERDICT r5
+    item 5): run the SAME config with stages enabled cumulatively in
+    canonical order, full plan end-to-end each time (noop sink), and
+    report cumulative + marginal seconds per stage.  Marginal numbers
+    can be slightly negative — a stage that shrinks the corpus can
+    repay its own cost downstream; that is a finding, not noise to
+    hide."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.cache import clear_session_caches
+    from data_toolz_spark.pipelines import prepare_training_corpus
+
+    docs = entrymod.load(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    full = _prepare_corpus_config(n_docs)
+    off = dict(
+        full,
+        line_dedup_max_doc_freq=None,
+        span_dedup_n=None,
+        near_dup_threshold=None,
+        chunk_max_words=None,
+        pack_budget=None,
+    )
+    stages = [
+        ("quality_split", {}),
+        ("line_dedup",
+         {"line_dedup_max_doc_freq": full["line_dedup_max_doc_freq"]}),
+        ("span_dedup", {"span_dedup_n": full["span_dedup_n"]}),
+        ("near_dup_cc", {"near_dup_threshold": full["near_dup_threshold"]}),
+        ("decontaminate", "EVAL"),
+        ("chunk", {"chunk_max_words": full["chunk_max_words"],
+                   "chunk_overlap": full["chunk_overlap"]}),
+        ("pack", {"pack_budget": full["pack_budget"]}),
+    ]
+    cfg = dict(off)
+    eval_df = None
+    cumulative: dict[str, float] = {}
+    marginal: dict[str, float] = {}
+    prev = 0.0
+    for name, update in stages:
+        if update == "EVAL":
+            eval_df = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+        else:
+            cfg.update(update)
+        start = time.perf_counter()
+        prepare_training_corpus(docs, eval_df, **cfg).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        took = time.perf_counter() - start
+        cumulative[name] = round(took, 3)
+        marginal[name] = round(took - prev, 3)
+        prev = took
+        clear_session_caches(spark)
+    return {"cumulative": cumulative, "marginal": marginal}
 
 
 # timed after the registry sweep; never part of the headline total
@@ -369,6 +440,14 @@ def main() -> int:
         # uniform ~1.4x regression)
         clear_session_caches(spark)
 
+    # stage attribution for the end-to-end pipeline, whenever the
+    # pipeline itself was in the sweep (VERDICT r5 item 5)
+    stage_times = None
+    if "x_prepare_corpus" in timings and not os.environ.get(
+        "SPARK_GRAFT_NO_STAGE_ATTRIBUTION"
+    ):
+        stage_times = _prepare_corpus_stage_times(spark)
+
     total = round(
         sum(t for q, t in timings.items() if q in HEADLINE or q in only), 3
     )
@@ -377,18 +456,17 @@ def main() -> int:
         if all(q in timings for q in HEADLINE_V2)
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "headline_v2_total": total_v2,
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "headline_v2_total": total_v2,
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if stage_times is not None:
+        payload["prepare_corpus_stages"] = stage_times
+    print(json.dumps(payload))
     return 0
 
 
