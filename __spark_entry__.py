@@ -1622,17 +1622,21 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → decoded metadata + payload features.
 
-    The blobs are generated executor-side in the FAKE toy format and
-    round-trip through real binary-column plumbing (encode →
-    mapInPandas decode); the oracle recomputes the deterministic
-    features arithmetically, verifying the byte path value-for-value.
+    r6: the blobs are REAL spec-compliant PNGs (stdlib encoder,
+    scanline filter ``id % 5`` so every unfilter branch — None/Sub/Up/
+    Average/Paeth — executes inside the driver row), generated
+    executor-side and decoded through the stdlib PNG codec (zlib
+    inflate + per-filter reconstruction) in the same Arrow
+    ``mapInPandas`` plumbing.  The pixel PATTERN matches the former
+    FAKE table, so the arithmetic oracle is unchanged — only the byte
+    path got real.
     """
     from data_toolz_spark.operators.multimodal import (
         decode_media,
-        fake_media_table,
+        png_media_table,
     )
 
-    return decode_media(fake_media_table(spark, 200)).select(
+    return decode_media(png_media_table(spark, 200), decoder="png").select(
         "media_id",
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),

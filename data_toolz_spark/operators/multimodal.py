@@ -108,28 +108,113 @@ def fake_media_table(
     )
 
 
+def png_media_table(
+    spark,
+    n_rows: int,
+    *,
+    seed_col: str = "media_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Like :func:`fake_media_table` but the blobs are REAL PNGs.
+
+    Same ids, dimensions, and deterministic pixel pattern
+    (``(id*31 + i*7) % 256``) as the FAKE table, so any oracle written
+    against the arithmetic holds unchanged — what changes is the byte
+    path: each blob is a spec-compliant 8-bit PNG (gray / gray+alpha /
+    RGB by ``1 + id % 3``), scanline filter ``id % 5`` so all five
+    unfilter branches of :func:`decode_png` execute in every batch.
+    Generation is executor-side ``mapInPandas`` over ``spark.range``,
+    no driver materialization.
+    """
+    out_schema = StructType(
+        [
+            StructField(seed_col, LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            blobs = []
+            for m in ids:
+                m = int(m)
+                w, h, c = 16 + m % 48, 16 + m % 32, 1 + m % 3
+                idx = np.arange(w * h * c, dtype=np.int64)
+                px = ((m * 31 + idx * 7) % 256).astype(np.uint8)
+                blobs.append(
+                    encode_png(px.reshape(h, w, c), filter_type=m % 5)
+                )
+            yield pd.DataFrame({seed_col: ids, "content": blobs})
+
+    n_parts = n_partitions or _range_partitions(spark, n_rows)
+    return spark.range(n_rows, numPartitions=n_parts).mapInPandas(
+        gen, out_schema
+    )
+
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # IHDR color type -> channel count (8-bit, non-interlaced support only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Minimal PNG writer for tests/demos (8-bit, filter 0, one IDAT).
+def encode_png(pixels: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for tests/demos (8-bit, one IDAT).
 
     ``pixels`` is ``(h, w)`` grayscale or ``(h, w, c)`` with c in
     {1, 2, 3, 4} (gray, gray+alpha, RGB, RGBA), dtype uint8.  Pure
     stdlib (zlib + struct) — exists so the real-codec decode branch has
     an executed round-trip test in codec-less environments.
+
+    ``filter_type`` applies one PNG scanline filter (0 None / 1 Sub /
+    2 Up / 3 Average / 4 Paeth) to EVERY scanline, so round-trip tests
+    and the driver qid can exercise each of the decoder's unfilter
+    branches with spec-compliant bytes (filtering is lossless — the
+    filtered deltas reconstruct the same pixels).
     """
     import zlib
 
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"encode_png: invalid filter_type {filter_type}")
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int32)
+    parts = []
+    prev = np.zeros(stride, dtype=np.int32)
+    fbyte = bytes([filter_type])
+    for y in range(h):
+        line = flat[y]
+        # predictors read RAW (reconstructed) neighbors, which for the
+        # encoder are simply the unfiltered pixels
+        left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            filt = line - left
+        elif filter_type == 2:  # Up
+            filt = line - prev
+        elif filter_type == 3:  # Average
+            filt = line - ((left + prev) >> 1)
+        else:  # Paeth
+            diag = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = left + prev - diag
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - diag)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, diag),
+            )
+            filt = line - pred
+        parts.append(fbyte + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    raw = b"".join(parts)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -524,6 +609,7 @@ __all__ = [
     "AUDIO_MAGIC",
     "fake_blob",
     "fake_media_table",
+    "png_media_table",
     "decode_media",
     "decode_png",
     "encode_png",
