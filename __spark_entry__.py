@@ -1665,18 +1665,25 @@ def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (video shape): one row per kept frame, counted."""
+    """Frame sampling over a REAL container (r6): every blob is a
+    playable YUV4MPEG2 stream, decoded by the stdlib container walk and
+    sampled every 2nd frame; one output row per kept frame with
+    per-frame pixel stats, so the oracle value-checks the decoded
+    BYTES, not just counts.  Retires the last fully-synthetic modality
+    from the driver rows (VERDICT r5 item 9)."""
     from data_toolz_spark.operators.multimodal import (
-        fake_media_table,
-        sample_frames,
+        sample_frames_y4m,
+        y4m_video_table,
     )
 
-    frames = sample_frames(
-        fake_media_table(spark, 100), frame_bytes=64, every_k=2
-    )
-    return frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames"),
-        F.sum(F.length("frame")).alias("total_bytes"),
+    frames = sample_frames_y4m(y4m_video_table(spark, 100), every_k=2)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "max_byte",
     )
 
 
@@ -2736,17 +2743,27 @@ SELECT m AS media_id, rate AS sample_rate, n AS n_samples,
   list_max(list_transform(s, x -> abs(x))) AS peak
 FROM w
 """,
+        # real-container frame sampling: recompute the deterministic
+        # planar pixel pattern per sampled frame arithmetically
         "multimodal_frames": """
 WITH dims AS (
-  SELECT m, (16 + m % 48) * (16 + m % 32) * (1 + m % 3) AS n_payload
+  SELECT m, 8 + m % 24 AS w, 8 + m % 16 AS h, 2 + m % 7 AS n
   FROM generate_series(0, 99) t(m)
-), f AS (
-  SELECT m, n_payload // 64 AS n_frames FROM dims
+), fr AS (
+  SELECT m, w, h, fi
+  FROM dims, unnest(generate_series(0, n - 1, 2)) AS s(fi)
 )
 SELECT m AS media_id,
-       (n_frames + 1) // 2 AS n_frames,
-       ((n_frames + 1) // 2) * 64 AS total_bytes
-FROM f WHERE n_frames > 0
+  CAST(fi AS INTEGER) AS frame_index,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  ROUND(list_sum([(m*131 + fi*17 + i*7) % 256
+                  for i in generate_series(0, w*h*3 - 1)])::DOUBLE
+        / (w*h*3), 6) AS mean_byte,
+  CAST(list_max([(m*131 + fi*17 + i*7) % 256
+                 for i in generate_series(0, w*h*3 - 1)]) AS BIGINT)
+    AS max_byte
+FROM fr
 """,
         "stream_windowed_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -245,3 +245,67 @@ def test_audio_features_garbage_blob(spark):
     )
     rows = {r["media_id"]: r for r in audio_features(df).collect()}
     assert rows[1]["rms"] is None and rows[2]["rms"] is None
+
+
+# -- real Y4M container (r6) -------------------------------------------------
+
+
+def test_y4m_roundtrip_pixels():
+    import numpy as np
+
+    from data_toolz_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 12, 16, 3), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=(30, 1))
+    meta, got = decode_y4m(blob)
+    assert meta["format"] == "y4m"
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (16, 12, 5)
+    assert (meta["fps_num"], meta["fps_den"]) == (30, 1)
+    assert np.array_equal(got, frames)
+    # the stream header is genuine YUV4MPEG2 (playable-as-is contract)
+    assert blob.startswith(b"YUV4MPEG2 W16 H12 F30:1 Ip A1:1 C444\n")
+    assert blob.count(b"FRAME\n") == 5
+
+
+def test_y4m_rejects_malformed():
+    import numpy as np
+
+    from data_toolz_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    good = encode_y4m(frames)
+    assert decode_y4m(b"RIFF....") is None
+    assert decode_y4m(good[:-5]) is None  # truncated frame
+    assert decode_y4m(
+        good.replace(b"C444", b"C420", 1)
+    ) is None  # unsupported colorspace, not silent garbage
+
+
+def test_sample_frames_y4m_matches_source_arrays(spark):
+    import numpy as np
+
+    from data_toolz_spark.operators.multimodal import (
+        sample_frames_y4m,
+        y4m_video_table,
+    )
+
+    got = {
+        (r["media_id"], r["frame_index"]): (
+            r["width"], r["height"],
+            round(r["mean_byte"], 6), r["max_byte"],
+        )
+        for r in sample_frames_y4m(
+            y4m_video_table(spark, 40), every_k=2
+        ).collect()
+    }
+    # python oracle: regenerate the deterministic planar pattern
+    want = {}
+    for m in range(40):
+        w, h, n = 8 + m % 24, 8 + m % 16, 2 + m % 7
+        fsz = h * w * 3
+        for fi in range(0, n, 2):
+            px = (m * 131 + fi * 17 + np.arange(fsz) * 7) % 256
+            want[(m, fi)] = (w, h, round(float(px.mean()), 6), int(px.max()))
+    assert got == want
+    assert len(got) > 40  # multi-frame rows actually fan out
