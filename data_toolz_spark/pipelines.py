@@ -56,6 +56,7 @@ def prepare_training_corpus(
     chunk_overlap: int = 0,
     pack_budget: int | None = None,
     seed: int = 42,
+    persist_cleaned: bool = True,
 ) -> DataFrame:
     """Build the full cleaning → dedup → decontaminate → split (→ chunk
     → pack) plan over a raw document corpus.
@@ -115,10 +116,26 @@ def prepare_training_corpus(
     # route key = component min) — the leakage-safety coupling
     cc = None
     if near_dup_threshold is not None:
+        from pyspark import StorageLevel
+
+        from data_toolz_spark.cache import track
         from data_toolz_spark.operators.dedup import (
             connected_components,
             minhash_near_duplicates,
         )
+
+        # The CC stage materializes at call time (its pair checkpoint
+        # is an action), and the FINAL plan reads the cleaned text
+        # again — without a persist here, every upstream text stage
+        # (quality gate, line dedup, span dedup) executes twice.  At
+        # sf0.1 the recompute is seconds and the A/B is within noise;
+        # at 100 TB running the text stages twice is the single
+        # largest avoidable CPU cost in the pipeline, so the persist
+        # (MEMORY_AND_DISK: spill, never evict-to-recompute) is on
+        # when ``persist_cleaned`` — tracked for release by the
+        # session cache hygiene.
+        if persist_cleaned:
+            out = track(out.persist(StorageLevel.MEMORY_AND_DISK))
 
         pairs = minhash_near_duplicates(
             out, id_col, text_col, threshold=near_dup_threshold
