@@ -266,6 +266,123 @@ def redact_artifacts(
     return df.withColumn(target, redacted)
 
 
+#: PII patterns (deliberately simple/portable, like the artifact
+#: patterns above): phone = NANP-ish 3-3-4 with optional country code
+#: and separators; ipv4 = dotted quad (octet range not enforced — a
+#: redactor prefers false positives over leaked addresses); ssn =
+#: hyphenated 3-2-4; card CANDIDATES are 13-16 digit runs with
+#: optional space/hyphen separators, validated by Luhn before
+#: redaction so order numbers and timestamps survive.
+PII_PATTERNS = {
+    "phone": (
+        r"(?<![\d.])(?:\+?\d{1,2}[-. ]?)?"
+        r"(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}(?![\d.])"
+    ),
+    "ipv4": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+    "ssn": r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])",
+    "card": r"(?<![\d-])(?:\d[ -]?){12,15}\d(?![\d-])",
+}
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a card CANDIDATE string — pure higher-order
+    column expressions (filter/transform/reverse/aggregate), zero
+    Python in the row path."""
+    digits = F.transform(
+        F.filter(F.split(cand, ""), lambda ch: ch.rlike("[0-9]")),
+        lambda ch: ch.cast("int"),
+    )
+    rev = F.reverse(digits)
+    doubled = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2),
+        ).otherwise(d),
+    )
+    total = F.aggregate(doubled, F.lit(0), lambda acc, d: acc + d)
+    n = F.size(digits)
+    return (n >= 13) & (n <= 16) & (total % 10 == 0)
+
+
+def pii_features(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document PII counts: ``n_phones``, ``n_ipv4``, ``n_ssn``,
+    ``n_cards`` (Luhn-valid candidates only), plus the email count the
+    artifact pass already measures — the audit signal a curation
+    pipeline thresholds or routes on before :func:`redact_pii` scrubs.
+    Pure ``regexp_count`` / higher-order expressions; rides the scan.
+    """
+    c = F.col(text_col)
+    cards = F.filter(
+        F.regexp_extract_all(c, F.lit(PII_PATTERNS["card"]), 0),
+        _luhn_valid,
+    )
+    return (
+        df.withColumn(
+            "n_phones",
+            F.regexp_count(c, F.lit(PII_PATTERNS["phone"])).cast("long"),
+        )
+        .withColumn(
+            "n_ipv4",
+            F.regexp_count(c, F.lit(PII_PATTERNS["ipv4"])).cast("long"),
+        )
+        .withColumn(
+            "n_ssn",
+            F.regexp_count(c, F.lit(PII_PATTERNS["ssn"])).cast("long"),
+        )
+        .withColumn("n_cards", F.size(cards).cast("long"))
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+    ssn_token: str = "<SSN>",
+    card_token: str = "<CARD>",
+) -> DataFrame:
+    """Scrub phones / IPv4 / SSNs / Luhn-valid card numbers.
+
+    Completes :func:`redact_artifacts` (URL/email) into the standard
+    pre-training PII pass.  Order matters: SSN and phone run before
+    ipv4 so a hyphenated SSN is never half-eaten as a dotted quad, and
+    card redaction runs FIRST on Luhn-validated candidates only —
+    each valid candidate is substituted via a literal
+    ``aggregate(candidates, text, replace)`` fold, so a 16-digit order
+    id that fails the checksum survives verbatim.  Everything is
+    codegen'd column expressions; no UDFs, no shuffle.
+    """
+    target = out_col or text_col
+    c = F.col(text_col)
+    valid_cards = F.filter(
+        F.regexp_extract_all(c, F.lit(PII_PATTERNS["card"]), 0),
+        _luhn_valid,
+    )
+    carded = F.aggregate(
+        valid_cards,
+        c,
+        lambda acc, cand: F.replace(acc, cand, F.lit(card_token)),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                carded, PII_PATTERNS["ssn"], ssn_token
+            ),
+            PII_PATTERNS["phone"],
+            phone_token,
+        ),
+        PII_PATTERNS["ipv4"],
+        ip_token,
+    )
+    return df.withColumn(target, redacted)
+
+
 #: documented Gopher/C4-flavored default thresholds for keep_document
 QUALITY_FILTER_DEFAULTS = {
     "min_tokens": 8,
@@ -936,6 +1053,9 @@ __all__ = [
     "web_artifact_features",
     "repetition_features",
     "redact_artifacts",
+    "pii_features",
+    "redact_pii",
+    "PII_PATTERNS",
     "keep_document",
     "line_dedup",
     "chunk_documents",
