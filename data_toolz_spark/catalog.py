@@ -55,4 +55,30 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)
 
 
-__all__ = ["register_dataset", "register_directory", "sql"]
+def drop_stale_table(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode='overwrite')`` of a MANAGED table
+    idempotent across SESSIONS: with an in-memory catalog, a table
+    directory left by a previous process is invisible to DROP TABLE
+    but still blocks the new write with LOCATION_ALREADY_EXISTS — so
+    drop the catalog entry AND clear a stale local warehouse dir.
+    Non-local warehouses are left to the catalog."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        wh = unquote(urlparse(wh).path)
+    if "://" in wh:
+        return
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+
+__all__ = [
+    "register_dataset",
+    "register_directory",
+    "sql",
+    "drop_stale_table",
+]

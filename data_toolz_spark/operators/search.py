@@ -32,26 +32,7 @@ from pyspark.sql import functions as F
 from data_toolz_spark.functions.text import tokens
 
 
-def _drop_stale(spark: SparkSession, table: str) -> None:
-    """Make ``saveAsTable(mode='overwrite')`` idempotent across
-    SESSIONS: with an in-memory catalog, a managed-table directory left
-    by a previous process is invisible to DROP TABLE but still blocks
-    the new write with LOCATION_ALREADY_EXISTS — so drop the catalog
-    entry AND clear a stale local warehouse dir."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    )
-    if wh.startswith("file:"):
-        from urllib.parse import unquote, urlparse
-
-        wh = unquote(urlparse(wh).path)
-    if "://" in wh:
-        return  # non-local warehouse: the catalog owns cleanup
-    import os
-    import shutil
-
-    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+from data_toolz_spark.catalog import drop_stale_table as _drop_stale
 
 
 def _postings(

@@ -67,6 +67,7 @@ def test_folded_callables_still_run(spark):
         entrymod.emb_dimension_stats,     # r6 → similarity unit-vector path
         entrymod.json_key_histogram,      # r6 → filter_exists/nested_and
         entrymod.set_ops_users,           # r6 → join_semi/anti
+        entrymod.dedup_minhash_q,         # r6 → cc_drop + incremental_minhash_pairs
     ]
     for fn in folded:
         df = fn(spark, "/root/testdata/sf0.001")
