@@ -795,18 +795,44 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same exact-top-k SQL, and pytest pins
     ``cosine_topk == cosine_topk_ann == ivf_topk`` on the test corpora;
     the callable stays in bench's HEADLINE via ``bench.LEGACY``.)
+
+    r6: the qid now drives the PERSISTENT index (X36) end-to-end —
+    build the inverted file over even-id vectors, ``append`` the odd
+    ids (stored centroids, only touched partitions written), then
+    full-probe query — so the stored-tables round trip INCLUDING the
+    append is what hashes against the exact oracle over the whole
+    corpus.  The ephemeral ``ivf_topk`` stays pinned ≡ exact in
+    pytest and timed as ``x_ivf_topk_probe4``.
     """
-    from data_toolz_spark.operators.similarity import ivf_topk
+    import tempfile
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb.filter(F.col("vec_id") < 5),
-        emb,
-        query_id="vec_id",
-        corpus_id="vec_id",
-        k=10,
+    table = "dtz_qid_ivf_index"
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+        drop_stale_table(spark, f"{table}_{t}")
+    path = tempfile.mkdtemp(prefix="dtz_ivfidx_") + "/index"
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        table,
         dim=64,
         n_centroids=8,
+        path=path,
+    )
+    append_to_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), table
+    )
+    return ivf_query_index(
+        spark,
+        emb.filter(F.col("vec_id") < 5),
+        table,
+        k=10,
         n_probe=8,
     )
 
@@ -1074,6 +1100,26 @@ def text_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         (F.col("n_matched") == len(terms)).cast("long").alias("and_hit"),
     )
+
+
+def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 (r6): per-document top-5 TF-IDF keywords, driver-attested.
+
+    Vocab (with document frequency) built over the corpus, smooth
+    sklearn idf ``ln((N+1)/(df+1)) + 1``, score truncated to 4
+    decimals, deterministic (score DESC, token ASC) cut — the DuckDB
+    oracle recomputes the identical model.  The partitioned
+    row_number-≤-k window is the same shape the folded
+    ``topk_per_group`` attested, now over the text pipeline.
+    """
+    from data_toolz_spark.operators.text_analysis import (
+        build_vocab,
+        tfidf_terms,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, doc_id_col="doc_id")
+    return tfidf_terms(docs, vocab, top_k=5)
 
 
 def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1884,7 +1930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators run inside every similarity qid's unit-vector path
         # (sim_topk_*, dedup_embedding*, semantic_dedup); callable in
         # bench.LEGACY.  Slot freed for semantic_dedup (VERDICT r5 #1).
-        "topk_per_group": topk_per_group,
+        # topk_per_group folded r6 → text_tfidf_topk runs the identical
+        # partitioned row_number-≤-k window (and text_vocab_topk the
+        # global-rank variant); callable in bench.LEGACY.  Slot freed
+        # for text_tfidf_topk (X48).
+        "text_tfidf_topk": text_tfidf_topk_q,
         # --- round-2 green
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2708,13 +2758,38 @@ GROUP BY event_type
             "quantile_cont(l_quantity, 0.25) AS q25 "
             "FROM lineitem GROUP BY l_returnflag"
         ),
-        "topk_per_group": """
-SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-  FROM orders
-) WHERE rnk <= 3
+        # topk_per_group oracle retired with its qid (folded r6)
+        # per-doc top-5 TF-IDF keywords: identical tokenizer, smooth
+        # sklearn idf, floor-4 score truncation, deterministic cut
+        "text_tfidf_topk": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+vocab AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT c.doc_id, c.token, c.tf,
+         floor(c.tf * (ln((nd + 1.0) / (v.df + 1.0)) + 1.0) * 10000)
+           / 10000 AS score
+  FROM counts c JOIN vocab v USING (token), n
+),
+r AS (
+  SELECT doc_id, token, tf, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token ASC)
+              AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score, rank
+FROM r WHERE rank <= 5
 """,
         "join_anti_customers": (
             "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "

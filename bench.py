@@ -95,6 +95,7 @@ LEGACY = {
     "json_key_histogram": entrymod.json_key_histogram,
     "set_ops_users": entrymod.set_ops_users,
     "dedup_minhash": entrymod.dedup_minhash_q,  # headline member
+    "topk_per_group": entrymod.topk_per_group,  # headline member
     "win_running_total": entrymod.win_running_total_q,
     "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf
     "text_quality": entrymod.text_quality_q,  # folded r5 → text_web_signals

@@ -68,6 +68,7 @@ def test_folded_callables_still_run(spark):
         entrymod.json_key_histogram,      # r6 → filter_exists/nested_and
         entrymod.set_ops_users,           # r6 → join_semi/anti
         entrymod.dedup_minhash_q,         # r6 → cc_drop + incremental_minhash_pairs
+        entrymod.topk_per_group,          # r6 → text_tfidf_topk window
     ]
     for fn in folded:
         df = fn(spark, "/root/testdata/sf0.001")
