@@ -320,8 +320,27 @@ def _x_span_dedup(spark, sf_dir):
     return remove_duplicate_spans(docs, n=8, out_col="cleaned")
 
 
+def _x_pii_redact(spark, sf_dir):
+    """PII feature counts + Luhn-gated redaction over the corpus — a
+    map-only pass; the entry exists so the regex/higher-order-fn cost
+    is visible in the per-round series."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.text_analysis import (
+        pii_features,
+        redact_pii,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return redact_pii(pii_features(docs), out_col="redacted").select(
+        "doc_id", "n_phones", "n_ipv4", "n_ssn", "n_cards",
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("fp"),
+    )
+
+
 EXTRAS = {
     "x_span_dedup": _x_span_dedup,
+    "x_pii_redact": _x_pii_redact,
     "x_semantic_dedup": _x_semantic_dedup,
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
     "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,
