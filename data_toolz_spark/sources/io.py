@@ -77,6 +77,8 @@ class DataIO:
         partition_transformer: PathTransformer | None = None,
     ) -> None:
         self.partition_transformer = partition_transformer
+        #: metrics from the most recent ``write(observe=...)`` call
+        self.last_write_metrics: dict | None = None
 
     # ------------------------------------------------------------------
     # read
@@ -224,8 +226,21 @@ class DataIO:
         sep: str = "\t",
         mode: str = "overwrite",
         options: Mapping[str, str] | None = None,
+        observe: bool | Mapping[str, object] = False,
     ) -> str:
         """Materialize ``df`` under ``path``; returns the output path.
+
+        ``observe=True`` attaches a Spark ``Observation`` to the plan so
+        the written row count is collected DURING the write — at 100 TB
+        the alternative (a ``count()`` after the write) re-scans the
+        whole output.  A mapping form supplies custom aggregate
+        expressions (``{"n_rows": F.count(F.lit(1)), "max_ts":
+        F.max("ts")}``).  Metrics land in ``self.last_write_metrics``
+        after the call; the path return stays reference-shaped.
+        Incompatible with ``suffix`` (the chunked path runs a count
+        action first, which would consume the observation) and with
+        ``cluster_by`` (range partitioning's sampling pass is a
+        separate action over the same plan).
 
         ``suffix=[...]`` requests exactly ``len(suffix)`` files per
         partition directory with the reference's exact ceil-division
@@ -263,6 +278,26 @@ class DataIO:
                 "cluster_by cannot combine with suffix: chunked writes "
                 "own the row order (reference iloc slicing contract)"
             )
+        obs = None
+        if observe:
+            if suffix or cluster_by:
+                raise ValueError(
+                    "observe requires a single-action write: the chunked "
+                    "(suffix) path runs a count first and cluster_by runs "
+                    "a range-sampling pass, either of which would consume "
+                    "the observation before the write"
+                )
+            from pyspark.sql import Column, Observation
+
+            if observe is True:
+                metric_cols = [F.count(F.lit(1)).alias("n_rows")]
+            else:
+                metric_cols = [
+                    (v if isinstance(v, Column) else F.expr(str(v))).alias(k)
+                    for k, v in observe.items()
+                ]
+            obs = Observation("dtz_write_metrics")
+            df = df.observe(obs, *metric_cols)
 
         if self.partition_transformer is not None and partition_by:
             # A custom layout moves data out of hive-style f=v dirs, so
@@ -330,6 +365,8 @@ class DataIO:
             writer = writer.option(key, value)
 
         self._finish_write(writer, filetype, path, header=header, sep=sep)
+        if obs is not None:
+            self.last_write_metrics = dict(obs.get)
 
         if self.partition_transformer is not None and partition_by:
             self._apply_partition_transformer(df, path, partition_by)

@@ -558,3 +558,59 @@ class TestCorruptRecords:
             ("1", "x"),
             ("2", "y"),
         ]
+
+
+class TestObservedWrites:
+    """write(observe=...): metrics collected DURING the write action —
+    no second scan of the output."""
+
+    def test_default_row_count(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_toolz_spark.sources.io import DataIO
+
+        io = DataIO()
+        df = spark.range(1234).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        )
+        io.write(df, str(tmp_path / "obs"), "parquet", observe=True)
+        assert io.last_write_metrics == {"n_rows": 1234}
+
+    def test_custom_metrics_and_partitioned(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_toolz_spark.sources.io import DataIO
+
+        io = DataIO()
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 3).alias("g")
+        )
+        io.write(
+            df,
+            str(tmp_path / "obs2"),
+            "parquet",
+            partition_by=["g"],
+            observe={
+                "n_rows": F.count(F.lit(1)),
+                "max_id": F.max("id"),
+            },
+        )
+        assert io.last_write_metrics == {"n_rows": 100, "max_id": 99}
+
+    def test_rejects_multi_action_paths(self, spark, tmp_path):
+        import pytest
+
+        from data_toolz_spark.sources.io import DataIO
+
+        io = DataIO()
+        df = spark.range(10)
+        with pytest.raises(ValueError, match="observe"):
+            io.write(
+                df, str(tmp_path / "x"), "parquet",
+                suffix=["a", "b"], observe=True,
+            )
+        with pytest.raises(ValueError, match="observe"):
+            io.write(
+                df, str(tmp_path / "y"), "parquet",
+                cluster_by=["id"], observe=True,
+            )
