@@ -1734,14 +1734,16 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio modality: header parse + vectorized waveform stats; the
-    oracle recomputes rms/peak/duration arithmetically."""
+    """Audio modality over REAL playable .wav blobs (r6): RIFF/WAVE
+    PCM 16-bit chunk walk + vectorized waveform stats; the sample
+    pattern matches the former toy table, so the arithmetic oracle is
+    unchanged — only the byte path got real (like PNG/Y4M)."""
     from data_toolz_spark.operators.multimodal import (
         audio_features,
-        fake_audio_table,
+        wav_audio_table,
     )
 
-    return audio_features(fake_audio_table(spark, 150)).select(
+    return audio_features(wav_audio_table(spark, 150), decoder="wav").select(
         "media_id",
         "sample_rate",
         "n_samples",

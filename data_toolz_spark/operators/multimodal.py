@@ -502,18 +502,114 @@ def fake_audio_table(
     )
 
 
+def encode_wav(
+    samples: np.ndarray, sample_rate: int
+) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM 16-bit mono little-endian.
+
+    Pure stdlib (struct) — the bytes are a genuine playable .wav, the
+    same honest-real-container discipline as :func:`encode_png` and
+    :func:`encode_y4m`.
+    """
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(blob: bytes):
+    """Parse a RIFF/WAVE blob: ``(sample_rate, int16 sample array)``.
+
+    Chunk walk per the spec (unknown chunks skipped, word-aligned);
+    PCM 16-bit mono only — anything else returns ``None``, the same
+    null-row contract as the other real codecs here.
+    """
+    b = bytes(blob)
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            if length < 16:
+                return None
+            fmt_code, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                return None
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None or len(data) % 2:
+        return None
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def wav_audio_table(
+    spark, n_rows: int, *, n_partitions: int | None = None
+) -> DataFrame:
+    """Like :func:`fake_audio_table` but each blob is a REAL playable
+    .wav (PCM 16-bit mono).  Same ids, rates, and deterministic sample
+    pattern, so oracles written against the arithmetic hold unchanged.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            blobs = []
+            for m in ids:
+                m = int(m)
+                rate = 8000 + (m % 3) * 4000
+                n = 800 + (m % 5) * 400
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((m * 131 + idx * 17) % 2048) - 1024
+                blobs.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    n_parts = n_partitions or _range_partitions(spark, n_rows)
+    return spark.range(n_rows, numPartitions=n_parts).mapInPandas(
+        gen, out_schema
+    )
+
+
 def audio_features(
     df: DataFrame,
     content_col: str = "content",
+    *,
+    decoder: str = "fake",
 ) -> DataFrame:
     """Waveform statistics from a binary audio column.
 
     Appends sample_rate, n_samples, duration_sec, rms, peak — the
     audio-pipeline decode shape (parse container header → vectorized
-    sample math), one numpy pass per blob inside an Arrow batch.  A
-    real deployment swaps the s16 parser for soundfile/ffmpeg in the
-    same ``mapInPandas`` stage.
+    sample math), one numpy pass per blob inside an Arrow batch.
+    ``decoder="wav"`` parses real RIFF/WAVE PCM blobs
+    (:func:`decode_wav`); ``"fake"`` the toy header.  A real deployment
+    swaps in soundfile/ffmpeg in the same ``mapInPandas`` stage.
     """
+    if decoder not in ("fake", "wav"):
+        raise ValueError(f"unknown audio decoder: {decoder!r}")
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -525,24 +621,38 @@ def audio_features(
         ]
     )
 
+    def _parse_fake(blob: bytes):
+        if len(blob) < _AUDIO_HEADER_SIZE:
+            return None
+        magic, _ver, rate, n = struct.unpack_from(
+            _AUDIO_HEADER_FMT, blob[:_AUDIO_HEADER_SIZE]
+        )
+        if magic != AUDIO_MAGIC or rate == 0:
+            return None
+        return rate, n, np.frombuffer(
+            blob, dtype=">i2", offset=_AUDIO_HEADER_SIZE
+        )
+
+    def _parse_wav(blob: bytes):
+        parsed = decode_wav(blob)
+        if parsed is None:
+            return None
+        rate, samples = parsed
+        return rate, len(samples), samples
+
+    parse = _parse_wav if decoder == "wav" else _parse_fake
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols = {k: [] for k in ("sample_rate", "n_samples", "duration_sec", "rms", "peak")}
             for blob in pdf[content_col]:
-                if blob is None or len(blob) < _AUDIO_HEADER_SIZE:
+                parsed = None if blob is None else parse(bytes(blob))
+                if parsed is None:
                     for k in cols:
                         cols[k].append(None)
                     continue
-                magic, _ver, rate, n = struct.unpack_from(
-                    _AUDIO_HEADER_FMT, bytes(blob[:_AUDIO_HEADER_SIZE])
-                )
-                if magic != AUDIO_MAGIC or rate == 0:
-                    for k in cols:
-                        cols[k].append(None)
-                    continue
-                samples = np.frombuffer(
-                    bytes(blob), dtype=">i2", offset=_AUDIO_HEADER_SIZE
-                ).astype(np.float64)
+                rate, n, raw = parsed
+                samples = raw.astype(np.float64)
                 cols["sample_rate"].append(rate)
                 cols["n_samples"].append(n)
                 cols["duration_sec"].append(n / rate)
@@ -796,6 +906,9 @@ def sample_frames(
 __all__ = [
     "fake_audio_blob",
     "fake_audio_table",
+    "encode_wav",
+    "decode_wav",
+    "wav_audio_table",
     "audio_features",
     "AUDIO_MAGIC",
     "fake_blob",
