@@ -418,36 +418,65 @@ def resize_media(
 ) -> DataFrame:
     """Re-encode every blob at a new size (nearest-neighbor sampling).
 
-    For the FAKE codec this is a real transformation: the payload grid
-    is index-resampled in numpy and re-packed with an updated header.
-    A real deployment swaps the kernel for PIL/libvips inside the same
+    A real transformation for BOTH codecs: the pixel grid is
+    index-resampled in numpy and re-encoded — ``decoder="png"`` (r6)
+    decodes/re-encodes genuine PNGs through the stdlib codec, so the
+    thumbnailing stage of an image pipeline runs real bytes
+    end-to-end; ``"fake"`` re-packs the toy header.  A production
+    deployment swaps the kernel for PIL/libvips inside the same
     ``mapInPandas`` stage — the distributed shape does not change.
     """
-    if decoder != "fake":
-        raise NotImplementedError("only the FAKE codec is available here")
+    if decoder == "pil":
+        raise NotImplementedError(
+            "decoder='pil' needs Pillow, which is not installed in this "
+            "environment; use decoder='png' or 'fake'"
+        )
+    if decoder not in ("fake", "png"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+
+    def _grid(payload: np.ndarray) -> np.ndarray:
+        h, w = payload.shape[:2]
+        ys = (np.arange(target_height) * h // target_height).clip(0, h - 1)
+        xs = (np.arange(target_width) * w // target_width).clip(0, w - 1)
+        return payload[ys][:, xs]
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_blobs = []
             for blob in pdf[content_col]:
-                if blob is None or len(blob) < _HEADER_SIZE:
+                if blob is None:
                     out_blobs.append(None)
                     continue
-                magic, ver, w, h, c = struct.unpack_from(_HEADER_FMT, bytes(blob[: _HEADER_SIZE]))
+                b = bytes(blob)
+                if decoder == "png":
+                    parsed = decode_png(b)
+                    if parsed is None:
+                        out_blobs.append(None)
+                        continue
+                    meta, flat = parsed
+                    px = flat.reshape(
+                        meta["height"], meta["width"], meta["channels"]
+                    )
+                    out_blobs.append(encode_png(_grid(px)))
+                    continue
+                if len(b) < _HEADER_SIZE:
+                    out_blobs.append(None)
+                    continue
+                magic, ver, w, h, c = struct.unpack_from(
+                    _HEADER_FMT, b[:_HEADER_SIZE]
+                )
                 if magic != FAKE_MAGIC or w == 0 or h == 0:
                     out_blobs.append(None)
                     continue
                 payload = np.frombuffer(
-                    bytes(blob), dtype=np.uint8, offset=_HEADER_SIZE
+                    b, dtype=np.uint8, offset=_HEADER_SIZE
                 ).reshape(h, w, c)
-                ys = (np.arange(target_height) * h // target_height).clip(0, h - 1)
-                xs = (np.arange(target_width) * w // target_width).clip(0, w - 1)
-                resized = payload[ys][:, xs]
                 out_blobs.append(
-                    struct.pack(_HEADER_FMT, 
-                        FAKE_MAGIC, ver, target_width, target_height, c
+                    struct.pack(
+                        _HEADER_FMT,
+                        FAKE_MAGIC, ver, target_width, target_height, c,
                     )
-                    + resized.tobytes()
+                    + _grid(payload).tobytes()
                 )
             out = pdf.copy()
             out[content_col] = out_blobs

@@ -373,3 +373,35 @@ def test_audio_features_wav_matches_fake(spark):
         ).select(*cols).collect())
     )
     assert a == b and len(a) == 60
+
+
+def test_resize_media_png_real_bytes(spark):
+    """resize through the REAL PNG codec: output blobs are valid PNGs
+    at the target size and pixels equal the nearest-neighbor grid of
+    the source."""
+    import numpy as np
+
+    from data_toolz_spark.operators.multimodal import (
+        decode_png,
+        png_media_table,
+        resize_media,
+    )
+
+    src = png_media_table(spark, 12)
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_media(
+            src, target_width=8, target_height=6, decoder="png"
+        ).collect()
+    }
+    assert len(out) == 12
+    for m, blob in out.items():
+        meta, flat = decode_png(blob)
+        assert (meta["width"], meta["height"]) == (8, 6)
+        w, h, c = 16 + m % 48, 16 + m % 32, 1 + m % 3
+        idx = np.arange(w * h * c, dtype=np.int64)
+        px = ((m * 31 + idx * 7) % 256).astype(np.uint8).reshape(h, w, c)
+        ys = (np.arange(6) * h // 6).clip(0, h - 1)
+        xs = (np.arange(8) * w // 8).clip(0, w - 1)
+        want = px[ys][:, xs]
+        assert np.array_equal(flat.reshape(6, 8, c), want), m
