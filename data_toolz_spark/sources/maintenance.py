@@ -280,6 +280,79 @@ def column_profile(df: DataFrame, *, approx_rsd: float = 0.05) -> DataFrame:
     )
 
 
+def profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    *,
+    max_null_frac_jump: float = 0.05,
+    min_distinct_ratio: float = 0.5,
+    max_distinct_ratio: float = 10.0,
+) -> list[str]:
+    """Compare two :func:`column_profile` frames and report drift that
+    typically signals an upstream defect, as human-readable findings
+    (empty = healthy):
+
+    * **null-rate jump** — ``null_frac`` rose by more than
+      ``max_null_frac_jump`` absolute (a join gone wrong, a field
+      silently defaulted);
+    * **distinct collapse/explosion** — ``approx_distinct`` per row
+      shrank below ``min_distinct_ratio`` × baseline or grew beyond
+      ``max_distinct_ratio`` × (an id column constant-folded, a
+      fan-out join duplicating rows);
+    * **column set change** — columns appearing/disappearing between
+      profiles (schema drift the contract check may have waived);
+    * **type change** — same column, different ``dtype``.
+
+    Ratios are per-ROW densities (distinct / n_rows), so comparing a
+    small daily batch against a large baseline is meaningful.  Both
+    inputs are tiny (one row per column) — this is driver-side list
+    logic, the decision layer over the one-pass census.
+    """
+    base = {r["column"]: r for r in baseline.collect()}
+    cur = {r["column"]: r for r in current.collect()}
+    findings: list[str] = []
+    for name in sorted(set(base) - set(cur)):
+        findings.append(f"column {name!r} disappeared from the profile")
+    for name in sorted(set(cur) - set(base)):
+        findings.append(f"column {name!r} is new in the profile")
+    for name in sorted(set(base) & set(cur)):
+        b, c = base[name], cur[name]
+        if b["dtype"] != c["dtype"]:
+            findings.append(
+                f"column {name!r} changed type "
+                f"{b['dtype']} -> {c['dtype']}"
+            )
+            continue
+        jump = c["null_frac"] - b["null_frac"]
+        if jump > max_null_frac_jump:
+            findings.append(
+                f"column {name!r} null_frac jumped "
+                f"{b['null_frac']:.4f} -> {c['null_frac']:.4f} "
+                f"(+{jump:.4f} > {max_null_frac_jump})"
+            )
+        b_density = (
+            b["approx_distinct"] / b["n_rows"] if b["n_rows"] else 0.0
+        )
+        c_density = (
+            c["approx_distinct"] / c["n_rows"] if c["n_rows"] else 0.0
+        )
+        if b_density > 0 and c["n_rows"]:
+            ratio = c_density / b_density
+            if ratio < min_distinct_ratio:
+                findings.append(
+                    f"column {name!r} distinct density collapsed "
+                    f"{b_density:.4f} -> {c_density:.4f} "
+                    f"(x{ratio:.2f} < {min_distinct_ratio})"
+                )
+            elif ratio > max_distinct_ratio:
+                findings.append(
+                    f"column {name!r} distinct density exploded "
+                    f"{b_density:.4f} -> {c_density:.4f} "
+                    f"(x{ratio:.2f} > {max_distinct_ratio})"
+                )
+    return findings
+
+
 def schema_problems(existing, incoming) -> list[str]:
     """Data-contract check for appending ``incoming`` onto a dataset
     whose files carry ``existing`` (both ``StructType``).
@@ -469,6 +542,7 @@ __all__ = [
     "schema_problems",
     "assert_append_compatible",
     "column_profile",
+    "profile_drift",
     "zorder_value",
     "zorder_write",
 ]

@@ -181,6 +181,57 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with every right event of the same key whose time lies in
+    ``[left.ts, left.ts + within]`` — the click→purchase attribution /
+    request→response correlation shape.
+
+    This is the Structured Streaming operator whose STATE design
+    matters most at scale: both sides buffer rows in the state store
+    until the other side's watermark proves no future match can
+    arrive, so the two ``withWatermark`` calls plus the inequality
+    time condition are what make state BOUNDED (without the time
+    bound, a stream-stream join must keep every row forever — Spark
+    rejects it in append mode).  State per key is O(events within the
+    watermark + interval horizon), independent of stream history.
+
+    Outer variants (``how="left_outer"`` etc.) emit unmatched rows
+    only once the watermark closes their interval — the same
+    finalization rule windowed aggregates follow.
+
+    Columns are prefixed (``l_``/``r_``) so the output schema is
+    sink-stable regardless of the input schemas' overlap.
+    """
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    lsel = lw.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    )
+    rsel = rw.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    lk, rk = f"{left_prefix}{key_col}", f"{right_prefix}{key_col}"
+    lt, rt = f"{left_prefix}{ts_col}", f"{right_prefix}{ts_col}"
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
+    )
+    return lsel.join(rsel, on=cond, how=how)
+
+
 def run_to_parquet_sink(
     stream_df: DataFrame,
     *,
@@ -238,6 +289,7 @@ __all__ = [
     "sessionize_stream",
     "running_user_totals_stream",
     "dedup_stream",
+    "interval_join_streams",
     "run_to_memory_sink",
     "run_to_parquet_sink",
 ]

@@ -314,3 +314,64 @@ def test_zorder_all_null_column_raises(spark, tmp_path):
         zorder_write(
             df, str(tmp_path / "z"), zorder_cols=["id", "dead"]
         )
+
+
+def test_profile_drift_detects_defects(spark):
+    from data_toolz_spark.sources.maintenance import (
+        column_profile,
+        profile_drift,
+    )
+
+    base_df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 500).alias("nearly_unique"),
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("sparse_nulls"),
+    )
+    # today's batch: nearly_unique constant-folded, sparse_nulls 30%
+    # null, and a surprise extra column
+    cur_df = spark.range(400).select(
+        F.col("id"),
+        F.lit(7).cast("bigint").alias("nearly_unique"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("sparse_nulls"),
+        F.lit("x").alias("surprise"),
+    )
+    findings = profile_drift(
+        column_profile(base_df), column_profile(cur_df)
+    )
+    text = "\n".join(findings)
+    assert "'surprise' is new" in text
+    assert "'nearly_unique' distinct density collapsed" in text
+    assert "'sparse_nulls' null_frac jumped" in text
+    # id stays healthy: no finding mentions it
+    assert "'id'" not in text
+
+
+def test_profile_drift_healthy_is_empty(spark):
+    from data_toolz_spark.sources.maintenance import (
+        column_profile,
+        profile_drift,
+    )
+
+    a = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 10).alias("g")
+    )
+    b = spark.range(500).select(
+        F.col("id"), (F.col("id") % 10).alias("g")
+    )
+    assert profile_drift(column_profile(a), column_profile(b)) == []
+
+
+def test_profile_drift_type_change(spark):
+    from data_toolz_spark.sources.maintenance import (
+        column_profile,
+        profile_drift,
+    )
+
+    a = spark.range(10).select(F.col("id"))
+    b = spark.range(10).select(F.col("id").cast("int"))
+    findings = profile_drift(column_profile(a), column_profile(b))
+    assert findings == ["column 'id' changed type bigint -> int"]
