@@ -664,18 +664,26 @@ def dedup_minhash_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_cc_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X22 exact: drop list via TRUE transitive closure — iterative
-    large-star/small-star connected components over the near-dup pair
-    graph (oracle: recursive-CTE reachability in DuckDB)."""
-    from data_toolz_spark.operators.dedup import (
-        minhash_near_duplicates,
-        near_duplicate_drop_list,
-    )
+    """X22 exact: drop list via TRUE transitive closure (oracle:
+    recursive-CTE reachability over the member pair graph in DuckDB).
 
-    pairs = minhash_near_duplicates(
+    r6: runs the SKEW-SAFE path — ``minhash_components`` closes over
+    the fingerprint graph (large-star/small-star CC on one node per
+    distinct shingle set) and members join in once at the end, so a
+    k-copy identical cluster costs O(k) instead of the k² member
+    edges the pair-expansion path would feed the CC loop.  The oracle
+    is UNCHANGED: the fp-level closure expands to exactly the
+    member-level closure (pinned against the pair path in
+    tests/test_operators.py), so the same recursive CTE verifies it.
+    """
+    from data_toolz_spark.operators.dedup import minhash_components
+
+    cc = minhash_components(
         load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
     )
-    return near_duplicate_drop_list(pairs, exact=True)
+    return cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("drop_id")
+    )
 
 
 def dedup_simhash_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:

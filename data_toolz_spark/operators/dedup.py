@@ -228,46 +228,8 @@ def minhash_near_duplicates(
 
         members = track(members.persist(StorageLevel.MEMORY_AND_DISK))
         reps = track(reps.persist(StorageLevel.MEMORY_AND_DISK))
-    bucketize = _band_bucket_udf(n_hashes, bands)
-    banded = reps.select(
-        "__fp",
-        F.posexplode(bucketize(F.col("__elems"))).alias("__band", "__bucket"),
-    )
-    left, right = banded.alias("a"), banded.alias("b")
-    candidates = (
-        left.join(
-            right,
-            on=[
-                F.col("a.__band") == F.col("b.__band"),
-                F.col("a.__bucket") == F.col("b.__bucket"),
-                F.col("a.__fp") < F.col("b.__fp"),
-            ],
-        )
-        .select(
-            F.col("a.__fp").alias("fp_a"),
-            F.col("b.__fp").alias("fp_b"),
-        )
-        .dropDuplicates(["fp_a", "fp_b"])
-    )
-    rep_sets = reps.select("__fp", "__elems")
-    verified_reps = (
-        candidates.join(
-            rep_sets.select(
-                F.col("__fp").alias("fp_a"), F.col("__elems").alias("elems_a")
-            ),
-            on="fp_a",
-        )
-        .join(
-            rep_sets.select(
-                F.col("__fp").alias("fp_b"), F.col("__elems").alias("elems_b")
-            ),
-            on="fp_b",
-        )
-        .withColumn(
-            "jaccard", F.round(jaccard(F.col("elems_a"), F.col("elems_b")), 6)
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("fp_a", "fp_b", "jaccard")
+    verified_reps = _verified_rep_pairs(
+        reps, threshold=threshold, n_hashes=n_hashes, bands=bands
     )
     ids = members.select("__fp", "__id")
     inter = (
@@ -302,6 +264,133 @@ def minhash_near_duplicates(
         )
     )
     return inter.unionByName(intra)
+
+
+def _verified_rep_pairs(
+    reps: DataFrame,
+    *,
+    threshold: float,
+    n_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Band join + exact-Jaccard verify over set REPRESENTATIVES:
+    ``(fp_a, fp_b, jaccard)`` with ``fp_a < fp_b``.  The shared back
+    half of the pair operator and the skew-safe component builder —
+    candidate cost is rep-level by construction (identical sets
+    collapsed upstream)."""
+    bucketize = _band_bucket_udf(n_hashes, bands)
+    banded = reps.select(
+        "__fp",
+        F.posexplode(bucketize(F.col("__elems"))).alias("__band", "__bucket"),
+    )
+    left, right = banded.alias("a"), banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            on=[
+                F.col("a.__band") == F.col("b.__band"),
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col("a.__fp") < F.col("b.__fp"),
+            ],
+        )
+        .select(
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
+        )
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    rep_sets = reps.select("__fp", "__elems")
+    return (
+        candidates.join(
+            rep_sets.select(
+                F.col("__fp").alias("fp_a"), F.col("__elems").alias("elems_a")
+            ),
+            on="fp_a",
+        )
+        .join(
+            rep_sets.select(
+                F.col("__fp").alias("fp_b"), F.col("__elems").alias("elems_b")
+            ),
+            on="fp_b",
+        )
+        .withColumn(
+            "jaccard", F.round(jaccard(F.col("elems_a"), F.col("elems_b")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("fp_a", "fp_b", "jaccard")
+    )
+
+
+def minhash_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-duplicate component map ``(id, component)`` WITHOUT ever
+    materializing member pairs — the skew-safe drop-list/split path.
+
+    ``minhash_near_duplicates`` + ``connected_components`` computes the
+    same map through the expanded member-pair graph, which is k² edges
+    for a k-member identical cluster: a 1M-copy crawl artifact (error
+    page, empty doc) would put 5·10¹¹ edges through the CC loop.  Here
+    the transitive closure runs over the FINGERPRINT graph (one node
+    per distinct shingle set, edges = verified rep pairs — skew-free by
+    construction), and members join in once at the end to pick up their
+    component and its min-member label: O(corpus) rows, never O(pairs).
+
+    Output parity: exactly ``connected_components(
+    minhash_near_duplicates(df, …))`` — same (id, component) rows, same
+    min-member-id component labels — pinned by tests.  Docs in no
+    near-dup relation (singleton sets, empty shingle sets) do not
+    appear, matching the pair-graph semantics.  Compose downstream:
+    drop list = ``filter(id != component)``; leakage-safe split =
+    ``component_split(components=…)``.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    members, reps = _minhash_members_reps(
+        df, id_col, text_col, shingle=shingle
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        from data_toolz_spark.cache import track
+
+        members = track(members.persist(StorageLevel.MEMORY_AND_DISK))
+        reps = track(reps.persist(StorageLevel.MEMORY_AND_DISK))
+    nonempty_reps = reps.filter(F.size("__elems") > 0)
+    vr = _verified_rep_pairs(
+        nonempty_reps, threshold=threshold, n_hashes=n_hashes, bands=bands
+    )
+    # fp-level components; identical clusters (__cnt > 1) with no
+    # cross-fp edge are their own component — their members form a
+    # jaccard-1.0 clique in the pair graph
+    fp_cc = connected_components(vr, id_a="fp_a", id_b="fp_b")
+    lone_multi = nonempty_reps.filter(F.col("__cnt") > 1).select(
+        F.col("__fp").alias("id"), F.col("__fp").alias("component")
+    )
+    fp_comp = (
+        fp_cc.unionByName(lone_multi)
+        .groupBy("id")
+        .agg(F.min("component").alias("__fpc"))
+    )
+    mem = members.filter(F.size("__elems") > 0).select("__id", "__fp")
+    tagged = mem.join(
+        fp_comp, on=mem["__fp"] == fp_comp["id"]
+    ).select("__id", "__fpc")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fpc")
+    return tagged.select(
+        F.col("__id").alias("id"),
+        F.min("__id").over(w).alias("component"),
+    )
 
 
 def _minhash_members_reps(
@@ -986,6 +1075,7 @@ __all__ = [
     "dedup_exact",
     "minhash_signature",
     "minhash_near_duplicates",
+    "minhash_components",
     "near_duplicate_drop_list",
     "connected_components",
     "exact_jaccard_pairs",

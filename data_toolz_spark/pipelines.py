@@ -14,10 +14,13 @@ canonical order with state shared between stages.
 
 Composition details that matter at 100 TB:
 
-* The MinHash near-dup PAIRS are computed once and used twice — for
-  the drop list AND for ``component_split``, so surviving members of a
-  duplicate cluster can never straddle the train/eval boundary.  A
-  pipeline that deduped and then hash-split independently would leak.
+* The MinHash near-dup COMPONENT MAP is computed once and used twice —
+  for the drop list AND for ``component_split``, so surviving members
+  of a duplicate cluster can never straddle the train/eval boundary
+  (a pipeline that deduped and then hash-split independently would
+  leak).  r6: the map comes from ``minhash_components`` — transitive
+  closure over the fingerprint graph, member pairs never materialized,
+  so identical-doc mega-clusters cost O(k) instead of k² edges.
 * Decontamination runs AFTER near-dup removal (fewer docs to scan) and
   BEFORE splitting (a contaminated doc must not reach any split).
 * Every stage except one is lazy DataFrame algebra folded into ONE
@@ -119,10 +122,7 @@ def prepare_training_corpus(
         from pyspark import StorageLevel
 
         from data_toolz_spark.cache import track
-        from data_toolz_spark.operators.dedup import (
-            connected_components,
-            minhash_near_duplicates,
-        )
+        from data_toolz_spark.operators.dedup import minhash_components
 
         # The CC stage materializes at call time (its pair checkpoint
         # is an action), and the FINAL plan reads the cleaned text
@@ -137,10 +137,13 @@ def prepare_training_corpus(
         if persist_cleaned:
             out = track(out.persist(StorageLevel.MEMORY_AND_DISK))
 
-        pairs = minhash_near_duplicates(
+        # r6: the component map is built over the FINGERPRINT graph
+        # (minhash_components) — member pairs are never materialized,
+        # so a crawl's mega-clusters of identical docs cost O(k), not
+        # the k² edges the pair-expansion path would feed the CC loop
+        cc = minhash_components(
             out, id_col, text_col, threshold=near_dup_threshold
         )
-        cc = connected_components(pairs)
         drops = cc.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )

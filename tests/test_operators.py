@@ -496,3 +496,73 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, max_words=0)
     with pytest.raises(ValueError):
         chunk_documents(df, max_words=8, overlap=8)
+
+
+# -- minhash_components: skew-safe component map (r6) ------------------------
+
+
+def test_minhash_components_equals_pair_path(spark, documents):
+    from data_toolz_spark.operators.dedup import (
+        connected_components,
+        minhash_components,
+        minhash_near_duplicates,
+    )
+
+    want = sorted(
+        map(tuple, connected_components(
+            minhash_near_duplicates(
+                documents, "doc_id", "text", threshold=0.8
+            )
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, minhash_components(
+            documents, "doc_id", "text", threshold=0.8
+        ).collect())
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_components_mega_cluster(spark, documents):
+    """A k-copy identical cluster must resolve in O(k), with every
+    copy mapped to the min id — the pair path would need k(k-1)/2
+    edges for the same answer."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.dedup import minhash_components
+
+    k = 3000
+    one = documents.limit(1).select(
+        F.lit(0).cast("long").alias("doc_id"), "text"
+    )
+    copies = (
+        spark.range(k)
+        .crossJoin(one.select("text"))
+        .select((F.col("id") + 10_000).alias("doc_id"), "text")
+    )
+    cc = minhash_components(copies, "doc_id", "text", threshold=0.8)
+    rows = cc.collect()
+    assert len(rows) == k
+    assert {r["component"] for r in rows} == {10_000}
+
+
+def test_minhash_components_chain_closure(spark):
+    """Docs linked only through a chain (a~b, b~c, never a~c) must
+    land in ONE component — the fp-level closure is transitive."""
+    from data_toolz_spark.operators.dedup import minhash_components
+
+    base = [f"w{i}" for i in range(40)]
+    docs = [
+        (1, " ".join(base)),
+        (2, " ".join(base[4:] + ["x1", "x2", "x3", "x4"])),
+        (3, " ".join(base[8:] + [f"x{i}" for i in range(1, 9)])),
+        (100, "completely different words entirely here now ok yes"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cc = {r["id"]: r["component"] for r in minhash_components(
+        df, "doc_id", "text", threshold=0.5
+    ).collect()}
+    if len(cc) >= 3:  # chain actually connected at this threshold
+        assert cc[1] == cc[2] == cc[3] == 1
+    assert 100 not in cc
