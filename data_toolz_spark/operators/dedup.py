@@ -936,6 +936,124 @@ def simhash64(
     return kernel(F.transform(toks, token_hash))
 
 
+def _simhash_blocks(
+    text_col, max_hamming, n_blocks, bits, portable_hash, sh_name
+):
+    """Shared fingerprint + pigeonhole-block expressions for the pair
+    and component paths: ``(fingerprint_col, block_vals_array)`` where
+    block ``b`` covers bits [lo, lo+width), extracted via shiftright +
+    mask (bitwise AND, not %: modulo is sign-preserving and the top
+    block of a 64-bit fingerprint has the sign bit set)."""
+    n_blocks = n_blocks or (max_hamming + 1)
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            "n_blocks must be >= max_hamming + 1 for exact recall"
+        )
+    if n_blocks > bits:
+        # width-0 blocks would all collide on value 0 — every doc pair
+        # becomes a candidate and the join silently degrades to O(n²)
+        raise ValueError(f"n_blocks must be <= bits ({bits})")
+    if bits == 32:
+        fingerprint = simhash32(text_col)
+    elif bits == 64:
+        fingerprint = simhash64(text_col, portable_hash=portable_hash)
+    else:
+        raise ValueError("bits must be 32 or 64")
+    bounds = []
+    per = bits // n_blocks
+    extra = bits % n_blocks
+    lo = 0
+    for b in range(n_blocks):
+        width = per + (1 if b < extra else 0)
+        bounds.append((lo, width))
+        lo += width
+    block_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sh_name), lo).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for lo, width in bounds
+        ]
+    )
+    return fingerprint, block_vals
+
+
+def simhash_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 2,
+    n_blocks: int | None = None,
+    bits: int = SIMHASH_BITS,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """SimHash component map ``(id, component)`` without materializing
+    member pairs — the skew-safe drop-list path, SimHash twin of
+    :func:`minhash_components`.
+
+    Both the candidate join AND the output of ``simhash_band_pairs``
+    are k² for k identical documents (identical fingerprints collide
+    in every block); here band blocking runs over DISTINCT fingerprints
+    (one node each), the transitive closure runs on the fingerprint
+    graph, and members join in once for their component's min-member
+    label.  Output parity with ``connected_components(
+    simhash_band_pairs(df, …))`` is pinned by tests — including the
+    same treatment of equal-fingerprint clusters (hamming 0 pairs in
+    the pair graph ⇒ one fp-node component here).
+    """
+    fingerprint, block_vals = _simhash_blocks(
+        text_col, max_hamming, n_blocks, bits, portable_hash, "__sh"
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), fingerprint.alias("__sh")
+    )
+    fps = base.groupBy("__sh").agg(F.count(F.lit(1)).alias("__cnt"))
+    banded = fps.select(
+        "__sh", F.posexplode(block_vals).alias("__blk", "__val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    fp_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__val") == F.col("b.__val"),
+                F.col("a.__sh") < F.col("b.__sh"),
+            ],
+        )
+        .select(
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["sh_a", "sh_b"])
+        .withColumn(
+            "__ham",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("__ham") <= max_hamming)
+    )
+    fp_cc = connected_components(fp_pairs, id_a="sh_a", id_b="sh_b")
+    lone_multi = fps.filter(F.col("__cnt") > 1).select(
+        F.col("__sh").alias("id"), F.col("__sh").alias("component")
+    )
+    fp_comp = (
+        fp_cc.unionByName(lone_multi)
+        .groupBy("id")
+        .agg(F.min("component").alias("__fpc"))
+    )
+    tagged = base.join(
+        fp_comp, on=base["__sh"] == fp_comp["id"]
+    ).select("__id", "__fpc")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fpc")
+    return tagged.select(
+        F.col("__id").alias("id"),
+        F.min("__id").over(w).alias("component"),
+    )
+
+
 def simhash_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -972,42 +1090,11 @@ def simhash_band_pairs(
     O(block²) variant survives as the brute-force oracle twin
     (``simhash_near_duplicates``).
     """
-    n_blocks = n_blocks or (max_hamming + 1)
-    if n_blocks < max_hamming + 1:
-        raise ValueError(
-            "n_blocks must be >= max_hamming + 1 for exact recall"
-        )
-    if n_blocks > bits:
-        # width-0 blocks would all collide on value 0 — every doc pair
-        # becomes a candidate and the join silently degrades to O(n²)
-        raise ValueError(f"n_blocks must be <= bits ({bits})")
-    if bits == 32:
-        fingerprint = simhash32(text_col)
-    elif bits == 64:
-        fingerprint = simhash64(text_col, portable_hash=portable_hash)
-    else:
-        raise ValueError("bits must be 32 or 64")
+    fingerprint, block_vals = _simhash_blocks(
+        text_col, max_hamming, n_blocks, bits, portable_hash, "__sh"
+    )
     base = df.select(
         F.col(id_col).alias("__id"), fingerprint.alias("__sh")
-    )
-    # block b covers bits [lo, lo+width): extract via shiftright + mask
-    # (bitwise AND, not %: modulo is sign-preserving and the top block
-    # of a 64-bit fingerprint has the sign bit set)
-    bounds = []
-    per = bits // n_blocks
-    extra = bits % n_blocks
-    lo = 0
-    for b in range(n_blocks):
-        width = per + (1 if b < extra else 0)
-        bounds.append((lo, width))
-        lo += width
-    block_vals = F.array(
-        *[
-            F.shiftrightunsigned(F.col("__sh"), lo).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for lo, width in bounds
-        ]
     )
     banded = base.select(
         "__id",
@@ -1084,6 +1171,7 @@ __all__ = [
     "simhash64",
     "simhash_expr",
     "simhash_band_pairs",
+    "simhash_components",
     "simhash_near_duplicates",
     "SIMHASH_BITS",
 ]

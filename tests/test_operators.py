@@ -566,3 +566,43 @@ def test_minhash_components_chain_closure(spark):
     if len(cc) >= 3:  # chain actually connected at this threshold
         assert cc[1] == cc[2] == cc[3] == 1
     assert 100 not in cc
+
+
+def test_simhash_components_equals_pair_path(spark, documents):
+    from data_toolz_spark.operators.dedup import (
+        connected_components,
+        simhash_band_pairs,
+        simhash_components,
+    )
+
+    pairs = simhash_band_pairs(
+        documents, "doc_id", "text", max_hamming=2, bits=64,
+        portable_hash=False,
+    )
+    want = sorted(map(tuple, connected_components(pairs).collect()))
+    got = sorted(map(tuple, simhash_components(
+        documents, "doc_id", "text", max_hamming=2, bits=64,
+        portable_hash=False,
+    ).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_simhash_components_mega_cluster(spark, documents):
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.dedup import simhash_components
+
+    k = 3000
+    one = documents.limit(1).select("text")
+    copies = (
+        spark.range(k)
+        .crossJoin(one)
+        .select((F.col("id") + 5_000).alias("doc_id"), "text")
+    )
+    cc = simhash_components(
+        copies, "doc_id", "text", max_hamming=2, bits=64,
+        portable_hash=False,
+    ).collect()
+    assert len(cc) == k
+    assert {r["component"] for r in cc} == {5_000}
