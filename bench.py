@@ -32,6 +32,19 @@ from data_toolz_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+
+def _default_heap() -> str:
+    """~40% of physical RAM, capped at 48g, floored at 2g — in local
+    mode the driver JVM hosts all worker threads, and Spark's 1g
+    default is what a 32-thread full sweep eventually OOMs in (first
+    hit r6, in the stage-attribution tail after ~70 queries)."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(48, int(total * 0.4 / 2**30)))
+    except (ValueError, OSError):
+        gb = 4
+    return f"{gb}g"
+
 # Headline set: every operator family, weighted toward the shuffling /
 # scale-sensitive paths (joins, dedup, similarity, windows).  IO
 # round-trip qids are excluded — they benchmark tempdir writes, not the
@@ -384,7 +397,12 @@ def main() -> int:
         app_name="data_toolz_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", _default_heap()
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
