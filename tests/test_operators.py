@@ -606,3 +606,45 @@ def test_simhash_components_mega_cluster(spark, documents):
     ).collect()
     assert len(cc) == k
     assert {r["component"] for r in cc} == {5_000}
+
+
+def test_minhash_components_property_equivalence(spark):
+    """Randomized corpora: the fp-graph closure must equal the
+    member-pair closure for every draw — chains, identical clusters,
+    singletons, empty docs, and near-threshold pairs alike."""
+    import random
+
+    from data_toolz_spark.operators.dedup import (
+        connected_components,
+        minhash_components,
+        minhash_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    for trial in range(6):
+        docs = []
+        doc_id = 0
+        for _ in range(rng.randint(4, 10)):
+            base = rng.sample(vocab, rng.randint(5, 18))
+            n_variants = rng.randint(1, 4)
+            for _ in range(n_variants):
+                words = list(base)
+                for _ in range(rng.randint(0, 2)):
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+                docs.append((doc_id, " ".join(words)))
+                doc_id += 1
+        docs.append((doc_id, ""))  # empty doc never pairs
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        threshold = rng.choice([0.5, 0.7, 0.8])
+        want = sorted(map(tuple, connected_components(
+            minhash_near_duplicates(
+                df, "doc_id", "text", threshold=threshold, shingle=2,
+                persist=False,
+            )
+        ).collect()))
+        got = sorted(map(tuple, minhash_components(
+            df, "doc_id", "text", threshold=threshold, shingle=2,
+            persist=False,
+        ).collect()))
+        assert got == want, (trial, threshold, docs)
