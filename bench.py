@@ -351,8 +351,24 @@ def _x_pii_redact(spark, sf_dir):
     )
 
 
+def _x_simhash_components(spark, sf_dir):
+    """Skew-safe SimHash drop list (fp-graph closure) at the 64-bit
+    scale config — the components twin of dedup_simhash64_band."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.dedup import simhash_components
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    cc = simhash_components(
+        docs, "doc_id", "text", max_hamming=2, bits=64,
+        portable_hash=False,
+    )
+    return cc.filter(F.col("id") != F.col("component"))
+
+
 EXTRAS = {
     "x_span_dedup": _x_span_dedup,
+    "x_simhash_components": _x_simhash_components,
     "x_pii_redact": _x_pii_redact,
     "x_semantic_dedup": _x_semantic_dedup,
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
