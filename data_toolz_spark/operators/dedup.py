@@ -209,7 +209,6 @@ def minhash_near_duplicates(
     """
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
-    rows = n_hashes // bands
     members, reps = _minhash_members_reps(
         df, id_col, text_col, shingle=shingle
     )

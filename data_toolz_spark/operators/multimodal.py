@@ -574,6 +574,13 @@ def decode_wav(blob: bytes):
         (length,) = struct.unpack_from("<I", b, pos + 4)
         body = b[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if len(body) < length:
+            # truncated blob: the DECLARED length exceeds the bytes
+            # actually present.  Honor the null-row contract (like
+            # decode_png/decode_y4m) instead of letting a short fmt
+            # chunk raise struct.error in the executor or a short
+            # data chunk yield silently truncated samples (ADVICE r6)
+            return None
         if tag == b"fmt ":
             if length < 16:
                 return None

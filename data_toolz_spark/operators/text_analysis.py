@@ -353,10 +353,17 @@ def redact_pii(
     pre-training PII pass.  Order matters: SSN and phone run before
     ipv4 so a hyphenated SSN is never half-eaten as a dotted quad, and
     card redaction runs FIRST on Luhn-validated candidates only —
-    each valid candidate is substituted via a literal
-    ``aggregate(candidates, text, replace)`` fold, so a 16-digit order
-    id that fails the checksum survives verbatim.  Everything is
-    codegen'd column expressions; no UDFs, no shuffle.
+    each valid candidate is substituted via an
+    ``aggregate(candidates, text, regexp_replace)`` fold, so a
+    16-digit order id that fails the checksum survives verbatim.  The
+    per-candidate pattern re-applies the card pattern's own
+    ``(?<![\\d-])…(?![\\d-])`` context guards, so a candidate's digit
+    string embedded inside a LONGER digit run elsewhere in the
+    document (where it never was a card match) is left intact — a
+    plain literal replace would corrupt it (ADVICE r6).  Candidates
+    are drawn from ``[0-9 -]`` only, so splicing them into a regex
+    needs no metacharacter escaping.  Everything is codegen'd column
+    expressions; no UDFs, no shuffle.
     """
     target = out_col or text_col
     c = F.col(text_col)
@@ -367,7 +374,13 @@ def redact_pii(
     carded = F.aggregate(
         valid_cards,
         c,
-        lambda acc, cand: F.replace(acc, cand, F.lit(card_token)),
+        lambda acc, cand: F.regexp_replace(
+            acc,
+            F.concat(
+                F.lit(r"(?<![\d-])"), cand, F.lit(r"(?![\d-])")
+            ),
+            F.lit(card_token),
+        ),
     )
     redacted = F.regexp_replace(
         F.regexp_replace(
@@ -442,7 +455,7 @@ def line_dedup(
     min_line_chars: int = 1,
     out_col: str = "clean_text",
     join_sep: str | None = None,
-    broadcast_frequent: bool = True,
+    broadcast_frequent: bool | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication (CCNet/RefinedWeb-style
     boilerplate removal): drop every line that occurs in more than
@@ -461,21 +474,31 @@ def line_dedup(
 
     Scale shape: lines shuffle once as ``(xxhash64(line), id)`` longs
     to count distinct documents per line (map-side combinable) — the
-    document TEXT never crosses the wire.  With ``broadcast_frequent``
-    (default) the rebuild is text-shuffle-free: the over-frequency
-    hash set — bounded by DISTINCT boilerplate content, not corpus
-    size — joins broadcast against the exploded hashes, each affected
-    document's own frequent-hash set aggregates as longs, and that
-    per-doc set broadcasts back onto the corpus so line removal is a
-    row-local array ``filter`` over the document's own line array.
-    The only exchanges are longs (pass-1 agg + the per-doc set agg);
-    at 100 TB this removes what used to be the operator's single
-    biggest data movement (the full corpus text re-grouping through a
-    ``collect_list``).  Set ``broadcast_frequent=False`` when the
-    AFFECTED-document set is too large to broadcast even as bare
-    (id, hashes) rows — that path marks lines with a broadcast
-    semi-join and re-assembles per document, shuffling the text once
-    grouped by its own id.  Trimmed lines shorter than
+    document TEXT never crosses the wire.  The rebuild gathers each
+    affected document's OWN frequent-hash set (longs only) and joins
+    it back onto the corpus so line removal is a row-local array
+    ``filter`` over the document's own line array; no exchange ever
+    carries more than longs plus — at worst — ONE pass of the line
+    arrays keyed by the document's own id.
+
+    ``broadcast_frequent`` selects how that rebuild join executes:
+
+    * ``None`` (default, self-selecting) — no join-strategy hint;
+      AQE measures the per-doc-set side at RUNTIME and broadcasts it
+      when it fits ``spark.sql.autoBroadcastJoinThreshold``, else
+      falls back to a shuffled join.  On a crawl corpus, boilerplate
+      incidence is near-universal, so the affected-document set is
+      O(corpus docs) — a forced broadcast there blows the driver at
+      scale, which is exactly why the decision is left to the
+      measured size rather than a compile-time flag.
+    * ``True`` — force the broadcast hint (text-shuffle-free rebuild;
+      only long exchanges).  Opt in when the affected-doc set is
+      known small (low-incidence boilerplate, e.g. license footers).
+    * ``False`` — legacy explode/``collect_list`` path: marks lines
+      with a broadcast semi-join and re-assembles per document,
+      shuffling the exploded text once grouped by its own id.
+
+    Trimmed lines shorter than
     ``min_line_chars`` are kept verbatim (never counted, never
     removed) — blank separators are not evidence of boilerplate.
     """
@@ -522,18 +545,23 @@ def line_dedup(
         .select("__lh")
     )
 
-    if broadcast_frequent:
-        # text-shuffle-free rebuild: gather each affected document's
-        # OWN frequent-hash set (longs only — hashes of frequent lines
-        # join broadcast, then one (id, hash) shuffle), broadcast those
-        # per-doc sets back onto the corpus, and drop lines row-locally
-        # with an array filter.  The document text never enters any
-        # exchange; membership tests run against the doc's own few
-        # hashes, not the global set.
+    if broadcast_frequent is not False:
+        # array rebuild: gather each affected document's OWN
+        # frequent-hash set (longs only — hashes of frequent lines
+        # join against the exploded hashes, then one (id, hash)
+        # shuffle), join those per-doc sets back onto the corpus, and
+        # drop lines row-locally with an array filter.  Membership
+        # tests run against the doc's own few hashes, not the global
+        # set.  broadcast_frequent=True pins both joins broadcast
+        # (text-shuffle-free); the None default leaves them unhinted
+        # so AQE picks broadcast vs shuffle from the MEASURED sizes —
+        # the affected-doc set is O(corpus) on high-incidence crawls
+        # and must not be force-broadcast there.
+        hint = F.broadcast if broadcast_frequent else (lambda d: d)
         flagged = (
             exploded.filter(countable)
             .select(F.col(id_col), F.xxhash64("__trim").alias("__lh"))
-            .join(F.broadcast(frequent), on="__lh")
+            .join(hint(frequent), on="__lh")
             .groupBy(id_col)
             .agg(F.collect_set("__lh").alias("__fh"))
         )
@@ -542,7 +570,7 @@ def line_dedup(
         ) & F.array_contains(F.col("__fh"), F.xxhash64(F.trim(l)))
         staged = (
             df.select(F.col(id_col), lines.alias("__lines"))
-            .join(F.broadcast(flagged), on=id_col, how="left")
+            .join(hint(flagged), on=id_col, how="left")
             .withColumn(
                 "__kept",
                 F.when(

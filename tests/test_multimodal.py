@@ -351,6 +351,25 @@ def test_wav_rejects_malformed():
     assert decode_wav(bytes(stereo)) is None
 
 
+def test_wav_truncated_chunks_return_none_not_raise():
+    """A blob whose fmt chunk DECLARES >=16 bytes but is cut short must
+    return None (null-row contract), not raise struct.error in the
+    executor; a data chunk shorter than declared must not yield
+    silently truncated samples (ADVICE r6)."""
+    import numpy as np
+
+    from data_toolz_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.arange(64, dtype=np.int16), 8000)
+    # cut inside the fmt chunk body (fmt starts at byte 12, body at 20)
+    assert decode_wav(good[:25]) is None
+    # cut inside the data chunk body: declared length intact, bytes gone
+    assert decode_wav(good[:-17]) is None
+    # cutting an EVEN number of sample bytes must also fail, not
+    # silently shorten the waveform
+    assert decode_wav(good[:-16]) is None
+
+
 def test_audio_features_wav_matches_fake(spark):
     """The real-WAV path must produce byte-identical stats to the toy
     path over the same deterministic sample pattern."""

@@ -440,6 +440,32 @@ def test_line_dedup_default_keeps_singletons(spark):
         line_dedup(df, max_doc_freq=0)
 
 
+def test_line_dedup_three_rebuild_paths_agree(spark):
+    """auto (None), forced-broadcast (True), and legacy explode/
+    collect (False) rebuilds are the same operator: identical rows."""
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = [
+        (1, "SHARED TOP\nalpha body\nSHARED BOTTOM"),
+        (2, "SHARED TOP\nbeta body\nSHARED BOTTOM"),
+        (3, "SHARED TOP\ngamma body"),
+        (4, "nothing shared at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    outs = {
+        mode: {
+            tuple(r)
+            for r in line_dedup(
+                df, max_doc_freq=2, broadcast_frequent=mode
+            ).collect()
+        }
+        for mode in (None, True, False)
+    }
+    assert outs[None] == outs[True] == outs[False]
+    assert len(outs[None]) == 5
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from data_toolz_spark.operators.text_analysis import chunk_documents
 
@@ -563,8 +589,12 @@ def test_minhash_components_chain_closure(spark):
     cc = {r["id"]: r["component"] for r in minhash_components(
         df, "doc_id", "text", threshold=0.5
     ).collect()}
-    if len(cc) >= 3:  # chain actually connected at this threshold
-        assert cc[1] == cc[2] == cc[3] == 1
+    # the chain MUST connect: each adjacent pair's true Jaccard is
+    # well above the 0.5 threshold and the MinHash draw is
+    # deterministic (fixed seed), so a silent pass here would leave
+    # transitivity permanently unverified (ADVICE r6)
+    assert len(cc) >= 3, f"chain failed to connect: {cc}"
+    assert cc[1] == cc[2] == cc[3] == 1
     assert 100 not in cc
 
 

@@ -32,7 +32,14 @@ def _luhn_ok(cand: str) -> bool:
 def _py_redact(text: str) -> str:
     for cand in re.findall(PII_PATTERNS["card"], text):
         if _luhn_ok(cand):
-            text = text.replace(cand, "<CARD>")
+            # position-anchored, mirroring the operator: the same
+            # digit string embedded in a longer run elsewhere is NOT
+            # a card occurrence and must survive (ADVICE r6)
+            text = re.sub(
+                r"(?<![\d-])" + re.escape(cand) + r"(?![\d-])",
+                "<CARD>",
+                text,
+            )
     text = re.sub(PII_PATTERNS["ssn"], "<SSN>", text)
     text = re.sub(PII_PATTERNS["phone"], "<PHONE>", text)
     text = re.sub(PII_PATTERNS["ipv4"], "<IP>", text)
@@ -51,6 +58,10 @@ CASES = [
     (8, "pi to 15 places 3.141592653589793"),  # decimal, not a card
     (9, "ts 1699999999999999 is 16 digits"),  # Luhn-gated
     (10, "565-55-5555 and 10.0.0.1 and 650.555.1234"),
+    # the SAME Luhn-valid digit string, once as a real card candidate
+    # and once embedded in a longer digit run where it never matched —
+    # the embedded serial must survive verbatim (ADVICE r6)
+    (11, "card 4242424242424242 ok; serial 994242424242424242 intact"),
 ]
 
 
@@ -70,6 +81,7 @@ def test_redaction_cases(spark):
     assert "4243" in got[5]  # luhn-invalid survives
     assert got[7] == "no pii here at all"
     assert "3.141592653589793" in got[8]
+    assert got[11] == "card <CARD> ok; serial 994242424242424242 intact"
 
 
 def test_counts_match_python(spark):

@@ -207,14 +207,59 @@ def test_decontaminate_generate_does_not_rederive_grams(spark, sf_dir):
 
 
 def test_line_dedup_frequent_set_broadcasts(spark, sf_dir):
+    """broadcast_frequent=True pins the rebuild joins broadcast."""
     from data_toolz_spark.operators.text_analysis import line_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = (
-        line_dedup(docs, max_doc_freq=2, sep=" ")
+        line_dedup(
+            docs, max_doc_freq=2, sep=" ", broadcast_frequent=True
+        )
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_auto_path_no_forced_broadcast(spark, sf_dir):
+    """The default (auto) rebuild must NOT pin the per-doc frequent-set
+    frame broadcast (VERDICT r6 item 1): with the broadcast threshold
+    disabled — the runtime condition a high-incidence crawl produces,
+    where the affected-doc set is O(corpus) — the executed plan falls
+    back to shuffled joins, and the output still matches the forced-
+    broadcast path exactly."""
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    forced = {
+        tuple(r)
+        for r in line_dedup(
+            docs, max_doc_freq=2, sep=" ", broadcast_frequent=True
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = line_dedup(docs, max_doc_freq=2, sep=" ")
+        rows = {tuple(r) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan, plan
+    assert rows == forced
+
+
+def test_line_dedup_auto_aqe_broadcasts_small_side(spark, sf_dir):
+    """Flip side of the auto path: at the DEFAULT threshold AQE
+    measures the tiny per-doc-set frame at runtime and converts the
+    unhinted join to broadcast — self-selection, not a pessimistic
+    always-shuffle."""
+    from data_toolz_spark.operators.text_analysis import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = line_dedup(docs, max_doc_freq=2, sep=" ")
+    out.collect()  # let AQE re-plan from runtime statistics
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_chunk_documents_is_single_scan_no_exchange(spark, sf_dir):
@@ -277,7 +322,9 @@ def test_line_dedup_no_exchange_carries_text(spark, sf_dir):
     from data_toolz_spark.operators.text_analysis import line_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = line_dedup(docs, max_doc_freq=2, sep=" ")
+    out = line_dedup(
+        docs, max_doc_freq=2, sep=" ", broadcast_frequent=True
+    )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
