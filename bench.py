@@ -1,10 +1,12 @@
 """Benchmark harness — driver contract.
 
 Runs EVERY registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints the
+full JSON record followed by one tiny COMPACT line (same headline
+fields, no per-qid map) so a bounded tail capture always parses::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "headline_v2_total": ..., "sf": ..., "compact": true}
 
 ``value`` is the HEADLINE-set total (the round-over-round BASELINE.md
 series — fixed membership so the ratio stays meaningful); ``queries``
@@ -366,6 +368,62 @@ def _x_simhash_components(spark, sf_dir):
     return cc.filter(F.col("id") != F.col("component"))
 
 
+# -- incremental_minhash_pairs build/mine split (VERDICT r6 item 3) --
+# The qid (and its oracle) stays the full build→mine round trip; the
+# BENCH attribution splits it so the sweep entry times the steady-state
+# daily-ingest shape (mining a fixed increment against an EXISTING
+# index — the deep probe shows that flat at ~5 s from 5 k→100 k corpus
+# docs) while the 3-table index build is its own pre-sweep entry.
+_MH_BENCH_TABLE = "dtz_bench_mh_index"
+
+
+def _mh_index_build(spark, sf_dir):
+    """Build phase: the three bucketed tables (bands / shingle sets /
+    members) from the even-doc history — one-time cost per corpus, not
+    per ingest."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import build_minhash_index
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+        drop_stale_table(spark, f"{_MH_BENCH_TABLE}_{t}")
+    path = tempfile.mkdtemp(prefix="dtz_bench_mhidx_") + "/index"
+    build_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        _MH_BENCH_TABLE,
+        threshold=0.8,
+        n_buckets=8,
+        path=path,
+    )
+    return spark.table(f"{_MH_BENCH_TABLE}_mh_meta")
+
+
+def _mh_mine_only(spark, sf_dir):
+    """Mine phase: the odd-doc increment against the pre-built index
+    (read in place; only the increment shuffles)."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.incremental import (
+        incremental_near_duplicates,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return incremental_near_duplicates(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), _MH_BENCH_TABLE
+    )
+
+
+# sweep-time overrides: qid → the phase the sweep entry should time.
+# Applied only when the matching build entry ran earlier in the same
+# process (main() wires that up); the driver's CORRECTNESS run never
+# sees these — it calls queries() directly.
+BENCH_SPLIT = {"incremental_minhash_pairs": _mh_mine_only}
+
+
 EXTRAS = {
     "x_span_dedup": _x_span_dedup,
     "x_simhash_components": _x_simhash_components,
@@ -484,8 +542,28 @@ def main() -> int:
     from data_toolz_spark.cache import clear_session_caches
 
     timings: dict[str, float] = {}
+
+    # pre-sweep: build the persistent MinHash index once and time it as
+    # its own entry, so the sweep's incremental_minhash_pairs times
+    # MINING against an existing index — the steady-state shape — not a
+    # per-run rebuild (VERDICT r6 item 3)
+    split_active = set()
+    if "incremental_minhash_pairs" in names:
+        start = time.perf_counter()
+        _mh_index_build(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["x_minhash_index_build"] = round(
+            time.perf_counter() - start, 3
+        )
+        split_active.add("incremental_minhash_pairs")
+        clear_session_caches(spark)
+
     for name in names:
-        fn = queries.get(name) or LEGACY.get(name) or EXTRAS[name]
+        if name in split_active:
+            fn = BENCH_SPLIT[name]
+        else:
+            fn = queries.get(name) or LEGACY.get(name) or EXTRAS[name]
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
@@ -522,6 +600,23 @@ def main() -> int:
     if stage_times is not None:
         payload["prepare_corpus_stages"] = stage_times
     print(json.dumps(payload))
+    # trailing COMPACT record (VERDICT r6 item 2): the full payload
+    # line grew past the driver's tail-capture window in r6 (parsed:
+    # null) — this tiny last line guarantees any tail capture still
+    # parses the headline totals.  Consumers wanting per-qid detail
+    # read the full line above it.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "headline_v2_total": total_v2,
+                "sf": payload["sf"],
+                "compact": True,
+            }
+        )
+    )
     return 0
 
 
