@@ -617,7 +617,7 @@ def incremental_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "dtz_qid_mh_index"
     # bucketed tables get a fresh external path per run; the managed
     # meta table needs the cross-session stale-location cleanup
-    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members", "mh_journal"):
         drop_stale_table(spark, f"{table}_{t}")
     path = tempfile.mkdtemp(prefix="dtz_mhidx_") + "/index"
     build_minhash_index(

@@ -389,7 +389,7 @@ def _mh_index_build(spark, sf_dir):
     from data_toolz_spark.operators.incremental import build_minhash_index
 
     docs = entrymod.load(spark, sf_dir, "documents")
-    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members", "mh_journal"):
         drop_stale_table(spark, f"{_MH_BENCH_TABLE}_{t}")
     path = tempfile.mkdtemp(prefix="dtz_bench_mhidx_") + "/index"
     build_minhash_index(

@@ -59,7 +59,10 @@ from data_toolz_spark.operators.incremental import (
     build_minhash_index,
     incremental_near_duplicates,
     ivf_query_index,
+    minhash_index_open_txns,
     novel_documents,
+    repair_minhash_index,
+    validate_minhash_index,
 )
 from data_toolz_spark.operators.search import (
     append_to_text_index,
@@ -146,6 +149,9 @@ __all__ = [
     "build_fingerprint_catalog",
     "build_minhash_index",
     "incremental_near_duplicates",
+    "minhash_index_open_txns",
+    "validate_minhash_index",
+    "repair_minhash_index",
     "novel_documents",
     # search
     "append_to_text_index",

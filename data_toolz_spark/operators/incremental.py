@@ -130,6 +130,10 @@ def append_to_catalog(
     the next increment's anti-join stays exchange-free on the catalog
     side.  Input should be the output of :func:`novel_documents` (one
     row per novel fingerprint).
+
+    Consistency: this is ONE table write = one Spark job, atomic under
+    the commit protocol (a killed job commits nothing) — unlike the
+    MinHash index's three-table append, it needs no journal.
     """
     (
         novel.select(
@@ -141,6 +145,48 @@ def append_to_catalog(
 # ---------------------------------------------------------------------------
 # Incremental NEAR-dup: a persistent MinHash band index
 # ---------------------------------------------------------------------------
+#
+# Append-consistency model (VERDICT r6 item 4): each per-table write is
+# a single Spark job, so the commit protocol makes it atomic — a killed
+# job leaves no visible rows.  The failure window is BETWEEN the three
+# table writes: bands landed but sets/members didn't, etc.  The journal
+# table brackets every multi-table append with (txn, begin) /
+# (txn, commit) rows; a begin with no commit/repair marks the index
+# DIRTY.  Mining refuses a dirty index; ``repair_minhash_index``
+# re-appends the same increment IDEMPOTENTLY (per-table anti-joins, so
+# whatever already landed is skipped) and closes the open transactions.
+# The single-table indexes (fingerprint catalog, IVF inverted file)
+# don't need this: their one ``insertInto`` is job-atomic.
+
+
+def _mh_journal_table(table_prefix: str) -> str:
+    return f"{table_prefix}_mh_journal"
+
+
+def _mh_journal_append(
+    spark: SparkSession, table_prefix: str, txn: str, phase: str
+) -> None:
+    spark.createDataFrame(
+        [(txn, phase)], "txn string, phase string"
+    ).write.mode("append").saveAsTable(_mh_journal_table(table_prefix))
+
+
+def minhash_index_open_txns(
+    spark: SparkSession, table_prefix: str
+) -> list[str]:
+    """Transactions that began a multi-table append but never committed
+    (or were repaired) — non-empty means the index is dirty.  Indexes
+    built before the journal existed report clean."""
+    jt = _mh_journal_table(table_prefix)
+    if not spark.catalog.tableExists(jt):
+        return []
+    j = spark.table(jt)
+    begun = j.filter(F.col("phase") == "begin").select("txn")
+    closed = j.filter(F.col("phase").isin("commit", "repair")).select("txn")
+    return sorted(
+        r["txn"] for r in begun.join(closed, on="txn", how="left_anti")
+        .distinct().collect()
+    )
 
 
 def build_minhash_index(
@@ -216,6 +262,13 @@ def build_minhash_index(
         n_buckets=n_buckets,
         path=None if path is None else f"{path}/members",
     )
+    # fresh (empty) append journal: the build itself needs no bracket —
+    # a died build is rebuilt from scratch — but appends record their
+    # begin/commit here so a crash between the three insertIntos is
+    # detectable (see module section above)
+    spark.createDataFrame(
+        [], "txn string, phase string"
+    ).write.mode("overwrite").saveAsTable(_mh_journal_table(table_prefix))
     return table_prefix
 
 
@@ -226,6 +279,7 @@ def incremental_near_duplicates(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    allow_dirty: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs TOUCHING the increment: (id_a, id_b, jaccard)
     with id_a < id_b, covering increment×index and increment×increment —
@@ -243,6 +297,19 @@ def incremental_near_duplicates(
         _minhash_members_reps,
         jaccard,
     )
+
+    if not allow_dirty:
+        open_ = minhash_index_open_txns(spark, table_prefix)
+        if open_:
+            raise RuntimeError(
+                f"minhash index {table_prefix!r} is dirty: append "
+                f"transaction(s) {open_} began but never committed — "
+                "a job died between the three table writes.  Run "
+                "repair_minhash_index() with the same increment to "
+                "converge the tables, or pass allow_dirty=True to "
+                "mine anyway (results may miss or duplicate pairs "
+                "for the partial increment)."
+            )
 
     m = spark.table(f"{table_prefix}_mh_meta").first()
     n_hashes, bands, shingle, threshold = (
@@ -406,7 +473,14 @@ def append_to_minhash_index(
     index has not seen (anti-join on the bucketed sets table), so
     re-ingesting duplicate content never bloats the LSH join side.
     ``insertInto`` preserves each table's bucket layout.
+
+    The three writes are bracketed by a journal (txn, begin/commit)
+    record: a job death between the insertIntos leaves a begin with no
+    commit, mining refuses the index, and
+    :func:`repair_minhash_index` with the same increment converges it.
     """
+    import uuid
+
     from data_toolz_spark.operators.dedup import (
         _band_bucket_udf,
         _minhash_members_reps,
@@ -427,6 +501,8 @@ def append_to_minhash_index(
     from data_toolz_spark.cache import track
 
     track(novel_reps)
+    txn = uuid.uuid4().hex
+    _mh_journal_append(spark, table_prefix, txn, "begin")
     bucketize = _band_bucket_udf(m["n_hashes"], m["bands"])
     (
         novel_reps.select(
@@ -440,6 +516,140 @@ def append_to_minhash_index(
             F.col("__fp").alias("fp"), F.col("__id").alias("id")
         ).write.insertInto(f"{table_prefix}_mh_members")
     )
+    _mh_journal_append(spark, table_prefix, txn, "commit")
+
+
+def validate_minhash_index(
+    spark: SparkSession, table_prefix: str
+) -> dict:
+    """Structural consistency report for the persistent MinHash index.
+
+    Checks the journal (open append transactions) and the cross-table
+    invariants a partial append breaks:
+
+    * every fingerprint in ``bands`` exists in ``sets`` with a
+      COMPLETE band set (exactly ``meta.bands`` rows);
+    * every fingerprint in ``sets`` has at least one ``members`` row
+      (members are written LAST, so a set fp with no members marks a
+      died append).
+
+    Full-index scan — a maintenance operation, not an ingest step.
+    Returns counts per violation plus ``consistent`` (journal clean
+    AND zero structural violations).
+    """
+    m = spark.table(f"{table_prefix}_mh_meta").first()
+    bands = spark.table(f"{table_prefix}_mh_bands")
+    sets_fp = spark.table(f"{table_prefix}_mh_sets").select("fp")
+    members_fp = (
+        spark.table(f"{table_prefix}_mh_members").select("fp").distinct()
+    )
+    band_counts = bands.groupBy("fp").agg(F.count("*").alias("n"))
+    bands_orphan = band_counts.join(
+        sets_fp, on="fp", how="left_anti"
+    ).count()
+    bands_incomplete = band_counts.filter(
+        F.col("n") != m["bands"]
+    ).count()
+    sets_no_bands = sets_fp.join(
+        band_counts.select("fp"), on="fp", how="left_anti"
+    ).count()
+    sets_no_members = sets_fp.join(
+        members_fp, on="fp", how="left_anti"
+    ).count()
+    open_txns = minhash_index_open_txns(spark, table_prefix)
+    return {
+        "open_txns": open_txns,
+        "bands_orphan_fps": bands_orphan,
+        "bands_incomplete_fps": bands_incomplete,
+        "sets_without_bands_fps": sets_no_bands,
+        "sets_without_members_fps": sets_no_members,
+        "consistent": (
+            not open_txns
+            and bands_orphan == 0
+            and bands_incomplete == 0
+            and sets_no_bands == 0
+            and sets_no_members == 0
+        ),
+    }
+
+
+def repair_minhash_index(
+    spark: SparkSession,
+    increment: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """Converge the index after a died append of ``increment``.
+
+    Idempotent re-append: each table gets only the rows it is MISSING
+    (per-table anti-joins), so this is safe no matter where the
+    previous append stopped — before any write, between writes, or
+    after all three (then it writes nothing).  Scale shape: the index
+    tables are probed via broadcast semi-joins on the increment's own
+    fingerprints, so index-side reads stay map-side filters — the work
+    is increment-sized, like the append itself.  Closes every open
+    journal transaction with a ``repair`` record and returns their
+    ids.  Must be called with the SAME increment the died append ran
+    with (the journal records the fact of the crash, not the data; at
+    ingest, replaying the day's batch is the recovery contract).
+    """
+    from data_toolz_spark.operators.dedup import (
+        _band_bucket_udf,
+        _minhash_members_reps,
+    )
+
+    m = spark.table(f"{table_prefix}_mh_meta").first()
+    members, reps = _minhash_members_reps(
+        increment, id_col, text_col, shingle=m["shingle"]
+    )
+    reps = reps.select(
+        F.col("__fp").alias("fp"), F.col("__elems").alias("elems")
+    ).persist()
+    from data_toolz_spark.cache import track
+
+    track(reps)
+    inc_fps = reps.select("fp")
+
+    # bands: fps with no band rows yet (probe restricted to inc fps)
+    bands_have = (
+        spark.table(f"{table_prefix}_mh_bands")
+        .join(F.broadcast(inc_fps), on="fp")
+        .select("fp")
+        .distinct()
+    )
+    bucketize = _band_bucket_udf(m["n_hashes"], m["bands"])
+    (
+        reps.join(bands_have, on="fp", how="left_anti")
+        .select(
+            "fp",
+            F.posexplode(bucketize(F.col("elems"))).alias("band", "bucket"),
+        )
+        .write.insertInto(f"{table_prefix}_mh_bands")
+    )
+    # sets: fps not present yet
+    known_sets = spark.table(f"{table_prefix}_mh_sets").select("fp")
+    (
+        reps.join(known_sets, on="fp", how="left_anti")
+        .write.insertInto(f"{table_prefix}_mh_sets")
+    )
+    # members: (fp, id) rows not present yet
+    new_members = members.select(
+        F.col("__fp").alias("fp"), F.col("__id").alias("id")
+    )
+    existing_members = spark.table(f"{table_prefix}_mh_members").join(
+        F.broadcast(inc_fps), on="fp"
+    )
+    (
+        new_members.join(
+            existing_members, on=["fp", "id"], how="left_anti"
+        ).write.insertInto(f"{table_prefix}_mh_members")
+    )
+    open_txns = minhash_index_open_txns(spark, table_prefix)
+    for txn in open_txns:
+        _mh_journal_append(spark, table_prefix, txn, "repair")
+    return open_txns
 
 
 __all__ = [
@@ -449,6 +659,9 @@ __all__ = [
     "build_minhash_index",
     "incremental_near_duplicates",
     "append_to_minhash_index",
+    "minhash_index_open_txns",
+    "validate_minhash_index",
+    "repair_minhash_index",
     "build_ivf_index",
     "ivf_query_index",
     "append_to_ivf_index",
@@ -648,6 +861,10 @@ def append_to_ivf_index(
     append, increment-sized work).  Rebuild the index when drift makes
     the quantizer stale; that is an offline decision, not an ingest
     side effect.
+
+    Consistency: a single-table append = one job-atomic write (see
+    :func:`append_to_catalog`); only the multi-table MinHash append
+    needs the journal bracket.
     """
     from data_toolz_spark.operators.similarity import _unit_vector_udf
 

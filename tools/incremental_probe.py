@@ -72,7 +72,7 @@ def replicate(df, id_col: str, mult: int, id_stride: int = 1_000_000):
 
 
 def drop_index(spark, prefix: str) -> None:
-    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members", "mh_journal"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 

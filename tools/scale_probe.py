@@ -206,7 +206,7 @@ def main() -> int:
         t_inc, n_inc = timed(
             lambda: incremental_near_duplicates(spark, inc, prefix)
         )
-        for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members"):
+        for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members", "mh_journal"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
         rows.append((mult, mult * n_docs, t_mh, n_mh, t_ij, n_ij,
