@@ -209,6 +209,40 @@ def _unit_vector_udf(dim: int):
     return unitize
 
 
+def _batch_topn_cells(
+    vecs: pd.Series, centers: np.ndarray, top_n: int
+) -> pd.Series:
+    """Nearest-centroid assignment for one Arrow batch: stack the
+    non-null vectors into a single ``(batch × dim) @ (dim × cells)``
+    matmul instead of one GEMV per row (VERDICT r6 item 5 — the same
+    batch-kernel shape as ``_srp_buckets_udf``).  Returns a Series of
+    ``int32`` arrays (the ``top_n`` nearest cells, nearest first;
+    ties break to the LOWEST cell index, matching the previous
+    per-row ``argsort(kind='stable')``) with None for null vectors.
+    """
+    vals = vecs.tolist()
+    live = [i for i, v in enumerate(vals) if v is not None]
+    out = np.empty(len(vals), dtype=object)
+    if live:
+        mat = np.vstack(
+            [np.asarray(vals[i], dtype=np.float64) for i in live]
+        )
+        sims = mat @ centers.T  # (batch, cells) — one matmul per batch
+        if top_n == 1:
+            # argmax picks the first (lowest-index) maximum, same tie
+            # rule as the stable argsort below
+            best = np.argmax(sims, axis=1).astype(np.int32)
+            picks = [best[j : j + 1] for j in range(len(live))]
+        else:
+            order = np.argsort(-sims, axis=1, kind="stable")[
+                :, :top_n
+            ].astype(np.int32)
+            picks = list(order)
+        for j, i in enumerate(live):
+            out[i] = picks[j]
+    return pd.Series(out)
+
+
 def cosine_topk_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -474,18 +508,7 @@ def ivf_topk(
 
         @pandas_udf("array<int>")
         def cells(vecs: pd.Series) -> pd.Series:
-            out = []
-            for v in vecs:
-                if v is None:
-                    out.append(None)
-                    continue
-                sims = centers @ np.asarray(v, dtype=np.float64)
-                out.append(
-                    np.argsort(-sims, kind="stable")[:top_n].astype(
-                        np.int32
-                    )
-                )
-            return pd.Series(out)
+            return _batch_topn_cells(vecs, centers, top_n)
 
         return cells
 
@@ -775,11 +798,10 @@ def semantic_dedup(
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            sims = centers @ np.asarray(v, dtype=np.float64)
-            out.append(int(np.argmax(sims)))
-        return pd.Series(out, dtype="int32")
+        picked = _batch_topn_cells(vecs, centers, 1)
+        return pd.Series(
+            [int(p[0]) for p in picked], dtype="int32"
+        )
 
     assigned = units.withColumn("__cell", cell_of("__v"))
 
