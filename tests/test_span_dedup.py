@@ -108,6 +108,39 @@ def test_randomized_differential(spark):
         assert _run(spark, rows, n=n) == _reference(rows, n), f"n={n}"
 
 
+def test_pathological_fully_duplicated_long_doc(spark):
+    """Degenerate doc from VERDICT r6 item 7: EVERY gram duplicated
+    (a long doc copied verbatim), so cuts ≈ tokens.  The interval-
+    merge rebuild must collapse that to one interval — the non-keeper
+    copy empties, the keeper is untouched, and the differential holds
+    where the old O(tokens × cuts) coverage was quadratic."""
+    words = " ".join(f"w{i % 97}x{i % 89}" for i in range(3000))
+    rows = [(1, words), (2, words), (3, "short unrelated filler text")]
+    got = _run(spark, rows, n=8)
+    want = _reference(rows, 8)
+    assert got == want
+    assert got[1] == (words, 0)       # keeper byte-identical
+    assert got[2] == ("", 3000)       # non-keeper fully cut
+    assert got[3][1] == 0
+
+
+def test_alternating_flagged_spans_merge_to_disjoint_intervals(spark):
+    """Many separated duplicated spans per doc (the max-interval-count
+    shape): each shared island is ≥ n apart, so intervals cannot merge
+    across islands — coverage must still match the reference exactly."""
+    rng = random.Random(23)
+    shared = [
+        " ".join(f"s{k}t{j}" for j in range(4)) for k in range(40)
+    ]
+    fill = lambda: " ".join(  # noqa: E731
+        f"u{rng.randrange(10**6)}" for _ in range(6)
+    )
+    a = " ".join(x for k in range(40) for x in (shared[k], fill()))
+    b = " ".join(x for k in range(40) for x in (shared[k], fill()))
+    rows = [(1, a), (2, b)]
+    assert _run(spark, rows, n=4) == _reference(rows, 4)
+
+
 def test_layout_invariance(spark):
     rows = [(i, f"s{i} one two three four e{i}") for i in range(10)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
