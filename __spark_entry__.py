@@ -386,6 +386,47 @@ def scan_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/W2 + S4/W4 + S3/W3 composite (r7 fold): the gzip'd TSV round
+    trip and the jsonlines round trip union into one frame tagged by
+    ``fmt`` — both formats' write→read→agg paths stay value-verified
+    in a single registry slot (freed for column_profile_census,
+    VERDICT r6 item 8).  The single-format callables survive for bench
+    attribution and the contract test."""
+    dsv = scan_dsv_roundtrip(spark, sf_dir).withColumn(
+        "fmt", F.lit("dsv_gz")
+    )
+    jl = scan_jsonlines_roundtrip(spark, sf_dir).withColumn(
+        "fmt", F.lit("jsonl")
+    )
+    return dsv.unionByName(jl)
+
+
+def column_profile_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-maintenance (r7, VERDICT r6 item 8): ``column_profile``'s
+    EXACT columns promoted to a driver-verified row — per-column
+    n_rows / n_nulls / null_frac / min / max over the documents table.
+    The HLL ``approx_distinct`` estimate has no DuckDB equivalent and
+    is excluded from the projection (pinned by
+    tests/test_maintenance.py instead).  The documents table is all
+    bigint/string columns, so every min/max string rendering is
+    engine-stable (doubles/timestamps format differently and would
+    need a narrower contract).  ``column`` is aliased ``col_name`` —
+    it is reserved in ANSI SQL."""
+    from data_toolz_spark.sources.maintenance import column_profile
+
+    prof = column_profile(load(spark, sf_dir, "documents"))
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        "null_frac",
+        "min_val",
+        "max_val",
+    )
+
+
 def part_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: hive-partitioned write + partition-discovery read."""
     import tempfile
@@ -1961,8 +2002,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_novel_docs (VERDICT r4 item 1)
         "filter_exists": filter_exists,
         "filter_nested_and": filter_nested_and,
-        "scan_dsv_roundtrip": scan_dsv_roundtrip,
-        "scan_jsonlines_roundtrip": scan_jsonlines_roundtrip,
+        # scan_dsv_roundtrip + scan_jsonlines_roundtrip folded r7 →
+        # scan_text_roundtrips unions both format round trips tagged by
+        # fmt (same aggs, value-verified per format); single-format
+        # callables stay in bench.LEGACY + test_contract.  Slot freed
+        # for column_profile_census (VERDICT r6 item 8).
+        "scan_text_roundtrips": scan_text_roundtrips,
+        "column_profile_census": column_profile_census_q,
         "part_write_layout": part_write_layout,
         "chunk_counts": chunk_counts,
         "io_filtered_read": io_filtered_read,
@@ -2607,8 +2653,51 @@ WHERE (event_type LIKE 's%' AND value > 10 AND value <= 400)
             f"{_EVENTS_SELECT} WHERE event_type = 'purchase' "
             f"AND {_JSON_K} >= 50"
         ),
-        "scan_dsv_roundtrip": _RT_AGG_SQL,
-        "scan_jsonlines_roundtrip": _RT_AGG_SQL,
+        "scan_text_roundtrips": f"""
+SELECT * FROM (
+  SELECT q.*, 'dsv_gz' AS fmt FROM ({_RT_AGG_SQL}) q
+  UNION ALL
+  SELECT q.*, 'jsonl' AS fmt FROM ({_RT_AGG_SQL}) q
+)
+""",
+        "column_profile_census": """
+SELECT 'doc_id' AS col_name, 'bigint' AS dtype,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE doc_id IS NULL) AS n_nulls,
+       ROUND(CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS null_frac,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'text', 'string', COUNT(*),
+       COUNT(*) FILTER (WHERE text IS NULL),
+       ROUND(CAST(COUNT(*) FILTER (WHERE text IS NULL) AS DOUBLE)
+             / COUNT(*), 6),
+       MIN(text), MAX(text)
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', COUNT(*),
+       COUNT(*) FILTER (WHERE lang IS NULL),
+       ROUND(CAST(COUNT(*) FILTER (WHERE lang IS NULL) AS DOUBLE)
+             / COUNT(*), 6),
+       MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', 'string', COUNT(*),
+       COUNT(*) FILTER (WHERE source IS NULL),
+       ROUND(CAST(COUNT(*) FILTER (WHERE source IS NULL) AS DOUBLE)
+             / COUNT(*), 6),
+       MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', COUNT(*),
+       COUNT(*) FILTER (WHERE n_chars IS NULL),
+       ROUND(CAST(COUNT(*) FILTER (WHERE n_chars IS NULL) AS DOUBLE)
+             / COUNT(*), 6),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+""",
         "part_write_layout": _RT_AGG_SQL,
         "chunk_counts": (
             "SELECT DISTINCT l_returnflag, CAST(3 AS BIGINT) AS n_files "

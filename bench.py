@@ -114,6 +114,10 @@ LEGACY = {
     "win_running_total": entrymod.win_running_total_q,
     "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf
     "text_quality": entrymod.text_quality_q,  # folded r5 → text_web_signals
+    # r7 fold (slot freed for column_profile_census): the composite
+    # scan_text_roundtrips carries both, these keep per-format timing
+    "scan_dsv_roundtrip": entrymod.scan_dsv_roundtrip,
+    "scan_jsonlines_roundtrip": entrymod.scan_jsonlines_roundtrip,
 }
 
 

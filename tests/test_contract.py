@@ -69,6 +69,8 @@ def test_folded_callables_still_run(spark):
         entrymod.set_ops_users,           # r6 → join_semi/anti
         entrymod.dedup_minhash_q,         # r6 → cc_drop + incremental_minhash_pairs
         entrymod.topk_per_group,          # r6 → text_tfidf_topk window
+        entrymod.scan_dsv_roundtrip,      # r7 → scan_text_roundtrips
+        entrymod.scan_jsonlines_roundtrip,  # r7 → scan_text_roundtrips
     ]
     for fn in folded:
         df = fn(spark, "/root/testdata/sf0.001")
