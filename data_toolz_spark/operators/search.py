@@ -124,7 +124,11 @@ def append_to_text_index(
 ) -> None:
     """Add an increment's postings; the bucket layout is preserved
     (``insertInto``), so future searches keep pruning.  The increment
-    is tokenized with the INDEX's stored config, not the caller's."""
+    is tokenized with the INDEX's stored config, not the caller's.
+
+    Consistency: one table write = one job-atomic insert (commit
+    protocol) — unlike the MinHash index's three-table append, no
+    journal is needed (see ``operators.incremental``)."""
     spark = increment.sparkSession
     meta = spark.table(f"{table_prefix}_ix_meta").first()
     (

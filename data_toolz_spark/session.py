@@ -69,6 +69,13 @@ def get_spark(
         builder = builder.master(master)
     for key, value in DEFAULT_CONF.items():
         builder = builder.config(key, value)
+    # SPARK_GRAFT_ANSI=1 runs every entry point under ANSI SQL mode
+    # (Spark 4's default posture: overflow/cast errors raise instead
+    # of yielding NULL).  The per-round validation sweep sets this to
+    # catch silent-NULL dependencies (the r5 semantic_dedup CAST bug's
+    # class) — see BASELINE.md "ANSI sweep".
+    if os.environ.get("SPARK_GRAFT_ANSI"):
+        builder = builder.config("spark.sql.ansi.enabled", "true")
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
