@@ -9,12 +9,16 @@ from data_toolz_spark.streaming.events import (
     sessionize_stream,
     windowed_event_counts,
 )
-from data_toolz_spark.streaming.ingest import run_dedup_ingest
+from data_toolz_spark.streaming.ingest import (
+    run_dedup_ingest,
+    run_near_dup_ingest,
+)
 
 __all__ = [
     "dedup_stream",
     "read_events_stream",
     "run_dedup_ingest",
+    "run_near_dup_ingest",
     "run_to_memory_sink",
     "run_to_parquet_sink",
     "running_user_totals_stream",

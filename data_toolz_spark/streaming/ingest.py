@@ -131,4 +131,145 @@ def run_dedup_ingest(
     query.awaitTermination()
 
 
-__all__ = ["run_dedup_ingest"]
+def run_near_dup_ingest(
+    stream_df: DataFrame,
+    *,
+    index_prefix: str,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs_table: str | None = None,
+) -> None:
+    """NEAR-duplicate streaming ingestion against the persistent
+    MinHash band index — the fuzzy twin of :func:`run_dedup_ingest`
+    (r7): every micro-batch is mined with
+    ``incremental_near_duplicates`` (the index's bucketed tables read
+    in place, only the batch shuffles), near-dup batch docs are
+    dropped, survivors append to the corpus sink, and the SURVIVORS
+    fold back into the index so batch N+1 dedups against batch N.
+
+    Drop policy (greedy, batch-sized joins): a batch document is
+    dropped when it pairs with ANY already-indexed document (the
+    corpus holds that content), or with a lower-id document in the
+    same batch (min-id representative survives, the
+    ``near_duplicate_drop_list`` greedy rule).  Only survivors enter
+    the index: a later EXACT copy of a dropped doc still collides —
+    it shares a band with the survivor its original paired with at
+    ≥ threshold — while the index stays bounded by kept content.  A
+    near- (not exact) copy of a dropped doc is only caught if it also
+    clears the threshold against a kept doc; widen coverage by
+    lowering the index threshold at build time, not by indexing
+    drops.
+
+    Failure semantics: ``foreachBatch`` is at-least-once per epoch.
+    The sink append runs BEFORE the index fold, so a retry after
+    sink-commit-but-before-fold can duplicate output rows (same
+    contract as :func:`run_dedup_ingest` — pair with an idempotent
+    sink when exactly-once matters); a retry after the fold drops the
+    whole replayed batch (every doc now pairs jaccard-1.0 with its
+    own indexed fingerprint) and writes nothing new.  A job death
+    INSIDE the fold leaves the index journaled-dirty: the next
+    batch's mining refuses it with the ``repair_minhash_index``
+    instruction — the stream fails loudly instead of mining a
+    half-appended index.
+
+    ``pairs_table`` (optional) appends the mined ``(id_a, id_b,
+    jaccard, batch_id)`` pairs per batch — the audit trail for
+    threshold tuning; at-least-once like every side output here.
+    """
+    from data_toolz_spark.operators.incremental import (
+        append_to_minhash_index,
+        incremental_near_duplicates,
+    )
+
+    in_cols = stream_df.columns
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from data_toolz_spark.cache import release
+
+        spark = batch_df.sparkSession
+        try:
+            pairs = incremental_near_duplicates(
+                spark,
+                batch_df,
+                index_prefix,
+                id_col=id_col,
+                text_col=text_col,
+            ).persist()
+            ids = batch_df.select(F.col(id_col).alias("__mid")).distinct()
+            flagged = (
+                pairs.join(
+                    ids.withColumnRenamed("__mid", "id_a").withColumn(
+                        "__a_in", F.lit(True)
+                    ),
+                    on="id_a",
+                    how="left",
+                ).join(
+                    ids.withColumnRenamed("__mid", "id_b").withColumn(
+                        "__b_in", F.lit(True)
+                    ),
+                    on="id_b",
+                    how="left",
+                )
+            )
+            # every mined pair touches ≥1 batch doc (increment×index or
+            # increment×increment), so a null flag marks the INDEX side
+            drops = (
+                flagged.filter(F.col("__a_in").isNull())
+                .select(F.col("id_b").alias("__drop"))
+                .unionByName(
+                    flagged.filter(F.col("__b_in").isNull()).select(
+                        F.col("id_a").alias("__drop")
+                    )
+                )
+                .unionByName(
+                    flagged.filter(
+                        F.col("__a_in").isNotNull()
+                        & F.col("__b_in").isNotNull()
+                    ).select(F.col("id_b").alias("__drop"))
+                )
+                .distinct()
+            )
+            survivors = batch_df.join(
+                drops, on=F.col(id_col) == F.col("__drop"), how="left_anti"
+            ).persist()
+            survivors.select(*in_cols).write.mode("append").parquet(
+                output_path
+            )
+            if pairs_table:
+                (
+                    pairs.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .saveAsTable(pairs_table)
+                )
+            # fold LAST (journaled): insertInto invalidates cached
+            # plans over the index tables, and a consumer after the
+            # fold would re-mine against the updated index
+            append_to_minhash_index(
+                spark,
+                survivors,
+                index_prefix,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            pairs.unpersist()
+            survivors.unpersist()
+        finally:
+            # incremental mining/appending track their internal
+            # persists; release them per batch or they accumulate for
+            # the life of the stream
+            release()
+
+    query = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+__all__ = ["run_dedup_ingest", "run_near_dup_ingest"]

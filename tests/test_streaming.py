@@ -200,6 +200,85 @@ def test_dedup_stream_suppresses_replayed_events(spark, tmp_path):
     )
 
 
+def test_streaming_near_dup_ingest_across_cycles(spark, tmp_path):
+    """r7: the near-dup ingest drops batch docs that fuzzy-match the
+    index or a lower-id batch doc, folds SURVIVORS into the MinHash
+    index, and a second cycle dedups against the first cycle's
+    content; a replay with a fresh checkpoint adds nothing (every doc
+    self-pairs at jaccard 1.0 against its own indexed fingerprint)."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import build_minhash_index
+    from data_toolz_spark.streaming.ingest import run_near_dup_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    prefix = "t_ndingest_idx"
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        seed, prefix, threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # dup of seed 1
+            (11, "one two three four five six seven"),    # novel
+            (12, "one two three four five six seven"),    # dup of 11
+            (13, "totally different content entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_near_dup_ingest(
+        stream, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {11, 13}  # 10 matches the index, 12 loses to 11
+
+    # cycle 2: a dup of cycle-1 SURVIVOR content + one novel doc
+    batch2 = spark.createDataFrame(
+        [
+            (20, "one two three four five six seven"),  # dup of kept 11
+            (21, "brand new words never seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    run_near_dup_ingest(
+        stream2, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {11, 13, 21}
+
+    # replay everything with a FRESH checkpoint: every doc now pairs
+    # jaccard-1.0 with its own (or its twin's) indexed fingerprint —
+    # the corpus gains nothing
+    stream3 = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    run_near_dup_ingest(
+        stream3, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    got3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got3 == {11, 13, 21}
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_streaming_dedup_ingest_across_cycles(spark, tmp_path):
     """Two ingestion cycles over a growing file source: every unique
     text reaches the corpus exactly once, including duplicates that
