@@ -16,6 +16,7 @@ from data_toolz_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ann,
     ivf_topk,
+    ivfpq_topk,
     lsh_bucket,
     semantic_dedup,
 )
@@ -111,6 +112,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ann",
     "ivf_topk",
+    "ivfpq_topk",
     "lsh_bucket",
     "semantic_dedup",
     # text analysis

@@ -71,7 +71,11 @@ def cosine_topk(
 
 
 def _two_stage_topk(
-    scored: DataFrame, k: int, query_out: str, corpus_out: str
+    scored: DataFrame,
+    k: int,
+    query_out: str,
+    corpus_out: str,
+    value_col: str = "cosine",
 ) -> DataFrame:
     """Two-stage top-k.  A single per-query window would shuffle
     |corpus|·|queries| scored rows into just n_queries reducers — a
@@ -81,10 +85,13 @@ def _two_stage_topk(
     n_queries·n_partitions keys and keeps ≤ k rows each.  Pruning is
     lossless: the global top-k per query survives every local top-k.
     Stage 2 ranks the surviving n_queries·n_partitions·k rows — tiny.
+    ``value_col`` is the score to rank by (descending, ties to the
+    lowest corpus id) — "cosine" for the exact paths, the ADC estimate
+    for the PQ shortlist.
     """
     salted = scored.withColumn("__salt", F.spark_partition_id())
     w_local = Window.partitionBy(query_out, "__salt").orderBy(
-        F.col("cosine").desc(), F.col(corpus_out)
+        F.col(value_col).desc(), F.col(corpus_out)
     )
     pruned = (
         salted.withColumn("__lrn", F.row_number().over(w_local))
@@ -92,7 +99,7 @@ def _two_stage_topk(
         .drop("__lrn", "__salt")
     )
     w = Window.partitionBy(query_out).orderBy(
-        F.col("cosine").desc(), F.col(corpus_out)
+        F.col(value_col).desc(), F.col(corpus_out)
     )
     return (
         pruned.withColumn("__rn", F.row_number().over(w))
@@ -397,15 +404,41 @@ def _train_quantizer(
     than ``n_centroids`` when the sample has fewer distinct points —
     callers must size cell structures from ``len(centers)``.
     """
+    sample = _bounded_sample(
+        units, id_field, vec_field, seed=seed, train_sample=train_sample
+    )
+    return _quantizer_from_sample(
+        sample, n_centroids, seed=seed, max_iter=max_iter
+    )
+
+
+def _bounded_sample(
+    units: DataFrame,
+    id_field: str,
+    vec_field: str,
+    *,
+    seed: int,
+    train_sample: int,
+) -> np.ndarray:
+    """The deterministic hash-ordered training sample shared by the
+    coarse quantizer and the PQ codebooks: a pure function of (ids,
+    seed), so physical layout cannot bias it, and the two trainers
+    seeing the SAME matrix keeps cell assignments and codes mutually
+    consistent when both are derived from one call site."""
     train = units.orderBy(
         F.xxhash64(F.col(id_field), F.lit(seed))
     ).limit(train_sample)
-    sample = np.array(
+    return np.array(
         [
             np.asarray(r[vec_field], dtype=np.float64)
             for r in train.collect()
         ]
     )
+
+
+def _quantizer_from_sample(
+    sample: np.ndarray, n_centroids: int, *, seed: int, max_iter: int
+) -> np.ndarray:
     centers = _kmeans_numpy(
         sample, n_centroids, seed=seed, max_iter=max_iter
     )
@@ -533,6 +566,315 @@ def ivf_topk(
         ),
     )
     return _two_stage_topk(scored, k, "query_id", "corpus_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization — the compressed-candidate scale path)
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, ks: int, *, seed: int, max_iter: int
+) -> np.ndarray:
+    """Train ``m`` sub-quantizers (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011, §III):
+    split the dim into ``m`` contiguous subspaces and run the shared
+    seeded k-means over each subspace of the SAME bounded sample the
+    coarse quantizer trained on.
+
+    Returns ``(m, ks', sub_dim)`` with ``ks' = min(ks, |sample|)`` —
+    every subspace sees the same sample size, so all codebooks have the
+    same number of rows and codes index uniformly.  Each subspace gets
+    a distinct derived seed so codebooks are independent draws.
+    """
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        _kmeans_numpy(
+            sample[:, j * sub : (j + 1) * sub],
+            ks,
+            seed=seed + 101 + j,
+            max_iter=max_iter,
+        )
+        for j in range(m)
+    ]
+    return np.stack(books)  # (m, ks', sub)
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder: unit vector → ``m`` uint8-sized codes
+    (stored as array<int> — Spark has no unsigned byte).  Per batch and
+    subspace, one ``(batch × sub) @ (sub × ks)`` matmul; the row-norm
+    term is constant per row so nearest-sub-centroid reduces to
+    ``argmin(||c||² − 2·x·c)`` — no per-row Python.  Ties break to the
+    LOWEST code (argmin), deterministic across runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = codebooks.shape
+    # precompute per-codebook squared norms once, driver-side
+    c_sq = [(codebooks[j] ** 2).sum(axis=1) for j in range(m)]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out = np.empty(len(vals), dtype=object)
+        if live:
+            mat = np.vstack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            codes = np.empty((len(live), m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d = c_sq[j][None, :] - 2.0 * (x @ codebooks[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            for r, i in enumerate(live):
+                out[i] = codes[r]
+        return pd.Series(out)
+
+    return encode
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 256,
+    refine: int = 2,
+    seed: int = 42,
+    kmeans_max_iter: int = 5,
+    train_sample: int = 20_000,
+) -> DataFrame:
+    """Approximate top-k via IVF-PQ: the IVF-Flat inverted file with
+    product-quantized candidates (Jégou et al. 2011; faiss ``IVFx,PQy``
+    with ``by_residual=False``) — the memory-compression tier above
+    ``ivf_topk``.
+
+    Why this exists at 100 TB: IVF-Flat's candidate scan still reads
+    ``4·dim`` bytes per corpus row (256 B at dim=64).  PQ stores each
+    vector as ``m`` codes into per-subspace codebooks — 8 B at m=8, a
+    32× reduction — so the probed-cell scan is I/O-bound on codes, not
+    vectors, and a parquet inverted file partitioned by cell holds the
+    whole corpus at a fraction of the raw embedding footprint.
+
+    Plan:
+
+    1. **Train** once on the shared bounded hash-ordered sample
+       (`_bounded_sample`): the coarse quantizer (identical math to
+       ``ivf_topk`` — same sample, same seeds, bit-identical cells) and
+       ``m`` sub-quantizer codebooks (``_train_pq_codebooks``).
+    2. **Encode** each corpus row to (cell, codes) in ONE scan — two
+       Arrow kernels over the same unitized column; the inverted file
+       carries ``id + int + m codes`` and drops the raw vector.
+    3. **Probe + ADC**: queries are driver-small by module contract
+       (the exact path broadcasts them), so probe lists AND the
+       asymmetric-distance lookup tables (``LUT[q][j][c] = q_j ·
+       C_j[c]``, the inner-product form — exact cosine decomposes as
+       ``Σ_j q_j·x_j`` and PQ replaces ``x_j`` with its sub-centroid)
+       are computed driver-side with numpy and shipped as one
+       broadcast: ``n_queries × m × ks`` doubles (a few MB at defaults).
+       Scoring a candidate is an ``m``-way table gather per row — one
+       vectorized fancy-index per Arrow batch, no dot products.
+    4. **Refine** (``refine > 0``, default 2): ADC ranks a
+       ``refine·k`` shortlist per query (two-stage top-k), then ONLY
+       the shortlist joins back to the corpus for exact cosine — the
+       standard re-ranking stage; output is true ``cosine`` (rounded 6,
+       same contract as the exact paths).  ``refine=0`` skips the
+       join-back and returns the raw ADC estimate as ``adc_ip``
+       (useful when the corpus vectors are no longer materialized).
+
+    Degenerate-exactness property (pinned in tests): with ``ks ≥``
+    distinct sub-vectors in the corpus and the sample covering the
+    corpus, every codebook converges onto the actual sub-vectors, ADC
+    becomes the exact inner product, and full probing reproduces
+    brute-force top-k bit-for-bit.
+    """
+    from data_toolz_spark.operators._util import spread
+
+    if not train_sample or train_sample <= 0:
+        raise ValueError(
+            "ivfpq_topk: train_sample must be a positive sample size"
+        )
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    if refine < 0:
+        raise ValueError("ivfpq_topk: refine must be >= 0")
+    unitize = _unit_vector_udf(dim)
+    corpus = spread(corpus)
+
+    c_units = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        unitize(F.col(corpus_vec).cast("array<double>")).alias("__cv"),
+    ).filter(F.col("__cv").isNotNull())
+    q_units = queries.select(
+        F.col(query_id).alias("__qid"),
+        unitize(F.col(query_vec).cast("array<double>")).alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+
+    # 1. one bounded sample feeds BOTH trainers (cells stay
+    # bit-identical to ivf_topk's: same sample, same kmeans seeds)
+    sample = _bounded_sample(
+        c_units, "__cid", "__cv", seed=seed, train_sample=train_sample
+    )
+    centers = _quantizer_from_sample(
+        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
+    )
+    codebooks = _train_pq_codebooks(
+        sample, m, ks, seed=seed, max_iter=kmeans_max_iter
+    )
+
+    # 2. inverted file: (id, cell, codes) — the raw vector is DROPPED
+    # from the candidate side; this is the compression
+    def _assign1_udf():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def cell1(vecs: pd.Series) -> pd.Series:
+            picked = _batch_topn_cells(vecs, centers, 1)
+            return picked.map(
+                lambda a: None if a is None else int(a[0])
+            ).astype("Int32")
+
+        return cell1
+
+    encode = _pq_encode_udf(codebooks)
+    inv = c_units.select(
+        "__cid",
+        _assign1_udf()(F.col("__cv")).alias("__cell"),
+        encode(F.col("__cv")).alias("__codes"),
+    )
+
+    # 3. driver-side probe lists + ADC LUT over the (small) query set
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qid_type = q_units.schema["__qid"].dataType
+    cid_type = c_units.schema["__cid"].dataType
+    q_rows = q_units.collect()
+    if not q_rows:
+        value_field = "cosine" if refine else "adc_ip"
+        return queries.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField("corpus_id", cid_type),
+                    StructField(value_field, DoubleType()),
+                ]
+            ),
+        )
+    q_ids = [r["__qid"] for r in q_rows]
+    q_mat = np.vstack(
+        [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
+    )
+    n_probe_eff = min(n_probe, len(centers))
+    sims = q_mat @ centers.T
+    probe_order = np.argsort(-sims, axis=1, kind="stable")[
+        :, :n_probe_eff
+    ]
+    sub = dim // m
+    lut = np.stack(
+        [
+            q_mat[:, j * sub : (j + 1) * sub] @ codebooks[j].T
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (n_queries, m, ks')
+
+    spark = queries.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(qi), q_ids[qi], int(c))
+                for qi in range(len(q_ids))
+                for c in probe_order[qi]
+            ],
+            StructType(
+                [
+                    StructField("__qidx", IntegerType()),
+                    StructField("__qid", qid_type),
+                    StructField("__cell", IntegerType()),
+                ]
+            ),
+        )
+    )
+
+    def _adc_udf():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def adc(qidx: pd.Series, codes: pd.Series) -> pd.Series:
+            qi = qidx.to_numpy(dtype=np.int64)
+            code_mat = np.vstack(
+                [np.asarray(c, dtype=np.int64) for c in codes]
+            )
+            cols = np.arange(m, dtype=np.int64)[None, :]
+            scores = lut[qi[:, None], cols, code_mat].sum(axis=1)
+            return pd.Series(scores)
+
+        return adc
+
+    cand = inv.join(probe_df, on="__cell")
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col("__cid").alias("corpus_id"),
+        _adc_udf()(F.col("__qidx"), F.col("__codes")).alias("adc_ip"),
+    )
+    if refine == 0:
+        return _two_stage_topk(
+            scored, k, "query_id", "corpus_id", value_col="adc_ip"
+        )
+
+    # 4. exact re-rank of the ADC shortlist: only refine·k rows per
+    # query join back to the corpus vectors
+    shortlist = _two_stage_topk(
+        scored, refine * k, "query_id", "corpus_id", value_col="adc_ip"
+    ).drop("adc_ip")
+    from pyspark.sql.types import ArrayType
+
+    q_map = F.broadcast(
+        spark.createDataFrame(
+            [
+                (q_ids[qi], [float(x) for x in q_mat[qi]])
+                for qi in range(len(q_ids))
+            ],
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField("__qv", ArrayType(DoubleType())),
+                ]
+            ),
+        )
+    )
+    exact = (
+        shortlist.join(
+            c_units.withColumnRenamed("__cid", "corpus_id"), on="corpus_id"
+        )
+        .join(q_map, on="query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                dot_product(F.col("__qv"), F.col("__cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _two_stage_topk(exact, k, "query_id", "corpus_id")
 
 
 def cosine_near_duplicates(

@@ -331,3 +331,161 @@ def test_ivf_topk_rejects_falsy_train_sample(spark, embeddings):
                 q, embeddings, query_id="vec_id", corpus_id="vec_id",
                 k=2, train_sample=bad,
             )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product-quantized candidates)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_exact_in_degenerate_config(spark, embeddings):
+    """PQ's pinned exactness property: with ks >= |distinct
+    sub-vectors| and a corpus-covering training sample, every codebook
+    converges onto the actual sub-vectors, ADC is the exact inner
+    product, and full probing + exact re-rank reproduces brute-force
+    top-k bit-for-bit (same rounding, same tie-break)."""
+    from data_toolz_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in ivfpq_topk(
+            q,
+            embeddings,
+            query_id="vec_id",
+            corpus_id="vec_id",
+            k=5,
+            dim=64,
+            n_centroids=8,
+            n_probe=8,       # probe every cell
+            m=8,
+            ks=512,          # >= 500 corpus rows -> codebooks cover
+            refine=2,
+            train_sample=1_000,  # >= corpus -> sample covers
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_ivfpq_adc_scores_are_exact_in_degenerate_config(spark, embeddings):
+    """refine=0 returns the raw ADC estimate; in the degenerate config
+    it must equal the true cosine (unrounded) for every returned pair
+    — this pins the LUT gather itself, independent of re-ranking."""
+    import numpy as np
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+
+    def cos(a, b):
+        ua, ub = a / np.linalg.norm(a), b / np.linalg.norm(b)
+        return float(ua @ ub)
+
+    rows = ivfpq_topk(
+        embeddings.filter(F.col("vec_id") < 3),
+        embeddings,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        dim=64,
+        n_centroids=8,
+        n_probe=8,
+        m=8,
+        ks=512,
+        refine=0,
+        train_sample=1_000,
+    ).collect()
+    assert len(rows) == 15  # 3 queries x k=5
+    for r in rows:
+        true = cos(vecs[r["query_id"]], vecs[r["corpus_id"]])
+        assert abs(r["adc_ip"] - true) < 1e-9, (r, true)
+
+
+def test_ivfpq_probe_subset_recall(spark, embeddings):
+    """Realistic lossy config (n_probe < n_centroids, classic PQ8x8:
+    eight 256-entry codebooks -> 8 B per corpus vector instead of
+    256 B): k rows per query, every returned cosine is the true exact
+    cosine (re-rank contract), recall holds the same bar as IVF-Flat.
+    Synthetic near-uniform embeddings are PQ's worst case (no low-dim
+    structure to exploit), so the 8-bit-per-subspace config is the
+    honest floor here."""
+    from data_toolz_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    rows = ivfpq_topk(
+        q,
+        embeddings,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        dim=64,
+        n_centroids=8,
+        n_probe=4,
+        m=8,
+        ks=256,
+        refine=2,
+    ).collect()
+    per_query = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert all(n == 5 for n in per_query.values())
+    got = {(r["query_id"], r["corpus_id"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ivfpq_validation(spark, embeddings):
+    import pytest
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    q = embeddings.limit(2)
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id",
+            dim=64, m=7,
+        )
+    with pytest.raises(ValueError, match="refine"):
+        ivfpq_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id",
+            refine=-1,
+        )
+    with pytest.raises(ValueError, match="train_sample"):
+        ivfpq_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id",
+            train_sample=0,
+        )
+
+
+def test_pq_codebook_shapes_and_determinism():
+    """Driver-side trainer invariants: (m, min(ks, n), dim/m) shape,
+    identical output for identical (sample, seed), distinct codebooks
+    per subspace (independent derived seeds)."""
+    import numpy as np
+
+    from data_toolz_spark.operators.similarity import _train_pq_codebooks
+
+    rng = np.random.RandomState(7)
+    sample = rng.randn(100, 16)
+    a = _train_pq_codebooks(sample, 4, 8, seed=42, max_iter=5)
+    b = _train_pq_codebooks(sample, 4, 8, seed=42, max_iter=5)
+    assert a.shape == (4, 8, 4)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a[0], a[1])
+    big = _train_pq_codebooks(sample, 4, 256, seed=42, max_iter=5)
+    assert big.shape[1] == 100  # ks' = min(ks, n)
