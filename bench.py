@@ -169,6 +169,24 @@ def _x_ivf_topk(spark, sf_dir):
     )
 
 
+def _x_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k at a realistic lossy config (16 cells, probe 4,
+    m=8/ks=256 → 8 B per candidate vector instead of 256 B, exact
+    re-rank of a 2k shortlist); exactness of the degenerate config and
+    recall of the lossy one pinned by tests/test_scale_paths.py."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        query_id="vec_id", corpus_id="vec_id",
+        k=10, dim=64, n_centroids=16, n_probe=4,
+        m=8, ks=256, refine=2,
+    )
+
+
 def _x_topk_int8(spark, sf_dir):
     """Exact top-k over int8-quantized-then-dequantized embeddings —
     the storage-optimized path (4x narrower embedding column at rest
@@ -436,6 +454,7 @@ EXTRAS = {
     "x_sim_topk_ann_nbits12": _x_ann_realistic,
     "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,
     "x_ivf_topk_probe4": _x_ivf_topk,
+    "x_ivfpq_probe4": _x_ivfpq_topk,
     "x_topk_int8_dequant": _x_topk_int8,
     "x_decon_hashed": _x_decon_hashed,
     "x_prepare_corpus": _x_prepare_corpus,

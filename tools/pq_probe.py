@@ -1,0 +1,232 @@
+"""Scale probe for IVF-PQ vs IVF-Flat.
+
+Claims measured (appended to SCALE_PROBE.md):
+
+1. Candidate-payload compression is real on disk: the PQ inverted
+   file (id, cell, m uint8-sized codes) written as parquet is a small
+   fraction of the flat inverted file (id, cell, float64[dim]) —
+   the thing a 100 TB probe-cell scan actually reads.
+2. Query wall time at a realistic lossy config (probe 4/16, m=8,
+   ks=256, refine=2) tracks the flat path while scanning far fewer
+   candidate bytes.
+3. Recall@10 vs brute force at each replication multiple — the
+   accuracy actually paid for the compression (synthetic near-uniform
+   embeddings are PQ's worst case; report, don't hide).
+
+Replicates the sf embeddings 1x/5x/20x (id-offset copies — identical
+geometry, so recall differences come from corpus SIZE, not drift).
+
+Usage: python tools/pq_probe.py [max_mult]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.similarity import (
+    _bounded_sample,
+    _pq_encode_udf,
+    _quantizer_from_sample,
+    _train_pq_codebooks,
+    _unit_vector_udf,
+    cosine_topk,
+    ivf_topk,
+    ivfpq_topk,
+)
+from data_toolz_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+MARKER_BEGIN = "<!-- pq-probe:begin -->"
+MARKER_END = "<!-- pq-probe:end -->"
+
+DIM = 64
+M = 8
+KS = 256
+
+
+def replicate(df, mult: int, id_stride: int = 1_000_000):
+    if mult == 1:
+        return df
+    copies = [
+        df.withColumn("vec_id", F.col("vec_id") + F.lit(i * id_stride))
+        for i in range(mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def inverted_file_sizes(spark, corpus) -> tuple[int, int, int]:
+    """Write the flat and PQ inverted files for the SAME corpus and
+    return (rows, flat_bytes, pq_bytes) — parquet on disk, snappy."""
+    unitize = _unit_vector_udf(DIM)
+    units = corpus.select(
+        F.col("vec_id").alias("id"),
+        unitize(F.col("embedding").cast("array<double>")).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    sample = _bounded_sample(units, "id", "v", seed=42, train_sample=20_000)
+    centers = _quantizer_from_sample(sample, 16, seed=42, max_iter=5)
+    books = _train_pq_codebooks(sample, M, KS, seed=42, max_iter=5)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            out.append(int(np.argmax(np.asarray(v) @ centers.T)))
+        return pd.Series(out, dtype="Int32")
+
+    encode = _pq_encode_udf(books)
+
+    @pandas_udf("binary")
+    def pack(codes: pd.Series) -> pd.Series:
+        return codes.map(
+            lambda c: None
+            if c is None
+            else bytes(np.asarray(c, dtype=np.uint8))
+        )
+
+    base = units.select(
+        "id", cell_of(F.col("v")).alias("cell"), "v"
+    ).cache()
+    rows = base.count()
+    tmp = tempfile.mkdtemp(prefix="dtz_pqprobe_")
+    flat_dir, pq_dir = f"{tmp}/flat", f"{tmp}/pq"
+    base.select("id", "cell", "v").write.parquet(flat_dir)
+    # codes packed to m-byte binary: the storage-honest layout
+    base.select(
+        "id", "cell", pack(encode(F.col("v"))).alias("codes")
+    ).write.parquet(pq_dir)
+    base.unpersist()
+    flat_b, pq_b = dir_bytes(flat_dir), dir_bytes(pq_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows, flat_b, pq_b
+
+
+def main() -> int:
+    max_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark(
+        app_name="pq-probe",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lines = []
+    for mult in (1, 5, 20):
+        if mult > max_mult:
+            break
+        corpus = replicate(emb, mult).cache()
+        n = corpus.count()
+        q = emb.filter(F.col("vec_id") < 5)
+
+        exact = {
+            (r["query_id"], r["corpus_id"])
+            for r in cosine_topk(
+                q, corpus, query_id="vec_id", corpus_id="vec_id", k=10
+            ).collect()
+        }
+
+        t0 = time.time()
+        flat_rows = ivf_topk(
+            q, corpus, query_id="vec_id", corpus_id="vec_id",
+            k=10, dim=DIM, n_centroids=16, n_probe=4,
+        ).collect()
+        t_flat = time.time() - t0
+
+        t0 = time.time()
+        pq_rows = ivfpq_topk(
+            q, corpus, query_id="vec_id", corpus_id="vec_id",
+            k=10, dim=DIM, n_centroids=16, n_probe=4,
+            m=M, ks=KS, refine=2,
+        ).collect()
+        t_pq = time.time() - t0
+
+        flat_recall = len(
+            {(r["query_id"], r["corpus_id"]) for r in flat_rows} & exact
+        ) / len(exact)
+        pq_recall = len(
+            {(r["query_id"], r["corpus_id"]) for r in pq_rows} & exact
+        ) / len(exact)
+
+        rows, flat_b, pq_b = inverted_file_sizes(spark, corpus)
+        corpus.unpersist()
+        lines.append(
+            f"| {mult}× | {n:,} | {t_flat:.2f} | {t_pq:.2f} "
+            f"| {flat_recall:.2f} | {pq_recall:.2f} "
+            f"| {flat_b/1e6:.1f} MB | {pq_b/1e6:.1f} MB "
+            f"| {flat_b/max(pq_b,1):.1f}× |"
+        )
+        print(lines[-1], flush=True)
+
+    section = "\n".join(
+        [
+            MARKER_BEGIN,
+            "",
+            "IVF-PQ vs IVF-Flat (16 cells probe 4; PQ m=8 ks=256 refine=2; "
+            "inverted-file bytes are the SAME corpus written as parquet "
+            "(id, cell, float64[64]) vs (id, cell, 8 codes) — the "
+            "candidate payload a probe-cell scan reads):",
+            "",
+            "| mult | vecs | flat s | pq s | flat recall@10 | pq recall@10 "
+            "| flat inv file | pq inv file | compression |",
+            "|---|---|---|---|---|---|---|---|---|",
+            *lines,
+            "",
+            "Synthetic near-uniform embeddings are PQ's worst case for "
+            "recall (no low-dim structure); real embedding corpora "
+            "cluster and recover most of the gap, and the exact re-rank "
+            "means every RETURNED cosine is true regardless.",
+            "",
+            MARKER_END,
+        ]
+    )
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md")
+    text = open(path).read() if os.path.exists(path) else "# Scale probes\n"
+    if MARKER_BEGIN in text:
+        text = re.sub(
+            re.escape(MARKER_BEGIN) + r".*?" + re.escape(MARKER_END),
+            section,
+            text,
+            flags=re.S,
+        )
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    open(path, "w").write(text)
+    print("SCALE_PROBE.md updated")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
