@@ -802,23 +802,43 @@ def sim_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 approx: LSH-bucketed cosine top-10, VALUE-verified against
-    the exact top-k oracle.
+    """X3 approx (fold, r7): LSH-bucketed cosine top-10 INTERSECT
+    IVF-PQ cosine top-10, VALUE-verified against the exact top-k
+    oracle.  Both approximate paths independently reproduce brute
+    force on the fixed corpora, so their INTERSECT hashes equal to the
+    exact oracle — and EITHER path regressing (a lost row, a wrong
+    cosine) shrinks the intersection and fails the row.  This is the
+    composite-attestation shape the registry uses elsewhere: two
+    operators, one green row.
 
-    The full ANN code path runs (SRP bucketize → payload-free band
-    join → candidate dedup → exact-cosine verify → two-stage top-k);
-    n_bits=3 / n_tables=24 is pinned because the seeded hyperplanes
-    make recall deterministic and exactly 1.0 on the fixed test corpora
-    (verified at sf0.001/0.01/0.1 against ``cosine_topk``), which makes
-    the output hash-equal to the exact oracle.  Scale configs trade
-    recall for bucket sparsity via higher n_bits — bench.py times a
-    realistic n_bits=12 setting separately.
+    Path 1 — ``cosine_topk_ann``: the full SRP code path (bucketize →
+    payload-free band join → candidate dedup → exact-cosine verify →
+    two-stage top-k); n_bits=3 / n_tables=24 pinned because the seeded
+    hyperplanes make recall deterministic and exactly 1.0 on the fixed
+    test corpora (verified at sf0.001/0.01/0.1 against
+    ``cosine_topk``).
+
+    Path 2 — ``ivfpq_topk``: the full IVF-PQ code path (shared bounded
+    sample → coarse quantizer + m sub-codebooks → one-scan
+    cell+codes encode → driver LUT broadcast → ADC gather →
+    refine·k shortlist → exact re-rank).  m=16 / ks=256 / refine=10 /
+    full probing pinned: the exact re-rank stage means correctness
+    only needs shortlist-recall 1.0, which this config holds with 2×
+    margin at all three SFs (the synthetic near-uniform embeddings are
+    PQ's WORST case — no low-dim structure; the refine=5 margin test
+    missed exactly 1 row at sf0.1).  Scale configs trade both knobs —
+    bench.py times a realistic lossy (m=8, n_probe=4) setting
+    separately as ``x_ivfpq_probe4``.
     """
-    from data_toolz_spark.operators.similarity import cosine_topk_ann
+    from data_toolz_spark.operators.similarity import (
+        cosine_topk_ann,
+        ivfpq_topk,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk_ann(
-        emb.filter(F.col("vec_id") < 5),
+    q = emb.filter(F.col("vec_id") < 5)
+    ann = cosine_topk_ann(
+        q,
         emb,
         query_id="vec_id",
         corpus_id="vec_id",
@@ -827,6 +847,20 @@ def sim_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=3,
         n_tables=24,
     )
+    pq = ivfpq_topk(
+        q,
+        emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=10,
+        dim=64,
+        n_centroids=8,
+        n_probe=8,
+        m=16,
+        ks=256,
+        refine=10,
+    )
+    return ann.intersect(pq)
 
 
 def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,14 +1257,33 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X38: deterministic top-24 vocabulary (the cut lands inside a tf tie at sf0.01, attesting the deterministic boundary) with term + document
-    frequency — the vocab-trainer input, cut by (tf DESC, token ASC)
-    so the boundary is reproducible.  Plans as one explode → one
-    partial-combined hash aggregate → TakeOrderedAndProject."""
+    """X38 + X40 (fold, r7): deterministic top-24 vocabulary (the cut
+    lands inside a tf tie at sf0.01, attesting the deterministic
+    boundary) with term + document frequency — the vocab-trainer
+    input, cut by (tf DESC, token ASC) so the boundary is reproducible.
+    Plans as one explode → one partial-combined hash aggregate →
+    TakeOrderedAndProject.
+
+    r7 composite column: ``cms_tf`` — each top token's frequency as
+    estimated by a count-min sketch (d=4, w=256, portable md5 cells)
+    built over the SAME token stream.  w=256 is deliberately narrow:
+    thousands of distinct tokens collide into 256 cells per row, so the
+    min-over-d-rows estimate genuinely exercises the sketch math (est ≥
+    tf, not est ≡ tf), and the DuckDB oracle reproduces the ENTIRE
+    sketch — build, merge-shape, estimate — bit-for-bit from md5.  This
+    is the frequency-sketch attestation the HLL row (X39) cannot have
+    (opaque DataSketches binary state); build → estimate runs the full
+    ``cms_sketch_table``/``cms_estimate`` path.
+    """
+    from data_toolz_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
     from data_toolz_spark.operators.text_analysis import build_vocab
 
-    return build_vocab(
-        load(spark, sf_dir, "documents"),
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(
+        docs,
         "text",
         doc_id_col="doc_id",
         top_v=24,
@@ -1239,6 +1292,22 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("long").alias("tf"),
         F.col("doc_freq").cast("long").alias("doc_freq"),
         F.col("rank").cast("int").alias("rank"),
+    )
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_sketch_table(toks, "token", d=4, w=256, portable=True)
+    est = cms_estimate(
+        sketch,
+        vocab.select("token"),
+        "token",
+        d=4,
+        w=256,
+        portable=True,
+        estimate_col="cms_tf",
+    )
+    return vocab.join(est, on="token").select(
+        "token", "tf", "doc_freq", "rank", F.col("cms_tf").cast("long").alias("cms_tf")
     )
 
 
@@ -2726,22 +2795,59 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
         # q4_order_priority oracle retired with its qid (folded r5)
+        # r7 fold: top-24 vocab + a portable count-min sketch estimate
+        # per top token.  The sketch (d=4 rows, w=256 cells, md5-derived
+        # cells — first 15 md5 hex chars as a 60-bit int, mod w) is
+        # rebuilt here from scratch, so the Spark cms_sketch_table /
+        # cms_estimate path is VALUE-verified end to end.
         "text_vocab_topk": r"""
 WITH tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
                             x -> x <> '')) AS token
   FROM documents
+),
+top AS (
+  SELECT token,
+         COUNT(*)::BIGINT AS tf,
+         COUNT(DISTINCT doc_id)::BIGINT AS doc_freq,
+         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token) AS INTEGER)
+           AS rank
+  FROM tok
+  GROUP BY token
+  ORDER BY tf DESC, token
+  LIMIT 24
+),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+sk AS (
+  SELECT row,
+         CAST(list_sum(
+           [(strpos('0123456789abcdef',
+                    substr(md5(token || '|' || CAST(row AS VARCHAR)),
+                           i, 1)) - 1)
+              * CAST(16**(15-i) AS BIGINT)
+            for i in generate_series(1, 15)]) % 256 AS INTEGER) AS cell,
+         COUNT(*)::BIGINT AS count
+  FROM tok CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT token, row,
+         CAST(list_sum(
+           [(strpos('0123456789abcdef',
+                    substr(md5(token || '|' || CAST(row AS VARCHAR)),
+                           i, 1)) - 1)
+              * CAST(16**(15-i) AS BIGINT)
+            for i in generate_series(1, 15)]) % 256 AS INTEGER) AS cell
+  FROM top CROSS JOIN rows_
+),
+est AS (
+  SELECT probe.token, MIN(COALESCE(sk.count, 0))::BIGINT AS cms_tf
+  FROM probe LEFT JOIN sk USING (row, cell)
+  GROUP BY probe.token
 )
-SELECT token,
-       COUNT(*)::BIGINT AS tf,
-       COUNT(DISTINCT doc_id)::BIGINT AS doc_freq,
-       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token) AS INTEGER)
-         AS rank
-FROM tok
-GROUP BY token
-ORDER BY tf DESC, token
-LIMIT 24
+SELECT top.token, tf, doc_freq, rank, est.cms_tf
+FROM top JOIN est USING (token)
 """,
         "q18_large_orders": """
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty

@@ -120,6 +120,169 @@ def rollup_sketches(
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable FREQUENCY state (heavy hitters)
+# ---------------------------------------------------------------------------
+#
+# The frequency twin of the HLL surface above (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", J. Algorithms 2005).  The sketch is represented as a
+# TABLE of (row, cell, count) — d·w rows, bounded state — rather than
+# an opaque binary blob, because in Spark that makes every operation a
+# plain relational one:
+#
+# * BUILD is one explode(×d) + partial-combined hash aggregate — at
+#   most d·w cells per group cross the shuffle, independent of row
+#   count or key cardinality (same contract as the HLL rows);
+# * MERGE is GROUP BY (row, cell) SUM(count) — associative,
+#   order-independent, drift-free, and expressible on STORED sketch
+#   rows from any number of increments without re-scanning history;
+# * ESTIMATE for a candidate key set is a join against ≤ d·w sketch
+#   rows (broadcast-able by construction) + MIN over the d hashed
+#   cells.  CMS never underestimates: est ≥ true count always, and
+#   est ≤ true + ε·N with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+#
+# Hashing: the default is ``xxhash64(key, row)`` (JVM codegen, fast).
+# ``portable=True`` derives each cell from md5 hex — bit-identical
+# across engines (the same trick as ``simhash64(portable_hash=True)``),
+# which makes the ENTIRE sketch, not just its error bound, verifiable
+# against a DuckDB oracle — the thing SURVEY §2.9 X39 documents as
+# impossible for the DataSketches HLL binary state.
+
+
+def _cms_cell(col: Column, row: int, w: int, portable: bool) -> Column:
+    if portable:
+        # first 15 md5 hex chars as a 60-bit int — cross-engine
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f"|{row}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w)).cast("int")
+    return F.pmod(F.xxhash64(col, F.lit(row)), F.lit(w)).cast("int")
+
+
+def _cms_validate(d: int, w: int) -> None:
+    if not 1 <= d <= 16:
+        raise ValueError("cms: d (hash rows) must be in [1, 16]")
+    if not 2 <= w <= 1 << 24:
+        raise ValueError("cms: w (cells per row) must be in [2, 2^24]")
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col``'s frequencies as a
+    (``group_cols`` +) ``row, cell, count`` table — the persistable
+    building block; NULL keys are excluded (they have no frequency
+    question to answer).  ``weight_col`` aggregates a weight per
+    occurrence instead of 1 (e.g. pre-aggregated term counts).
+
+    Only cells actually hit appear (sparse); absent cells are zero.
+    d and w are structural — estimate/merge must use the same values.
+    """
+    _cms_validate(d, w)
+    key = _c(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_cell(key, r, w, portable).alias("cell"),
+            )
+            for r in range(d)
+        ]
+    )
+    wcol = (
+        _c(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    exploded = (
+        df.filter(key.isNotNull())
+        .select(*group_cols, F.explode(pairs).alias("rc"), wcol.alias("__w"))
+        .select(
+            *group_cols,
+            F.col("rc.row").alias("row"),
+            F.col("rc.cell").alias("cell"),
+            "__w",
+        )
+    )
+    return exploded.groupBy(*group_cols, "row", "cell").agg(
+        F.sum("__w").alias("count")
+    )
+
+
+def cms_merge(
+    sketch_df: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold stored sketch rows (any number of increments, any
+    grouping) into one sketch per ``group_cols``: GROUP BY SUM —
+    associative and order-independent, so incremental folding is
+    drift-free (pinned by tests)."""
+    return sketch_df.groupBy(*group_cols, "row", "cell").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+    estimate_col: str = "cms_count",
+) -> DataFrame:
+    """Point-frequency estimates for a candidate key set: re-hash each
+    key to its d cells, left-join the sketch (≤ d·w rows — Spark
+    broadcasts it from AQE size estimation), MIN over the d counts.
+    Keys whose cells were never hit estimate 0.  Output:
+    ``key_col, estimate_col`` (distinct keys).
+
+    d/w/portable MUST match the build — a mismatch silently hashes
+    into the wrong cells, so estimates would still be ≥ 0 but
+    meaningless; keep the build parameters with the stored sketch.
+    """
+    _cms_validate(d, w)
+    key = _c(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_cell(key, r, w, portable).alias("cell"),
+            )
+            for r in range(d)
+        ]
+    )
+    probes = (
+        keys.filter(key.isNotNull())
+        .select(key.alias(key_col))
+        .distinct()
+        .select(key_col, F.explode(pairs).alias("rc"))
+        .select(
+            key_col,
+            F.col("rc.row").alias("row"),
+            F.col("rc.cell").alias("cell"),
+        )
+    )
+    joined = probes.join(
+        sketch_df.select("row", "cell", "count"), on=["row", "cell"], how="left"
+    ).select(key_col, F.coalesce(F.col("count"), F.lit(0)).alias("__c"))
+    return joined.groupBy(key_col).agg(
+        F.min("__c").alias(estimate_col)
+    )
+
+
 __all__ = [
     "hll_sketch",
     "hll_merge",
@@ -127,4 +290,7 @@ __all__ = [
     "approx_distinct",
     "distinct_sketch_table",
     "rollup_sketches",
+    "cms_sketch_table",
+    "cms_merge",
+    "cms_estimate",
 ]

@@ -115,3 +115,165 @@ def test_sketch_agg_is_partial_aggregable(spark, documents):
 def test_lg_k_validation():
     with pytest.raises(ValueError):
         hll_sketch("x", lg_k=2)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _token_counts(documents):
+    """Exact per-token occurrence counts over a small doc sample."""
+    return (
+        documents.limit(60)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .count()
+    )
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark, documents):
+    from data_toolz_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    toks = (
+        documents.limit(60)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = {r["tok"]: r["count"] for r in _token_counts(documents).collect()}
+    for w, d in ((16, 4), (1 << 16, 4)):
+        sketch = cms_sketch_table(toks, "tok", d=d, w=w)
+        est = {
+            r["tok"]: r["cms_count"]
+            for r in cms_estimate(
+                sketch, toks.select("tok"), "tok", d=d, w=w
+            ).collect()
+        }
+        assert est.keys() == exact.keys()
+        # the one-sided CMS guarantee, at any width
+        assert all(est[t] >= exact[t] for t in exact)
+        if w == 1 << 16:
+            # 64k cells vs a few thousand keys: collisions are rare
+            # enough that at least 99% of keys estimate exactly
+            exact_frac = sum(est[t] == exact[t] for t in exact) / len(exact)
+            assert exact_frac >= 0.99, exact_frac
+
+
+def test_cms_merge_matches_full_rebuild(spark, documents):
+    """Incremental contract: sketches of three arbitrary increments
+    fold (GROUP BY SUM) into EXACTLY the full-corpus sketch — same
+    cells, same counts — so stored increments never drift."""
+    from data_toolz_spark.functions.sketches import (
+        cms_merge,
+        cms_sketch_table,
+    )
+
+    toks = (
+        documents.limit(60)
+        .select(
+            F.col("doc_id"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    full = {
+        (r["row"], r["cell"]): r["count"]
+        for r in cms_sketch_table(toks, "tok", d=4, w=64).collect()
+    }
+    parts = [
+        cms_sketch_table(toks.filter(F.pmod("doc_id", F.lit(3)) == i), "tok", d=4, w=64)
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    folded = {
+        (r["row"], r["cell"]): r["count"] for r in cms_merge(u).collect()
+    }
+    assert folded == full
+
+
+def test_cms_portable_hash_matches_python_reference(spark):
+    """portable=True cells must equal a pure-Python md5 reference —
+    the property that makes the sketch reproducible in ANY engine with
+    md5 (this is what the DuckDB oracle relies on)."""
+    import hashlib
+
+    from data_toolz_spark.functions.sketches import _cms_cell
+
+    keys = ["the", "quick", "brown", "fox", "zh-字"]
+    w, d = 1024, 4
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r["k"], r["row"]): r["cell"]
+        for row in range(d)
+        for r in df.select(
+            "k",
+            F.lit(row).alias("row"),
+            _cms_cell(F.col("k"), row, w, True).alias("cell"),
+        ).collect()
+    }
+    for k in keys:
+        for row in range(d):
+            h = int(
+                hashlib.md5(f"{k}|{row}".encode("utf-8")).hexdigest()[:15], 16
+            )
+            assert got[(k, row)] == h % w
+
+
+def test_cms_weighted_build(spark):
+    """weight_col: building from pre-aggregated (key, n) rows must
+    equal building from the exploded raw occurrences."""
+    from data_toolz_spark.functions.sketches import cms_sketch_table
+
+    raw = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    agg = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], "k string, n int"
+    )
+    s_raw = {
+        (r["row"], r["cell"]): r["count"]
+        for r in cms_sketch_table(raw, "k", d=3, w=32).collect()
+    }
+    s_agg = {
+        (r["row"], r["cell"]): r["count"]
+        for r in cms_sketch_table(agg, "k", d=3, w=32, weight_col="n").collect()
+    }
+    assert s_raw == s_agg
+
+
+def test_cms_null_keys_excluded_and_unseen_estimates_zero(spark):
+    from data_toolz_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "k string"
+    )
+    sketch = cms_sketch_table(df, "k", d=4, w=1024)
+    probe = spark.createDataFrame(
+        [("a",), ("zzz-unseen",), (None,)], "k string"
+    )
+    est = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(sketch, probe, "k", d=4, w=1024).collect()
+    }
+    assert est == {"a": 2, "zzz-unseen": 0}
+
+
+def test_cms_validation():
+    from data_toolz_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    with pytest.raises(ValueError, match="d"):
+        cms_sketch_table(None, "k", d=0)
+    with pytest.raises(ValueError, match="w"):
+        cms_sketch_table(None, "k", w=1)
