@@ -242,18 +242,24 @@ def cms_estimate(
     w: int = 1024,
     portable: bool = False,
     estimate_col: str = "cms_count",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Point-frequency estimates for a candidate key set: re-hash each
-    key to its d cells, left-join the sketch (≤ d·w rows — Spark
-    broadcasts it from AQE size estimation), MIN over the d counts.
-    Keys whose cells were never hit estimate 0.  Output:
-    ``key_col, estimate_col`` (distinct keys).
+    key to its d cells, left-join the sketch (≤ d·w rows per group —
+    Spark broadcasts it from AQE size estimation), MIN over the d
+    counts.  Keys whose cells were never hit estimate 0.  Output:
+    ``group_cols + [key_col, estimate_col]`` (distinct keys).
+
+    With ``group_cols`` the sketch must have been built with the SAME
+    grouping and ``keys`` must carry the group columns — each (group,
+    key) pair is estimated against its own group's sketch.
 
     d/w/portable MUST match the build — a mismatch silently hashes
     into the wrong cells, so estimates would still be ≥ 0 but
     meaningless; keep the build parameters with the stored sketch.
     """
     _cms_validate(d, w)
+    gcols = list(group_cols)
     key = _c(key_col)
     pairs = F.array(
         *[
@@ -266,19 +272,24 @@ def cms_estimate(
     )
     probes = (
         keys.filter(key.isNotNull())
-        .select(key.alias(key_col))
+        .select(*gcols, key.alias(key_col))
         .distinct()
-        .select(key_col, F.explode(pairs).alias("rc"))
+        .select(*gcols, key_col, F.explode(pairs).alias("rc"))
         .select(
+            *gcols,
             key_col,
             F.col("rc.row").alias("row"),
             F.col("rc.cell").alias("cell"),
         )
     )
     joined = probes.join(
-        sketch_df.select("row", "cell", "count"), on=["row", "cell"], how="left"
-    ).select(key_col, F.coalesce(F.col("count"), F.lit(0)).alias("__c"))
-    return joined.groupBy(key_col).agg(
+        sketch_df.select(*gcols, "row", "cell", "count"),
+        on=[*gcols, "row", "cell"],
+        how="left",
+    ).select(
+        *gcols, key_col, F.coalesce(F.col("count"), F.lit(0)).alias("__c")
+    )
+    return joined.groupBy(*gcols, key_col).agg(
         F.min("__c").alias(estimate_col)
     )
 

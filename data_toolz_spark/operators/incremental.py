@@ -685,6 +685,8 @@ def build_ivf_index(
     kmeans_max_iter: int = 5,
     train_sample: int = 20_000,
     path: str | None = None,
+    pq_m: int | None = None,
+    pq_ks: int = 256,
 ) -> str:
     """Persist an IVF-Flat index: the batch ``ivf_topk`` retrains its
     quantizer and re-assigns the corpus per CALL; at 100 TB a search
@@ -692,8 +694,8 @@ def build_ivf_index(
 
     Three tables:
 
-    * ``{p}_ivf_meta``       — one row pinning (dim, n_centroids, seed)
-      so a drifted query/append call fails loudly;
+    * ``{p}_ivf_meta``       — one row pinning (dim, n_centroids, seed,
+      pq_m, pq_ks) so a drifted query/append call fails loudly;
     * ``{p}_ivf_centroids``  — the trained quantizer, (cell, vector);
       appends re-USE these centroids (never retrain — retraining would
       silently re-shuffle every existing cell assignment);
@@ -702,16 +704,43 @@ def build_ivf_index(
       ``~n_probe/n_centroids`` of the data via partition pruning and
       leaves every other partition untouched on disk.
 
+    **IVF-PQ variant** (``pq_m`` set): the inverted file stores each
+    vector as ``pq_m`` product-quantization codes packed into a
+    ``pq_m``-byte ``binary`` column and DROPS the raw vector — the
+    candidate payload a probe reads shrinks from ``8·dim`` B to
+    ``pq_m`` B per row (64× at dim=64/m=8; measured on disk in
+    ``tools/pq_probe.py``).  A fourth table ``{p}_ivf_codebooks``
+    (subspace, code, vector) stores the sub-quantizers; like the
+    centroids they are IMMUTABLE after build — appends encode with the
+    stored codebooks, so codes stay comparable across increments.
+    Queries run asymmetric-distance scoring (``ivf_query_index``
+    computes per-query lookup tables from the stored codebooks) with
+    an optional exact re-rank against caller-provided vectors.
+
     The quantizer trains on a bounded hash-ordered sample exactly like
-    ``ivf_topk`` (see its docstring for the bias/size rationale).
+    ``ivf_topk`` (see its docstring for the bias/size rationale); the
+    PQ codebooks train on the SAME sample (one collect, mutually
+    consistent cells and codes).
     """
     from data_toolz_spark.operators.similarity import (
-        _train_quantizer,
+        _bounded_sample,
+        _quantizer_from_sample,
+        _train_pq_codebooks,
         _unit_vector_udf,
     )
 
     if not train_sample or train_sample <= 0:
         raise ValueError("build_ivf_index: train_sample must be positive")
+    if pq_m is not None:
+        if dim % pq_m != 0:
+            raise ValueError(
+                f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
+            )
+        if not 2 <= pq_ks <= 256:
+            raise ValueError(
+                "build_ivf_index: pq_ks must be in [2, 256] (codes are "
+                "packed one byte each)"
+            )
     spark = emb.sparkSession
     unitize = _unit_vector_udf(dim)
     units = emb.select(
@@ -719,14 +748,11 @@ def build_ivf_index(
         unitize(F.col(vec_col).cast("array<double>")).alias("vector"),
     ).filter(F.col("vector").isNotNull())
 
-    centers = _train_quantizer(
-        units,
-        "id",
-        "vector",
-        n_centroids,
-        seed=seed,
-        max_iter=kmeans_max_iter,
-        train_sample=train_sample,
+    sample = _bounded_sample(
+        units, "id", "vector", seed=seed, train_sample=train_sample
+    )
+    centers = _quantizer_from_sample(
+        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
     )
 
     # _kmeans_numpy clamps k to the number of distinct training points
@@ -735,7 +761,8 @@ def build_ivf_index(
     # centroid-table build would index past the array
     n_cells = len(centers)
     meta = spark.createDataFrame(
-        [(dim, n_cells, seed)], "dim int, n_centroids int, seed int"
+        [(dim, n_cells, seed, pq_m, pq_ks if pq_m else None)],
+        "dim int, n_centroids int, seed int, pq_m int, pq_ks int",
     )
     meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_meta")
     cent = spark.createDataFrame(
@@ -744,12 +771,74 @@ def build_ivf_index(
     )
     cent.write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_centroids")
 
-    inv = _assign_cells(units, centers).select("id", "vector", "cell")
+    if pq_m is not None:
+        books = _train_pq_codebooks(
+            sample, pq_m, pq_ks, seed=seed, max_iter=kmeans_max_iter
+        )
+        book_rows = [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            book_rows, "subspace int, code int, vector array<double>"
+        ).write.mode("overwrite").saveAsTable(
+            f"{table_prefix}_ivf_codebooks"
+        )
+        inv = (
+            _assign_cells(units, centers)
+            .withColumn("codes", _pq_pack_udf(books)(F.col("vector")))
+            .select("id", "codes", "cell")
+        )
+    else:
+        inv = _assign_cells(units, centers).select("id", "vector", "cell")
     writer = inv.write.mode("overwrite").partitionBy("cell")
     if path is not None:
         writer = writer.option("path", f"{path}/inv")
     writer.saveAsTable(f"{table_prefix}_ivf_inv")
     return table_prefix
+
+
+def _pq_pack_udf(codebooks):
+    """PQ-encode + pack to a ``pq_m``-byte binary per vector (one
+    argmin matmul per subspace per Arrow batch — the storage layout
+    that makes the inverted file ``pq_m`` B/row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = codebooks.shape
+    c_sq = [(codebooks[j] ** 2).sum(axis=1) for j in range(m)]
+
+    @pandas_udf("binary")
+    def pack(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out = np.empty(len(vals), dtype=object)
+        if live:
+            mat = np.vstack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            codes = np.empty((len(live), m), dtype=np.uint8)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d = c_sq[j][None, :] - 2.0 * (x @ codebooks[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            for r, i in enumerate(live):
+                out[i] = bytes(codes[r])
+        return pd.Series(out)
+
+    return pack
+
+
+def _load_codebooks(spark: SparkSession, table_prefix: str, meta):
+    rows = spark.table(f"{table_prefix}_ivf_codebooks").collect()
+    sub = meta["dim"] // meta["pq_m"]
+    ks_actual = 1 + max(r["code"] for r in rows)
+    books = np.zeros((meta["pq_m"], ks_actual, sub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = np.asarray(
+            r["vector"], dtype=np.float64
+        )
+    return books
 
 
 def _load_centroids(spark: SparkSession, table_prefix: str):
@@ -791,6 +880,8 @@ def ivf_query_index(
     query_vec: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
+    refine: int = 2,
+    refine_with: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k search against a persistent IVF index.
 
@@ -804,6 +895,18 @@ def ivf_query_index(
     ``n_probe == n_centroids`` degrades to exact search (every cell
     probed), which is the equality the tests pin against
     ``cosine_topk`` over the indexed rows.
+
+    **IVF-PQ index** (built with ``pq_m``): the probed candidates
+    carry codes, not vectors, so scoring is asymmetric-distance — the
+    per-query lookup tables ``LUT[q][j][c] = q_j · book_j[c]`` are
+    built driver-side from the STORED codebooks and summed by one
+    fancy-index gather per Arrow batch.  ``refine_with`` (a DataFrame
+    holding ``query_vec`` vectors keyed by ``query_id``-typed ids —
+    normally the corpus table itself) re-ranks the ``refine·k`` ADC
+    shortlist by exact cosine, returning true ``cosine`` values; only
+    shortlist ids are joined, so the corpus is touched id-wise, never
+    scanned.  Without ``refine_with`` the PQ path returns the raw ADC
+    estimate as ``adc_ip``.  Both knobs are ignored for a flat index.
     """
     from data_toolz_spark.functions.vectors import dot_product
     from data_toolz_spark.operators.similarity import (
@@ -829,6 +932,19 @@ def ivf_query_index(
     inv = spark.table(f"{table_prefix}_ivf_inv").filter(
         F.col("cell").isin(probed)
     )
+    if meta["pq_m"] is not None:
+        return _ivfpq_query(
+            spark,
+            inv,
+            q_probes,
+            table_prefix,
+            meta,
+            k=k,
+            refine=refine,
+            refine_with=refine_with,
+            query_id=query_id,
+            query_vec=query_vec,
+        )
     scored = inv.join(F.broadcast(q_probes), on="cell").select(
         F.col("__qid").alias("query_id"),
         F.col("id").alias("corpus_id"),
@@ -837,6 +953,113 @@ def ivf_query_index(
         ),
     )
     return _two_stage_topk(scored, k, "query_id", "corpus_id")
+
+
+def _ivfpq_query(
+    spark: SparkSession,
+    inv: DataFrame,
+    q_probes: DataFrame,
+    table_prefix: str,
+    meta,
+    *,
+    k: int,
+    refine: int,
+    refine_with: DataFrame | None,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """ADC scoring + optional exact re-rank for a PQ inverted file.
+
+    The query set is broadcast-small by the module contract, so the
+    LUT tensor (n_queries × pq_m × pq_ks doubles) ships in the UDF
+    closure; candidate scoring is one ``np.frombuffer`` + fancy-index
+    gather per Arrow batch — no per-row Python, no dot products.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from data_toolz_spark.functions.vectors import dot_product
+    from data_toolz_spark.operators.similarity import (
+        _two_stage_topk,
+        _unit_vector_udf,
+    )
+
+    books = _load_codebooks(spark, table_prefix, meta)
+    m, _, sub = books.shape
+    q_rows = (
+        q_probes.select("__qid", "__qv").distinct().collect()
+    )
+    q_ids = [r["__qid"] for r in q_rows]
+    q_index = {qid: i for i, qid in enumerate(q_ids)}
+    lut = np.stack(
+        [
+            np.vstack(
+                [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
+            )[:, j * sub : (j + 1) * sub]
+            @ books[j].T
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (n_queries, m, ks')
+
+    idx_map = spark.createDataFrame(
+        [(qid, q_index[qid]) for qid in q_ids],
+        q_probes.select("__qid").schema.add("__qidx", "integer"),
+    )
+    probes = q_probes.select("__qid", "cell").join(
+        F.broadcast(idx_map), on="__qid"
+    )
+
+    @pandas_udf("double")
+    def adc(qidx: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = qidx.to_numpy(dtype=np.int64)
+        code_mat = np.vstack(
+            [
+                np.frombuffer(c, dtype=np.uint8).astype(np.int64)
+                for c in codes
+            ]
+        )
+        cols = np.arange(m, dtype=np.int64)[None, :]
+        return pd.Series(lut[qi[:, None], cols, code_mat].sum(axis=1))
+
+    scored = inv.join(F.broadcast(probes), on="cell").select(
+        F.col("__qid").alias("query_id"),
+        F.col("id").alias("corpus_id"),
+        adc(F.col("__qidx"), F.col("codes")).alias("adc_ip"),
+    )
+    if refine_with is None:
+        return _two_stage_topk(
+            scored, k, "query_id", "corpus_id", value_col="adc_ip"
+        )
+    shortlist = _two_stage_topk(
+        scored, max(1, refine) * k, "query_id", "corpus_id",
+        value_col="adc_ip",
+    ).drop("adc_ip")
+    # raw vectors join the broadcast shortlist FIRST; the unitize
+    # kernel then runs on refine·k·n_queries rows only (same
+    # pushed-down shape as ivfpq_topk's refine — never a full-corpus
+    # pandas pass)
+    unitize = _unit_vector_udf(meta["dim"])
+    raw = refine_with.select(
+        F.col(query_id).alias("corpus_id"),
+        F.col(query_vec).cast("array<double>").alias("__rawv"),
+    )
+    q_map = F.broadcast(
+        q_probes.select(
+            F.col("__qid").alias("query_id"), "__qv"
+        ).distinct()
+    )
+    exact = (
+        raw.join(F.broadcast(shortlist), on="corpus_id")
+        .join(q_map, on="query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                dot_product(F.col("__qv"), unitize(F.col("__rawv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    return _two_stage_topk(exact, k, "query_id", "corpus_id")
 
 
 def append_to_ivf_index(
@@ -859,6 +1082,10 @@ def append_to_ivf_index(
     Consistency: a single-table append = one job-atomic write (see
     :func:`append_to_catalog`); only the multi-table MinHash append
     needs the journal bracket.
+
+    On a PQ index the increment is encoded with the STORED codebooks
+    (immutable after build, like the centroids) — codes written by any
+    append score identically to build-time codes under the same LUTs.
     """
     from data_toolz_spark.operators.similarity import _unit_vector_udf
 
@@ -869,6 +1096,12 @@ def append_to_ivf_index(
         unitize(F.col(vec_col).cast("array<double>")).alias("vector"),
     ).filter(F.col("vector").isNotNull())
     inv_cols = spark.table(f"{table_prefix}_ivf_inv").columns
-    _assign_cells(units, centers).select(*inv_cols).write.mode(
-        "append"
-    ).insertInto(f"{table_prefix}_ivf_inv")
+    assigned = _assign_cells(units, centers)
+    if meta["pq_m"] is not None:
+        books = _load_codebooks(spark, table_prefix, meta)
+        assigned = assigned.withColumn(
+            "codes", _pq_pack_udf(books)(F.col("vector"))
+        )
+    assigned.select(*inv_cols).write.mode("append").insertInto(
+        f"{table_prefix}_ivf_inv"
+    )

@@ -346,19 +346,28 @@ def _kmeans_numpy(
     if n == 0:
         raise ValueError("cannot train an IVF quantizer on 0 vectors")
     k = min(k, n)
-    # k-means++ seeding
+    # k-means++ seeding.  The distance-to-last-center update uses the
+    # expanded form ‖p‖² − 2·p·c + ‖c‖² (one GEMV per step, ‖p‖²
+    # precomputed) instead of materializing an (n × dim) difference
+    # temporary per step — at PQ-codebook scale (k=256 over a 20k
+    # sample, × m subspaces) the temporaries were the dominant
+    # training cost (profiled; see tools/pq_probe.py).  Clamp at 0:
+    # the expanded form can go a hair negative under cancellation.
     centers = np.empty((k, points.shape[1]), dtype=np.float64)
     centers[0] = points[rng.randint(n)]
+    p_sq = (points**2).sum(axis=1)
     d2 = np.full(n, np.inf)
     for i in range(1, k):
-        d2 = np.minimum(
-            d2, ((points - centers[i - 1]) ** 2).sum(axis=1)
-        )
+        c = centers[i - 1]
+        step = p_sq - 2.0 * (points @ c) + c @ c
+        np.maximum(step, 0.0, out=step)
+        d2 = np.minimum(d2, step)
         total = d2.sum()
         if total == 0:
             centers[i:] = centers[0]
             break
         centers[i] = points[rng.choice(n, p=d2 / total)]
+    dim = points.shape[1]
     for _ in range(max_iter):
         # assign: nearest center by squared distance (one matmul)
         dists = (
@@ -367,17 +376,25 @@ def _kmeans_numpy(
             + (centers**2).sum(axis=1)[None, :]
         )
         assign = dists.argmin(axis=1)
-        moved = False
-        for c in range(k):
-            mask = assign == c
-            if not mask.any():
-                continue  # empty cell: keep the old centroid
-            new = points[mask].mean(axis=0)
-            if not np.allclose(new, centers[c]):
-                moved = True
-            centers[c] = new
-        if not moved:
+        # M-step, fully vectorized: one weighted bincount per dim
+        # instead of a Python loop over k clusters — at PQ codebook
+        # scale (k=256 × m subspaces × iters) the mask/mean loop was
+        # seconds of pure Python dispatch, and it grew with the
+        # training sample (measured in tools/pq_probe.py)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty((k, dim), dtype=np.float64)
+        for dmn in range(dim):
+            sums[:, dmn] = np.bincount(
+                assign, weights=points[:, dmn], minlength=k
+            )
+        live_mask = counts > 0  # empty cell: keep the old centroid
+        new_centers = centers.copy()
+        new_centers[live_mask] = (
+            sums[live_mask] / counts[live_mask, None]
+        )
+        if np.allclose(new_centers, centers):
             break
+        centers = new_centers
     return centers
 
 
@@ -591,15 +608,24 @@ def _train_pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = [
-        _kmeans_numpy(
+
+    def one(j: int) -> np.ndarray:
+        return _kmeans_numpy(
             sample[:, j * sub : (j + 1) * sub],
             ks,
             seed=seed + 101 + j,
             max_iter=max_iter,
         )
-        for j in range(m)
-    ]
+
+    # subspaces are independent draws with independent derived seeds,
+    # so they train concurrently — numpy releases the GIL inside the
+    # GEMV/bincount kernels and the m trainings are embarrassingly
+    # parallel on the driver (deterministic: each j's result depends
+    # only on (sample slice, seed + j))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        books = list(pool.map(one, range(m)))
     return np.stack(books)  # (m, ks', sub)
 
 
@@ -861,16 +887,23 @@ def ivfpq_topk(
             ),
         )
     )
+    # join the RAW corpus and unitize AFTER the join: the broadcast
+    # shortlist filters the scan down to refine·k·n_queries rows, so
+    # the (Python) unitize kernel runs on the shortlist only — never a
+    # full-corpus pandas pass (measured in tools/pq_probe.py: this was
+    # the term that grew with corpus size)
+    raw = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__rawv"),
+    )
     exact = (
-        shortlist.join(
-            c_units.withColumnRenamed("__cid", "corpus_id"), on="corpus_id"
-        )
+        raw.join(F.broadcast(shortlist), on="corpus_id")
         .join(q_map, on="query_id")
         .select(
             "query_id",
             "corpus_id",
             F.round(
-                dot_product(F.col("__qv"), F.col("__cv")), 6
+                dot_product(F.col("__qv"), unitize(F.col("__rawv"))), 6
             ).alias("cosine"),
         )
     )

@@ -367,7 +367,7 @@ def _drop_ivf_tables(spark, prefix):
     import os
     import shutil
 
-    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv", "ivf_codebooks"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(
             os.path.join(os.getcwd(), "spark-warehouse", f"{prefix}_{t}"),
@@ -487,3 +487,137 @@ def test_ivf_index_probe_prunes_partitions(spark, emb, tmp_path):
         "PartitionFilters" in b and "cell" in b.split("PartitionFilters")[1]
         for b in inv_blocks
     ), inv_blocks
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_index_full_probe_refine_equals_exact(spark, emb, tmp_path):
+    """PQ index in the degenerate-exact config (ks >= |distinct
+    sub-vectors|, corpus-covering sample): full probing + exact
+    re-rank against the corpus reproduces brute force bit-for-bit —
+    the persistent twin of the batch ivfpq_topk pin."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from data_toolz_spark.operators.similarity import cosine_topk
+
+    prefix = "t_ivfpq_a"
+    _drop_ivf_tables(spark, prefix)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    build_ivf_index(
+        corpus, prefix, dim=64, n_centroids=8,
+        pq_m=8, pq_ks=256, train_sample=1_000,
+        path=str(tmp_path / "ivfpq_a"),
+    )
+    got = ivf_query_index(
+        spark, queries, prefix, k=10, n_probe=8,
+        refine=10, refine_with=corpus,
+    )
+    want = cosine_topk(
+        queries, corpus, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+    assert _topk_sets(got) == _topk_sets(want)
+
+    # ADC-only serving (no vectors anywhere): k rows per query with
+    # the raw inner-product estimate
+    adc = ivf_query_index(spark, queries, prefix, k=10, n_probe=8)
+    rows = adc.collect()
+    assert set(adc.columns) == {"query_id", "corpus_id", "adc_ip"}
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(n == 10 for n in per_q.values())
+
+
+def test_ivfpq_index_append_encodes_with_stored_codebooks(
+    spark, emb, tmp_path
+):
+    """Appends must encode with the codebooks stored at build time:
+    (a) codes written by the append equal a direct re-encode with the
+    loaded codebooks (bit-deterministic), (b) the inverted file stays
+    pq_m bytes per row, (c) post-append full-probe refine queries over
+    the whole corpus keep high recall even though the odd half never
+    influenced the codebooks."""
+    import numpy as np
+
+    from data_toolz_spark.operators.incremental import (
+        _load_centroids,
+        _load_codebooks,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from data_toolz_spark.operators.similarity import cosine_topk
+
+    prefix = "t_ivfpq_b"
+    _drop_ivf_tables(spark, prefix)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    build_ivf_index(
+        half_a, prefix, dim=64, n_centroids=8,
+        pq_m=8, pq_ks=256, train_sample=1_000,
+        path=str(tmp_path / "ivfpq_b"),
+    )
+    append_to_ivf_index(spark, half_b, prefix)
+
+    inv = spark.table(f"{prefix}_ivf_inv")
+    assert inv.count() == emb.count()
+    assert {len(r["codes"]) for r in inv.select("codes").collect()} == {8}
+
+    # (a) deterministic re-encode parity for the appended half
+    meta, _ = _load_centroids(spark, prefix)
+    books = _load_codebooks(spark, prefix, meta)
+    m, _, sub = books.shape
+    stored = {
+        r["id"]: bytes(r["codes"])
+        for r in inv.filter(F.col("id") % 2 == 1).collect()
+    }
+    for r in half_b.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        want = bytes(
+            np.array(
+                [
+                    np.argmin(
+                        ((books[j] - v[j * sub : (j + 1) * sub]) ** 2).sum(
+                            axis=1
+                        )
+                    )
+                    for j in range(m)
+                ],
+                dtype=np.uint8,
+            )
+        )
+        assert stored[r["vec_id"]] == want
+
+    # (c) recall over the appended corpus
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(
+            queries, emb, query_id="vec_id", corpus_id="vec_id", k=10
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_query_index(
+            spark, queries, prefix, k=10, n_probe=8,
+            refine=10, refine_with=emb,
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivfpq_index_validation(spark, emb):
+    from data_toolz_spark.operators.incremental import build_ivf_index
+
+    with pytest.raises(ValueError, match="divisible"):
+        build_ivf_index(emb, "t_ivfpq_v", dim=64, pq_m=7)
+    with pytest.raises(ValueError, match="pq_ks"):
+        build_ivf_index(emb, "t_ivfpq_v", dim=64, pq_m=8, pq_ks=1000)

@@ -277,3 +277,32 @@ def test_cms_validation():
         cms_sketch_table(None, "k", d=0)
     with pytest.raises(ValueError, match="w"):
         cms_sketch_table(None, "k", w=1)
+
+
+def test_cms_grouped_build_and_estimate(spark):
+    """Grouped sketches: each group's keys estimate against that
+    group's own cells — a key frequent in one group must not inflate
+    its estimate in another (w wide enough that cross-key collisions
+    don't mask the separation)."""
+    from data_toolz_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a")] * 7 + [("en", "b")] * 2 + [("de", "a")] * 3,
+        "lang string, k string",
+    )
+    sketch = cms_sketch_table(df, "k", ["lang"], d=4, w=4096)
+    est = {
+        (r["lang"], r["k"]): r["cms_count"]
+        for r in cms_estimate(
+            sketch,
+            df.select("lang", "k"),
+            "k",
+            d=4,
+            w=4096,
+            group_cols=["lang"],
+        ).collect()
+    }
+    assert est == {("en", "a"): 7, ("en", "b"): 2, ("de", "a"): 3}

@@ -28,6 +28,9 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
@@ -88,8 +91,6 @@ def inverted_file_sizes(spark, corpus) -> tuple[int, int, int]:
     centers = _quantizer_from_sample(sample, 16, seed=42, max_iter=5)
     books = _train_pq_codebooks(sample, M, KS, seed=42, max_iter=5)
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -206,7 +207,13 @@ def main() -> int:
             "Synthetic near-uniform embeddings are PQ's worst case for "
             "recall (no low-dim structure); real embedding corpora "
             "cluster and recover most of the gap, and the exact re-rank "
-            "means every RETURNED cosine is true regardless.",
+            "means every RETURNED cosine is true regardless.  The "
+            "one-shot pq column pays quantizer + codebook training per "
+            "call (~2.5 s of its wall: bounded 20k sample, GIL-parallel "
+            "subspace k-means — was ~6 s before the vectorized M-step "
+            "and GEMV-form init); the persistent index "
+            "(build_ivf_index(pq_m=…)) pays it once at build and serves "
+            "from stored codebooks.",
             "",
             MARKER_END,
         ]
