@@ -621,3 +621,38 @@ def test_ivfpq_index_validation(spark, emb):
         build_ivf_index(emb, "t_ivfpq_v", dim=64, pq_m=7)
     with pytest.raises(ValueError, match="pq_ks"):
         build_ivf_index(emb, "t_ivfpq_v", dim=64, pq_m=8, pq_ks=1000)
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, emb, tmp_path):
+    """Same serving contract on the PQ inverted file: the probe must
+    reach the codes table as a PARTITION filter on cell — the
+    compressed candidates AND the pruning compose (and the refine path
+    must not drag a full corpus scan above the shortlist join: the
+    refine_with scan appears only under a join with the broadcast
+    shortlist)."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    prefix = "t_ivfpq_c"
+    _drop_ivf_tables(spark, prefix)
+    build_ivf_index(
+        emb, prefix, dim=64, n_centroids=8,
+        pq_m=8, pq_ks=256,
+        path=str(tmp_path / "ivfpq_c"),
+    )
+    q = ivf_query_index(
+        spark, emb.filter(F.col("vec_id") < 3), prefix, k=5, n_probe=2,
+        refine=2, refine_with=emb,
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    blocks = plan.split("\n\n")
+    inv_blocks = [b for b in blocks if f"{prefix}_ivf_inv" in b]
+    assert inv_blocks, plan
+    assert any(
+        "PartitionFilters" in b and "cell" in b.split("PartitionFilters")[1]
+        for b in inv_blocks
+    ), inv_blocks
