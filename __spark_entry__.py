@@ -802,43 +802,28 @@ def sim_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 approx (fold, r7): LSH-bucketed cosine top-10 INTERSECT
-    IVF-PQ cosine top-10, VALUE-verified against the exact top-k
-    oracle.  Both approximate paths independently reproduce brute
-    force on the fixed corpora, so their INTERSECT hashes equal to the
-    exact oracle — and EITHER path regressing (a lost row, a wrong
-    cosine) shrinks the intersection and fails the row.  This is the
-    composite-attestation shape the registry uses elsewhere: two
-    operators, one green row.
+    """X3 approx: LSH-bucketed cosine top-10, VALUE-verified against
+    the exact top-k oracle.
 
-    Path 1 — ``cosine_topk_ann``: the full SRP code path (bucketize →
-    payload-free band join → candidate dedup → exact-cosine verify →
-    two-stage top-k); n_bits=3 / n_tables=24 pinned because the seeded
-    hyperplanes make recall deterministic and exactly 1.0 on the fixed
-    test corpora (verified at sf0.001/0.01/0.1 against
-    ``cosine_topk``).
+    The full ANN code path runs (SRP bucketize → payload-free band
+    join → candidate dedup → exact-cosine verify → two-stage top-k);
+    n_bits=3 / n_tables=24 is pinned because the seeded hyperplanes
+    make recall deterministic and exactly 1.0 on the fixed test corpora
+    (verified at sf0.001/0.01/0.1 against ``cosine_topk``), which makes
+    the output hash-equal to the exact oracle.  Scale configs trade
+    recall for bucket sparsity via higher n_bits — bench.py times a
+    realistic n_bits=12 setting separately.
 
-    Path 2 — ``ivfpq_topk``: the full IVF-PQ code path (shared bounded
-    sample → coarse quantizer + m sub-codebooks → one-scan
-    cell+codes encode → driver LUT broadcast → ADC gather →
-    refine·k shortlist → exact re-rank).  m=16 / ks=256 / refine=10 /
-    full probing pinned: the exact re-rank stage means correctness
-    only needs shortlist-recall 1.0, which this config holds with 2×
-    margin at all three SFs (the synthetic near-uniform embeddings are
-    PQ's WORST case — no low-dim structure; the refine=5 margin test
-    missed exactly 1 row at sf0.1).  Scale configs trade both knobs —
-    bench.py times a realistic lossy (m=8, n_probe=4) setting
-    separately as ``x_ivfpq_probe4``.
+    (r7 note: the IVF-PQ intersect briefly lived here; it moved to
+    ``sim_topk_ivf`` — this qid is in the V1 HEADLINE series whose
+    round-over-round comparability matters, and the PQ attestation
+    belongs next to the other IVF machinery anyway.)
     """
-    from data_toolz_spark.operators.similarity import (
-        cosine_topk_ann,
-        ivfpq_topk,
-    )
+    from data_toolz_spark.operators.similarity import cosine_topk_ann
 
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    ann = cosine_topk_ann(
-        q,
+    return cosine_topk_ann(
+        emb.filter(F.col("vec_id") < 5),
         emb,
         query_id="vec_id",
         corpus_id="vec_id",
@@ -847,20 +832,6 @@ def sim_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=3,
         n_tables=24,
     )
-    pq = ivfpq_topk(
-        q,
-        emb,
-        query_id="vec_id",
-        corpus_id="vec_id",
-        k=10,
-        dim=64,
-        n_centroids=8,
-        n_probe=8,
-        m=16,
-        ks=256,
-        refine=10,
-    )
-    return ann.intersect(pq)
 
 
 def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,6 +857,24 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     append is what hashes against the exact oracle over the whole
     corpus.  The ephemeral ``ivf_topk`` stays pinned ≡ exact in
     pytest and timed as ``x_ivf_topk_probe4``.
+
+    r7 fold: the row is now (persistent-IVF round trip) INTERSECT
+    (batch ``ivfpq_topk`` X3d) — both paths independently reproduce
+    brute force here, so the intersect hashes equal to the exact
+    oracle, and EITHER path regressing (a lost row, a wrong cosine)
+    shrinks the intersection and fails the row.  The PQ side runs the
+    full IVF-PQ code path (shared bounded sample → coarse + m
+    sub-codebooks → one-scan cell+codes encode → driver LUT broadcast
+    → ADC gather → refine·k shortlist → exact re-rank) at m=8 /
+    ks=256 / refine=50 / full probing: the exact re-rank means
+    correctness only needs ADC-shortlist recall 1.0, which holds with
+    2.5× margin at all three SFs (refine=20 is already exact; the
+    synthetic near-uniform embeddings are PQ's WORST case — no
+    low-dim structure).  Realistic lossy configs are timed separately
+    as ``x_ivfpq_probe4``; the PERSISTENT PQ index variant
+    (build_ivf_index(pq_m=…)) is pinned in tests/test_incremental.py
+    including byte-for-byte append-encode parity and partition-pruned
+    probes.
     """
     import tempfile
 
@@ -911,13 +900,29 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_to_ivf_index(
         spark, emb.filter(F.col("vec_id") % 2 == 1), table
     )
-    return ivf_query_index(
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    roundtrip = ivf_query_index(
         spark,
         emb.filter(F.col("vec_id") < 5),
         table,
         k=10,
         n_probe=8,
     )
+    pq = ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=10,
+        dim=64,
+        n_centroids=8,
+        n_probe=8,
+        m=8,
+        ks=256,
+        refine=50,
+    )
+    return roundtrip.intersect(pq)
 
 
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:

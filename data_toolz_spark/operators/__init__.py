@@ -39,6 +39,7 @@ from data_toolz_spark.operators.text_analysis import (
 )
 from data_toolz_spark.operators.decontamination import (
     decontaminated,
+    embedding_decontaminate,
     eval_gram_set,
     ngram_decontaminate,
 )
@@ -132,6 +133,7 @@ __all__ = [
     "web_artifact_features",
     # decontamination
     "decontaminated",
+    "embedding_decontaminate",
     "eval_gram_set",
     "ngram_decontaminate",
     # sampling / splitting / packing

@@ -197,4 +197,120 @@ def decontaminated(
     return train.join(flags, on=id_col, how="left_anti")
 
 
-__all__ = ["eval_gram_set", "ngram_decontaminate", "decontaminated"]
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus rows whose embedding is
+    within cosine ``threshold`` of ANY benchmark item — the
+    paraphrase-robust complement of :func:`ngram_decontaminate`
+    (n-gram collision misses reworded eval leakage; SemDeDup-style
+    cosine matching catches it).
+
+    Scale shape mirrors the n-gram path: the eval side is the small
+    one, so its unit-normalized matrix ships to executors inside the
+    kernel closure (a (|eval| × dim) float64 block — ~50 MB per 1e5
+    items at dim=64; for bigger eval sets shard eval_df and union the
+    flags).  The 100 TB corpus is scanned EXACTLY ONCE with no
+    shuffle: per Arrow batch one ``(batch × dim) @ (dim × |eval|)``
+    matmul yields every corpus-eval cosine, and only (max_cosine,
+    argmax eval id) per row survive.  Output: ``id_col,
+    nearest_eval_id, max_cosine`` for flagged rows only (cosine
+    rounded 6 — cross-engine reproducible, same contract as
+    ``cosine_topk``).
+
+    Zero/NULL vectors never flag (no direction to match).
+    """
+    import numpy as np
+    import pandas as pd
+
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    ev_id_type = eval_df.schema[eval_id_col].dataType.simpleString()
+    corp_id_type = corpus.schema[id_col].dataType.simpleString()
+    # ordered by id so argmax's first-maximum tie-break is a stable
+    # "lowest eval id", independent of eval_df's physical layout
+    ev_rows = (
+        eval_df.select(eval_id_col, eval_vec_col)
+        .orderBy(eval_id_col)
+        .collect()
+    )
+    ev_ids: list = []
+    ev_vecs: list = []
+    for r in ev_rows:
+        v = r[eval_vec_col]
+        if v is None:
+            continue
+        arr = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(arr)
+        if n == 0:
+            continue
+        ev_ids.append(r[eval_id_col])
+        ev_vecs.append(arr / n)
+    if not ev_vecs:
+        return (
+            corpus.select(
+                F.col(id_col),
+                F.lit(None).cast(ev_id_type).alias("nearest_eval_id"),
+                F.lit(0.0).alias("max_cosine"),
+            ).filter(F.lit(False))
+        )
+    ev_mat = np.vstack(ev_vecs).T  # (dim, n_eval)
+
+    out_schema = (
+        f"{id_col} {corp_id_type}, nearest_eval_id {ev_id_type}, "
+        "max_cosine double"
+    )
+
+    def flag_batches(batches):
+        # mapInPandas (not a scalar UDF): the output is already
+        # FILTERED to flagged rows inside the kernel, so at a sane
+        # threshold almost nothing leaves the scan stage
+        for pdf in batches:
+            vals = pdf["__v"].tolist()
+            ids = pdf[id_col].to_numpy()
+            live = [i for i, v in enumerate(vals) if v is not None]
+            if not live:
+                continue
+            mat = np.vstack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            ok = norms > 0
+            mat[ok] = mat[ok] / norms[ok, None]
+            sims = mat @ ev_mat  # (batch, n_eval)
+            best = sims.argmax(axis=1)
+            best_sim = np.round(sims[np.arange(len(live)), best], 6)
+            keep = ok & (best_sim >= threshold)
+            if not keep.any():
+                continue
+            rows = np.flatnonzero(keep)
+            yield pd.DataFrame(
+                {
+                    id_col: [ids[live[j]] for j in rows],
+                    "nearest_eval_id": [
+                        ev_ids[int(best[j])] for j in rows
+                    ],
+                    "max_cosine": [float(best_sim[j]) for j in rows],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).mapInPandas(flag_batches, out_schema)
+
+
+__all__ = [
+    "eval_gram_set",
+    "ngram_decontaminate",
+    "decontaminated",
+    "embedding_decontaminate",
+]

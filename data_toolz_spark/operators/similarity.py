@@ -743,21 +743,41 @@ def ivfpq_topk(
         F.col(corpus_id).alias("__cid"),
         unitize(F.col(corpus_vec).cast("array<double>")).alias("__cv"),
     ).filter(F.col("__cv").isNotNull())
-    q_units = queries.select(
-        F.col(query_id).alias("__qid"),
-        unitize(F.col(query_vec).cast("array<double>")).alias("__qv"),
-    ).filter(F.col("__qv").isNotNull())
 
-    # 1. one bounded sample feeds BOTH trainers (cells stay
-    # bit-identical to ivf_topk's: same sample, same kmeans seeds)
-    sample = _bounded_sample(
-        c_units, "__cid", "__cv", seed=seed, train_sample=train_sample
+    # 1. one bounded sample feeds BOTH trainers.  The sample and the
+    # query batch are collected RAW (plain column reads — no Python
+    # stage) and unit-normalized driver-side with the same
+    # divide-by-norm math as `_unit_vector_udf`; identical membership
+    # (non-null, non-zero-norm) and identical float ops, so the
+    # trained quantizer/codebooks are bit-equal to the UDF-path
+    # formulation while the per-call job count drops by two
+    # corpus-touching Python stages (this was most of the fixed cost
+    # at small SF — the real per-row work is the encode scan below).
+    raw_nonzero = F.exists(
+        F.col(corpus_vec).cast("array<double>"), lambda x: x != 0.0
     )
+    sample_rows = (
+        corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(corpus_vec).cast("array<double>").alias("__raw"),
+        )
+        .filter(F.col("__raw").isNotNull() & raw_nonzero)
+        .orderBy(F.xxhash64(F.col("__cid"), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    sample_mat = np.vstack(
+        [np.asarray(r["__raw"], dtype=np.float64) for r in sample_rows]
+    ) if sample_rows else np.empty((0, dim))
+    if len(sample_mat):
+        sample_mat = (
+            sample_mat / np.linalg.norm(sample_mat, axis=1)[:, None]
+        )
     centers = _quantizer_from_sample(
-        sample, n_centroids, seed=seed, max_iter=kmeans_max_iter
+        sample_mat, n_centroids, seed=seed, max_iter=kmeans_max_iter
     )
     codebooks = _train_pq_codebooks(
-        sample, m, ks, seed=seed, max_iter=kmeans_max_iter
+        sample_mat, m, ks, seed=seed, max_iter=kmeans_max_iter
     )
 
     # 2. inverted file: (id, cell, codes) — the raw vector is DROPPED
@@ -789,9 +809,22 @@ def ivfpq_topk(
         StructType,
     )
 
-    qid_type = q_units.schema["__qid"].dataType
+    qid_type = queries.schema[query_id].dataType
     cid_type = c_units.schema["__cid"].dataType
-    q_rows = q_units.collect()
+    q_raw = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec).cast("array<double>").alias("__raw"),
+        )
+        .filter(F.col("__raw").isNotNull())
+        .collect()
+    )
+    q_rows = []
+    for r in q_raw:
+        arr = np.asarray(r["__raw"], dtype=np.float64)
+        n = np.linalg.norm(arr)
+        if n > 0:
+            q_rows.append((r["__qid"], arr / n))
     if not q_rows:
         value_field = "cosine" if refine else "adc_ip"
         return queries.sparkSession.createDataFrame(
@@ -804,10 +837,8 @@ def ivfpq_topk(
                 ]
             ),
         )
-    q_ids = [r["__qid"] for r in q_rows]
-    q_mat = np.vstack(
-        [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
-    )
+    q_ids = [qid for qid, _ in q_rows]
+    q_mat = np.vstack([v for _, v in q_rows])
     n_probe_eff = min(n_probe, len(centers))
     sims = q_mat @ centers.T
     probe_order = np.argsort(-sims, axis=1, kind="stable")[

@@ -133,3 +133,75 @@ def test_short_and_null_texts_never_flag(spark):
     )
     ev = spark.createDataFrame([(9, "one two three")], "doc_id long, text string")
     assert ngram_decontaminate(train, ev, n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Embedding (semantic) decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_decontaminate_matches_numpy_bruteforce(spark, embeddings):
+    """Every corpus row's (nearest eval id, max cosine) must equal the
+    numpy cross-product reference, and exactly the >= threshold rows
+    are flagged."""
+    import numpy as np
+
+    from data_toolz_spark.operators.decontamination import (
+        embedding_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    eval_df = embeddings.filter(F.col("vec_id") < 10)
+    corpus = embeddings.filter(F.col("vec_id") >= 10)
+    thr = 0.3  # max corpus-vs-eval cosine on this data is ~0.39
+
+    ev = sorted(
+        (
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+            for r in eval_df.collect()
+        ),
+        key=lambda t: t[0],
+    )
+    ev_mat = np.vstack([v / np.linalg.norm(v) for _, v in ev])
+    want = {}
+    for r in corpus.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n == 0:
+            continue
+        sims = ev_mat @ (v / n)
+        b = int(sims.argmax())
+        c = round(float(sims[b]), 6)
+        if c >= thr:
+            want[r["vec_id"]] = (ev[b][0], c)
+
+    got = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_cosine"])
+        for r in embedding_decontaminate(
+            corpus, eval_df, threshold=thr
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # threshold chosen so the test corpus flags
+
+
+def test_embedding_decontaminate_empty_eval_and_null_vectors(spark, embeddings):
+    from data_toolz_spark.operators.decontamination import (
+        embedding_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    empty = embeddings.filter(F.lit(False))
+    out = embedding_decontaminate(embeddings, empty, threshold=0.0)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "nearest_eval_id", "max_cosine"]
+
+    # null/zero corpus vectors never flag, even at threshold 0
+    weird = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    out2 = embedding_decontaminate(
+        weird, embeddings.filter(F.col("vec_id") < 3), threshold=0.0
+    )
+    assert out2.count() == 0
