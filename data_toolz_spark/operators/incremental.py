@@ -988,6 +988,17 @@ def _ivfpq_query(
     q_rows = (
         q_probes.select("__qid", "__qv").distinct().collect()
     )
+    if not q_rows:
+        # no valid query vectors: empty result with the right schema
+        # (np.stack over zero LUT blocks would raise otherwise)
+        value_field = "cosine" if refine_with is not None else "adc_ip"
+        return spark.createDataFrame(
+            [],
+            q_probes.select("__qid").schema.add(
+                "corpus_id",
+                inv.schema["id"].dataType,
+            ).add(value_field, "double"),
+        ).withColumnRenamed("__qid", "query_id")
     q_ids = [r["__qid"] for r in q_rows]
     q_index = {qid: i for i, qid in enumerate(q_ids)}
     lut = np.stack(

@@ -656,3 +656,30 @@ def test_ivfpq_index_probe_prunes_partitions(spark, emb, tmp_path):
         "PartitionFilters" in b and "cell" in b.split("PartitionFilters")[1]
         for b in inv_blocks
     ), inv_blocks
+
+
+def test_ivfpq_index_empty_query_batch(spark, emb, tmp_path):
+    """Zero valid query vectors → empty result with the right schema
+    on both the ADC and refine paths (no driver-side stack of zero
+    LUT blocks)."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    prefix = "t_ivfpq_e"
+    _drop_ivf_tables(spark, prefix)
+    build_ivf_index(
+        emb, prefix, dim=64, n_centroids=4,
+        pq_m=8, pq_ks=64, train_sample=1_000,
+        path=str(tmp_path / "ivfpq_e"),
+    )
+    none = emb.filter(F.lit(False))
+    adc = ivf_query_index(spark, none, prefix, k=5, n_probe=4)
+    assert adc.count() == 0
+    assert adc.columns == ["query_id", "corpus_id", "adc_ip"]
+    ref = ivf_query_index(
+        spark, none, prefix, k=5, n_probe=4, refine_with=emb
+    )
+    assert ref.count() == 0
+    assert ref.columns == ["query_id", "corpus_id", "cosine"]
