@@ -866,11 +866,13 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     full IVF-PQ code path (shared bounded sample → coarse + m
     sub-codebooks → one-scan cell+codes encode → driver LUT broadcast
     → ADC gather → refine·k shortlist → exact re-rank) at m=8 /
-    ks=256 / refine=50 / full probing: the exact re-rank means
+    ks=256 / refine=100 / full probing: the exact re-rank means
     correctness only needs ADC-shortlist recall 1.0, which holds with
-    2.5× margin at all three SFs (refine=20 is already exact; the
-    synthetic near-uniform embeddings are PQ's WORST case — no
-    low-dim structure).  Realistic lossy configs are timed separately
+    2.5× margin at all three SFs (refine=40 is already exact at
+    sf0.1, the worst case measured; the synthetic near-uniform
+    embeddings are PQ's WORST case — no low-dim structure).  The
+    shortlist is refine·k = 1000 rows per query — noise next to the
+    probed-candidate scan the ADC ranking already does.  Realistic lossy configs are timed separately
     as ``x_ivfpq_probe4``; the PERSISTENT PQ index variant
     (build_ivf_index(pq_m=…)) is pinned in tests/test_incremental.py
     including byte-for-byte append-encode parity and partition-pruned
@@ -920,7 +922,7 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=8,
         m=8,
         ks=256,
-        refine=50,
+        refine=100,
     )
     return roundtrip.intersect(pq)
 

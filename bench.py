@@ -492,7 +492,7 @@ def _ivf_query_pq_only(spark, sf_dir):
     pq = ivfpq_topk(
         q, emb, query_id="vec_id", corpus_id="vec_id",
         k=10, dim=64, n_centroids=8, n_probe=8,
-        m=8, ks=256, refine=50,
+        m=8, ks=256, refine=100,
     )
     return roundtrip.intersect(pq)
 

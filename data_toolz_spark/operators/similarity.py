@@ -331,7 +331,12 @@ def cosine_topk_ann(
 
 
 def _kmeans_numpy(
-    points: np.ndarray, k: int, *, seed: int, max_iter: int
+    points: np.ndarray,
+    k: int,
+    *,
+    seed: int,
+    max_iter: int,
+    init: str = "kmeanspp",
 ) -> np.ndarray:
     """Seeded k-means++ init + Lloyd iterations, in-memory.
 
@@ -340,12 +345,28 @@ def _kmeans_numpy(
     fewer distinct points than ``k`` exist, the surplus centroids stay
     on duplicated points — harmless for IVF (empty cells are never
     probed ahead of full ones).
+
+    ``init="prefix"`` seeds the centers with the first ``k`` sample
+    rows instead of the k-means++ draw.  The ++ loop is k SEQUENTIAL
+    O(n·dim) steps — at PQ-codebook scale (k=256 per subspace × m
+    subspaces) it dominates training, while the sample is already a
+    deterministic hash-ordered draw, so a prefix IS a uniform random
+    subset (faiss trains PQ codebooks from a random subset the same
+    way); duplicates in the prefix leave duplicate centroids, which
+    Lloyd separates or leaves harmlessly tied (argmin → lowest code).
+    The coarse quantizer keeps k-means++ (k is tiny there; quality of
+    the 16-cell layout matters more than its microseconds).
     """
     rng = np.random.RandomState(seed)
     n = len(points)
     if n == 0:
         raise ValueError("cannot train an IVF quantizer on 0 vectors")
     k = min(k, n)
+    if init == "prefix":
+        centers = points[:k].astype(np.float64).copy()
+        return _lloyd(points, centers, k, max_iter)
+    if init != "kmeanspp":
+        raise ValueError(f"unknown kmeans init {init!r}")
     # k-means++ seeding.  The distance-to-last-center update uses the
     # expanded form ‖p‖² − 2·p·c + ‖c‖² (one GEMV per step, ‖p‖²
     # precomputed) instead of materializing an (n × dim) difference
@@ -367,6 +388,12 @@ def _kmeans_numpy(
             centers[i:] = centers[0]
             break
         centers[i] = points[rng.choice(n, p=d2 / total)]
+    return _lloyd(points, centers, k, max_iter)
+
+
+def _lloyd(
+    points: np.ndarray, centers: np.ndarray, k: int, max_iter: int
+) -> np.ndarray:
     dim = points.shape[1]
     for _ in range(max_iter):
         # assign: nearest center by squared distance (one matmul)
@@ -601,8 +628,13 @@ def _train_pq_codebooks(
 
     Returns ``(m, ks', sub_dim)`` with ``ks' = min(ks, |sample|)`` —
     every subspace sees the same sample size, so all codebooks have the
-    same number of rows and codes index uniformly.  Each subspace gets
-    a distinct derived seed so codebooks are independent draws.
+    same number of rows and codes index uniformly.  Init is the
+    ``"prefix"`` mode (first ks rows of the hash-ordered sample — a
+    uniform subset by construction, the faiss PQ recipe): the k-means++
+    draw is k sequential O(n·dim) steps and dominated PQ training at
+    ks=256 × m subspaces, while each subspace's Lloyd loop still
+    trains on its own slice, so the converged codebooks differ per
+    subspace.
     """
     n, dim = sample.shape
     if dim % m != 0:
@@ -615,6 +647,7 @@ def _train_pq_codebooks(
             ks,
             seed=seed + 101 + j,
             max_iter=max_iter,
+            init="prefix",
         )
 
     # subspaces are independent draws with independent derived seeds,
