@@ -588,12 +588,18 @@ def repair_minhash_index(
     previous append stopped — before any write, between writes, or
     after all three (then it writes nothing).  Scale shape: the index
     tables are probed via broadcast semi-joins on the increment's own
-    fingerprints, so index-side reads stay map-side filters — the work
-    is increment-sized, like the append itself.  Closes every open
-    journal transaction with a ``repair`` record and returns their
-    ids.  Must be called with the SAME increment the died append ran
-    with (the journal records the fact of the crash, not the data; at
-    ingest, replaying the day's batch is the recovery contract).
+    fingerprints, so index-side reads stay map-side filters — the
+    re-append is increment-sized, like the append itself; the closing
+    validation is a full-index structural scan (this is a recovery
+    path, not an ingest step).  Open journal transactions are closed
+    with ``repair`` records ONLY after the structural invariants
+    verify clean — if appends of OTHER increments also died, their
+    orphan rows fail the validation and this raises instead of
+    silently marking the index clean (see the inline comment).
+    Returns the closed transaction ids.  Must be called with the SAME
+    increment the died append ran with (the journal records the fact
+    of the crash, not the data; at ingest, replaying the day's batch
+    is the recovery contract).
     """
     from data_toolz_spark.operators.dedup import (
         _band_bucket_udf,
@@ -646,7 +652,31 @@ def repair_minhash_index(
             existing_members, on=["fp", "id"], how="left_anti"
         ).write.insertInto(f"{table_prefix}_mh_members")
     )
-    open_txns = minhash_index_open_txns(spark, table_prefix)
+    # close the journal ONLY if the index is structurally whole again.
+    # The journal records that appends died, not WHICH increments they
+    # carried — if a SECOND increment's append also died, re-appending
+    # this one leaves that one's orphan rows in place, and blindly
+    # closing every open transaction would mark the index clean while
+    # mining silently drops its candidate pairs.  The structural
+    # invariants (validate_minhash_index) see exactly those orphans,
+    # so they gate the close: violations → close nothing and fail
+    # loudly, telling the operator to repair the other increment too.
+    report = validate_minhash_index(spark, table_prefix)
+    structural = {
+        k: v
+        for k, v in report.items()
+        if k.endswith("_fps") and v
+    }
+    if structural:
+        raise RuntimeError(
+            f"repair_minhash_index({table_prefix!r}): increment "
+            "re-appended, but the index still has structural "
+            f"violations {structural} — another increment's append "
+            "likely died as well; repair with THAT increment before "
+            "the journal can close "
+            f"(open transactions left open: {report['open_txns']})"
+        )
+    open_txns = report["open_txns"]
     for txn in open_txns:
         _mh_journal_append(spark, table_prefix, txn, "repair")
     return open_txns
@@ -800,13 +830,20 @@ def build_ivf_index(
 
 
 def _pq_pack_udf(codebooks):
-    """PQ-encode + pack to a ``pq_m``-byte binary per vector (one
-    argmin matmul per subspace per Arrow batch — the storage layout
-    that makes the inverted file ``pq_m`` B/row)."""
+    """PQ-encode + pack to a ``pq_m``-byte binary per vector — the
+    storage layout that makes the inverted file ``pq_m`` B/row.  The
+    encode itself is the SHARED ``_pq_encode_batch`` kernel (one
+    implementation across the batch ivfpq path and this packer, so a
+    future change to the distance form or tie-break cannot silently
+    diverge the persistent index's codes from the batch path's)."""
     from pyspark.sql.functions import pandas_udf
 
-    m, _, sub = codebooks.shape
-    c_sq = [(codebooks[j] ** 2).sum(axis=1) for j in range(m)]
+    from data_toolz_spark.operators.similarity import (
+        _pq_c_sq,
+        _pq_encode_batch,
+    )
+
+    c_sq = _pq_c_sq(codebooks)
 
     @pandas_udf("binary")
     def pack(vecs: pd.Series) -> pd.Series:
@@ -817,11 +854,9 @@ def _pq_pack_udf(codebooks):
             mat = np.vstack(
                 [np.asarray(vals[i], dtype=np.float64) for i in live]
             )
-            codes = np.empty((len(live), m), dtype=np.uint8)
-            for j in range(m):
-                x = mat[:, j * sub : (j + 1) * sub]
-                d = c_sq[j][None, :] - 2.0 * (x @ codebooks[j].T)
-                codes[:, j] = d.argmin(axis=1)
+            codes = _pq_encode_batch(mat, codebooks, c_sq).astype(
+                np.uint8
+            )
             for r, i in enumerate(live):
                 out[i] = bytes(codes[r])
         return pd.Series(out)
@@ -839,6 +874,15 @@ def _load_codebooks(spark: SparkSession, table_prefix: str, meta):
             r["vector"], dtype=np.float64
         )
     return books
+
+
+def _meta_pq_m(meta) -> int | None:
+    """PQ sub-quantizer count from a meta row, or None for a flat
+    index — INCLUDING indexes persisted before the pq columns existed
+    (their 3-column meta row has no ``pq_m`` field at all; a bare
+    ``meta["pq_m"]`` would raise on every query/append of a
+    pre-existing index, defeating build-once/serve-forever)."""
+    return meta["pq_m"] if "pq_m" in meta.__fields__ else None
 
 
 def _load_centroids(spark: SparkSession, table_prefix: str):
@@ -932,7 +976,7 @@ def ivf_query_index(
     inv = spark.table(f"{table_prefix}_ivf_inv").filter(
         F.col("cell").isin(probed)
     )
-    if meta["pq_m"] is not None:
+    if _meta_pq_m(meta) is not None:
         return _ivfpq_query(
             spark,
             inv,
@@ -1108,7 +1152,7 @@ def append_to_ivf_index(
     ).filter(F.col("vector").isNotNull())
     inv_cols = spark.table(f"{table_prefix}_ivf_inv").columns
     assigned = _assign_cells(units, centers)
-    if meta["pq_m"] is not None:
+    if _meta_pq_m(meta) is not None:
         books = _load_codebooks(spark, table_prefix, meta)
         assigned = assigned.withColumn(
             "codes", _pq_pack_udf(books)(F.col("vector"))

@@ -637,6 +637,8 @@ def _train_pq_codebooks(
     subspace.
     """
     n, dim = sample.shape
+    if m < 1:
+        raise ValueError(f"PQ: m must be >= 1, got {m}")
     if dim % m != 0:
         raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -662,18 +664,40 @@ def _train_pq_codebooks(
     return np.stack(books)  # (m, ks', sub)
 
 
-def _pq_encode_udf(codebooks: np.ndarray):
-    """Arrow-batched PQ encoder: unit vector → ``m`` uint8-sized codes
-    (stored as array<int> — Spark has no unsigned byte).  Per batch and
+def _pq_encode_batch(
+    mat: np.ndarray, codebooks: np.ndarray, c_sq: list
+) -> np.ndarray:
+    """THE PQ encode kernel — the single implementation every encode
+    path (batch ``ivfpq_topk``, the persistent index's build/append
+    packer) must share, so codes stay bit-comparable across them.  Per
     subspace, one ``(batch × sub) @ (sub × ks)`` matmul; the row-norm
     term is constant per row so nearest-sub-centroid reduces to
-    ``argmin(||c||² − 2·x·c)`` — no per-row Python.  Ties break to the
-    LOWEST code (argmin), deterministic across runs."""
+    ``argmin(||c||² − 2·x·c)``.  Ties break to the LOWEST code
+    (argmin), deterministic across runs.  Returns ``(batch, m)``
+    int32 codes."""
+    m, _, sub = codebooks.shape
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        d = c_sq[j][None, :] - 2.0 * (x @ codebooks[j].T)
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def _pq_c_sq(codebooks: np.ndarray) -> list:
+    """Per-codebook squared norms, precomputed once driver-side."""
+    return [
+        (codebooks[j] ** 2).sum(axis=1) for j in range(len(codebooks))
+    ]
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder: unit vector → ``m`` uint8-sized codes
+    (stored as array<int> — Spark has no unsigned byte); one
+    ``_pq_encode_batch`` call per Arrow batch, no per-row Python."""
     from pyspark.sql.functions import pandas_udf
 
-    m, _, sub = codebooks.shape
-    # precompute per-codebook squared norms once, driver-side
-    c_sq = [(codebooks[j] ** 2).sum(axis=1) for j in range(m)]
+    c_sq = _pq_c_sq(codebooks)
 
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
@@ -684,11 +708,7 @@ def _pq_encode_udf(codebooks: np.ndarray):
             mat = np.vstack(
                 [np.asarray(vals[i], dtype=np.float64) for i in live]
             )
-            codes = np.empty((len(live), m), dtype=np.int32)
-            for j in range(m):
-                x = mat[:, j * sub : (j + 1) * sub]
-                d = c_sq[j][None, :] - 2.0 * (x @ codebooks[j].T)
-                codes[:, j] = d.argmin(axis=1)
+            codes = _pq_encode_batch(mat, codebooks, c_sq)
             for r, i in enumerate(live):
                 out[i] = codes[r]
         return pd.Series(out)
@@ -765,6 +785,8 @@ def ivfpq_topk(
         raise ValueError(
             "ivfpq_topk: train_sample must be a positive sample size"
         )
+    if m < 1:
+        raise ValueError(f"ivfpq_topk: m must be >= 1, got {m}")
     if dim % m != 0:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     if refine < 0:
@@ -803,9 +825,13 @@ def ivfpq_topk(
         [np.asarray(r["__raw"], dtype=np.float64) for r in sample_rows]
     ) if sample_rows else np.empty((0, dim))
     if len(sample_mat):
-        sample_mat = (
-            sample_mat / np.linalg.norm(sample_mat, axis=1)[:, None]
-        )
+        # drop non-finite / zero-norm rows the JVM-side filter cannot
+        # see (NaN != 0.0 is TRUE in Spark SQL, so a NaN-bearing
+        # vector passes raw_nonzero) — mirrors the unitize UDF's
+        # norm>0 semantics instead of feeding NaN into k-means++
+        norms = np.linalg.norm(sample_mat, axis=1)
+        ok = np.isfinite(norms) & (norms > 0)
+        sample_mat = sample_mat[ok] / norms[ok, None]
     centers = _quantizer_from_sample(
         sample_mat, n_centroids, seed=seed, max_iter=kmeans_max_iter
     )

@@ -191,6 +191,8 @@ def run_near_dup_ingest(
         from data_toolz_spark.cache import release
 
         spark = batch_df.sparkSession
+        pairs = None
+        survivors = None
         try:
             pairs = incremental_near_duplicates(
                 spark,
@@ -255,12 +257,16 @@ def run_near_dup_ingest(
                 id_col=id_col,
                 text_col=text_col,
             )
-            pairs.unpersist()
-            survivors.unpersist()
         finally:
             # incremental mining/appending track their internal
             # persists; release them per batch or they accumulate for
-            # the life of the stream
+            # the life of the stream — and the two frames persisted
+            # directly above must release on the FAILURE path too (a
+            # died batch otherwise pins them for the stream's life)
+            if pairs is not None:
+                pairs.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
             release()
 
     query = (

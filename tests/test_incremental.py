@@ -683,3 +683,112 @@ def test_ivfpq_index_empty_query_batch(spark, emb, tmp_path):
     )
     assert ref.count() == 0
     assert ref.columns == ["query_id", "corpus_id", "cosine"]
+
+
+def test_minhash_repair_refuses_to_close_other_increments_die(
+    spark, tmp_path, monkeypatch
+):
+    """Review r7: two DIFFERENT increments' appends die; repairing with
+    only the first must converge that increment but REFUSE to close
+    the journal (the second increment's orphan rows still fail the
+    structural validation) — blindly closing would mark the index
+    clean while mining silently dropped the second increment's pairs.
+    Repairing with the second increment then closes everything."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_index_open_txns,
+        repair_minhash_index,
+        validate_minhash_index,
+    )
+
+    prefix = "mhidx_2crash"
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members", "mh_journal"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    inc_a = spark.createDataFrame(
+        [(10, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    inc_b = spark.createDataFrame(
+        [(20, "red orange yellow green blue indigo")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        old, prefix, threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "idx2"),
+    )
+
+    orig = DataFrameWriter.insertInto
+
+    def dying(self, tableName, overwrite=None):
+        if str(tableName).startswith(f"{prefix}_") and str(
+            tableName
+        ).endswith("_mh_sets"):
+            raise RuntimeError("simulated job death mid-append")
+        if overwrite is None:
+            return orig(self, tableName)
+        return orig(self, tableName, overwrite)
+
+    monkeypatch.setattr(DataFrameWriter, "insertInto", dying)
+    for inc in (inc_a, inc_b):
+        with pytest.raises(RuntimeError, match="simulated job death"):
+            append_to_minhash_index(spark, inc, prefix)
+    monkeypatch.setattr(DataFrameWriter, "insertInto", orig)
+
+    assert len(minhash_index_open_txns(spark, prefix)) == 2
+
+    # repairing increment A alone: converges A, but B's orphan band
+    # rows still violate the invariants — must raise, close NOTHING
+    with pytest.raises(RuntimeError, match="structural violations"):
+        repair_minhash_index(spark, inc_a, prefix)
+    assert len(minhash_index_open_txns(spark, prefix)) == 2
+
+    # repairing with B then converges the whole index and closes both
+    closed = repair_minhash_index(spark, inc_b, prefix)
+    assert len(closed) == 2
+    assert minhash_index_open_txns(spark, prefix) == []
+    assert validate_minhash_index(spark, prefix)["consistent"]
+
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members", "mh_journal"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_ivf_meta_backward_compat_flat_index(spark, emb, tmp_path):
+    """Review r7: an index persisted BEFORE the pq columns existed has
+    a 3-column meta row; query and append must treat it as flat, not
+    raise on the missing field (build-once/serve-forever)."""
+    from data_toolz_spark.operators.incremental import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    prefix = "t_ivf_oldmeta"
+    _drop_ivf_tables(spark, prefix)
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), prefix,
+        dim=64, n_centroids=4,
+        path=str(tmp_path / "oldmeta"),
+    )
+    # simulate the pre-r7 meta layout: (dim, n_centroids, seed) only
+    meta = spark.table(f"{prefix}_ivf_meta").first()
+    spark.createDataFrame(
+        [(meta["dim"], meta["n_centroids"], meta["seed"])],
+        "dim int, n_centroids int, seed int",
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_ivf_meta")
+
+    q = emb.filter(F.col("vec_id") < 3)
+    rows = ivf_query_index(spark, q, prefix, k=5, n_probe=4).collect()
+    assert rows and "cosine" in rows[0].asDict()
+    append_to_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), prefix
+    )
+    assert spark.table(f"{prefix}_ivf_inv").count() == emb.count()

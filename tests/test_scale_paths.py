@@ -489,3 +489,39 @@ def test_pq_codebook_shapes_and_determinism():
     assert not np.array_equal(a[0], a[1])
     big = _train_pq_codebooks(sample, 4, 256, seed=42, max_iter=5)
     assert big.shape[1] == 100  # ks' = min(ks, n)
+
+
+def test_ivfpq_nan_corpus_vector_excluded(spark, embeddings):
+    """Review r7: Spark SQL's NaN != 0.0 is TRUE, so a NaN-bearing
+    vector passes the raw non-zero prefilter; the driver-side sample
+    normalization must drop it (mirroring the unitize UDF's norm>0
+    semantics) instead of crashing k-means++ with NaN probabilities —
+    and the NaN row must not appear in results."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    bad = spark.createDataFrame(
+        [(999_999, [float("nan")] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = embeddings.unionByName(bad)
+    rows = ivfpq_topk(
+        embeddings.filter(F.col("vec_id") < 2), corpus,
+        query_id="vec_id", corpus_id="vec_id",
+        k=5, dim=64, n_centroids=4, n_probe=4, m=8, ks=64, refine=2,
+    ).collect()
+    assert len(rows) == 10
+    assert all(r["corpus_id"] != 999_999 for r in rows)
+
+
+def test_ivfpq_m_zero_raises_value_error(spark, embeddings):
+    import pytest
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        ivfpq_topk(
+            embeddings.limit(2), embeddings,
+            query_id="vec_id", corpus_id="vec_id", dim=64, m=0,
+        )
