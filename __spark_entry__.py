@@ -1281,29 +1281,45 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the frequency-sketch attestation the HLL row (X39) cannot have
     (opaque DataSketches binary state); build → estimate runs the full
     ``cms_sketch_table``/``cms_estimate`` path.
+
+    r8 (VERDICT r7 item 2): the sketch no longer re-explodes the token
+    stream.  Both consumers derive from ONE logical full-vocab
+    aggregation (token → tf, doc_freq): ``truncate_vocab`` cuts the
+    top-24, and the sketch builds from the aggregated counts via
+    ``weight_col="tf"`` — CMS cell increments are additive, so
+    per-occurrence +1 and per-token +tf produce the IDENTICAL sketch
+    (oracle hash unchanged), while the portable md5 runs 4× per
+    DISTINCT token instead of 4× per token OCCURRENCE.  That
+    per-occurrence md5 on a second full explode was the r7 entry's
+    0.8 s → ~4 s regression; this shape re-measures at ~1.2 s warm.
+    Deliberately NOT persisted: Spark recomputes the small agg per
+    branch (the explode+agg is ~0.9 s of the 1.2), and an A/B showed
+    every persist variant SLOWER at bench scale (counts persisted:
+    1.8 s; 24-row vocab persisted: 1.9 s — the InMemoryRelation
+    barrier breaks whole-stage pipelining and costs more than the
+    re-scan).  A 100 TB run would persist ``counts`` (vocab-sized,
+    not corpus-sized) and eat the barrier.
     """
     from data_toolz_spark.functions.sketches import (
         cms_estimate,
         cms_sketch_table,
     )
-    from data_toolz_spark.operators.text_analysis import build_vocab
+    from data_toolz_spark.operators.text_analysis import (
+        build_vocab,
+        truncate_vocab,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    vocab = build_vocab(
-        docs,
-        "text",
-        doc_id_col="doc_id",
-        top_v=24,
-    ).select(
+    counts = build_vocab(docs, "text", doc_id_col="doc_id")
+    vocab = truncate_vocab(counts, 24).select(
         "token",
         F.col("tf").cast("long").alias("tf"),
         F.col("doc_freq").cast("long").alias("doc_freq"),
         F.col("rank").cast("int").alias("rank"),
     )
-    toks = docs.select(
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
-    sketch = cms_sketch_table(toks, "token", d=4, w=256, portable=True)
+    sketch = cms_sketch_table(
+        counts, "token", d=4, w=256, portable=True, weight_col="tf"
+    )
     est = cms_estimate(
         sketch,
         vocab.select("token"),

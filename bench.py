@@ -632,6 +632,20 @@ def main() -> int:
     from data_toolz_spark.cache import clear_session_caches
 
     timings: dict[str, float] = {}
+    # per-entry host load (1-min loadavg sampled before and after each
+    # timed entry): the r7 driver sweep landed in a sibling-VM
+    # contention window and several readings were 4-6x off the same
+    # binary's quiet-host numbers (VERDICT r7) — recording load per
+    # entry makes contention machine-detectable from the JSON instead
+    # of a prose note in BASELINE.md.
+    loads: dict[str, list[float]] = {}
+
+    def _timed(name: str, fn) -> None:
+        l0 = os.getloadavg()[0]
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+        loads[name] = [round(l0, 2), round(os.getloadavg()[0], 2)]
 
     # pre-sweep: build the persistent MinHash index once and time it as
     # its own entry, so the sweep's incremental_minhash_pairs times
@@ -641,11 +655,13 @@ def main() -> int:
     for qid, build_name, build_fn in BENCH_BUILDS:
         if qid not in names:
             continue
-        start = time.perf_counter()
-        build_fn(spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[build_name] = round(time.perf_counter() - start, 3)
+        _timed(
+            build_name,
+            lambda fn=build_fn: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         split_active.add(qid)
         clear_session_caches(spark)
 
@@ -654,9 +670,13 @@ def main() -> int:
             fn = BENCH_SPLIT[name]
         else:
             fn = queries.get(name) or LEGACY.get(name) or EXTRAS[name]
-        start = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        _timed(
+            name,
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         # between-query hygiene (outside the timer): release operator
         # persists + clear the SQL cache so cached blocks from one
         # family don't inflate every later query's JVM (the round-2
@@ -685,6 +705,7 @@ def main() -> int:
         "unit": "sec",
         "headline_v2_total": total_v2,
         "queries": timings,
+        "loadavg": loads,
         "sf": _sf_from_dir(SF_DIR),
     }
     if stage_times is not None:

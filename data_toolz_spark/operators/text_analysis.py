@@ -738,14 +738,37 @@ def build_vocab(
     if min_count > 1:
         vocab = vocab.filter(F.col("tf") >= F.lit(min_count))
     if top_v is not None:
-        vocab = vocab.orderBy(
-            F.col("tf").desc(), F.col("token").asc()
-        ).limit(top_v)
-        if rank_col:
-            from pyspark.sql.window import Window
+        vocab = truncate_vocab(vocab, top_v, rank_col=rank_col)
+    return vocab
 
-            w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
-            vocab = vocab.withColumn(rank_col, F.row_number().over(w))
+
+def truncate_vocab(
+    vocab: DataFrame,
+    top_v: int,
+    *,
+    rank_col: str | None = "rank",
+) -> DataFrame:
+    """Deterministic top-V cut of an already-built vocabulary frame
+    (``token, tf, …``) — the truncation half of :func:`build_vocab`,
+    exposed so a caller that feeds SEVERAL consumers from one persisted
+    full-vocab aggregation (e.g. the top-V cut *and* a frequency
+    sketch) pays the token-stream explode exactly once.
+
+    Same contract as ``build_vocab(top_v=…)``: ties at the cut break by
+    (tf DESC, token ASC), plans as ``TakeOrderedAndProject`` (never a
+    global sort), and ``rank_col`` numbers the ≤ V survivors with a
+    window over the already-limited frame.
+    """
+    if top_v <= 0:
+        raise ValueError("truncate_vocab: top_v must be positive")
+    vocab = vocab.orderBy(
+        F.col("tf").desc(), F.col("token").asc()
+    ).limit(top_v)
+    if rank_col:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+        vocab = vocab.withColumn(rank_col, F.row_number().over(w))
     return vocab
 
 
@@ -1128,6 +1151,7 @@ __all__ = [
     "line_dedup",
     "chunk_documents",
     "build_vocab",
+    "truncate_vocab",
     "vocab_coverage",
     "unigram_logprob",
     "tfidf_terms",
