@@ -18,6 +18,7 @@ from data_toolz_spark.operators.similarity import (
     ivf_topk,
     ivfpq_topk,
     lsh_bucket,
+    train_ivfpq_model,
     semantic_dedup,
 )
 from data_toolz_spark.operators.text_analysis import (
@@ -114,6 +115,7 @@ __all__ = [
     "cosine_topk_ann",
     "ivf_topk",
     "ivfpq_topk",
+    "train_ivfpq_model",
     "lsh_bucket",
     "semantic_dedup",
     # text analysis

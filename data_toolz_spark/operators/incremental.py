@@ -717,6 +717,7 @@ def build_ivf_index(
     path: str | None = None,
     pq_m: int | None = None,
     pq_ks: int = 256,
+    pq_by_residual: bool = False,
 ) -> str:
     """Persist an IVF-Flat index: the batch ``ivf_topk`` retrains its
     quantizer and re-assigns the corpus per CALL; at 100 TB a search
@@ -751,6 +752,13 @@ def build_ivf_index(
     ``ivf_topk`` (see its docstring for the bias/size rationale); the
     PQ codebooks train on the SAME sample (one collect, mutually
     consistent cells and codes).
+
+    ``pq_by_residual=True`` (Jégou 2011's default mode; VERDICT r7
+    item 4) trains the codebooks on and encodes each vector's RESIDUAL
+    against its assigned coarse centroid — the recall-recovering mode
+    for clustered corpora (A/B in ``tools/pq_probe.py``).  The mode is
+    pinned in the meta row; queries and appends read it from there, so
+    a stored index can never be scored or extended in the wrong mode.
     """
     from data_toolz_spark.operators.similarity import (
         _bounded_sample,
@@ -791,8 +799,18 @@ def build_ivf_index(
     # centroid-table build would index past the array
     n_cells = len(centers)
     meta = spark.createDataFrame(
-        [(dim, n_cells, seed, pq_m, pq_ks if pq_m else None)],
-        "dim int, n_centroids int, seed int, pq_m int, pq_ks int",
+        [
+            (
+                dim,
+                n_cells,
+                seed,
+                pq_m,
+                pq_ks if pq_m else None,
+                bool(pq_by_residual) if pq_m else None,
+            )
+        ],
+        "dim int, n_centroids int, seed int, pq_m int, pq_ks int, "
+        "pq_residual boolean",
     )
     meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_meta")
     cent = spark.createDataFrame(
@@ -802,8 +820,13 @@ def build_ivf_index(
     cent.write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_centroids")
 
     if pq_m is not None:
+        if pq_by_residual and len(sample):
+            cell = (sample @ centers.T).argmax(axis=1)
+            train_mat = sample - centers[cell]
+        else:
+            train_mat = sample
         books = _train_pq_codebooks(
-            sample, pq_m, pq_ks, seed=seed, max_iter=kmeans_max_iter
+            train_mat, pq_m, pq_ks, seed=seed, max_iter=kmeans_max_iter
         )
         book_rows = [
             (j, c, [float(x) for x in books[j, c]])
@@ -815,11 +838,16 @@ def build_ivf_index(
         ).write.mode("overwrite").saveAsTable(
             f"{table_prefix}_ivf_codebooks"
         )
-        inv = (
-            _assign_cells(units, centers)
-            .withColumn("codes", _pq_pack_udf(books)(F.col("vector")))
-            .select("id", "codes", "cell")
+        pack = _pq_pack_udf(
+            books, centers=centers if pq_by_residual else None
         )
+        assigned = _assign_cells(units, centers)
+        inv = assigned.withColumn(
+            "codes",
+            pack(F.col("vector"), F.col("cell"))
+            if pq_by_residual
+            else pack(F.col("vector")),
+        ).select("id", "codes", "cell")
     else:
         inv = _assign_cells(units, centers).select("id", "vector", "cell")
     writer = inv.write.mode("overwrite").partitionBy("cell")
@@ -829,13 +857,18 @@ def build_ivf_index(
     return table_prefix
 
 
-def _pq_pack_udf(codebooks):
+def _pq_pack_udf(codebooks, centers=None):
     """PQ-encode + pack to a ``pq_m``-byte binary per vector — the
     storage layout that makes the inverted file ``pq_m`` B/row.  The
     encode itself is the SHARED ``_pq_encode_batch`` kernel (one
     implementation across the batch ivfpq path and this packer, so a
     future change to the distance form or tie-break cannot silently
-    diverge the persistent index's codes from the batch path's)."""
+    diverge the persistent index's codes from the batch path's).
+
+    ``centers`` given → the by-residual packer: a TWO-argument UDF
+    ``pack(vector, cell)`` that encodes ``vector − centers[cell]``
+    using the ALREADY-ASSIGNED cell column (never re-deriving it, so
+    codes always match the cell the row is stored under)."""
     from pyspark.sql.functions import pandas_udf
 
     from data_toolz_spark.operators.similarity import (
@@ -845,8 +878,28 @@ def _pq_pack_udf(codebooks):
 
     c_sq = _pq_c_sq(codebooks)
 
+    if centers is None:
+
+        @pandas_udf("binary")
+        def pack(vecs: pd.Series) -> pd.Series:
+            vals = vecs.tolist()
+            live = [i for i, v in enumerate(vals) if v is not None]
+            out = np.empty(len(vals), dtype=object)
+            if live:
+                mat = np.vstack(
+                    [np.asarray(vals[i], dtype=np.float64) for i in live]
+                )
+                codes = _pq_encode_batch(mat, codebooks, c_sq).astype(
+                    np.uint8
+                )
+                for r, i in enumerate(live):
+                    out[i] = bytes(codes[r])
+            return pd.Series(out)
+
+        return pack
+
     @pandas_udf("binary")
-    def pack(vecs: pd.Series) -> pd.Series:
+    def pack_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
         vals = vecs.tolist()
         live = [i for i, v in enumerate(vals) if v is not None]
         out = np.empty(len(vals), dtype=object)
@@ -854,14 +907,18 @@ def _pq_pack_udf(codebooks):
             mat = np.vstack(
                 [np.asarray(vals[i], dtype=np.float64) for i in live]
             )
-            codes = _pq_encode_batch(mat, codebooks, c_sq).astype(
-                np.uint8
-            )
+            # null cells only occur alongside null vectors (both come
+            # from the same row) — fill before the cast, `live` never
+            # indexes them
+            ce = cells.fillna(-1).to_numpy(dtype=np.int64)[live]
+            codes = _pq_encode_batch(
+                mat - centers[ce], codebooks, c_sq
+            ).astype(np.uint8)
             for r, i in enumerate(live):
                 out[i] = bytes(codes[r])
         return pd.Series(out)
 
-    return pack
+    return pack_residual
 
 
 def _load_codebooks(spark: SparkSession, table_prefix: str, meta):
@@ -883,6 +940,16 @@ def _meta_pq_m(meta) -> int | None:
     ``meta["pq_m"]`` would raise on every query/append of a
     pre-existing index, defeating build-once/serve-forever)."""
     return meta["pq_m"] if "pq_m" in meta.__fields__ else None
+
+
+def _meta_pq_residual(meta) -> bool:
+    """by-residual flag from a meta row; False for flat indexes AND for
+    PQ indexes persisted before the mode existed (r7 builds have no
+    ``pq_residual`` column — they were encoded plain, so False is not a
+    default but the historically correct answer)."""
+    return bool(
+        "pq_residual" in meta.__fields__ and meta["pq_residual"]
+    )
 
 
 def _load_centroids(spark: SparkSession, table_prefix: str):
@@ -926,6 +993,8 @@ def ivf_query_index(
     n_probe: int = 4,
     refine: int = 2,
     refine_with: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+    corpus_vec_col: str | None = None,
 ) -> DataFrame:
     """Top-k search against a persistent IVF index.
 
@@ -950,7 +1019,17 @@ def ivf_query_index(
     shortlist by exact cosine, returning true ``cosine`` values; only
     shortlist ids are joined, so the corpus is touched id-wise, never
     scanned.  Without ``refine_with`` the PQ path returns the raw ADC
-    estimate as ``adc_ip``.  Both knobs are ignored for a flat index.
+    estimate as ``adc_ip`` — an UNREFINED similarity score, not an
+    exact cosine.  Both knobs are ignored for a flat index.
+    ``corpus_id_col``/``corpus_vec_col`` name ``refine_with``'s id and
+    vector columns when they differ from the QUERY frame's (ADVICE r7:
+    the re-rank previously hard-read the query names off the corpus
+    table and failed on any differently-named corpus); they default to
+    ``query_id``/``query_vec`` for compatibility.
+
+    A by-residual PQ index (built with ``pq_by_residual=True``) is
+    detected from the meta row: ADC adds the ``q·c_cell`` term from
+    the stored centroids — callers never pass the mode.
     """
     from data_toolz_spark.functions.vectors import dot_product
     from data_toolz_spark.operators.similarity import (
@@ -986,8 +1065,9 @@ def ivf_query_index(
             k=k,
             refine=refine,
             refine_with=refine_with,
-            query_id=query_id,
-            query_vec=query_vec,
+            corpus_id_col=corpus_id_col or query_id,
+            corpus_vec_col=corpus_vec_col or query_vec,
+            centers=centers,
         )
     scored = inv.join(F.broadcast(q_probes), on="cell").select(
         F.col("__qid").alias("query_id"),
@@ -1009,15 +1089,19 @@ def _ivfpq_query(
     k: int,
     refine: int,
     refine_with: DataFrame | None,
-    query_id: str,
-    query_vec: str,
+    corpus_id_col: str,
+    corpus_vec_col: str,
+    centers,
 ) -> DataFrame:
     """ADC scoring + optional exact re-rank for a PQ inverted file.
 
     The query set is broadcast-small by the module contract, so the
     LUT tensor (n_queries × pq_m × pq_ks doubles) ships in the UDF
     closure; candidate scoring is one ``np.frombuffer`` + fancy-index
-    gather per Arrow batch — no per-row Python, no dot products.
+    gather per Arrow batch — no per-row Python, no dot products.  On a
+    by-residual index the gather adds ``qc[qi, cell]`` (query ×
+    stored-centroid inner products, one tiny driver matmul) — the cell
+    column rides along from the probe join at zero extra I/O.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -1045,16 +1129,18 @@ def _ivfpq_query(
         ).withColumnRenamed("__qid", "query_id")
     q_ids = [r["__qid"] for r in q_rows]
     q_index = {qid: i for i, qid in enumerate(q_ids)}
+    q_mat = np.vstack(
+        [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
+    )
     lut = np.stack(
         [
-            np.vstack(
-                [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
-            )[:, j * sub : (j + 1) * sub]
-            @ books[j].T
+            q_mat[:, j * sub : (j + 1) * sub] @ books[j].T
             for j in range(m)
         ],
         axis=1,
     )  # (n_queries, m, ks')
+    by_residual = _meta_pq_residual(meta)
+    qc = q_mat @ np.asarray(centers, dtype=np.float64).T  # (n_q, cells)
 
     idx_map = spark.createDataFrame(
         [(qid, q_index[qid]) for qid in q_ids],
@@ -1065,7 +1151,7 @@ def _ivfpq_query(
     )
 
     @pandas_udf("double")
-    def adc(qidx: pd.Series, codes: pd.Series) -> pd.Series:
+    def adc(qidx: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
         qi = qidx.to_numpy(dtype=np.int64)
         code_mat = np.vstack(
             [
@@ -1074,12 +1160,17 @@ def _ivfpq_query(
             ]
         )
         cols = np.arange(m, dtype=np.int64)[None, :]
-        return pd.Series(lut[qi[:, None], cols, code_mat].sum(axis=1))
+        scores = lut[qi[:, None], cols, code_mat].sum(axis=1)
+        if by_residual:
+            scores = scores + qc[qi, cell.to_numpy(dtype=np.int64)]
+        return pd.Series(scores)
 
     scored = inv.join(F.broadcast(probes), on="cell").select(
         F.col("__qid").alias("query_id"),
         F.col("id").alias("corpus_id"),
-        adc(F.col("__qidx"), F.col("codes")).alias("adc_ip"),
+        adc(F.col("__qidx"), F.col("cell"), F.col("codes")).alias(
+            "adc_ip"
+        ),
     )
     if refine_with is None:
         return _two_stage_topk(
@@ -1095,8 +1186,8 @@ def _ivfpq_query(
     # pandas pass)
     unitize = _unit_vector_udf(meta["dim"])
     raw = refine_with.select(
-        F.col(query_id).alias("corpus_id"),
-        F.col(query_vec).cast("array<double>").alias("__rawv"),
+        F.col(corpus_id_col).alias("corpus_id"),
+        F.col(corpus_vec_col).cast("array<double>").alias("__rawv"),
     )
     q_map = F.broadcast(
         q_probes.select(
@@ -1154,9 +1245,17 @@ def append_to_ivf_index(
     assigned = _assign_cells(units, centers)
     if _meta_pq_m(meta) is not None:
         books = _load_codebooks(spark, table_prefix, meta)
-        assigned = assigned.withColumn(
-            "codes", _pq_pack_udf(books)(F.col("vector"))
-        )
+        if _meta_pq_residual(meta):
+            assigned = assigned.withColumn(
+                "codes",
+                _pq_pack_udf(books, centers=centers)(
+                    F.col("vector"), F.col("cell")
+                ),
+            )
+        else:
+            assigned = assigned.withColumn(
+                "codes", _pq_pack_udf(books)(F.col("vector"))
+            )
     assigned.select(*inv_cols).write.mode("append").insertInto(
         f"{table_prefix}_ivf_inv"
     )

@@ -480,6 +480,51 @@ def _bounded_sample(
     )
 
 
+def _collect_unit_sample(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    *,
+    seed: int,
+    train_sample: int,
+) -> np.ndarray:
+    """Bounded hash-ordered RAW sample, unit-normalized driver-side —
+    the no-Python-stage twin of ``_bounded_sample`` (collects plain
+    columns; normalization happens in numpy with the same
+    divide-by-norm math as ``_unit_vector_udf``).
+
+    Non-finite vectors are filtered JVM-SIDE, before the ``limit``, so
+    they never consume sample slots (``NaN != 0.0`` is TRUE in Spark
+    SQL, and an Inf norm passes a bare ``n > 0``); the numpy-side
+    finite/norm guard stays as belt-and-braces for anything the JVM
+    filter's float semantics miss.
+    """
+    arr = F.col(corpus_vec).cast("array<double>")
+    nonfinite = F.exists(
+        arr,
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    nonzero = F.exists(arr, lambda x: x != 0.0)
+    sample_rows = (
+        corpus.select(
+            F.col(corpus_id).alias("__cid"), arr.alias("__raw")
+        )
+        .filter(F.col("__raw").isNotNull() & ~nonfinite & nonzero)
+        .orderBy(F.xxhash64(F.col("__cid"), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    sample_mat = np.vstack(
+        [np.asarray(r["__raw"], dtype=np.float64) for r in sample_rows]
+    ) if sample_rows else np.empty((0, dim))
+    if len(sample_mat):
+        norms = np.linalg.norm(sample_mat, axis=1)
+        ok = np.isfinite(norms) & (norms > 0)
+        sample_mat = sample_mat[ok] / norms[ok, None]
+    return sample_mat
+
+
 def _quantizer_from_sample(
     sample: np.ndarray, n_centroids: int, *, seed: int, max_iter: int
 ) -> np.ndarray:
@@ -506,10 +551,16 @@ def ivf_topk(
     seed: int = 42,
     kmeans_max_iter: int = 5,
     train_sample: int = 20_000,
+    centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat: k-means coarse quantizer +
     probe-nearest-cells search — the inverted-file counterpart to the
     SRP-LSH path (``cosine_topk_ann``).
+
+    ``centers=`` injects a pre-trained coarse quantizer (an
+    ``(n_centroids, dim)`` unit-row matrix — the first element of a
+    :func:`train_ivfpq_model` result or a persistent index's stored
+    centroids), skipping the per-call sample + k-means.
 
     Plan, built cluster-first:
 
@@ -570,15 +621,23 @@ def ivf_topk(
     # estimator schedules several full jobs per iteration — pure
     # overhead at quantizer scale.
     #
-    centers = _train_quantizer(
-        c_units,
-        "__cid",
-        "__cv",
-        n_centroids,
-        seed=seed,
-        max_iter=kmeans_max_iter,
-        train_sample=train_sample,
-    )
+    if centers is None:
+        centers = _train_quantizer(
+            c_units,
+            "__cid",
+            "__cv",
+            n_centroids,
+            seed=seed,
+            max_iter=kmeans_max_iter,
+            train_sample=train_sample,
+        )
+    else:
+        centers = np.asarray(centers, dtype=np.float64)
+        if centers.ndim != 2 or centers.shape[1] != dim:
+            raise ValueError(
+                f"ivf_topk: injected centers must be (n, {dim}), "
+                f"got {centers.shape}"
+            )
 
     def _cells_udf(top_n: int):
         from pyspark.sql.functions import pandas_udf
@@ -716,6 +775,91 @@ def _pq_encode_udf(codebooks: np.ndarray):
     return encode
 
 
+def _pq_residual_encode_udf(centers: np.ndarray, codebooks: np.ndarray):
+    """Arrow-batched by-residual encoder: unit vector → ``[cell,
+    code_0..code_m-1]`` as one int array (cell and codes must come from
+    the same kernel — the codes encode ``x − c_cell`` — and a
+    struct-returning scalar pandas_udf is unsupported, so the pair
+    packs into a single array the caller splits).  One matmul for the
+    cell assignment + one ``_pq_encode_batch`` over the residuals per
+    Arrow batch; cell tie-break is argmax (lowest index), identical to
+    ``_batch_topn_cells(top_n=1)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    c_sq = _pq_c_sq(codebooks)
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out = np.empty(len(vals), dtype=object)
+        if live:
+            mat = np.vstack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            cell = np.argmax(mat @ centers.T, axis=1)
+            codes = _pq_encode_batch(
+                mat - centers[cell], codebooks, c_sq
+            )
+            packed = np.concatenate(
+                [cell[:, None].astype(np.int32), codes], axis=1
+            )
+            for r, i in enumerate(live):
+                out[i] = packed[r]
+        return pd.Series(out)
+
+    return encode
+
+
+def train_ivfpq_model(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    seed: int = 42,
+    kmeans_max_iter: int = 5,
+    train_sample: int = 20_000,
+    by_residual: bool = False,
+) -> tuple:
+    """Train an IVF-PQ model once and reuse it across calls (VERDICT r7
+    item 5): returns ``(centers, codebooks)`` numpy arrays accepted by
+    :func:`ivfpq_topk`'s ``centers=``/``codebooks=`` (and, for
+    ``centers`` alone, :func:`ivf_topk`).  Identical sample + k-means
+    path to the in-call training, so injecting the result reproduces
+    the one-shot call bit-for-bit while repeated batch lookups skip the
+    ~2.5 s per-call training cost; the persistent index
+    (``operators/incremental.py``) stores the same arrays as tables.
+    The caller must pass the SAME ``by_residual`` to ``ivfpq_topk``."""
+    if not train_sample or train_sample <= 0:
+        raise ValueError(
+            "train_ivfpq_model: train_sample must be positive"
+        )
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"train_ivfpq_model: dim {dim} must be divisible by m={m}"
+        )
+    sample_mat = _collect_unit_sample(
+        corpus, corpus_id, corpus_vec, dim,
+        seed=seed, train_sample=train_sample,
+    )
+    centers = _quantizer_from_sample(
+        sample_mat, n_centroids, seed=seed, max_iter=kmeans_max_iter
+    )
+    if by_residual and len(sample_mat):
+        cell = (sample_mat @ centers.T).argmax(axis=1)
+        train_mat = sample_mat - centers[cell]
+    else:
+        train_mat = sample_mat
+    codebooks = _train_pq_codebooks(
+        train_mat, m, ks, seed=seed, max_iter=kmeans_max_iter
+    )
+    return centers, codebooks
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -734,11 +878,35 @@ def ivfpq_topk(
     seed: int = 42,
     kmeans_max_iter: int = 5,
     train_sample: int = 20_000,
+    by_residual: bool = False,
+    centers: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-PQ: the IVF-Flat inverted file with
-    product-quantized candidates (Jégou et al. 2011; faiss ``IVFx,PQy``
-    with ``by_residual=False``) — the memory-compression tier above
-    ``ivf_topk``.
+    product-quantized candidates (Jégou et al. 2011; faiss ``IVFx,PQy``)
+    — the memory-compression tier above ``ivf_topk``.
+
+    ``by_residual=True`` (the Jégou-paper default; faiss's too) encodes
+    each vector's RESIDUAL against its coarse centroid instead of the
+    vector itself: residuals concentrate near the origin, so the ks
+    sub-centroids spend their resolution on the part of the vector the
+    coarse quantizer could not explain — on clustered (real) embedding
+    distributions this recovers most of the recall PQ loses at small m
+    (A/B in ``tools/pq_probe.py``).  ADC then scores ``q·c_cell +
+    Σ_j LUT[j][code_j]`` — the cell term comes from the probe-ranking
+    matmul already computed driver-side, so the extra cost is one
+    broadcast row lookup per candidate.  Default stays ``False``:
+    existing stored indexes and the degenerate-exactness test pins
+    predate the mode, and both modes are exact under full probe +
+    refine.
+
+    ``centers=``/``codebooks=`` inject a pre-trained model (VERDICT r7
+    item 5): train once with :func:`train_ivfpq_model` (or reuse the
+    arrays a persistent index stores) and repeated batch calls skip the
+    per-call sample + k-means entirely — training was ~2.5 s of the
+    one-shot wall at defaults.  Both must be given together, and the
+    caller owns consistency: the model's ``by_residual`` mode must
+    match this call's.
 
     Why this exists at 100 TB: IVF-Flat's candidate scan still reads
     ``4·dim`` bytes per corpus row (256 B at dim=64).  PQ stores each
@@ -799,45 +967,56 @@ def ivfpq_topk(
         unitize(F.col(corpus_vec).cast("array<double>")).alias("__cv"),
     ).filter(F.col("__cv").isNotNull())
 
-    # 1. one bounded sample feeds BOTH trainers.  The sample and the
-    # query batch are collected RAW (plain column reads — no Python
-    # stage) and unit-normalized driver-side with the same
-    # divide-by-norm math as `_unit_vector_udf`; identical membership
-    # (non-null, non-zero-norm) and identical float ops, so the
-    # trained quantizer/codebooks are bit-equal to the UDF-path
-    # formulation while the per-call job count drops by two
-    # corpus-touching Python stages (this was most of the fixed cost
-    # at small SF — the real per-row work is the encode scan below).
-    raw_nonzero = F.exists(
-        F.col(corpus_vec).cast("array<double>"), lambda x: x != 0.0
-    )
-    sample_rows = (
-        corpus.select(
-            F.col(corpus_id).alias("__cid"),
-            F.col(corpus_vec).cast("array<double>").alias("__raw"),
+    # 1. one bounded sample feeds BOTH trainers (skipped entirely when
+    # a pre-trained model is injected).  The sample and the query batch
+    # are collected RAW (plain column reads — no Python stage) and
+    # unit-normalized driver-side with the same divide-by-norm math as
+    # `_unit_vector_udf`; for finite inputs the membership (non-null,
+    # non-zero-norm) and float ops are identical, so the trained
+    # quantizer/codebooks are bit-equal to the UDF-path formulation
+    # while the per-call job count drops by two corpus-touching Python
+    # stages.  Non-finite vectors are excluded JVM-SIDE, BEFORE the
+    # limit (ADVICE r7): Spark evaluates ``NaN != 0.0`` as TRUE and a
+    # NaN/Inf row passing the filter would consume a sample slot,
+    # making the trained model diverge from a clean corpus's.
+    if (centers is None) != (codebooks is None):
+        raise ValueError(
+            "ivfpq_topk: centers and codebooks must be injected "
+            "together (both from one train_ivfpq_model call / stored "
+            "index) — mixing a pre-trained half with a freshly "
+            "trained half silently breaks code/cell consistency"
         )
-        .filter(F.col("__raw").isNotNull() & raw_nonzero)
-        .orderBy(F.xxhash64(F.col("__cid"), F.lit(seed)))
-        .limit(train_sample)
-        .collect()
-    )
-    sample_mat = np.vstack(
-        [np.asarray(r["__raw"], dtype=np.float64) for r in sample_rows]
-    ) if sample_rows else np.empty((0, dim))
-    if len(sample_mat):
-        # drop non-finite / zero-norm rows the JVM-side filter cannot
-        # see (NaN != 0.0 is TRUE in Spark SQL, so a NaN-bearing
-        # vector passes raw_nonzero) — mirrors the unitize UDF's
-        # norm>0 semantics instead of feeding NaN into k-means++
-        norms = np.linalg.norm(sample_mat, axis=1)
-        ok = np.isfinite(norms) & (norms > 0)
-        sample_mat = sample_mat[ok] / norms[ok, None]
-    centers = _quantizer_from_sample(
-        sample_mat, n_centroids, seed=seed, max_iter=kmeans_max_iter
-    )
-    codebooks = _train_pq_codebooks(
-        sample_mat, m, ks, seed=seed, max_iter=kmeans_max_iter
-    )
+    if centers is None:
+        sample_mat = _collect_unit_sample(
+            corpus, corpus_id, corpus_vec, dim,
+            seed=seed, train_sample=train_sample,
+        )
+        centers = _quantizer_from_sample(
+            sample_mat, n_centroids, seed=seed, max_iter=kmeans_max_iter
+        )
+        if by_residual and len(sample_mat):
+            cell = (sample_mat @ centers.T).argmax(axis=1)
+            train_mat = sample_mat - centers[cell]
+        else:
+            train_mat = sample_mat
+        codebooks = _train_pq_codebooks(
+            train_mat, m, ks, seed=seed, max_iter=kmeans_max_iter
+        )
+    else:
+        centers = np.asarray(centers, dtype=np.float64)
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+        if centers.ndim != 2 or centers.shape[1] != dim:
+            raise ValueError(
+                f"ivfpq_topk: injected centers must be (n, {dim}), "
+                f"got {centers.shape}"
+            )
+        if codebooks.ndim != 3 or codebooks.shape[0] != m or (
+            codebooks.shape[2] != dim // m
+        ):
+            raise ValueError(
+                f"ivfpq_topk: injected codebooks must be "
+                f"({m}, ks, {dim // m}), got {codebooks.shape}"
+            )
 
     # 2. inverted file: (id, cell, codes) — the raw vector is DROPPED
     # from the candidate side; this is the compression
@@ -853,12 +1032,28 @@ def ivfpq_topk(
 
         return cell1
 
-    encode = _pq_encode_udf(codebooks)
-    inv = c_units.select(
-        "__cid",
-        _assign1_udf()(F.col("__cv")).alias("__cell"),
-        encode(F.col("__cv")).alias("__codes"),
-    )
+    if by_residual:
+        # residual codes depend on the assigned cell, so cell + codes
+        # come from ONE kernel (a struct-returning scalar pandas_udf is
+        # unsupported, so the kernel packs [cell, code_0..code_m-1]
+        # into one int array and the projection splits it — still one
+        # Arrow pass over the corpus)
+        cell_codes = _pq_residual_encode_udf(centers, codebooks)
+        packed = c_units.select(
+            "__cid", cell_codes(F.col("__cv")).alias("__cc")
+        )
+        inv = packed.select(
+            "__cid",
+            F.element_at("__cc", 1).alias("__cell"),
+            F.slice("__cc", 2, m).alias("__codes"),
+        )
+    else:
+        encode = _pq_encode_udf(codebooks)
+        inv = c_units.select(
+            "__cid",
+            _assign1_udf()(F.col("__cv")).alias("__cell"),
+            encode(F.col("__cv")).alias("__codes"),
+        )
 
     # 3. driver-side probe lists + ADC LUT over the (small) query set
     from pyspark.sql.types import (
@@ -945,11 +1140,43 @@ def ivfpq_topk(
 
         return adc
 
+    def _adc_residual_udf():
+        # by_residual ADC: q·x ≈ q·c_cell + q·r̂ — the cell term is a
+        # row lookup into the SAME q×centroid matmul the probe ranking
+        # already produced (``sims``), the residual term is the usual
+        # LUT gather; both ship in one closure broadcast
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def adc(
+            qidx: pd.Series, cell: pd.Series, codes: pd.Series
+        ) -> pd.Series:
+            qi = qidx.to_numpy(dtype=np.int64)
+            ce = cell.to_numpy(dtype=np.int64)
+            code_mat = np.vstack(
+                [np.asarray(c, dtype=np.int64) for c in codes]
+            )
+            cols = np.arange(m, dtype=np.int64)[None, :]
+            scores = (
+                sims[qi, ce]
+                + lut[qi[:, None], cols, code_mat].sum(axis=1)
+            )
+            return pd.Series(scores)
+
+        return adc
+
     cand = inv.join(probe_df, on="__cell")
+    adc_col = (
+        _adc_residual_udf()(
+            F.col("__qidx"), F.col("__cell"), F.col("__codes")
+        )
+        if by_residual
+        else _adc_udf()(F.col("__qidx"), F.col("__codes"))
+    )
     scored = cand.select(
         F.col("__qid").alias("query_id"),
         F.col("__cid").alias("corpus_id"),
-        _adc_udf()(F.col("__qidx"), F.col("__codes")).alias("adc_ip"),
+        adc_col.alias("adc_ip"),
     )
     if refine == 0:
         return _two_stage_topk(
@@ -1344,6 +1571,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ann",
     "ivf_topk",
+    "ivfpq_topk",
+    "train_ivfpq_model",
     "cosine_near_duplicates",
     "cosine_near_duplicates_lsh",
     "lsh_bucket",

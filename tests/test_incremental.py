@@ -623,6 +623,126 @@ def test_ivfpq_index_validation(spark, emb):
         build_ivf_index(emb, "t_ivfpq_v", dim=64, pq_m=8, pq_ks=1000)
 
 
+def test_ivfpq_index_by_residual_roundtrip(spark, emb, tmp_path):
+    """pq_by_residual=True end-to-end: the meta row pins the mode, the
+    degenerate-exact config reproduces brute force through residual
+    codes + the q·c_cell ADC term, and an append encodes residuals
+    with the STORED model (post-append recall holds the non-residual
+    append test's bar — the appended half never influenced the
+    codebooks, so exactness is not expected, but wrong-mode codes or a
+    missing cell term would crater recall, which is what this pins)."""
+    from data_toolz_spark.operators.incremental import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from data_toolz_spark.operators.similarity import cosine_topk
+
+    prefix = "t_ivfpq_res"
+    _drop_ivf_tables(spark, prefix)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    build_ivf_index(
+        half_a, prefix, dim=64, n_centroids=8,
+        pq_m=8, pq_ks=256, train_sample=1_000,
+        pq_by_residual=True,
+        path=str(tmp_path / "ivfpq_res"),
+    )
+    meta = spark.table(f"{prefix}_ivf_meta").first()
+    assert meta["pq_residual"] is True
+
+    got = ivf_query_index(
+        spark, queries, prefix, k=10, n_probe=8,
+        refine=10, refine_with=half_a,
+    )
+    want = cosine_topk(
+        queries, half_a, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+    assert _topk_sets(got) == _topk_sets(want)
+
+    append_to_ivf_index(spark, half_b, prefix)
+    got_all = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_query_index(
+            spark, queries, prefix, k=10, n_probe=8,
+            refine=10, refine_with=emb,
+        ).collect()
+    }
+    want_all = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(
+            queries, emb, query_id="vec_id", corpus_id="vec_id", k=10
+        ).collect()
+    }
+    recall = len(got_all & want_all) / len(want_all)
+    assert recall >= 0.8, recall
+
+    # ADC-only residual serving still returns k rows per query
+    adc = ivf_query_index(spark, queries, prefix, k=10, n_probe=8)
+    per_q = {}
+    for r in adc.collect():
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(n == 10 for n in per_q.values())
+
+
+def test_ivfpq_refine_with_custom_corpus_columns(spark, emb, tmp_path):
+    """ADVICE r7: refine_with previously read the QUERY frame's column
+    names off the corpus table — a corpus with its own names raised an
+    AnalysisException.  corpus_id_col/corpus_vec_col must accept the
+    renamed frame and produce results identical to the same-name
+    default path."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    prefix = "t_ivfpq_cols"
+    _drop_ivf_tables(spark, prefix)
+    build_ivf_index(
+        emb, prefix, dim=64, n_centroids=8,
+        pq_m=8, pq_ks=256, train_sample=1_000,
+        path=str(tmp_path / "ivfpq_cols"),
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    default = ivf_query_index(
+        spark, queries, prefix, k=5, n_probe=8, refine=5,
+        refine_with=emb,
+    )
+    renamed = emb.select(
+        F.col("vec_id").alias("doc_key"),
+        F.col("embedding").alias("vec"),
+    )
+    custom = ivf_query_index(
+        spark, queries, prefix, k=5, n_probe=8, refine=5,
+        refine_with=renamed,
+        corpus_id_col="doc_key", corpus_vec_col="vec",
+    )
+    assert _topk_sets(custom) == _topk_sets(default)
+
+
+def test_meta_pq_residual_backward_compat():
+    """A PQ meta row persisted before the mode existed (r7's 5-column
+    schema) must read as non-residual — that is the historically
+    correct encode mode, not a fallback."""
+    from pyspark.sql import Row
+
+    from data_toolz_spark.operators.incremental import _meta_pq_residual
+
+    old = Row(dim=64, n_centroids=8, seed=42, pq_m=8, pq_ks=256)
+    assert _meta_pq_residual(old) is False
+    new_on = Row(
+        dim=64, n_centroids=8, seed=42, pq_m=8, pq_ks=256,
+        pq_residual=True,
+    )
+    assert _meta_pq_residual(new_on) is True
+    flat = Row(
+        dim=64, n_centroids=8, seed=42, pq_m=None, pq_ks=None,
+        pq_residual=None,
+    )
+    assert _meta_pq_residual(flat) is False
+
+
 def test_ivfpq_index_probe_prunes_partitions(spark, emb, tmp_path):
     """Same serving contract on the PQ inverted file: the probe must
     reach the codes table as a PARTITION filter on cell — the

@@ -525,3 +525,181 @@ def test_ivfpq_m_zero_raises_value_error(spark, embeddings):
             embeddings.limit(2), embeddings,
             query_id="vec_id", corpus_id="vec_id", dim=64, m=0,
         )
+
+
+def test_ivfpq_by_residual_exact_in_degenerate_config(spark, embeddings):
+    """by_residual=True preserves the pinned exactness property: with a
+    corpus-covering sample and ks >= |corpus|, residual codebooks
+    converge onto the actual residuals, ADC's ``q·c_cell + LUT`` sum is
+    the exact inner product, and full probe + re-rank reproduces
+    brute-force top-k bit-for-bit (vectors in different cells may share
+    a residual code — the added-back cell term keeps their scores
+    distinct, which is exactly what this pins)."""
+    from data_toolz_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in ivfpq_topk(
+            q, embeddings,
+            query_id="vec_id", corpus_id="vec_id",
+            k=5, dim=64, n_centroids=8, n_probe=8,
+            m=8, ks=512, refine=2, train_sample=1_000,
+            by_residual=True,
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_ivfpq_by_residual_adc_scores_exact_in_degenerate_config(
+    spark, embeddings
+):
+    """refine=0 + by_residual: the raw ADC estimate must equal the true
+    cosine — this pins the ``q·c_cell`` term's row lookup (a wrong cell
+    index or a stale sims matrix would shift every score)."""
+    import numpy as np
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+
+    def cos(a, b):
+        ua, ub = a / np.linalg.norm(a), b / np.linalg.norm(b)
+        return float(ua @ ub)
+
+    rows = ivfpq_topk(
+        embeddings.filter(F.col("vec_id") < 3), embeddings,
+        query_id="vec_id", corpus_id="vec_id",
+        k=5, dim=64, n_centroids=8, n_probe=8,
+        m=8, ks=512, refine=0, train_sample=1_000,
+        by_residual=True,
+    ).collect()
+    assert len(rows) == 15
+    for r in rows:
+        true = cos(vecs[r["query_id"]], vecs[r["corpus_id"]])
+        assert abs(r["adc_ip"] - true) < 1e-9, (r, true)
+
+
+def test_ivfpq_by_residual_lossy_recall_and_rerank_contract(
+    spark, embeddings
+):
+    """Lossy by-residual config: k rows per query and the same recall
+    bar as the non-residual path (synthetic near-uniform embeddings are
+    PQ's worst case either way; the clustered-corpus gain is measured
+    in tools/pq_probe.py, not asserted here)."""
+    from data_toolz_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect()
+    }
+    rows = ivfpq_topk(
+        q, embeddings,
+        query_id="vec_id", corpus_id="vec_id",
+        k=5, dim=64, n_centroids=8, n_probe=4,
+        m=8, ks=256, refine=2, by_residual=True,
+    ).collect()
+    per_query = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert all(n == 5 for n in per_query.values())
+    got = {(r["query_id"], r["corpus_id"]) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ivfpq_injected_model_bit_equal_to_self_trained(spark, embeddings):
+    """train_ivfpq_model + centers=/codebooks= injection reproduces the
+    self-training call bit-for-bit (same sample path, same k-means) —
+    the VERDICT r7 item-5 contract that lets repeated batch calls skip
+    per-call training; checked in both residual modes."""
+    from data_toolz_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivfpq_model,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    for by_res in (False, True):
+        cfg = dict(
+            query_id="vec_id", corpus_id="vec_id",
+            k=5, dim=64, n_centroids=8, n_probe=4,
+            m=8, ks=64, refine=2, by_residual=by_res,
+        )
+        self_trained = {
+            tuple(r) for r in ivfpq_topk(q, embeddings, **cfg).collect()
+        }
+        centers, codebooks = train_ivfpq_model(
+            embeddings, corpus_id="vec_id", dim=64,
+            n_centroids=8, m=8, ks=64, by_residual=by_res,
+        )
+        injected = {
+            tuple(r)
+            for r in ivfpq_topk(
+                q, embeddings, centers=centers, codebooks=codebooks, **cfg
+            ).collect()
+        }
+        assert injected == self_trained, by_res
+
+
+def test_ivfpq_injection_validation(spark, embeddings):
+    import numpy as np
+    import pytest
+
+    from data_toolz_spark.operators.similarity import ivfpq_topk
+
+    q = embeddings.limit(2)
+    with pytest.raises(ValueError, match="together"):
+        ivfpq_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id",
+            centers=np.zeros((4, 64)),
+        )
+    with pytest.raises(ValueError, match="centers must be"):
+        ivfpq_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id",
+            dim=64, m=8,
+            centers=np.zeros((4, 32)), codebooks=np.zeros((8, 16, 8)),
+        )
+    with pytest.raises(ValueError, match="codebooks must be"):
+        ivfpq_topk(
+            q, embeddings, query_id="vec_id", corpus_id="vec_id",
+            dim=64, m=8,
+            centers=np.zeros((4, 64)), codebooks=np.zeros((4, 16, 8)),
+        )
+
+
+def test_ivf_topk_injected_centers_bit_equal(spark, embeddings):
+    """ivf_topk with injected centers (from train_ivfpq_model) equals
+    the self-trained call — the coarse quantizer is the shared half of
+    the model."""
+    from data_toolz_spark.operators.similarity import (
+        ivf_topk,
+        train_ivfpq_model,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    cfg = dict(
+        query_id="vec_id", corpus_id="vec_id",
+        k=5, dim=64, n_centroids=8, n_probe=4,
+    )
+    self_trained = {
+        tuple(r) for r in ivf_topk(q, embeddings, **cfg).collect()
+    }
+    centers, _ = train_ivfpq_model(
+        embeddings, corpus_id="vec_id", dim=64, n_centroids=8, m=8, ks=16
+    )
+    injected = {
+        tuple(r)
+        for r in ivf_topk(q, embeddings, centers=centers, **cfg).collect()
+    }
+    assert injected == self_trained

@@ -44,6 +44,7 @@ from data_toolz_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     ivfpq_topk,
+    train_ivfpq_model,
 )
 from data_toolz_spark.session import get_spark
 
@@ -131,6 +132,64 @@ def inverted_file_sizes(spark, corpus) -> tuple[int, int, int]:
     return rows, flat_b, pq_b
 
 
+def clustered_residual_ab(spark) -> list:
+    """Recall A/B for by_residual on a corpus with actual cluster
+    structure — residual encoding's design case (Jégou 2011 §III.B:
+    residuals concentrate the energy the coarse quantizer removed).
+    Deterministic numpy draw; ks=64 (not 256) so the codebooks are
+    genuinely lossy and the mode difference is visible; refine=10 is
+    the serving-shape shortlist; FULL probe so cell recall is factored
+    out and the delta is pure codebook quality.  Two regimes: tight
+    clusters/small codebooks (σ=0.05, ks=32 — residual's design case)
+    and looser/larger (σ=0.1, ks=64).  Deterministic query ids (the 5
+    first cluster representatives)."""
+    n_clusters, per, dim = 16, 1250, DIM
+    lines = []
+    for sigma, ks in ((0.05, 32), (0.1, 64)):
+        rng = np.random.RandomState(7)
+        centers = rng.randn(n_clusters, dim)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = (
+            np.repeat(centers, per, axis=0)
+            + sigma * rng.randn(n_clusters * per, dim)
+        )
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(len(pts), dtype=np.int64),
+                "embedding": [row.astype(np.float64) for row in pts],
+            }
+        )
+        corpus = spark.createDataFrame(pdf).cache()
+        corpus.count()
+        q = corpus.filter(
+            F.col("vec_id").isin([i * per for i in range(5)])
+        )
+        exact = {
+            (r["query_id"], r["corpus_id"])
+            for r in cosine_topk(
+                q, corpus, query_id="vec_id", corpus_id="vec_id", k=10
+            ).collect()
+        }
+        recalls = []
+        for by_res in (False, True):
+            got = {
+                (r["query_id"], r["corpus_id"])
+                for r in ivfpq_topk(
+                    q, corpus, query_id="vec_id", corpus_id="vec_id",
+                    k=10, dim=dim, n_centroids=16, n_probe=16,
+                    m=M, ks=ks, refine=10, by_residual=by_res,
+                ).collect()
+            }
+            recalls.append(len(got & exact) / len(exact))
+        corpus.unpersist()
+        lines.append(
+            f"| 16-cluster σ={sigma}, ks={ks}, 20k "
+            f"| {recalls[0]:.2f} | {recalls[1]:.2f} |"
+        )
+        print(lines[-1], flush=True)
+    return lines
+
+
 def main() -> int:
     max_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(
@@ -173,22 +232,51 @@ def main() -> int:
         ).collect()
         t_pq = time.time() - t0
 
+        t0 = time.time()
+        pq_res_rows = ivfpq_topk(
+            q, corpus, query_id="vec_id", corpus_id="vec_id",
+            k=10, dim=DIM, n_centroids=16, n_probe=4,
+            m=M, ks=KS, refine=2, by_residual=True,
+        ).collect()
+        t_pq_res = time.time() - t0
+
+        # pre-trained model reuse (VERDICT r7 item 5): training outside
+        # the timer — the steady-state repeated-batch-call shape
+        centers, codebooks = train_ivfpq_model(
+            corpus, corpus_id="vec_id", dim=DIM,
+            n_centroids=16, m=M, ks=KS,
+        )
+        t0 = time.time()
+        ivfpq_topk(
+            q, corpus, query_id="vec_id", corpus_id="vec_id",
+            k=10, dim=DIM, n_centroids=16, n_probe=4,
+            m=M, ks=KS, refine=2,
+            centers=centers, codebooks=codebooks,
+        ).collect()
+        t_pq_pre = time.time() - t0
+
         flat_recall = len(
             {(r["query_id"], r["corpus_id"]) for r in flat_rows} & exact
         ) / len(exact)
         pq_recall = len(
             {(r["query_id"], r["corpus_id"]) for r in pq_rows} & exact
         ) / len(exact)
+        pq_res_recall = len(
+            {(r["query_id"], r["corpus_id"]) for r in pq_res_rows} & exact
+        ) / len(exact)
 
         rows, flat_b, pq_b = inverted_file_sizes(spark, corpus)
         corpus.unpersist()
         lines.append(
             f"| {mult}× | {n:,} | {t_flat:.2f} | {t_pq:.2f} "
-            f"| {flat_recall:.2f} | {pq_recall:.2f} "
+            f"| {t_pq_pre:.2f} | {t_pq_res:.2f} "
+            f"| {flat_recall:.2f} | {pq_recall:.2f} | {pq_res_recall:.2f} "
             f"| {flat_b/1e6:.1f} MB | {pq_b/1e6:.1f} MB "
             f"| {flat_b/max(pq_b,1):.1f}× |"
         )
         print(lines[-1], flush=True)
+
+    cluster_lines = clustered_residual_ab(spark)
 
     section = "\n".join(
         [
@@ -197,11 +285,15 @@ def main() -> int:
             "IVF-PQ vs IVF-Flat (16 cells probe 4; PQ m=8 ks=256 refine=2; "
             "inverted-file bytes are the SAME corpus written as parquet "
             "(id, cell, float64[64]) vs (id, cell, 8 codes) — the "
-            "candidate payload a probe-cell scan reads):",
+            "candidate payload a probe-cell scan reads; `pq pre s` is the "
+            "same pq query with a pre-trained injected model — the "
+            "repeated-batch-call shape; `pq res` columns are "
+            "by_residual=True at the same m/ks):",
             "",
-            "| mult | vecs | flat s | pq s | flat recall@10 | pq recall@10 "
+            "| mult | vecs | flat s | pq s | pq pre s | pq res s "
+            "| flat recall@10 | pq recall@10 | pq res recall@10 "
             "| flat inv file | pq inv file | compression |",
-            "|---|---|---|---|---|---|---|---|---|",
+            "|---|---|---|---|---|---|---|---|---|---|---|---|",
             *lines,
             "",
             "Synthetic near-uniform embeddings are PQ's worst case for "
@@ -211,9 +303,26 @@ def main() -> int:
             "one-shot pq column pays quantizer + codebook training per "
             "call (~2.5 s of its wall: bounded 20k sample, GIL-parallel "
             "subspace k-means — was ~6 s before the vectorized M-step "
-            "and GEMV-form init); the persistent index "
-            "(build_ivf_index(pq_m=…)) pays it once at build and serves "
-            "from stored codebooks.",
+            "and GEMV-form init); the `pq pre` column shows the same "
+            "query with training hoisted out (train_ivfpq_model reuse); "
+            "the persistent index (build_ivf_index(pq_m=…)) stores the "
+            "same model and serves from it.",
+            "",
+            "By-residual A/B on CLUSTERED corpora (the distribution "
+            "residual encoding exists for — 16 Gaussian clusters "
+            "around unit centers, 20k vectors, m=8, FULL probe 16/16 "
+            "refine=10, so cell recall is factored out and the delta "
+            "is pure codebook quality; same exact-rerank contract; "
+            "deterministic queries = the 5 first cluster "
+            "representatives.  A numpy full-probe sweep at "
+            "σ∈{0.05,0.1,0.15} additionally measured residual ADC "
+            "error consistently lower; within-cluster ranking at tiny "
+            "σ is beyond ANY 8-byte code — both modes need the exact "
+            "re-rank there, which is why refine exists):",
+            "",
+            "| corpus | pq recall@10 | pq res recall@10 |",
+            "|---|---|---|",
+            *cluster_lines,
             "",
             MARKER_END,
         ]
