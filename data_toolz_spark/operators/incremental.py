@@ -176,7 +176,13 @@ def minhash_index_open_txns(
 ) -> list[str]:
     """Transactions that began a multi-table append but never committed
     (or were repaired) — non-empty means the index is dirty.  Indexes
-    built before the journal existed report clean."""
+    built before the journal existed report clean.
+
+    Cost note (ADVICE r7): this scans the whole journal, and every
+    append adds two tiny files — a long-lived stream's pre-batch check
+    degrades with journal size unless the closed rows are periodically
+    rewritten away; :func:`compact_minhash_journal` does exactly that
+    (the streaming ingest calls it on a batch cadence)."""
     jt = _mh_journal_table(table_prefix)
     if not spark.catalog.tableExists(jt):
         return []
@@ -187,6 +193,33 @@ def minhash_index_open_txns(
         r["txn"] for r in begun.join(closed, on="txn", how="left_anti")
         .distinct().collect()
     )
+
+
+def compact_minhash_journal(
+    spark: SparkSession, table_prefix: str
+) -> bool:
+    """Rewrite the append journal dropping CLOSED transactions' rows —
+    the maintenance step that keeps a long-lived stream's per-batch
+    dirty check O(open txns), not O(appends ever made) (ADVICE r7).
+
+    Crash-safety protocol: compaction runs ONLY when no transaction is
+    open (returns False, touching nothing, otherwise).  The overwrite
+    then replaces the journal with an EMPTY one, so the only state a
+    death mid-rewrite can lose is "everything was committed" — and a
+    missing/empty journal already reads as clean, which is the true
+    state.  Compacting a dirty journal could never make that claim,
+    hence the gate.  Single-writer assumption (same as the append path
+    itself): don't run concurrently with an in-flight append.
+    """
+    if minhash_index_open_txns(spark, table_prefix):
+        return False
+    jt = _mh_journal_table(table_prefix)
+    if not spark.catalog.tableExists(jt):
+        return False
+    spark.createDataFrame(
+        [], "txn string, phase string"
+    ).write.mode("overwrite").saveAsTable(jt)
+    return True
 
 
 def build_minhash_index(
@@ -291,6 +324,12 @@ def incremental_near_duplicates(
     everything that shuffles is sized to the increment and its
     candidate set.  LSH config comes from the index's meta table, so a
     drifted caller cannot silently produce a differently-banded join.
+
+    ``id_a < id_b`` holds STRICTLY, including when the increment
+    re-contains an already-indexed id (no self-pairs — ADVICE r7); a
+    caller that needs "was this exact id already ingested" must check
+    the members table, which is what the streaming ingest's replay
+    drop does explicitly.
     """
     from data_toolz_spark.operators.dedup import (
         _band_bucket_udf,
@@ -427,9 +466,21 @@ def incremental_near_duplicates(
         members.filter(F.size("__elems") > 0)
         .select(F.col("__fp").alias("fp"), F.col("__id").alias("id"))
     )
+    #    ADVICE r7: re-ingesting an ALREADY-INDEXED id would join the
+    #    doc to its own members row and emit a self-pair (id, id, 1.0),
+    #    violating the id_a < id_b contract — n.id != o.id keeps the
+    #    contract strict (exact copies under DIFFERENT ids still pair).
+    #    Replay handling that used to lean on those self-pairs is now
+    #    explicit in streaming/ingest.py (already-indexed-id drop).
     ident_old = (
         nonempty_ids.alias("n")
-        .join(old_members.alias("o"), on=F.col("n.fp") == F.col("o.fp"))
+        .join(
+            old_members.alias("o"),
+            on=[
+                F.col("n.fp") == F.col("o.fp"),
+                F.col("n.id") != F.col("o.id"),
+            ],
+        )
         .select(
             F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
             F.greatest(F.col("n.id"), F.col("o.id")).alias("id_b"),
@@ -600,6 +651,18 @@ def repair_minhash_index(
     increment the died append ran with (the journal records the fact
     of the crash, not the data; at ingest, replaying the day's batch
     is the recovery contract).
+
+    Audit caveat (ADVICE r7): the journal records crash-FACT, not
+    content — an append that died after ``begin`` but before writing
+    any row leaves no structural evidence, so its transaction is
+    indistinguishable from one this call just repaired and is closed
+    alongside it.  Closing it is correct for index CONSISTENCY (there
+    is nothing to converge), but that increment's content is entirely
+    absent until the caller replays the failed batch — which the
+    same-increment contract above already requires.  An operator who
+    needs to know WHICH increments lost content must track
+    batch → txn mapping outside the journal (e.g. the ingest sink's
+    batch ids); the journal alone cannot say.
     """
     from data_toolz_spark.operators.dedup import (
         _band_bucket_udf,
@@ -690,6 +753,7 @@ __all__ = [
     "incremental_near_duplicates",
     "append_to_minhash_index",
     "minhash_index_open_txns",
+    "compact_minhash_journal",
     "validate_minhash_index",
     "repair_minhash_index",
     "build_ivf_index",

@@ -167,12 +167,19 @@ def run_near_dup_ingest(
     sink-commit-but-before-fold can duplicate output rows (same
     contract as :func:`run_dedup_ingest` — pair with an idempotent
     sink when exactly-once matters); a retry after the fold drops the
-    whole replayed batch (every doc now pairs jaccard-1.0 with its
-    own indexed fingerprint) and writes nothing new.  A job death
-    INSIDE the fold leaves the index journaled-dirty: the next
-    batch's mining refuses it with the ``repair_minhash_index``
-    instruction — the stream fails loudly instead of mining a
-    half-appended index.
+    whole replayed batch via an EXPLICIT already-indexed-id check
+    (batch ids semi-joined against the members table — r8; mining no
+    longer emits the self-pairs the drop used to lean on) and writes
+    nothing new.  A job death INSIDE the fold leaves the index
+    journaled-dirty: the next batch's mining refuses it with the
+    ``repair_minhash_index`` instruction — the stream fails loudly
+    instead of mining a half-appended index.
+
+    Journal growth: every fold appends two tiny journal rows and the
+    pre-mine dirty check scans them all, so each 64th batch compacts
+    the journal (``compact_minhash_journal`` — a no-op unless the
+    index is clean), keeping the check O(open txns) on a long-lived
+    stream.
 
     ``pairs_table`` (optional) appends the mined ``(id_a, id_b,
     jaccard, batch_id)`` pairs per batch — the audit trail for
@@ -180,6 +187,7 @@ def run_near_dup_ingest(
     """
     from data_toolz_spark.operators.incremental import (
         append_to_minhash_index,
+        compact_minhash_journal,
         incremental_near_duplicates,
     )
 
@@ -202,6 +210,22 @@ def run_near_dup_ingest(
                 text_col=text_col,
             ).persist()
             ids = batch_df.select(F.col(id_col).alias("__mid")).distinct()
+            # explicit replay drop (r8): a batch id already in the
+            # members table was folded by a previous (crashed-after-
+            # fold) attempt of this epoch — drop it.  Members-side scan
+            # is a map-side filter against the broadcast batch ids
+            # (increment-sized output, no corpus shuffle); mining's
+            # id_a < id_b contract is strict, so this is the ONLY
+            # thing standing between a replay and duplicate output.
+            replayed = (
+                spark.table(f"{index_prefix}_mh_members")
+                .join(
+                    F.broadcast(ids),
+                    on=F.col("id") == F.col("__mid"),
+                )
+                .select(F.col("id").alias("__drop"))
+                .distinct()
+            )
             flagged = (
                 pairs.join(
                     ids.withColumnRenamed("__mid", "id_a").withColumn(
@@ -233,6 +257,7 @@ def run_near_dup_ingest(
                         & F.col("__b_in").isNotNull()
                     ).select(F.col("id_b").alias("__drop"))
                 )
+                .unionByName(replayed)
                 .distinct()
             )
             survivors = batch_df.join(
@@ -257,6 +282,11 @@ def run_near_dup_ingest(
                 id_col=id_col,
                 text_col=text_col,
             )
+            # bound the journal on long-lived streams (ADVICE r7):
+            # every 64th batch, rewrite closed txns away — a gated
+            # no-op whenever any txn is still open
+            if batch_id % 64 == 63:
+                compact_minhash_journal(spark, index_prefix)
         finally:
             # incremental mining/appending track their internal
             # persists; release them per batch or they accumulate for

@@ -273,6 +273,233 @@ def test_minhash_append_crash_detected_and_repaired(
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
+def test_incremental_near_dup_no_self_pairs(spark, tmp_path):
+    """ADVICE r7: an increment that re-contains an already-indexed id
+    must NOT emit (id, id, 1.0) self-pairs — id_a < id_b is strict.
+    Exact copies under DIFFERENT ids still pair."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        build_minhash_index,
+        incremental_near_duplicates,
+    )
+
+    prefix = "mhidx_selfpair"
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        seed, prefix, threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "sp_idx"),
+    )
+    # re-deliver the indexed doc (same id) + an exact copy (new id)
+    inc = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (9, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = incremental_near_duplicates(spark, inc, prefix).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows), rows
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 9) in got, rows
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_compact_minhash_journal(spark, tmp_path, monkeypatch):
+    """ADVICE r7: the journal grows two rows per append forever; the
+    compactor rewrites closed txns away when (and only when) the index
+    is clean — a dirty journal is left untouched so the crash record
+    can never be destroyed."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_journal,
+        minhash_index_open_txns,
+    )
+
+    prefix = "mhidx_compact"
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        seed, prefix, threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "cj_idx"),
+    )
+    for i in range(3):
+        inc = spark.createDataFrame(
+            [(100 + i, f"unique content number {i} here today")],
+            "doc_id long, text string",
+        )
+        append_to_minhash_index(spark, inc, prefix)
+    jt = f"{prefix}_mh_journal"
+    assert spark.table(jt).count() == 6  # 3 × (begin + commit)
+    assert compact_minhash_journal(spark, prefix) is True
+    assert spark.table(jt).count() == 0
+    assert minhash_index_open_txns(spark, prefix) == []
+
+    # dirty journal: crash an append, compaction must refuse
+    orig = DataFrameWriter.insertInto
+
+    def dying(self, tableName, overwrite=None):
+        if str(tableName).startswith(f"{prefix}_") and str(
+            tableName
+        ).endswith("_mh_sets"):
+            raise RuntimeError("simulated job death mid-append")
+        if overwrite is None:
+            return orig(self, tableName)
+        return orig(self, tableName, overwrite)
+
+    monkeypatch.setattr(DataFrameWriter, "insertInto", dying)
+    with pytest.raises(RuntimeError, match="simulated"):
+        append_to_minhash_index(
+            spark,
+            spark.createDataFrame(
+                [(200, "more words never indexed before now")],
+                "doc_id long, text string",
+            ),
+            prefix,
+        )
+    monkeypatch.setattr(DataFrameWriter, "insertInto", orig)
+    n_rows = spark.table(jt).count()
+    assert n_rows == 1  # the orphan begin
+    assert compact_minhash_journal(spark, prefix) is False
+    assert spark.table(jt).count() == n_rows  # untouched
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_minhash_repair_itself_crashing_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 item 7: repair must be idempotent under the SAME
+    failure model it fixes — kill the repair between ITS per-table
+    re-appends, verify the journal stays open (the half-repair never
+    masks the dirt), then run repair again and get a converged index
+    that mines identically to the no-crash reference."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_near_duplicates,
+        minhash_index_open_txns,
+        repair_minhash_index,
+        validate_minhash_index,
+    )
+
+    for prefix in ("mhidx_rcrash", "mhidx_rcrashref"):
+        for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+                  "mh_journal"):
+            drop_stale_table(spark, f"{prefix}_{t}")
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "totally different content entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(20, "totally different content entirely new")],
+        "doc_id long, text string",
+    )
+
+    # no-crash reference
+    build_minhash_index(
+        old, "mhidx_rcrashref", threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "rr_ref"),
+    )
+    append_to_minhash_index(spark, inc, "mhidx_rcrashref")
+    ref = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_near_duplicates(
+            spark, probe, "mhidx_rcrashref"
+        ).collect()
+    }
+    assert ref
+
+    build_minhash_index(
+        old, "mhidx_rcrash", threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "rr_idx"),
+    )
+    orig = DataFrameWriter.insertInto
+
+    def die_on(suffix):
+        def dying(self, tableName, overwrite=None):
+            if str(tableName).startswith("mhidx_rcrash_") and str(
+                tableName
+            ).endswith(suffix):
+                raise RuntimeError(f"simulated death on {suffix}")
+            if overwrite is None:
+                return orig(self, tableName)
+            return orig(self, tableName, overwrite)
+
+        return dying
+
+    # 1. the APPEND dies between bands and sets
+    monkeypatch.setattr(DataFrameWriter, "insertInto", die_on("_mh_sets"))
+    with pytest.raises(RuntimeError, match="simulated"):
+        append_to_minhash_index(spark, inc, "mhidx_rcrash")
+    open_txns = minhash_index_open_txns(spark, "mhidx_rcrash")
+    assert len(open_txns) == 1
+
+    # 2. the REPAIR dies between sets and members re-appends
+    monkeypatch.setattr(
+        DataFrameWriter, "insertInto", die_on("_mh_members")
+    )
+    with pytest.raises(RuntimeError, match="simulated"):
+        repair_minhash_index(spark, inc, "mhidx_rcrash")
+    monkeypatch.setattr(DataFrameWriter, "insertInto", orig)
+
+    # the half-repair must NOT have closed the journal or masked dirt
+    assert minhash_index_open_txns(spark, "mhidx_rcrash") == open_txns
+    assert not validate_minhash_index(spark, "mhidx_rcrash")[
+        "consistent"
+    ]
+
+    # 3. repair again — now to completion
+    assert repair_minhash_index(spark, inc, "mhidx_rcrash") == open_txns
+    report = validate_minhash_index(spark, "mhidx_rcrash")
+    assert report["consistent"], report
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_near_duplicates(
+            spark, probe, "mhidx_rcrash"
+        ).collect()
+    }
+    assert got == ref
+    # no duplicate member rows from the double repair
+    assert (
+        spark.table("mhidx_rcrash_mh_members").count()
+        == spark.table("mhidx_rcrashref_mh_members").count()
+    )
+
+    for prefix in ("mhidx_rcrash", "mhidx_rcrashref"):
+        for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+                  "mh_journal"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_catalog_side_joins_without_exchange(spark, corpus, tmp_path):
     """The property that makes the pattern scale: the (huge) catalog is
     pre-bucketed, so the anti-join plan has NO Exchange above the

@@ -204,8 +204,8 @@ def test_streaming_near_dup_ingest_across_cycles(spark, tmp_path):
     """r7: the near-dup ingest drops batch docs that fuzzy-match the
     index or a lower-id batch doc, folds SURVIVORS into the MinHash
     index, and a second cycle dedups against the first cycle's
-    content; a replay with a fresh checkpoint adds nothing (every doc
-    self-pairs at jaccard 1.0 against its own indexed fingerprint)."""
+    content; a replay with a fresh checkpoint adds nothing (r8: the
+    EXPLICIT already-indexed-id drop — mining emits no self-pairs)."""
     from data_toolz_spark.catalog import drop_stale_table
     from data_toolz_spark.operators.incremental import build_minhash_index
     from data_toolz_spark.streaming.ingest import run_near_dup_ingest
