@@ -1264,7 +1264,7 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X38 + X40 (fold, r7): deterministic top-24 vocabulary (the cut
+    """X38 + X57 (fold, r7; X57 was mislabeled X40 through r7 — renumbered r8): deterministic top-24 vocabulary (the cut
     lands inside a tf tie at sf0.01, attesting the deterministic
     boundary) with term + document frequency — the vocab-trainer
     input, cut by (tf DESC, token ASC) so the boundary is reproducible.
@@ -1547,16 +1547,66 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark percentile ==
     DuckDB quantile_cont bitwise: same linear interpolation on sorted
-    doubles, so no rounding is needed at all)."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", 0.5).alias("p50"),
-            F.percentile("l_extendedprice", 0.95).alias("p95"),
-            F.percentile("l_quantity", 0.25).alias("q25"),
-        )
+    doubles, so no rounding is needed at all).
+
+    X59 fold (r8): ``dcs_p50_qty`` — the grouped median of
+    ``l_quantity`` estimated by the DYADIC COUNT-MIN quantile sketch
+    (``dcs_*`` in ``functions/sketches.py``; Cormode & Muthukrishnan
+    2005 §4.2), completing the mergeable-sketch family's VALUE
+    attestation: HLL (X39, rows-only), CMS (X57 fold, bit-exact), and
+    now quantiles.  The whole pipeline is relational and
+    engine-portable — build from weighted (flag, qty) aggregates with
+    md5 cells (w=64 is deliberately narrow so thousands of rows
+    genuinely collide and est ≥ true is exercised), rank every domain
+    value via the canonical dyadic decomposition of [0, x], pick the
+    smallest x with rank ≥ ⌈N/2⌉ — and the DuckDB oracle rebuilds
+    sketch, decomposition, and descent bit-for-bit.  l_quantity is
+    integers 1..50, so bits=6 covers the domain and the probe set is
+    the 64-value domain itself (a grouped-quantile shape that stays
+    fully in-plan — no driver walk)."""
+    from data_toolz_spark.functions.sketches import (
+        dcs_rank_leq,
+        dcs_sketch_table,
+        dcs_total,
     )
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.percentile("l_quantity", 0.25).alias("q25"),
+    )
+    wagg = (
+        li.select(
+            "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sk = dcs_sketch_table(
+        wagg, "qty", ["l_returnflag"],
+        bits=6, d=4, w=64, portable=True, weight_col="n",
+    )
+    probes = (
+        li.select("l_returnflag")
+        .distinct()
+        .crossJoin(spark.range(64).select(F.col("id").alias("qty")))
+    )
+    ranks = dcs_rank_leq(
+        sk, probes, "qty",
+        bits=6, d=4, w=64, portable=True,
+        group_cols=["l_returnflag"],
+    )
+    totals = dcs_total(sk, bits=6, group_cols=["l_returnflag"])
+    p50q = (
+        ranks.join(totals, on="l_returnflag")
+        .filter(
+            F.col("dcs_rank_leq") >= F.ceil(F.col("dcs_total") * 0.5)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.min("qty").alias("dcs_p50_qty"))
+    )
+    return base.join(p50q, on="l_returnflag")
 
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2979,13 +3029,75 @@ GROUP BY event_type
         "sampling_split_counts": _SPLIT_COUNTS_SQL,
         # json_key_histogram / emb_dimension_stats oracles retired with
         # their qids (folded r6)
-        "agg_percentiles": (
-            "SELECT l_returnflag, "
-            "quantile_cont(l_extendedprice, 0.5) AS p50, "
-            "quantile_cont(l_extendedprice, 0.95) AS p95, "
-            "quantile_cont(l_quantity, 0.25) AS q25 "
-            "FROM lineitem GROUP BY l_returnflag"
-        ),
+        # r8: + dcs_p50_qty — the dyadic count-min quantile sketch
+        # (build from weighted aggregates, md5 cells, canonical dyadic
+        # decomposition of [0, x], smallest x with rank >= ceil(N/2))
+        # rebuilt bit-for-bit, same trick as the CMS fold above
+        "agg_percentiles": r"""
+WITH base AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.95) AS p95,
+         quantile_cont(l_quantity, 0.25) AS q25
+  FROM lineitem GROUP BY l_returnflag
+),
+wagg AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+         COUNT(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1, 2
+),
+lvls AS (SELECT unnest(generate_series(0, 6)) AS level),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+sk AS (
+  SELECT g, level, row,
+         CAST(list_sum(
+           [(strpos('0123456789abcdef',
+                    substr(md5(CAST((v >> level) AS VARCHAR) || '@' ||
+                               CAST(level AS VARCHAR) || '|' ||
+                               CAST(row AS VARCHAR)),
+                           i, 1)) - 1)
+              * CAST(16**(15-i) AS BIGINT)
+            for i in generate_series(1, 15)]) % 64 AS INTEGER) AS cell,
+         SUM(n)::BIGINT AS count
+  FROM wagg CROSS JOIN lvls CROSS JOIN rows_
+  GROUP BY 1, 2, 3, 4
+),
+tot AS (SELECT g, MIN(count)::BIGINT AS n FROM sk WHERE level = 6 GROUP BY g),
+probes AS (
+  SELECT g, CAST(unnest(generate_series(0, 63)) AS BIGINT) AS x
+  FROM (SELECT DISTINCT l_returnflag AS g FROM lineitem)
+),
+nodes AS (
+  SELECT g, x, level, row,
+         CAST(list_sum(
+           [(strpos('0123456789abcdef',
+                    substr(md5(CAST((((x + 1) >> level) - 1) AS VARCHAR)
+                               || '@' || CAST(level AS VARCHAR) || '|' ||
+                               CAST(row AS VARCHAR)),
+                           i, 1)) - 1)
+              * CAST(16**(15-i) AS BIGINT)
+            for i in generate_series(1, 15)]) % 64 AS INTEGER) AS cell
+  FROM probes CROSS JOIN lvls CROSS JOIN rows_
+  WHERE (((x + 1) >> level) & 1) = 1
+),
+node_est AS (
+  SELECT nodes.g, nodes.x, nodes.level,
+         MIN(COALESCE(sk.count, 0)) AS c
+  FROM nodes LEFT JOIN sk
+    ON nodes.g = sk.g AND nodes.level = sk.level
+   AND nodes.row = sk.row AND nodes.cell = sk.cell
+  GROUP BY 1, 2, 3
+),
+rank_ AS (SELECT g, x, SUM(c)::BIGINT AS rk FROM node_est GROUP BY 1, 2),
+p50q AS (
+  SELECT rank_.g AS l_returnflag, MIN(x)::BIGINT AS dcs_p50_qty
+  FROM rank_ JOIN tot ON rank_.g = tot.g
+  WHERE rk >= CEIL(n * 0.5)
+  GROUP BY 1
+)
+SELECT base.l_returnflag, p50, p95, q25, dcs_p50_qty
+FROM base JOIN p50q ON base.l_returnflag = p50q.l_returnflag
+""",
         # topk_per_group oracle retired with its qid (folded r6)
         # per-doc top-5 TF-IDF keywords: identical tokenizer, smooth
         # sklearn idf, floor-4 score truncation, deterministic cut

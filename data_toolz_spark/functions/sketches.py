@@ -294,6 +294,346 @@ def cms_estimate(
     )
 
 
+# ---------------------------------------------------------------------------
+# Dyadic count-min sketch — mergeable QUANTILE state
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the sketch family (HLL = distinct, CMS =
+# frequency): the dyadic range-sum construction from the same
+# Cormode & Muthukrishnan 2005 paper (§4.2, range queries / quantiles).
+# One CM sketch per dyadic LEVEL ℓ ∈ [0, bits]: level ℓ counts the key
+# ``value >> ℓ`` (the value's length-(bits−ℓ) prefix), so any prefix
+# interval [0, x] decomposes into ≤ bits dyadic nodes and
+# ``rank(≤ x)`` is the SUM of ≤ bits point estimates; quantiles invert
+# the rank.  Chosen over KLL/GK deliberately: their compaction state
+# depends on merge ORDER, so "merge-order-invariant" can only hold
+# approximately — this sketch is a pure (level, row, cell) → count SUM,
+# so merges commute EXACTLY (same guarantee the HLL/CMS rows pin), and
+# ``portable=True`` makes the whole thing — build, merge, rank descent
+# — reproducible bit-for-bit in ANSI SQL (md5 cells + integer bit ops),
+# which neither KLL nor GK state can offer an oracle.
+#
+# Error: each level's point estimate obeys the CMS bound
+# (est ≥ true; est ≤ true + e/w·N w.p. 1−e^−d), and a rank sums ≤ bits
+# nodes, so rank error ≤ bits·e/w·N with high probability — size w to
+# the domain bits, not the row count.  State ≤ (bits+1)·d·w rows,
+# independent of data size.
+#
+# Domain: non-negative integers in [0, 2^bits).  NULLs and
+# out-of-domain values are EXCLUDED from the sketch (documented, like
+# CMS NULL keys); quantize reals into the domain before sketching
+# (e.g. round(price) or fixed-point cents), which is also what keeps
+# the rank descent engine-portable.
+
+
+def _dcs_validate(bits: int, d: int, w: int) -> None:
+    _cms_validate(d, w)
+    if not 1 <= bits <= 62:
+        raise ValueError("dcs: bits (domain bits) must be in [1, 62]")
+
+
+def _dcs_key(value: Column, level: int) -> Column:
+    """Level-tagged prefix key: ``str(value >> level) + '@' + level`` —
+    a plain string on both engines, so the portable md5 path and the
+    fast xxhash64 path hash the identical key."""
+    return F.concat(
+        F.shiftright(value, level).cast("string"),
+        F.lit(f"@{level}"),
+    )
+
+
+def dcs_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    bits: int = 20,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the dyadic quantile sketch of an integer column as a
+    (``group_cols`` +) ``level, row, cell, count`` table.
+
+    Cost shape: the explode is (bits+1)·d structs per input row — on
+    raw corpus rows that is the dominant term, so pre-aggregate to
+    (value, weight) pairs and pass ``weight_col`` whenever the distinct
+    domain is much smaller than the row count (increments are additive,
+    same argument as the CMS ``weight_col``); at most (bits+1)·d·w
+    cells per group cross the shuffle either way.
+    """
+    _dcs_validate(bits, d, w)
+    val = _c(value_col).cast("long")
+    in_domain = (
+        val.isNotNull() & (val >= 0) & (val < F.lit(1 << bits))
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("level"),
+                F.lit(r).alias("row"),
+                _cms_cell(_dcs_key(val, lv), r, w, portable).alias(
+                    "cell"
+                ),
+            )
+            for lv in range(bits + 1)
+            for r in range(d)
+        ]
+    )
+    wcol = (
+        _c(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    exploded = (
+        df.filter(in_domain)
+        .select(
+            *group_cols, F.explode(pairs).alias("lrc"), wcol.alias("__w")
+        )
+        .select(
+            *group_cols,
+            F.col("lrc.level").alias("level"),
+            F.col("lrc.row").alias("row"),
+            F.col("lrc.cell").alias("cell"),
+            "__w",
+        )
+    )
+    return exploded.groupBy(*group_cols, "level", "row", "cell").agg(
+        F.sum("__w").alias("count")
+    )
+
+
+def dcs_merge(
+    sketch_df: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold stored dyadic sketch rows: GROUP BY SUM — associative and
+    order-independent, so incremental folding is EXACTLY drift-free
+    (pinned by tests; this is the property KLL-style compaction cannot
+    give)."""
+    return sketch_df.groupBy(*group_cols, "level", "row", "cell").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def dcs_rank_leq(
+    sketch_df: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    bits: int = 20,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+    estimate_col: str = "dcs_rank_leq",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Estimated rank (count of sketched values ≤ probe) for a probe
+    set — fully relational: the prefix interval [0, x] decomposes as
+    ``[0, x+1) = ⋃_{ℓ: bit ℓ of (x+1) set} node(level=ℓ,
+    prefix=(x+1 >> ℓ) − 1)`` (the canonical dyadic split), each node is
+    one CMS point estimate (min over d hashed cells against ≤
+    (bits+1)·d·w broadcast-able sketch rows), and the rank is their
+    SUM.  Never underestimates; overshoot ≤ bits·e/w·N w.h.p.
+
+    d/w/bits/portable MUST match the build (same contract as
+    :func:`cms_estimate`).
+    """
+    _dcs_validate(bits, d, w)
+    gcols = list(group_cols)
+    val = _c(value_col).cast("long")
+    y = val + F.lit(1)
+    # one struct per (level with bit set, hash row); prefix key hashes
+    # with the SAME _dcs_key tagging as the build
+    nodes = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lv).alias("level"),
+                    F.lit(r).alias("row"),
+                    F.when(
+                        F.shiftright(y, lv).bitwiseAND(F.lit(1)) == 1,
+                        _cms_cell(
+                            F.concat(
+                                (F.shiftright(y, lv) - 1).cast("string"),
+                                F.lit(f"@{lv}"),
+                            ),
+                            r,
+                            w,
+                            portable,
+                        ),
+                    ).alias("cell"),
+                )
+                for lv in range(bits + 1)
+                for r in range(d)
+            ]
+        ),
+        lambda s: s["cell"].isNotNull(),
+    )
+    in_domain = (
+        val.isNotNull() & (val >= 0) & (val < F.lit(1 << bits))
+    )
+    probe_nodes = (
+        probes.filter(in_domain)
+        .select(*gcols, val.alias(value_col))
+        .distinct()
+        .select(*gcols, value_col, F.explode(nodes).alias("lrc"))
+        .select(
+            *gcols,
+            value_col,
+            F.col("lrc.level").alias("level"),
+            F.col("lrc.row").alias("row"),
+            F.col("lrc.cell").alias("cell"),
+        )
+    )
+    joined = probe_nodes.join(
+        sketch_df.select(*gcols, "level", "row", "cell", "count"),
+        on=[*gcols, "level", "row", "cell"],
+        how="left",
+    ).select(
+        *gcols,
+        value_col,
+        "level",
+        "row",
+        F.coalesce(F.col("count"), F.lit(0)).alias("__c"),
+    )
+    # min over the d hash rows per node, then sum the ≤ bits nodes
+    per_node = joined.groupBy(*gcols, value_col, "level").agg(
+        F.min("__c").alias("__node")
+    )
+    return per_node.groupBy(*gcols, value_col).agg(
+        F.sum("__node").alias(estimate_col)
+    )
+
+
+def dcs_total(
+    sketch_df: DataFrame,
+    *,
+    bits: int = 20,
+    group_cols: Sequence[str] = (),
+    total_col: str = "dcs_total",
+) -> DataFrame:
+    """EXACT sketched-row count per group, read from the root level:
+    level ``bits`` has a single live key (prefix 0), so no other key
+    can collide into its cells and min-over-rows is the true total."""
+    gcols = list(group_cols)
+    root = sketch_df.filter(F.col("level") == bits)
+    return root.groupBy(*gcols).agg(F.min("count").alias(total_col))
+
+
+def dcs_quantiles(
+    sketch_df: DataFrame,
+    qs: Sequence[float],
+    *,
+    bits: int = 20,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from a (collected) dyadic sketch: for each q,
+    the smallest domain value x with ``rank(≤ x) ≥ ⌈q·N⌉`` — found by
+    descending the dyadic tree driver-side (one root-to-leaf walk per
+    q: ``bits`` point estimates, each min-over-d dict lookups).
+
+    The sketch state is BOUNDED (≤ groups·(bits+1)·d·w rows) by
+    construction, so collecting it is a constant independent of data
+    size — same contract as the IVF probe lists.  Output:
+    ``group_cols + [q, value]``.  For a small domain an entirely
+    in-plan alternative is composing :func:`dcs_rank_leq` over all
+    2^bits probes; this walk is the general-domain path.
+    """
+    _dcs_validate(bits, d, w)
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"dcs_quantiles: q must be in (0, 1], got {q}")
+    import hashlib
+    import math
+
+    gcols = list(group_cols)
+    rows = sketch_df.select(
+        *gcols, "level", "row", "cell", "count"
+    ).collect()
+    tables: dict = {}
+    for r in rows:
+        key = tuple(r[g] for g in gcols)
+        tables.setdefault(key, {})[(r["level"], r["row"], r["cell"])] = r[
+            "count"
+        ]
+
+    spark = sketch_df.sparkSession
+    if portable:
+        # md5 has an exact Python twin — the same first-15-hex-chars
+        # derivation as _cms_cell's portable mode
+        def cells_of(prefix: int, level: int) -> list:
+            return [
+                int(
+                    hashlib.md5(
+                        f"{prefix}@{level}|{r}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % w
+                for r in range(d)
+            ]
+    else:
+        # Spark's seed-chained multi-arg xxhash64 has no cheap pure-
+        # Python twin, so the fast path resolves a node's d cells
+        # through one local 1-row Spark expression — the walk costs
+        # O(bits) such lookups per quantile, each a driver-local job
+        def cells_of(prefix: int, level: int) -> list:
+            exprs = [
+                F.pmod(
+                    F.xxhash64(F.lit(f"{prefix}@{level}"), F.lit(r)),
+                    F.lit(w),
+                ).cast("int").alias(f"c{r}")
+                for r in range(d)
+            ]
+            row = spark.range(1).select(*exprs).first()
+            return [row[f"c{r}"] for r in range(d)]
+
+    def node_est(tab: dict, prefix: int, level: int) -> int:
+        return min(
+            tab.get((level, r, c), 0)
+            for r, c in enumerate(cells_of(prefix, level))
+        )
+
+    out = []
+    for gkey, tab in sorted(tables.items(), key=lambda kv: str(kv[0])):
+        # root: prefix 0 at level `bits` — exact N (single live key)
+        total = node_est(tab, 0, bits)
+        for q in qs:
+            target = math.ceil(q * total)
+            if target <= 0:
+                out.append((*gkey, float(q), 0))
+                continue
+            # descend: at each level pick the child whose subtree
+            # contains the target rank
+            prefix, acc = 0, 0
+            for level in range(bits - 1, -1, -1):
+                left = prefix << 1
+                left_count = node_est(tab, left, level)
+                if acc + left_count >= target:
+                    prefix = left
+                else:
+                    acc += left_count
+                    prefix = left + 1
+            out.append((*gkey, float(q), int(prefix)))
+    schema_cols = [
+        sketch_df.schema[g] for g in gcols
+    ]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [*schema_cols, StructField("q", DoubleType()),
+         StructField("value", LongType())]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 __all__ = [
     "hll_sketch",
     "hll_merge",
@@ -304,4 +644,9 @@ __all__ = [
     "cms_sketch_table",
     "cms_merge",
     "cms_estimate",
+    "dcs_sketch_table",
+    "dcs_merge",
+    "dcs_rank_leq",
+    "dcs_total",
+    "dcs_quantiles",
 ]

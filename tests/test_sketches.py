@@ -306,3 +306,221 @@ def test_cms_grouped_build_and_estimate(spark):
         ).collect()
     }
     assert est == {("en", "a"): 7, ("en", "b"): 2, ("de", "a"): 3}
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantile sketch (dcs_*)
+# ---------------------------------------------------------------------------
+
+
+def _dcs_rows(sketch_df):
+    return {
+        (r["level"], r["row"], r["cell"], r["count"])
+        for r in sketch_df.collect()
+    }
+
+
+def test_dcs_rank_never_underestimates_and_exact_when_wide(spark):
+    """CMS inheritance, summed over ≤ bits dyadic nodes: every rank
+    estimate ≥ the true rank, and with w ≫ live keys per level there
+    are no collisions, so ranks — and therefore quantiles — are EXACT."""
+    from data_toolz_spark.functions.sketches import (
+        dcs_quantiles,
+        dcs_rank_leq,
+        dcs_sketch_table,
+    )
+
+    vals = list(range(100))  # 0..99 once each
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = dcs_sketch_table(df, "v", bits=7, d=2, w=4096)
+    probes = spark.createDataFrame(
+        [(x,) for x in (0, 1, 49, 63, 99, 127)], "v long"
+    )
+    got = {
+        r["v"]: r["dcs_rank_leq"]
+        for r in dcs_rank_leq(sk, probes, "v", bits=7, d=2, w=4096).collect()
+    }
+    true = {x: sum(1 for v in vals if v <= x) for x in got}
+    assert got == true, (got, true)
+
+    q = dcs_quantiles(sk, [0.25, 0.5, 0.9, 1.0], bits=7, d=2, w=4096)
+    got_q = {r["q"]: r["value"] for r in q.collect()}
+    # smallest x with rank(≤x) ≥ ceil(q·100)
+    assert got_q == {0.25: 24, 0.5: 49, 0.9: 89, 1.0: 99}, got_q
+
+
+def test_dcs_rank_overshoot_bounded_when_narrow(spark):
+    """A deliberately narrow sketch (w=64) over 5k uniform values:
+    estimates stay ≥ true and within the bits·(e/w)·N analytic bound."""
+    import math
+
+    from data_toolz_spark.functions.sketches import (
+        dcs_rank_leq,
+        dcs_sketch_table,
+    )
+
+    n, bits, w, d = 5000, 10, 64, 4
+    vals = [(i * 2654435761) % 1024 for i in range(n)]  # uniform-ish
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = dcs_sketch_table(df, "v", bits=bits, d=d, w=w)
+    probes = spark.createDataFrame(
+        [(x,) for x in (100, 400, 700, 1023)], "v long"
+    )
+    got = {
+        r["v"]: r["dcs_rank_leq"]
+        for r in dcs_rank_leq(
+            sk, probes, "v", bits=bits, d=d, w=w
+        ).collect()
+    }
+    bound = bits * (math.e / w) * n
+    for x, est in got.items():
+        true = sum(1 for v in vals if v <= x)
+        assert est >= true, (x, est, true)
+        assert est <= true + bound, (x, est, true, bound)
+
+
+def test_dcs_merge_order_invariance_is_exact(spark):
+    """The reason this construction was chosen over KLL: sketch state
+    is a pure SUM, so ANY split/merge grouping of the same data yields
+    the IDENTICAL sketch rows — not just close estimates — and the
+    merged sketch equals a one-shot rebuild bit-for-bit."""
+    from data_toolz_spark.functions.sketches import (
+        dcs_merge,
+        dcs_sketch_table,
+    )
+
+    vals = [(i * 7 + 3) % 256 for i in range(999)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    full = dcs_sketch_table(df, "v", bits=8, d=3, w=128)
+
+    parts3 = [
+        dcs_sketch_table(
+            df.filter(F.col("v") % 3 == i), "v", bits=8, d=3, w=128
+        )
+        for i in range(3)
+    ]
+    parts2 = [
+        dcs_sketch_table(
+            df.filter(F.col("v") % 2 == i), "v", bits=8, d=3, w=128
+        )
+        for i in range(2)
+    ]
+    m3 = dcs_merge(parts3[2].unionByName(parts3[0]).unionByName(parts3[1]))
+    m2 = dcs_merge(parts2[1].unionByName(parts2[0]))
+    assert _dcs_rows(m3) == _dcs_rows(full)
+    assert _dcs_rows(m2) == _dcs_rows(full)
+
+
+def test_dcs_portable_matches_python_reference_and_quantiles(spark):
+    """portable=True cells derive from md5 exactly like the CMS row —
+    verified against a pure-Python md5 twin — and the portable
+    quantile walk agrees with the relational rank definition."""
+    import hashlib
+
+    from data_toolz_spark.functions.sketches import (
+        dcs_quantiles,
+        dcs_sketch_table,
+        dcs_total,
+    )
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    bits, d, w = 6, 2, 512
+    sk = dcs_sketch_table(df, "v", bits=bits, d=d, w=w, portable=True)
+    rows = sk.collect()
+
+    def py_cell(prefix, level, r):
+        return (
+            int(
+                hashlib.md5(
+                    f"{prefix}@{level}|{r}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % w
+        )
+
+    # rebuild the expected sketch in pure python
+    from collections import Counter
+
+    expect = Counter()
+    for v in vals:
+        for level in range(bits + 1):
+            for r in range(d):
+                expect[(level, r, py_cell(v >> level, level, r))] += 1
+    got = {
+        (r["level"], r["row"], r["cell"]): r["count"] for r in rows
+    }
+    assert got == dict(expect)
+
+    total = dcs_total(sk, bits=bits).collect()[0]["dcs_total"]
+    assert total == len(vals)
+    q = dcs_quantiles(sk, [0.5], bits=bits, d=d, w=w, portable=True)
+    # ceil(0.5·10)=5 → smallest x with rank ≥ 5 is 5 (ranks: 1→2,2→3,
+    # 3→4,5→5)
+    assert q.collect()[0]["value"] == 5
+
+
+def test_dcs_weighted_equals_per_row_and_grouped(spark):
+    """weight_col pre-aggregation builds the IDENTICAL sketch (additive
+    increments — the same contract as the CMS weight_col), and grouped
+    builds answer grouped quantiles."""
+    from data_toolz_spark.functions.sketches import (
+        dcs_quantiles,
+        dcs_sketch_table,
+    )
+
+    rows = [("a", v) for v in (1, 1, 1, 2, 9)] + [
+        ("b", v) for v in (4, 4, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per_row = dcs_sketch_table(
+        df, "v", ["g"], bits=4, d=2, w=256, portable=True
+    )
+    agg = df.groupBy("g", "v").agg(F.count("*").alias("n"))
+    weighted = dcs_sketch_table(
+        agg, "v", ["g"], bits=4, d=2, w=256, portable=True,
+        weight_col="n",
+    )
+    a = {
+        (r["g"], r["level"], r["row"], r["cell"], r["count"])
+        for r in per_row.collect()
+    }
+    b = {
+        (r["g"], r["level"], r["row"], r["cell"], r["count"])
+        for r in weighted.collect()
+    }
+    assert a == b
+
+    q = dcs_quantiles(
+        per_row, [0.5], bits=4, d=2, w=256, portable=True,
+        group_cols=["g"],
+    )
+    got = {(r["g"], r["q"]): r["value"] for r in q.collect()}
+    assert got == {("a", 0.5): 1, ("b", 0.5): 4}, got
+
+
+def test_dcs_domain_and_validation(spark):
+    """NULL and out-of-domain values are excluded from build and rank
+    probes (documented contract); parameter validation raises."""
+    import pytest as _pytest
+
+    from data_toolz_spark.functions.sketches import (
+        dcs_rank_leq,
+        dcs_sketch_table,
+        dcs_total,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (-5,), (1 << 40,)], "v long"
+    )
+    sk = dcs_sketch_table(df, "v", bits=4, d=2, w=64)
+    assert dcs_total(sk, bits=4).collect()[0]["dcs_total"] == 2
+    probes = spark.createDataFrame([(2,), (None,), (99,)], "v long")
+    got = dcs_rank_leq(sk, probes, "v", bits=4, d=2, w=64).collect()
+    assert {r["v"] for r in got} == {2}
+
+    with _pytest.raises(ValueError, match="bits"):
+        dcs_sketch_table(df, "v", bits=0)
+    with _pytest.raises(ValueError, match="d \\(hash rows\\)"):
+        dcs_sketch_table(df, "v", bits=4, d=0)
