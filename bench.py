@@ -95,6 +95,47 @@ HEADLINE_V2 = HEADLINE + [
 ]
 
 
+def _dedup_embedding_blocked(spark, sf_dir):
+    """The r1-r7 definition of the dedup_embedding qid (label-blocked
+    Gram pairs only).  r8 folded the LSH tier into the REGISTERED qid
+    (tier-tagged union, slot freed for embedding_decontaminate), which
+    would have silently added ~5 s of LSH work to a V1 HEADLINE
+    member — this pin keeps the headline series timing the original
+    definition, and the LSH arm keeps its own series entry below."""
+    from data_toolz_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(
+        emb, id_col="vec_id", threshold=0.4, block_cols=["label"]
+    )
+
+
+def _dedup_embedding_lsh(spark, sf_dir):
+    """The former dedup_embedding_lsh qid's exact config (folded r8
+    into dedup_embedding's tier='lsh' arm) — kept as its own timed
+    entry so the per-qid series continues."""
+    from data_toolz_spark.operators.similarity import (
+        cosine_near_duplicates_lsh,
+    )
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates_lsh(
+        emb, id_col="vec_id", threshold=0.4,
+        dim=64, n_bits=4, n_tables=64,
+    )
+
+
+# sweep-time DEFINITION pins: a registered qid whose r8 redefinition
+# would change what a headline-series entry measures is timed at its
+# ORIGINAL definition (the redefined composite is what the driver's
+# correctness gate runs — this only affects bench attribution).
+DEFN_PIN = {
+    "dedup_embedding": _dedup_embedding_blocked,
+}
+
+
 # The registry was trimmed to 50 qids in round 3 (driver cap); the
 # HEADLINE members below were folded out of queries() but their
 # callables survive — resolving them here keeps the headline series'
@@ -514,6 +555,10 @@ BENCH_BUILDS = [
 
 
 EXTRAS = {
+    # r8 fold (slot freed for embedding_decontaminate): the lsh tier
+    # of the dedup_embedding composite, timed at its old config under
+    # its old name so the per-qid series continues unbroken
+    "dedup_embedding_lsh": _dedup_embedding_lsh,
     "x_span_dedup": _x_span_dedup,
     "x_simhash_components": _x_simhash_components,
     "x_pii_redact": _x_pii_redact,
@@ -668,6 +713,8 @@ def main() -> int:
     for name in names:
         if name in split_active:
             fn = BENCH_SPLIT[name]
+        elif name in DEFN_PIN:
+            fn = DEFN_PIN[name]
         else:
             fn = queries.get(name) or LEGACY.get(name) or EXTRAS[name]
         _timed(
