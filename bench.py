@@ -228,6 +228,52 @@ def _x_ivfpq_topk(spark, sf_dir):
     )
 
 
+_IVFPQ_MODEL = {}
+
+
+def _ivfpq_model_train(spark, sf_dir):
+    """Train-once phase for the pretrained IVF-PQ entry (VERDICT r7
+    item 5): the model is stashed module-side and the serve entry
+    queries with it injected — the repeated-batch-call shape, vs
+    x_ivfpq_probe4 which pays training per call."""
+    from data_toolz_spark.operators.similarity import train_ivfpq_model
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    centers, codebooks = train_ivfpq_model(
+        emb, corpus_id="vec_id", dim=64, n_centroids=16, m=8, ks=256
+    )
+    _IVFPQ_MODEL["centers"] = centers
+    _IVFPQ_MODEL["codebooks"] = codebooks
+    return spark.range(1)
+
+
+def _x_ivfpq_pretrained(spark, sf_dir):
+    """x_ivfpq_probe4's exact query with the pre-trained model
+    injected (trains inline on an explicit run without the build
+    phase)."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivfpq_model,
+    )
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    if "centers" not in _IVFPQ_MODEL:
+        c, b = train_ivfpq_model(
+            emb, corpus_id="vec_id", dim=64, n_centroids=16, m=8, ks=256
+        )
+        _IVFPQ_MODEL["centers"], _IVFPQ_MODEL["codebooks"] = c, b
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        query_id="vec_id", corpus_id="vec_id",
+        k=10, dim=64, n_centroids=16, n_probe=4,
+        m=8, ks=256, refine=2,
+        centers=_IVFPQ_MODEL["centers"],
+        codebooks=_IVFPQ_MODEL["codebooks"],
+    )
+
+
 def _x_topk_int8(spark, sf_dir):
     """Exact top-k over int8-quantized-then-dequantized embeddings —
     the storage-optimized path (4x narrower embedding column at rest
@@ -551,6 +597,9 @@ BENCH_SPLIT = {
 BENCH_BUILDS = [
     ("incremental_minhash_pairs", "x_minhash_index_build", _mh_index_build),
     ("sim_topk_ivf", "x_ivf_index_build", _ivf_index_build),
+    # train-once for the pretrained IVF-PQ serve entry (no qid split:
+    # x_ivfpq_pretrained itself consumes the stash)
+    ("x_ivfpq_pretrained", "x_ivfpq_model_train", _ivfpq_model_train),
 ]
 
 
@@ -567,6 +616,7 @@ EXTRAS = {
     "x_dedup_embedding_lsh_nbits12": _x_emb_lsh_realistic,
     "x_ivf_topk_probe4": _x_ivf_topk,
     "x_ivfpq_probe4": _x_ivfpq_topk,
+    "x_ivfpq_pretrained": _x_ivfpq_pretrained,
     "x_topk_int8_dequant": _x_topk_int8,
     "x_decon_hashed": _x_decon_hashed,
     "x_prepare_corpus": _x_prepare_corpus,
@@ -707,7 +757,8 @@ def main() -> int:
             .mode("overwrite")
             .save(),
         )
-        split_active.add(qid)
+        if qid in BENCH_SPLIT:
+            split_active.add(qid)
         clear_session_caches(spark)
 
     for name in names:
