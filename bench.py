@@ -14,6 +14,21 @@ carries per-qid wall times for every registered qid so regressions are
 attributable.  ``--headline`` restricts to the headline set; explicit
 qid args restrict to those.
 
+Wave resistance (VERDICT r8 item 1): this host suffers sibling-VM
+contention waves that arrive seconds after any load gate and last
+shorter than a sweep — two consecutive driver sweeps were
+contaminated beyond use as totals.  Headline entries (and any
+explicitly-requested qids) are therefore timed ``--min-of=K`` times
+each (default 3) and ``queries`` reports the per-entry MINIMUM — a
+wave shorter than an entry inflates some repeats, not the min.  The
+raw series survives in ``queries_repeats`` (every repeat, in order)
+and ``loadavg`` (one ``[before, after]`` 1-min-loadavg pair per
+repeat), so a reader can see exactly which repeats a wave hit.
+``value`` / ``headline_v2_total`` are computed from the minima.
+``--min-of=1`` restores the old single-shot behavior;
+``--min-of-all`` extends repeats to every swept entry (extras and
+builds included).
+
 Each query is forced end-to-end with the ``noop`` sink (full execution,
 no driver-side collect, no disk write) so the measured time is scan +
 shuffle + compute — the same work profile a cluster run would have.
@@ -633,8 +648,25 @@ def _sf_from_dir(path: str) -> float:
     return -1.0
 
 
+def _parse_args(argv: list[str]) -> tuple[int, bool, list[str]]:
+    """Split flags from qid args.  Returns (min_of, repeat_all, rest)
+    where rest still carries ``--headline`` for the membership logic
+    below."""
+    min_of = 3
+    repeat_all = False
+    rest: list[str] = []
+    for a in argv:
+        if a.startswith("--min-of="):
+            min_of = max(1, int(a.split("=", 1)[1]))
+        elif a == "--min-of-all":
+            repeat_all = True
+        else:
+            rest.append(a)
+    return min_of, repeat_all, rest
+
+
 def main() -> int:
-    only = sys.argv[1:]
+    min_of, repeat_all, only = _parse_args(sys.argv[1:])
     all_qids = list(entrymod.queries())
     if only == ["--headline"]:
         # V2 is a superset of V1, so one sweep feeds both totals
@@ -727,20 +759,37 @@ def main() -> int:
     from data_toolz_spark.cache import clear_session_caches
 
     timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
     # per-entry host load (1-min loadavg sampled before and after each
-    # timed entry): the r7 driver sweep landed in a sibling-VM
+    # timed repeat): the r7 driver sweep landed in a sibling-VM
     # contention window and several readings were 4-6x off the same
     # binary's quiet-host numbers (VERDICT r7) — recording load per
-    # entry makes contention machine-detectable from the JSON instead
+    # repeat makes contention machine-detectable from the JSON instead
     # of a prose note in BASELINE.md.
-    loads: dict[str, list[float]] = {}
+    loads: dict[str, list[list[float]]] = {}
+    explicit = set(only) - {"--headline"}
 
-    def _timed(name: str, fn) -> None:
-        l0 = os.getloadavg()[0]
-        start = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - start, 3)
-        loads[name] = [round(l0, 2), round(os.getloadavg()[0], 2)]
+    def _k_for(name: str) -> int:
+        if repeat_all or name in explicit:
+            return min_of
+        return min_of if name in HEADLINE_V2 else 1
+
+    def _timed(name: str, fn, k: int = 1) -> None:
+        ts: list[float] = []
+        lds: list[list[float]] = []
+        for _ in range(k):
+            l0 = os.getloadavg()[0]
+            start = time.perf_counter()
+            fn()
+            ts.append(round(time.perf_counter() - start, 3))
+            lds.append([round(l0, 2), round(os.getloadavg()[0], 2)])
+            # between-repeat (and between-entry) hygiene, outside the
+            # timer: release operator persists + clear the SQL cache so
+            # cached blocks from one repeat don't feed the next
+            clear_session_caches(spark)
+        timings[name] = min(ts)
+        repeats[name] = ts
+        loads[name] = lds
 
     # pre-sweep: build the persistent MinHash index once and time it as
     # its own entry, so the sweep's incremental_minhash_pairs times
@@ -756,10 +805,10 @@ def main() -> int:
             .write.format("noop")
             .mode("overwrite")
             .save(),
+            k=min_of if repeat_all else 1,
         )
         if qid in BENCH_SPLIT:
             split_active.add(qid)
-        clear_session_caches(spark)
 
     for name in names:
         if name in split_active:
@@ -774,12 +823,8 @@ def main() -> int:
             .write.format("noop")
             .mode("overwrite")
             .save(),
+            k=_k_for(name),
         )
-        # between-query hygiene (outside the timer): release operator
-        # persists + clear the SQL cache so cached blocks from one
-        # family don't inflate every later query's JVM (the round-2
-        # uniform ~1.4x regression)
-        clear_session_caches(spark)
 
     # stage attribution for the end-to-end pipeline, whenever the
     # pipeline itself was in the sweep (VERDICT r5 item 5)
@@ -803,6 +848,8 @@ def main() -> int:
         "unit": "sec",
         "headline_v2_total": total_v2,
         "queries": timings,
+        "queries_repeats": repeats,
+        "min_of": min_of,
         "loadavg": loads,
         "sf": _sf_from_dir(SF_DIR),
     }
