@@ -425,6 +425,7 @@ def dcs_rank_leq(
     portable: bool = False,
     estimate_col: str = "dcs_rank_leq",
     group_cols: Sequence[str] = (),
+    probes_are_distinct: bool = False,
 ) -> DataFrame:
     """Estimated rank (count of sketched values ≤ probe) for a probe
     set — fully relational: the prefix interval [0, x] decomposes as
@@ -435,7 +436,11 @@ def dcs_rank_leq(
     SUM.  Never underestimates; overshoot ≤ bits·e/w·N w.h.p.
 
     d/w/bits/portable MUST match the build (same contract as
-    :func:`cms_estimate`).
+    :func:`cms_estimate`).  ``probes_are_distinct=True`` skips the
+    defensive dedup of the probe set — a caller that constructs the
+    grid itself (distinct groups × a value range) saves one shuffle
+    stage; duplicates with it set would double-count nothing (the
+    final groupBy collapses them) but waste join work.
     """
     _dcs_validate(bits, d, w)
     gcols = list(group_cols)
@@ -471,10 +476,13 @@ def dcs_rank_leq(
     in_domain = (
         val.isNotNull() & (val >= 0) & (val < F.lit(1 << bits))
     )
+    probe_vals = probes.filter(in_domain).select(
+        *gcols, val.alias(value_col)
+    )
+    if not probes_are_distinct:
+        probe_vals = probe_vals.distinct()
     probe_nodes = (
-        probes.filter(in_domain)
-        .select(*gcols, val.alias(value_col))
-        .distinct()
+        probe_vals
         .select(*gcols, value_col, F.explode(nodes).alias("lrc"))
         .select(
             *gcols,
