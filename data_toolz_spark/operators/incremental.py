@@ -302,6 +302,11 @@ def build_minhash_index(
     spark.createDataFrame(
         [], "txn string, phase string"
     ).write.mode("overwrite").saveAsTable(_mh_journal_table(table_prefix))
+    # a REBUILT index starts with a clean ingest high-water mark (the
+    # streaming replay gate, ingest.py): a stale mark is never unsafe
+    # (it only forces extra members checks), but fresh builds should
+    # not inherit a previous stream's epoch counter
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_mh_ingest_hwm")
     return table_prefix
 
 

@@ -175,6 +175,22 @@ def run_near_dup_ingest(
     ``repair_minhash_index`` instruction — the stream fails loudly
     instead of mining a half-appended index.
 
+    Replay-check gating (r9, VERDICT r8 item 5): the members
+    semi-join is an O(index) id-column scan, which the common
+    no-replay batch should not pay.  A one-row high-water-mark table
+    (``{p}_mh_ingest_hwm``) records the highest batch id this stream
+    STARTED folding; it is overwritten immediately BEFORE each fold,
+    so any batch whose ids could be in the members table necessarily
+    has ``batch_id ≤ hwm`` — only those suspicious batches (a
+    checkpoint replay, or a fresh-checkpoint restart whose epoch
+    counter restarted below the mark) run the members check.  A
+    normal batch (``batch_id > hwm``) never references the members
+    table in its drop plan.  Note the id check is REPLAY protection,
+    not id-uniqueness enforcement: an out-of-band re-send of an
+    already-indexed id in a later epoch is dropped only if its
+    content still near-matches (the pairs-based drop), same as any
+    other duplicate content.
+
     Journal growth: every fold appends two tiny journal rows and the
     pre-mine dirty check scans them all, so each 64th batch compacts
     the journal (``compact_minhash_journal`` — a no-op unless the
@@ -210,22 +226,43 @@ def run_near_dup_ingest(
                 text_col=text_col,
             ).persist()
             ids = batch_df.select(F.col(id_col).alias("__mid")).distinct()
-            # explicit replay drop (r8): a batch id already in the
-            # members table was folded by a previous (crashed-after-
-            # fold) attempt of this epoch — drop it.  Members-side scan
-            # is a map-side filter against the broadcast batch ids
-            # (increment-sized output, no corpus shuffle); mining's
-            # id_a < id_b contract is strict, so this is the ONLY
-            # thing standing between a replay and duplicate output.
-            replayed = (
-                spark.table(f"{index_prefix}_mh_members")
-                .join(
-                    F.broadcast(ids),
-                    on=F.col("id") == F.col("__mid"),
+            # explicit replay drop (r8), GATED on the fold high-water
+            # mark (r9): a batch id already in the members table was
+            # folded by a previous (crashed-after-fold) attempt of this
+            # epoch — drop it.  The hwm is written before every fold,
+            # so batch_id > hwm proves no prior fold of this epoch and
+            # the O(index) members scan is skipped entirely; when the
+            # check does run it is a map-side filter against the
+            # broadcast batch ids (increment-sized output, no corpus
+            # shuffle).  Mining's id_a < id_b contract is strict, so on
+            # a true replay this check is the ONLY thing standing
+            # between it and duplicate output.
+            hwm_table = f"{index_prefix}_mh_ingest_hwm"
+            try:
+                # refresh first: the previous batch OVERWROTE this
+                # table, and a stale file-listing cache would otherwise
+                # throw FILE_NOT_EXIST here — which the fallback would
+                # silently read as "no mark", un-gating a real replay
+                spark.catalog.refreshTable(hwm_table)
+                hwm = spark.table(hwm_table).first()["hwm"]
+            except Exception:
+                hwm = -1  # no mark yet — nothing ever started a fold
+            if batch_id <= hwm:
+                replayed = (
+                    spark.table(f"{index_prefix}_mh_members")
+                    .join(
+                        F.broadcast(ids),
+                        on=F.col("id") == F.col("__mid"),
+                    )
+                    .select(F.col("id").alias("__drop"))
+                    .distinct()
                 )
-                .select(F.col("id").alias("__drop"))
-                .distinct()
-            )
+            else:
+                # empty frame with the id column's exact type, no
+                # members-table reference anywhere in the plan
+                replayed = ids.limit(0).select(
+                    F.col("__mid").alias("__drop")
+                )
             flagged = (
                 pairs.join(
                     ids.withColumnRenamed("__mid", "id_a").withColumn(
@@ -272,6 +309,19 @@ def run_near_dup_ingest(
                     .write.mode("append")
                     .saveAsTable(pairs_table)
                 )
+            # record the mark BEFORE the fold: any crash window that
+            # leaves batch ids in the members table (in or after the
+            # fold) therefore has hwm ≥ batch_id already durable, so
+            # the replay attempt re-runs the members check; a crash
+            # between mark and fold merely re-runs the check against
+            # members that lack these ids (harmless).  max(): a
+            # fresh-checkpoint restart resets the epoch counter, and a
+            # regressing mark would un-gate the restart's LATER epochs
+            # (batch 1 > a mark its own batch 0 just lowered) — the
+            # mark only ever rises.
+            spark.createDataFrame(
+                [(int(max(hwm, batch_id)),)], "hwm long"
+            ).write.mode("overwrite").saveAsTable(hwm_table)
             # fold LAST (journaled): insertInto invalidates cached
             # plans over the index tables, and a consumer after the
             # fold would re-mine against the updated index

@@ -275,7 +275,95 @@ def test_streaming_near_dup_ingest_across_cycles(spark, tmp_path):
     got3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got3 == {11, 13, 21}
     for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
-              "mh_journal"):
+              "mh_journal", "mh_ingest_hwm"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_near_dup_ingest_replay_check_is_gated(spark, tmp_path):
+    """r9 (VERDICT r8 item 5): the members-table id check runs ONLY on
+    replay-suspicious batches (batch_id ≤ fold high-water mark).
+
+    Proof is behavioral, both directions: an out-of-band RE-SEND of an
+    already-indexed id with novel content in a normal forward batch is
+    NOT id-dropped (the check did not run — its plan never touched the
+    members table), while a fresh-checkpoint replay (epoch counter ≤
+    mark) with the same already-indexed ids IS dropped.  Also pins the
+    mark's monotonicity: the replay's batch 0 must not lower it."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import build_minhash_index
+    from data_toolz_spark.streaming.ingest import run_near_dup_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    prefix = "t_ndingest_gate"
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal", "mh_ingest_hwm"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        seed, prefix, threshold=0.8, n_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+
+    # batch 0: novel doc 10 → survives, folds, mark := 0
+    spark.createDataFrame(
+        [(10, "one two three four five six seven")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_near_dup_ingest(
+        stream, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [10]
+    spark.catalog.refreshTable(f"{prefix}_mh_ingest_hwm")
+    hwm = spark.table(f"{prefix}_mh_ingest_hwm").first()["hwm"]
+    assert hwm == 0
+
+    # batch 1 (same checkpoint, batch_id 1 > mark 0): id 10 RE-SENT
+    # with different, non-matching content.  Were the members check
+    # running, the id would be dropped; the gate skips it, so the doc
+    # passes (content-based dedup finds no pair) and appears again.
+    spark.createDataFrame(
+        [(10, "completely unrelated replacement words here")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    run_near_dup_ingest(
+        stream2, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [10, 10]
+    assert {r["text"] for r in rows} == {
+        "one two three four five six seven",
+        "completely unrelated replacement words here",
+    }
+    spark.catalog.refreshTable(f"{prefix}_mh_ingest_hwm")
+    assert spark.table(f"{prefix}_mh_ingest_hwm").first()["hwm"] == 1
+
+    # fresh checkpoint: the replay's epoch counter restarts at 0 ≤
+    # mark 1 → the members check RUNS and drops every already-indexed
+    # id, so the corpus gains nothing — and the mark stays 1
+    stream3 = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    run_near_dup_ingest(
+        stream3, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [10, 10]
+    spark.catalog.refreshTable(f"{prefix}_mh_ingest_hwm")
+    assert spark.table(f"{prefix}_mh_ingest_hwm").first()["hwm"] == 1
+    for t in ("mh_meta", "mh_bands", "mh_sets", "mh_members",
+              "mh_journal", "mh_ingest_hwm"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
