@@ -1241,21 +1241,77 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only projection over the scan.  Subsumes text_quality (its five
     feature columns are emitted verbatim), which folds out of the
     registry to keep the 50-qid cap.
+
+    X51 fold (r9, VERDICT r8 item 3): the PII pass — ``pii_features``
+    counts + ``redact_pii``'s Luhn-gated scrub — promoted from
+    pytest-only to value-verified.  The corpus text is digit-free, so
+    the qid plants deterministic doc_id-derived PII (phone / SSN /
+    IPv4 / a card that is Luhn-VALID on even ids and INVALID on odd —
+    both checksum branches attested per row) and emits the four counts
+    plus an md5 of the redacted planted text.  Entities are separated
+    by letter words, which makes two things true at once: no
+    cross-entity span can satisfy any pattern's separator class
+    ``[-. ]``, and the patterns' lookaround context guards are vacuous
+    — so the DuckDB oracle, whose RE2 engine HAS no lookarounds, can
+    rebuild candidate extraction, the Luhn fold (1-based
+    ``list_transform`` index vs Spark's 0-based), the per-candidate
+    replace fold, and the ssn→phone→ipv4 replace order bit-for-bit on
+    guard-free pattern cores.  The guard semantics themselves (digit
+    runs embedded in longer runs, dotted-quad adjacency) stay pinned
+    by the differential pytest suite, where both engines are Java
+    regex.  Still one map-only projection: every PII column is
+    codegen'd ``regexp_count`` / higher-order expressions riding the
+    same scan.
     """
     from data_toolz_spark.operators.text_analysis import (
         build_vocab,
         keep_document,
+        pii_features,
         redact_artifacts,
+        redact_pii,
         unigram_logprob,
     )
 
     docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" ph ("),
+        (F.lit(200) + d % 700).cast("string"),
+        F.lit(") "),
+        (F.lit(100) + d % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + d % 9000).cast("string"),
+        F.lit(" net "),
+        (F.lit(1) + d % 223).cast("string"),
+        F.lit("."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+        F.lit("."),
+        ((d * 13) % 256).cast("string"),
+        F.lit(" id "),
+        (F.lit(100) + d % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(10) + d % 90).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + d % 9000).cast("string"),
+        F.lit(" pay "),
+        F.when(d % 2 == 0, F.lit("4111 1111 1111 1111")).otherwise(
+            F.lit("4111-1111-1111-1112")
+        ),
+        F.lit(" end"),
+    )
+    docs = docs.withColumn("__aug", planted)
     # r5: the CCNet-style fluency score joins the composite — the model
     # is the corpus's own vocab, so every token is in-vocab here (the
     # OOV path is pytest-pinned); zero-token docs carry NULL
     nll = unigram_logprob(docs, build_vocab(docs), alpha=1.0)
     out = redact_artifacts(keep_document(docs), out_col="__red").join(
         nll, on="doc_id", how="left"
+    )
+    out = pii_features(
+        redact_pii(out, "__aug", out_col="__pred"), "__aug"
     )
     return out.select(
         "doc_id",
@@ -1273,6 +1329,11 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep").cast("long").alias("keep"),
         F.md5(F.encode(F.col("__red"), "UTF-8")).alias("redacted_fp"),
         "nll",
+        "n_phones",
+        "n_ipv4",
+        "n_ssn",
+        "n_cards",
+        F.md5(F.encode(F.col("__pred"), "UTF-8")).alias("pii_redacted_fp"),
     )
 
 
@@ -2405,6 +2466,56 @@ def _boiler_count_sql() -> str:
 _URL_RE_SQL = "https?://[^\\s]+"
 _EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+
+def _pii_core(name: str) -> str:
+    """The PII pattern with its lookaround context guards stripped —
+    the single-source-of-truth oracle form.  DuckDB's RE2 has no
+    lookarounds; the qid's planted entities are letter-word-separated,
+    which makes the guards vacuous on that text, so the guard-free
+    core matches the identical spans (guard SEMANTICS stay pinned by
+    the Java-regex differential pytest suite)."""
+    import re as _re
+
+    from data_toolz_spark.operators.text_analysis import PII_PATTERNS
+
+    return _re.sub(r"\(\?<?!\[[^\]]*\]\)", "", PII_PATTERNS[name])
+
+
+#: planted-PII text: SQL twin of the Spark-side `planted` column in
+#: text_web_signals_q — entities derive from doc_id, separated by
+#: letter words so no cross-entity span satisfies any pattern's
+#: separator class and every context guard is vacuous
+_PII_AUG_SQL = (
+    "text || ' ph (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') ' ||"
+    " CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||"
+    " CAST(1000 + doc_id % 9000 AS VARCHAR) ||"
+    " ' net ' || CAST(1 + doc_id % 223 AS VARCHAR) || '.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+    " CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||"
+    " CAST((doc_id * 13) % 256 AS VARCHAR) ||"
+    " ' id ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||"
+    " CAST(10 + doc_id % 90 AS VARCHAR) || '-' ||"
+    " CAST(1000 + doc_id % 9000 AS VARCHAR) ||"
+    " ' pay ' || CASE WHEN doc_id % 2 = 0"
+    " THEN '4111 1111 1111 1111' ELSE '4111-1111-1111-1112' END ||"
+    " ' end'"
+)
+
+#: Luhn validity over a card-candidate string (digits/space/hyphen
+#: only).  DuckDB's list_transform index lambda is 1-BASED, so the
+#: doubled positions (every second digit from the right) are i%2=0 —
+#: the exact twin of Spark's 0-based i%2=1 in `_luhn_valid`
+_PII_LUHN_SQL = (
+    "len(list_filter(string_split(c, ''),"
+    " ch -> ch >= '0' AND ch <= '9')) BETWEEN 13 AND 16"
+    " AND list_sum(list_transform("
+    " list_reverse(list_transform(list_filter(string_split(c, ''),"
+    " ch -> ch >= '0' AND ch <= '9'), ch -> ch::INT)),"
+    " (dd, i) -> CASE WHEN i % 2 = 0 THEN"
+    " CASE WHEN dd * 2 > 9 THEN dd * 2 - 9 ELSE dd * 2 END"
+    " ELSE dd END)) % 10 = 0"
+)
+
 _WEB_SIGNALS_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
@@ -2466,6 +2577,24 @@ WITH tok AS (
     floor(((nu + ne)::DOUBLE / greatest(n_tokens, 1)) * 10000) / 10000
       AS artifact_ratio
   FROM f
+), piiv AS (
+  SELECT doc_id, aug,
+    list_filter(regexp_extract_all(aug, '{_pii_core("card")}'),
+                c -> {_PII_LUHN_SQL}) AS vcards
+  FROM (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+), piired AS (
+  SELECT doc_id,
+    len(regexp_extract_all(aug, '{_pii_core("phone")}'))::BIGINT AS n_phones,
+    len(regexp_extract_all(aug, '{_pii_core("ipv4")}'))::BIGINT AS n_ipv4,
+    len(regexp_extract_all(aug, '{_pii_core("ssn")}'))::BIGINT AS n_ssn,
+    len(vcards)::BIGINT AS n_cards,
+    md5(regexp_replace(regexp_replace(regexp_replace(
+      list_reduce(list_prepend(aug, vcards),
+                  (acc, c) -> regexp_replace(acc, c, '<CARD>', 'g')),
+      '{_pii_core("ssn")}', '<SSN>', 'g'),
+      '{_pii_core("phone")}', '<PHONE>', 'g'),
+      '{_pii_core("ipv4")}', '<IP>', 'g')) AS pii_redacted_fp
+  FROM piiv
 )
 SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
   quality_score, dup_line_ratio, dup_bigram_ratio, n_urls, n_emails,
@@ -2478,8 +2607,9 @@ SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
        THEN 1 ELSE 0 END AS BIGINT) AS keep,
   md5(regexp_replace(regexp_replace(text, '{_URL_RE_SQL}', '<URL>', 'g'),
       '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')) AS redacted_fp,
-  lm.nll AS nll
-FROM g LEFT JOIN lm USING (doc_id)
+  lm.nll AS nll,
+  pp.n_phones, pp.n_ipv4, pp.n_ssn, pp.n_cards, pp.pii_redacted_fp
+FROM g LEFT JOIN lm USING (doc_id) JOIN piired pp USING (doc_id)
 """
 
 
