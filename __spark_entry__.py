@@ -2076,6 +2076,64 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 (r9, VERDICT r8 item 4): image-CONTENT near-dup — the
+    modality tier text (MinHash/SimHash) and embeddings (cosine/LSH)
+    already had.  200 real PNGs with PLANTED near-dup groups of 4
+    (``png_neardup_table``: bimodal md5-flagged cell pattern, member k
+    overprints k grid cells); ONE Arrow pass decodes and perceptually
+    hashes (``image_phash``: aHash + dHash, integer-exact block-mean
+    grids with cross-multiplied comparisons — no floats, no PIL
+    resampling, so any SQL engine rebuilds the bits from pixel
+    arithmetic); pairs mine via the generic Hamming pigeonhole banding
+    (``fingerprint_band_pairs``, 8 blocks × 8 bits, exact for τ=3) and
+    fold back as per-image neighbor aggregates, so one frame attests
+    decode (dims + mean_byte), both fingerprints, and the banded pair
+    graph.  Subsumes multimodal_decode's PNG-decode attestation (same
+    codec path, richer pattern), which folds out of the registry to
+    keep the 50-qid cap (bench keeps its headline series entry via
+    LEGACY).  Planted geometry: within-group Hamming ≤ 3, cross-group
+    ≥ 17, so τ=3 recovers exactly the 300 planted pairs — the qid
+    value-attests both that every planted pair is found AND that no
+    spurious pair appears.  The skew story (20k identical images = one
+    fingerprint node) is ``phash_components``; pytest pins its parity
+    with the pair path, and the bench carries a mega-cluster probe.
+    """
+    from data_toolz_spark.cache import track
+    from data_toolz_spark.operators.image_dedup import (
+        image_phash,
+        phash_near_duplicates,
+        png_neardup_table,
+    )
+
+    hashes = track(
+        image_phash(png_neardup_table(spark, 200, group_size=4)).persist()
+    )
+    pairs = phash_near_duplicates(hashes, max_hamming=3, n_blocks=8)
+    both = pairs.select(
+        F.col("id_a").alias("__mid"), F.col("id_b").alias("__nb")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("__mid"), F.col("id_a").alias("__nb"))
+    )
+    neigh = both.groupBy("__mid").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__nb").alias("__mn")
+    )
+    return (
+        hashes.join(neigh, hashes["media_id"] == neigh["__mid"], "left")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "channels",
+            F.round("mean_byte", 6).alias("mean_byte"),
+            "ahash",
+            "dhash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near"),
+            F.col("__mn").alias("min_neighbor"),
+        )
+    )
+
+
 _STREAM_DIRS: dict[str, str] = {}
 
 
@@ -2306,7 +2364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_drop": dedup_cc_drop_q,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_embedding": dedup_embedding_q,
-        "multimodal_decode": multimodal_decode_q,
+        # multimodal_decode folded r9 → multimodal_image_neardup (same
+        # PNG codec path, richer pattern, plus the perceptual-hash
+        # near-dup graph); the callable survives for bench's headline
+        # series via LEGACY
+        "multimodal_image_neardup": multimodal_image_neardup_q,
         "multimodal_frames": multimodal_frames_q,
         "multimodal_audio": multimodal_audio_q,
         "stream_windowed_counts": stream_windowed_counts_q,
@@ -3381,18 +3443,99 @@ SELECT w.doc_id,
   COALESCE(agg.chunks_md5, md5('')) AS chunks_md5
 FROM w LEFT JOIN agg USING (doc_id)
 """,
-        "multimodal_decode": """
+        # image near-dup (r9): the oracle rebuilds the PLANTED pixel
+        # pattern arithmetically (md5 cell flags + textures), then the
+        # full perceptual-hash pipeline — grayscale channel sums, 8×8
+        # and 8×9 block-grid sums, cross-multiplied mean comparisons,
+        # HUGEINT bit packing wrapped to signed-64 — and the pair
+        # graph brute-force (banding is lossless by pigeonhole, so
+        # {hamming ≤ 3} IS the banded output) with per-image neighbor
+        # aggregates
+        "multimodal_image_neardup": """
 WITH dims AS (
-  SELECT m, 16 + m % 48 AS w, 16 + m % 32 AS h, 1 + m % 3 AS c
+  SELECT m, m - m % 4 AS b, m % 4 AS k,
+         16 + 8 * ((m - m % 4) % 5) AS w,
+         16 + 8 * ((m - m % 4) % 3) AS h,
+         1 + (m - m % 4) % 3 AS c
   FROM generate_series(0, 199) t(m)
+), flags AS (
+  SELECT gb.b, s.cl,
+    (strpos('0123456789abcdef',
+            substr(md5(CAST(gb.b AS VARCHAR) || '_'
+                       || CAST(s.cl AS VARCHAR)), 1, 1)) - 1) % 2 AS fl
+  FROM (SELECT DISTINCT b FROM dims) gb,
+       unnest(generate_series(0, 63)) s(cl)
+), px AS (
+  SELECT m, b, k, w, h, c, s.i % w AS x, s.i // w AS y
+  FROM dims, unnest(generate_series(0, w * h - 1)) s(i)
+), g AS (
+  SELECT m, w, h, c,
+    (y * 8) // h AS ry, (x * 8) // w AS cx, (x * 9) // w AS cx9,
+    CASE WHEN (y * 8) // h = 0 AND (x * 8) // w < k
+      THEN list_sum([((y * w + x) * c + ch) * 13 % 32
+                     for ch in generate_series(0, c - 1)])
+      WHEN fl = 1
+      THEN 192 * c + list_sum([((y * w + x) * c + ch) * 7 % 32
+                               for ch in generate_series(0, c - 1)])
+      ELSE list_sum([((y * w + x) * c + ch) * 7 % 32
+                     for ch in generate_series(0, c - 1)])
+    END AS gray
+  FROM px JOIN flags ON flags.b = px.b
+   AND flags.cl = ((px.y * 8) // px.h) * 8 + (px.x * 8) // px.w
+), tot AS (
+  SELECT m, SUM(gray)::BIGINT AS ts, COUNT(*)::BIGINT AS tc
+  FROM g GROUP BY m
+), cells AS (
+  SELECT m, ry, cx, SUM(gray)::BIGINT AS cs, COUNT(*)::BIGINT AS cn
+  FROM g GROUP BY m, ry, cx
+), ah AS (
+  SELECT cells.m,
+    SUM(CASE WHEN cs * tc > ts * cn
+        THEN CAST(2 ** (ry * 8 + cx) AS HUGEINT)
+        ELSE CAST(0 AS HUGEINT) END) AS au
+  FROM cells JOIN tot ON tot.m = cells.m
+  GROUP BY cells.m
+), cells9 AS (
+  SELECT m, ry, cx9, SUM(gray)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM g GROUP BY m, ry, cx9
+), dh AS (
+  SELECT a.m,
+    SUM(CASE WHEN a.s * b.n > b.s * a.n
+        THEN CAST(2 ** (a.ry * 8 + a.cx9) AS HUGEINT)
+        ELSE CAST(0 AS HUGEINT) END) AS du
+  FROM cells9 a JOIN cells9 b
+    ON a.m = b.m AND a.ry = b.ry AND b.cx9 = a.cx9 + 1
+  GROUP BY a.m
+), ham AS (
+  SELECT a.m AS ma, b.m AS mb,
+    list_sum([CASE WHEN (a.au // CAST(2 ** i AS HUGEINT)) % 2
+                     <> (b.au // CAST(2 ** i AS HUGEINT)) % 2
+              THEN 1 ELSE 0 END
+              for i in generate_series(0, 63)]) AS d
+  FROM ah a JOIN ah b ON a.m < b.m
+), nd AS (
+  SELECT ma, mb FROM ham WHERE d <= 3
+), neigh AS (
+  SELECT mid, COUNT(*)::BIGINT AS n_near, MIN(nb) AS min_neighbor
+  FROM (SELECT ma AS mid, mb AS nb FROM nd
+        UNION ALL SELECT mb AS mid, ma AS nb FROM nd) u
+  GROUP BY mid
 )
-SELECT m AS media_id, w AS width, h AS height, c AS channels,
-  ROUND(list_sum([(m*31 + i*7) % 256
-                  for i in generate_series(0, w*h*c - 1)])::DOUBLE
-        / (w*h*c), 6) AS mean_byte,
-  list_max([(m*31 + i*7) % 256
-            for i in generate_series(0, w*h*c - 1)]) AS max_byte
-FROM dims
+SELECT d.m AS media_id,
+  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+  CAST(d.c AS INTEGER) AS channels,
+  ROUND(ts::DOUBLE / (d.w * d.h * d.c), 6) AS mean_byte,
+  CAST(CASE WHEN au >= CAST(2 ** 63 AS HUGEINT)
+       THEN au - CAST(2 ** 64 AS HUGEINT) ELSE au END AS BIGINT) AS ahash,
+  CAST(CASE WHEN du >= CAST(2 ** 63 AS HUGEINT)
+       THEN du - CAST(2 ** 64 AS HUGEINT) ELSE du END AS BIGINT) AS dhash,
+  COALESCE(neigh.n_near, 0) AS n_near,
+  neigh.min_neighbor
+FROM dims d
+JOIN tot ON tot.m = d.m
+JOIN ah ON ah.m = d.m
+JOIN dh ON dh.m = d.m
+LEFT JOIN neigh ON neigh.mid = d.m
 """,
         "multimodal_audio": """
 WITH dims AS (

@@ -166,6 +166,8 @@ LEGACY = {
     "json_key_histogram": entrymod.json_key_histogram,
     "set_ops_users": entrymod.set_ops_users,
     "dedup_minhash": entrymod.dedup_minhash_q,  # headline member
+    # r9 fold (slot freed for multimodal_image_neardup)
+    "multimodal_decode": entrymod.multimodal_decode_q,  # headline member
     "topk_per_group": entrymod.topk_per_group,  # headline member
     "win_running_total": entrymod.win_running_total_q,
     "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf
@@ -618,6 +620,28 @@ BENCH_BUILDS = [
 ]
 
 
+def _x_phash_mega_components(spark, sf_dir):
+    """Mega-cluster skew probe for the image perceptual-hash tier
+    (r9): 20k images of which 15k are IDENTICAL — one fingerprint
+    node in the components path, where the pair path would emit
+    ~112M member pairs.  Hash-level on purpose: the decode+hash
+    Arrow pass is timed by the registered qid; this entry isolates
+    the graph path's skew behavior, the image twin of
+    x_simhash_components."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.image_dedup import phash_components
+
+    n, mega = 20_000, 15_000
+    hashes = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") < mega, F.lit(0x1234_5678_9ABC_DEF0))
+        .otherwise(F.xxhash64(F.col("id")))
+        .alias("ahash"),
+    )
+    return phash_components(hashes, max_hamming=3, n_blocks=8)
+
+
 EXTRAS = {
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
@@ -635,6 +659,7 @@ EXTRAS = {
     "x_topk_int8_dequant": _x_topk_int8,
     "x_decon_hashed": _x_decon_hashed,
     "x_prepare_corpus": _x_prepare_corpus,
+    "x_phash_mega_components": _x_phash_mega_components,
 }
 
 

@@ -3,6 +3,8 @@
 from data_toolz_spark.operators.dedup import (
     connected_components,
     dedup_exact,
+    fingerprint_band_pairs,
+    fingerprint_components,
     exact_jaccard_pairs,
     minhash_near_duplicates,
     minhash_signature,
@@ -87,6 +89,13 @@ from data_toolz_spark.operators.skew import (
     replicate_hot_keys_join,
     salted_aggregate,
 )
+from data_toolz_spark.operators.image_dedup import (
+    image_phash,
+    phash_components,
+    phash_from_pixels,
+    phash_near_duplicates,
+    png_neardup_table,
+)
 from data_toolz_spark.operators.multimodal import (
     audio_features,
     decode_media,
@@ -102,6 +111,8 @@ __all__ = [
     # dedup
     "connected_components",
     "dedup_exact",
+    "fingerprint_band_pairs",
+    "fingerprint_components",
     "exact_jaccard_pairs",
     "minhash_near_duplicates",
     "minhash_signature",
@@ -178,6 +189,11 @@ __all__ = [
     # multimodal
     "audio_features",
     "decode_media",
+    "image_phash",
+    "phash_from_pixels",
+    "phash_near_duplicates",
+    "phash_components",
+    "png_neardup_table",
     "decode_png",
     "encode_png",
     "fake_audio_table",

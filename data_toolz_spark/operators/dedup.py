@@ -1157,6 +1157,172 @@ def simhash_near_duplicates(
     )
 
 
+def _hamming_block_bounds(
+    max_hamming: int, n_blocks: int | None, bits: int
+) -> list[tuple[int, int]]:
+    """(lo, width) per pigeonhole block over a ``bits``-wide
+    fingerprint — two fingerprints within ``max_hamming`` must agree
+    on at least one whole block when ``n_blocks >= max_hamming + 1``
+    (lossless blocking; same contract as ``_simhash_blocks``)."""
+    n_blocks = n_blocks or (max_hamming + 1)
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            "n_blocks must be >= max_hamming + 1 for exact recall"
+        )
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks must be <= bits ({bits})")
+    bounds = []
+    per, extra, lo = bits // n_blocks, bits % n_blocks, 0
+    for b in range(n_blocks):
+        width = per + (1 if b < extra else 0)
+        bounds.append((lo, width))
+        lo += width
+    return bounds
+
+
+def _hamming_block_vals(
+    fp_name: str, max_hamming: int, n_blocks: int | None, bits: int
+) -> Column:
+    """Array of per-block values extracted from fingerprint column
+    ``fp_name`` via shiftrightunsigned + mask (bitwise AND, not %:
+    modulo is sign-preserving and the top block of a 64-bit
+    fingerprint has the sign bit set)."""
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col(fp_name), lo).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for lo, width in _hamming_block_bounds(
+                max_hamming, n_blocks, bits
+            )
+        ]
+    )
+
+
+def fingerprint_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Hamming-near pairs over an ARBITRARY precomputed integer
+    fingerprint column — the fingerprint-generic twin of
+    :func:`simhash_band_pairs` (which derives its fingerprint from
+    text).  Exact by pigeonhole: with ``n_blocks >= max_hamming + 1``
+    contiguous bit blocks, any pair within ``max_hamming`` agrees on
+    at least one whole block, so the (block_idx, block_value)
+    self-join finds every qualifying pair and one
+    ``bit_count(xor)`` verifies each candidate.  Serves every
+    Hamming-space fingerprint family — SimHash, perceptual image
+    hashes (aHash/dHash, ``operators/image_dedup.py``), audio
+    chromaprints — with the same scale shape: the band table carries
+    (id, block_idx, block_value) longs only and candidate volume is
+    Σ|bucket|² over blocks, never |corpus|².
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
+    )
+    banded = base.select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            _hamming_block_vals("__fp", max_hamming, n_blocks, bits)
+        ).alias("__blk", "__val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__val") == F.col("b.__val"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def fingerprint_components(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Component map ``(id, component)`` for an arbitrary fingerprint
+    column without materializing member pairs — the skew-safe path
+    (fingerprint-generic twin of :func:`simhash_components`).  k
+    identical fingerprints produce k² pairs in the pair path; here
+    banding and the transitive closure run over DISTINCT fingerprints
+    (one node each, so a 20k-copy mega-cluster is ONE node), and
+    members join in once for their component's min-member label.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
+    )
+    fps = base.groupBy("__fp").agg(F.count(F.lit(1)).alias("__cnt"))
+    banded = fps.select(
+        "__fp",
+        F.posexplode(
+            _hamming_block_vals("__fp", max_hamming, n_blocks, bits)
+        ).alias("__blk", "__val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    fp_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__val") == F.col("b.__val"),
+                F.col("a.__fp") < F.col("b.__fp"),
+            ],
+        )
+        .select(
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
+        )
+        .dropDuplicates(["fp_a", "fp_b"])
+        .withColumn(
+            "__ham",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))),
+        )
+        .filter(F.col("__ham") <= max_hamming)
+    )
+    fp_cc = connected_components(fp_pairs, id_a="fp_a", id_b="fp_b")
+    lone_multi = fps.filter(F.col("__cnt") > 1).select(
+        F.col("__fp").alias("id"), F.col("__fp").alias("component")
+    )
+    fp_comp = (
+        fp_cc.unionByName(lone_multi)
+        .groupBy("id")
+        .agg(F.min("component").alias("__fpc"))
+    )
+    tagged = base.join(
+        fp_comp, on=base["__fp"] == fp_comp["id"]
+    ).select("__id", "__fpc")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fpc")
+    return tagged.select(
+        F.col("__id").alias("id"),
+        F.min("__id").over(w).alias("component"),
+    )
+
+
 __all__ = [
     "dedup_exact",
     "minhash_signature",
@@ -1172,5 +1338,7 @@ __all__ = [
     "simhash_band_pairs",
     "simhash_components",
     "simhash_near_duplicates",
+    "fingerprint_band_pairs",
+    "fingerprint_components",
     "SIMHASH_BITS",
 ]
