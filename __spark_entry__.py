@@ -1959,22 +1959,64 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bpe_tokens(
+    spark: SparkSession, sf_dir: str, *, _with_bpe_training: bool = True
+) -> DataFrame:
     """Sub-word-ish token counts via the BPE-style regex, plus (r5)
     context-window chunking attested value-for-value: per document the
     chunk count and an md5 over the in-order chunk texts (24-word
     windows, overlap 6) — the oracle rebuilds the identical windows in
     SQL, so X33's whole split/overlap/reassembly semantics are
-    hash-verified, not just row-counted."""
+    hash-verified, not just row-counted.
+
+    X61 fold (r9, VERDICT r8 item 6): ``bpe_vocab_tokens`` — the
+    per-doc token count under a merge vocabulary LEARNED from the
+    corpus by distributed BPE training (``operators/bpe.py``: 32
+    merges, min_count 2; each merge is one vocab-sized pair aggregate
+    with a single argmax row crossing to the driver, applied as a
+    literal separator-wrapped string replace whose non-overlapping
+    left-to-right scan IS the BPE greedy semantics).  The column's
+    value depends on every rank of the training loop — pair counts,
+    deterministic tie-breaks (count DESC, left ASC, right ASC), the
+    replace chain — and the DuckDB oracle replays the ENTIRE loop with
+    one CTE pair per merge plus the same nested-replace application,
+    so training is value-verified end to end, not just the final
+    segmentation.  Early-exhaustion stays equivalent by construction:
+    when no pair reaches min_count the state is a fixed point, so the
+    oracle's empty-selection guards (identity replaces) match the
+    Spark loop's break.
+    """
     from data_toolz_spark.functions.text import bpe_token_count, token_count
+    from data_toolz_spark.operators.bpe import (
+        bpe_token_count_expr,
+        bpe_train,
+        bpe_word_table,
+    )
     from data_toolz_spark.operators.text_analysis import chunk_documents
 
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         token_count("text").alias("ws_tokens"),
         bpe_token_count("text").alias("bpe_tokens"),
-    )
+    ]
+    if _with_bpe_training:
+        # the training loop is K sequential vocab-sized rounds — at
+        # sf0.1 its wall is almost entirely per-round job overhead
+        # (~8 s warm for 32 ranks on a 60-word vocab; the per-round
+        # aggregate itself is sub-ms), the fixed cost that vanishes at
+        # 100 TB where each rank aggregates a billion-word vocab.
+        # bench pins this qid's series entry to the pre-fold
+        # definition (_with_bpe_training=False) and times the
+        # composite as x_bpe_train, so the r5-comparable series
+        # survives with the attribution explicit.
+        merges = bpe_train(
+            bpe_word_table(docs), n_merges=_BPE_N_MERGES, min_count=2
+        )
+        cols.append(
+            bpe_token_count_expr("text", merges).alias("bpe_vocab_tokens")
+        )
+    base = docs.select(*cols)
     chunks = chunk_documents(docs, max_words=24, overlap=6)
     agg = chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -1990,13 +2032,117 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunks_md5"),
     )
+    out_cols = ["doc_id", "ws_tokens", "bpe_tokens"]
+    if _with_bpe_training:
+        out_cols.append("bpe_vocab_tokens")
     return base.join(agg, on="doc_id", how="left").select(
-        "doc_id",
-        "ws_tokens",
-        "bpe_tokens",
+        *out_cols,
         F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
         F.coalesce("chunks_md5", F.md5(F.lit(""))).alias("chunks_md5"),
     )
+
+
+#: merge budget for the text_bpe_tokens BPE-training fold (X61) —
+#: shared by the Spark loop and the oracle generator so both always
+#: replay the same number of ranks
+_BPE_N_MERGES = 32
+
+
+def _bpe_tokens_sql(n_merges: int = None, min_count: int = 2) -> str:
+    """Generate the text_bpe_tokens oracle: the r5 chunking arm plus a
+    FULL SQL replay of the X61 BPE training loop — one (pairs, best,
+    state) CTE triple per merge rank, then the nested-replace
+    application.  ``chr(31)`` is the symbol separator (same byte as
+    the Spark side), ``chr(30)`` the impossible-match guard that turns
+    an exhausted rank's empty best-selection into an identity replace
+    (equivalent to the Spark loop's early break because an exhausted
+    state is a fixed point)."""
+    n_merges = _BPE_N_MERGES if n_merges is None else n_merges
+    s31 = "chr(31)"
+    stages = []
+    for i in range(n_merges):
+        stages.append(f"""p{i} AS (
+  SELECT sym[gi] AS l, sym[gi + 1] AS r, SUM(f)::BIGINT AS cnt
+  FROM (SELECT string_split(s[2:len(s) - 1], {s31} || {s31}) AS sym, f
+        FROM it{i}) t{i},
+       unnest(generate_series(1, len(sym) - 1)) g(gi)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r FROM p{i} WHERE cnt >= {min_count}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), it{i + 1} AS MATERIALIZED (
+  SELECT replace(s,
+    COALESCE((SELECT {s31} || l || {s31} || {s31} || r || {s31} FROM b{i}),
+             chr(30)),
+    COALESCE((SELECT {s31} || l || r || {s31} FROM b{i}), chr(30))) AS s, f
+  FROM it{i}
+)""")
+    pats = ",\n    ".join(
+        f"COALESCE((SELECT {s31} || l || {s31} || {s31} || r || {s31} "
+        f"FROM b{i}), chr(30)) AS pat{i},\n    "
+        f"COALESCE((SELECT {s31} || l || r || {s31} FROM b{i}), chr(30)) "
+        f"AS rep{i}"
+        for i in range(n_merges)
+    )
+    enc = f"regexp_replace(wd, '(.)', {s31} || '\\1' || {s31}, 'g')"
+    applied = enc
+    for i in range(n_merges):
+        applied = f"replace({applied}, pat{i}, rep{i})"
+    stages_sql = ",\n".join(stages)
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wl,
+         text
+  FROM documents
+),
+wt AS (
+  SELECT word, COUNT(*)::BIGINT AS f
+  FROM (SELECT unnest(wl) AS word FROM w)
+  WHERE strpos(word, {s31}) = 0
+  GROUP BY word
+),
+it0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', {s31} || '\1' || {s31}, 'g') AS s, f
+  FROM wt
+),
+{stages_sql},
+mt AS (
+  SELECT
+    {pats}
+),
+appw AS (
+  SELECT doc_id, wd,
+         len(string_split(app[2:len(app) - 1], {s31} || {s31}))::BIGINT AS n
+  FROM (SELECT doc_id, unnest(wl) AS wd FROM w), mt,
+       LATERAL (SELECT {applied} AS app) a
+  WHERE strpos(wd, {s31}) = 0
+),
+appagg AS (
+  SELECT doc_id, SUM(n)::BIGINT AS bpe_vocab_tokens FROM appw GROUP BY doc_id
+),
+ch AS (
+  SELECT doc_id, i,
+         array_to_string(wl[(i-1)*18+1 : (i-1)*18+24], ' ') AS txt
+  FROM w,
+       unnest(generate_series(
+         1, greatest(CAST(ceil((len(wl) - 6) / 18.0) AS INT), 1))) t(i)
+  WHERE len(wl) > 0
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         md5(string_agg(txt, chr(31) ORDER BY i)) AS chunks_md5
+  FROM ch GROUP BY doc_id
+)
+SELECT w.doc_id,
+  len(wl)::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
+    AS bpe_tokens,
+  COALESCE(appagg.bpe_vocab_tokens, 0)::BIGINT AS bpe_vocab_tokens,
+  COALESCE(agg.n_chunks, 0)::BIGINT AS n_chunks,
+  COALESCE(agg.chunks_md5, md5('')) AS chunks_md5
+FROM w LEFT JOIN appagg USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3415,34 +3561,7 @@ FROM events GROUP BY user_id
             "COUNT(l_quantity) AS n_rows, MAX(l_quantity) AS max_qty "
             "FROM lineitem GROUP BY l_returnflag"
         ),
-        "text_bpe_tokens": rf"""
-WITH w AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wl,
-         text
-  FROM documents
-),
-ch AS (
-  SELECT doc_id, i,
-         array_to_string(wl[(i-1)*18+1 : (i-1)*18+24], ' ') AS txt
-  FROM w,
-       unnest(generate_series(
-         1, greatest(CAST(ceil((len(wl) - 6) / 18.0) AS INT), 1))) t(i)
-  WHERE len(wl) > 0
-),
-agg AS (
-  SELECT doc_id, COUNT(*) AS n_chunks,
-         md5(string_agg(txt, chr(31) ORDER BY i)) AS chunks_md5
-  FROM ch GROUP BY doc_id
-)
-SELECT w.doc_id,
-  len(wl)::BIGINT AS ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
-    AS bpe_tokens,
-  COALESCE(agg.n_chunks, 0)::BIGINT AS n_chunks,
-  COALESCE(agg.chunks_md5, md5('')) AS chunks_md5
-FROM w LEFT JOIN agg USING (doc_id)
-""",
+        "text_bpe_tokens": _bpe_tokens_sql(),
         # image near-dup (r9): the oracle rebuilds the PLANTED pixel
         # pattern arithmetically (md5 cell flags + textures), then the
         # full perceptual-hash pipeline — grayscale channel sums, 8×8

@@ -142,12 +142,27 @@ def _dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def _text_bpe_tokens_prefold(spark, sf_dir):
+    """The r5–r8 definition of the text_bpe_tokens qid (regex token
+    counts + chunk attestation, no BPE TRAINING).  r9 folded the X61
+    distributed BPE-merge training loop into the registered qid, whose
+    wall at sf0.1 is almost entirely per-rank job-scheduling overhead
+    (32 sequential vocab-sized aggregates over a ~60-word vocab) — a
+    fixed cost that vanishes at 100 TB but would have ~9×'d a V1
+    HEADLINE member here.  The pin keeps the headline series timing
+    the original definition; the trained composite is timed as
+    x_bpe_train below."""
+    return entrymod.text_bpe_tokens(spark, sf_dir, _with_bpe_training=False)
+
+
 # sweep-time DEFINITION pins: a registered qid whose r8 redefinition
 # would change what a headline-series entry measures is timed at its
 # ORIGINAL definition (the redefined composite is what the driver's
 # correctness gate runs — this only affects bench attribution).
 DEFN_PIN = {
     "dedup_embedding": _dedup_embedding_blocked,
+    # r9: BPE-training fold (X61) pinned out of the headline series
+    "text_bpe_tokens": _text_bpe_tokens_prefold,
 }
 
 
@@ -642,7 +657,18 @@ def _x_phash_mega_components(spark, sf_dir):
     return phash_components(hashes, max_hamming=3, n_blocks=8)
 
 
+def _x_bpe_train(spark, sf_dir):
+    """The REGISTERED text_bpe_tokens definition (r9 X61 fold): 32
+    BPE merges trained on the corpus vocabulary plus the trained
+    segmentation applied per doc.  Its own entry because the headline
+    slot is pinned pre-fold — the delta vs text_bpe_tokens is the
+    training loop's cost, almost all fixed per-rank job overhead at
+    this SF (the per-rank aggregate is vocab-sized)."""
+    return entrymod.text_bpe_tokens(spark, sf_dir)
+
+
 EXTRAS = {
+    "x_bpe_train": _x_bpe_train,
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
     # its old name so the per-qid series continues unbroken

@@ -1,5 +1,11 @@
 """Large-scale LLM-data-pipeline operators (SURVEY §2.9 extensions)."""
 
+from data_toolz_spark.operators.bpe import (
+    bpe_apply_expr,
+    bpe_token_count_expr,
+    bpe_train,
+    bpe_word_table,
+)
 from data_toolz_spark.operators.dedup import (
     connected_components,
     dedup_exact,
@@ -110,6 +116,10 @@ from data_toolz_spark.operators.multimodal import (
 __all__ = [
     # dedup
     "connected_components",
+    "bpe_apply_expr",
+    "bpe_token_count_expr",
+    "bpe_train",
+    "bpe_word_table",
     "dedup_exact",
     "fingerprint_band_pairs",
     "fingerprint_components",

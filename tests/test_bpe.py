@@ -1,0 +1,148 @@
+"""Distributed BPE-merge training (operators/bpe.py).
+
+The driver qid (text_bpe_tokens' bpe_vocab_tokens fold) value-attests
+the full 32-merge training loop against DuckDB; these tests pin the
+operator against an INDEPENDENT pure-Python Sennrich reference —
+merge sequence, tie-breaks, overlap counting, greedy application,
+early exhaustion, and the separator-safety filter.
+"""
+
+from collections import Counter
+
+import pytest
+
+
+def _ref_train(word_freq: dict, n_merges: int, min_count: int = 2):
+    """Pure-Python Sennrich BPE: overlapping pair counts weighted by
+    word frequency, ties broken (count DESC, left ASC, right ASC),
+    greedy left-to-right merge application."""
+    state = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        cands = [(c, p) for p, c in pc.items() if c >= min_count]
+        if not cands:
+            break
+        c, (l, r) = sorted(cands, key=lambda t: (-t[0], t[1][0], t[1][1]))[0]
+        merges.append((rank, l, r, l + r, c))
+        new = {}
+        for syms, f in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        state = new
+    return merges
+
+
+def _ref_apply(word: str, merges) -> int:
+    syms = list(word)
+    for _, l, r, mg, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(mg)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def _train_on(spark, corpus, n_merges, min_count=2):
+    from data_toolz_spark.operators.bpe import bpe_train, bpe_word_table
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = bpe_train(
+        bpe_word_table(docs), n_merges=n_merges, min_count=min_count
+    )
+    wf = Counter(w for line in corpus for w in line.split())
+    want = _ref_train(wf, n_merges, min_count)
+    return docs, got, want, wf
+
+
+def test_bpe_train_matches_reference_with_overlaps_and_ties(spark):
+    """Overlapping pairs ('aaa' counts (a,a) twice), deterministic
+    tie-breaks, and the merged-symbol cascade all match the
+    reference."""
+    corpus = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "aaa aaab ab ab ab",
+    ]
+    _, got, want, _ = _train_on(spark, corpus, 12)
+    gm = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in got
+    ]
+    assert gm == want
+    # exhaustion: 12 requested, reference stops earlier
+    assert len(got) < 12
+
+
+def test_bpe_train_randomized_differential(spark):
+    """Seeded random corpus over a small alphabet (dense collisions
+    force real tie-breaking) — merges match rank for rank."""
+    import random
+
+    rng = random.Random(17)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+        for _ in range(120)
+    ]
+    corpus = [" ".join(words[i::4]) for i in range(4)]
+    _, got, want, _ = _train_on(spark, corpus, 20)
+    gm = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in got
+    ]
+    assert gm == want
+
+
+def test_bpe_token_count_expr_matches_reference(spark):
+    """Applying the trained merges per doc = greedy per-word reference
+    segmentation lengths, summed."""
+    from data_toolz_spark.operators.bpe import bpe_token_count_expr
+
+    corpus = [
+        "banana bandana and sand anna",
+        "nan an banana band",
+        "",
+    ]
+    docs, got, want, _ = _train_on(spark, corpus, 10)
+    rows = docs.select(
+        "doc_id", bpe_token_count_expr("text", got).alias("n")
+    ).collect()
+    for r in rows:
+        expect = sum(_ref_apply(w, want) for w in corpus[r["doc_id"]].split())
+        assert r["n"] == expect
+    assert {r["doc_id"]: r["n"] for r in rows}[2] == 0  # empty doc
+
+
+def test_bpe_word_table_drops_separator_words(spark):
+    from data_toolz_spark.operators.bpe import BPE_SEP, bpe_word_table
+
+    docs = spark.createDataFrame(
+        [(0, f"ok als{BPE_SEP}o ok")], "doc_id long, text string"
+    )
+    rows = {r["word"]: r["freq"] for r in bpe_word_table(docs).collect()}
+    assert rows == {"ok": 2}
+
+
+def test_bpe_single_char_words_no_merges(spark):
+    """A corpus of 1-symbol words has no adjacent pairs — training
+    returns [] instead of erroring on the empty pair frame."""
+    corpus = ["a b c a b", "c a b"]
+    _, got, want, _ = _train_on(spark, corpus, 5)
+    assert got == [] and want == []
