@@ -828,6 +828,12 @@ def build_ivf_index(
     for clustered corpora (A/B in ``tools/pq_probe.py``).  The mode is
     pinned in the meta row; queries and appends read it from there, so
     a stored index can never be scored or extended in the wrong mode.
+
+    Default stays ``False`` (r9 decision, VERDICT r8 item 7): the A/B
+    on the REAL testdata embeddings lost recall in residual mode at
+    both ks=32 (0.79→0.62) and ks=64 (0.86→0.75) — residuals only pay
+    when the coarse quantizer removes real cluster energy
+    (SCALE_PROBE.md pq tables record both regimes).
     """
     from data_toolz_spark.operators.similarity import (
         _bounded_sample,
