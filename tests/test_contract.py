@@ -76,3 +76,19 @@ def test_folded_callables_still_run(spark):
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.columns, fn.__name__
         assert df.limit(1).count() >= 0, fn.__name__
+
+
+def test_defn_pins_resolve_and_analyze(spark):
+    # every sweep-time definition pin must (a) shadow a REGISTERED
+    # qid and (b) build a DataFrame that passes analysis — the r9
+    # text_bpe_tokens pin initially referenced a column the pre-fold
+    # path doesn't produce, which only surfaced at sweep time; this
+    # catches that class at test time.  Analysis only (.schema), no
+    # execution: pins must stay lazy constructions.
+    import bench
+
+    qids = entrymod.queries()
+    for name, fn in bench.DEFN_PIN.items():
+        assert name in qids, name
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.schema.fields, name
