@@ -612,11 +612,27 @@ def incremental_novel_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference pattern extended: datatoolz/io.py:102-147 (path-prefix
     dataset reads) has no incremental story; this is the §2.9 X28
     production variant.
+
+    r9 (X62): the increment takes the BLOOM-PREFILTERED path —
+    ``catalog_bloom`` builds a portable (md5-position) packed-bitset
+    filter of the history fingerprints (m=2048 bits, k=3 — sized so a
+    handful of the 250 novel docs land as false positives, attesting
+    BOTH branches of the split), ``novel_documents(bloom=…)`` clears
+    the definitely-absent majority without touching the catalog and
+    anti-joins only the maybes, and the emitted ``bloom_maybe`` column
+    marks each novel doc's verdict (true = it survived the anti-join
+    as a bloom FALSE POSITIVE — the data-dependent pattern DuckDB
+    rebuilds bit-for-bit from the same md5 position arithmetic).  The
+    result SET is provably identical to the unfiltered anti-join (no
+    false negatives); the driver additionally value-verifies the FP
+    pattern.
     """
     import tempfile
 
+    from data_toolz_spark.functions.sketches import bloom_filter_column
     from data_toolz_spark.operators.incremental import (
         build_fingerprint_catalog,
+        catalog_bloom,
         novel_documents,
     )
 
@@ -627,9 +643,19 @@ def incremental_novel_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     path = tempfile.mkdtemp(prefix="dtz_cat_") + "/catalog"
     build_fingerprint_catalog(history, table, n_buckets=8, path=path)
-    return novel_documents(spark, increment, table).select(
-        "doc_id", "fingerprint"
+    bloom = catalog_bloom(spark, table, m=2048, k=3, portable=True)
+    novel = novel_documents(
+        spark,
+        increment,
+        table,
+        bloom=bloom,
+        bloom_m=2048,
+        bloom_k=3,
+        bloom_portable=True,
     )
+    return bloom_filter_column(
+        novel, "fingerprint", bloom, k=3, m=2048, portable=True
+    ).select("doc_id", "fingerprint", "bloom_maybe")
 
 
 def incremental_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2983,6 +3009,13 @@ FROM marked GROUP BY doc_id
         # incremental exact dedup: history = even ids (the catalog),
         # increment = odd ids; novel = anti-join on the md5 fingerprint
         # of normalized text, min-id representative within the increment
+        # novel = anti-join on the md5 fingerprint (bloom prefilter is
+        # result-invariant — no false negatives); bloom_maybe rebuilds
+        # the k=3, m=2048 portable filter bit-for-bit: position = first
+        # 15 md5('fp|i') hex chars as a 60-bit int mod 2048, history
+        # position SET stands in for the packed (word, mask) rows
+        # (membership depends only on the set — the packing is pytest-
+        # pinned), verdict = all 3 probe positions present
         "incremental_novel_docs": """
 WITH fp AS (
   SELECT doc_id,
@@ -2990,17 +3023,41 @@ WITH fp AS (
   FROM documents
 ),
 hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
-inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
-SELECT doc_id, fingerprint
-FROM (
-  SELECT i.doc_id, i.fingerprint,
-         row_number() OVER (PARTITION BY i.fingerprint ORDER BY i.doc_id) AS rn
-  FROM inc i
-  WHERE NOT EXISTS (
-    SELECT 1 FROM hist h WHERE h.fingerprint = i.fingerprint
+inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+novel AS (
+  SELECT doc_id, fingerprint
+  FROM (
+    SELECT i.doc_id, i.fingerprint,
+           row_number() OVER (PARTITION BY i.fingerprint ORDER BY i.doc_id) AS rn
+    FROM inc i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hist h WHERE h.fingerprint = i.fingerprint
+    )
   )
+  WHERE rn = 1
+),
+probes AS (SELECT unnest(generate_series(0, 2)) AS i),
+hpos AS (
+  SELECT DISTINCT CAST(list_sum(
+    [(strpos('0123456789abcdef',
+             substr(md5(fingerprint || '|' || CAST(i AS VARCHAR)), j, 1)) - 1)
+       * CAST(16**(15-j) AS BIGINT)
+     for j in generate_series(1, 15)]) % 2048 AS INTEGER) AS pos
+  FROM hist CROSS JOIN probes
+),
+npos AS (
+  SELECT doc_id, fingerprint,
+         CAST(list_sum(
+           [(strpos('0123456789abcdef',
+                    substr(md5(fingerprint || '|' || CAST(i AS VARCHAR)), j, 1)) - 1)
+              * CAST(16**(15-j) AS BIGINT)
+            for j in generate_series(1, 15)]) % 2048 AS INTEGER) AS pos
+  FROM novel CROSS JOIN probes
 )
-WHERE rn = 1
+SELECT doc_id, fingerprint,
+       bool_and(pos IN (SELECT pos FROM hpos)) AS bloom_maybe
+FROM npos
+GROUP BY doc_id, fingerprint
 """,
         # SemDeDup in the 1-cell config: brute-force cosine pairs →
         # transitive closure (recursive CTE) → keep-min-id; rep_id is

@@ -142,6 +142,34 @@ def _dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def _novel_docs_prebloom(spark, sf_dir):
+    """The r4–r8 definition of the incremental_novel_docs qid (plain
+    catalog anti-join, no bloom).  r9 folded the X62 bloom-prefilter
+    split + per-doc verdict column into the registered qid — the
+    result SET is identical (no false negatives), but the entry would
+    additionally time the filter build + 3 broadcast probe joins.  The
+    pin keeps the headline-V2 series timing the original definition;
+    the bloom-split production shape is timed as x_novel_docs_bloom."""
+    import tempfile
+
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+        novel_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    table = "dtz_qid_fp_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = tempfile.mkdtemp(prefix="dtz_cat_") + "/catalog"
+    build_fingerprint_catalog(
+        docs.filter(F.col("doc_id") % 2 == 0), table, n_buckets=8, path=path
+    )
+    return novel_documents(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), table
+    ).select("doc_id", "fingerprint")
+
+
 def _text_bpe_tokens_prefold(spark, sf_dir):
     """The r5–r8 definition of the text_bpe_tokens qid (regex token
     counts + chunk attestation, no BPE TRAINING).  r9 folded the X61
@@ -163,6 +191,9 @@ DEFN_PIN = {
     "dedup_embedding": _dedup_embedding_blocked,
     # r9: BPE-training fold (X61) pinned out of the headline series
     "text_bpe_tokens": _text_bpe_tokens_prefold,
+    # r9: bloom-prefilter fold (X62) pinned out of the headline-V2
+    # series (identical result set; the split shape is x_novel_docs_bloom)
+    "incremental_novel_docs": _novel_docs_prebloom,
 }
 
 
@@ -667,8 +698,17 @@ def _x_bpe_train(spark, sf_dir):
     return entrymod.text_bpe_tokens(spark, sf_dir)
 
 
+def _x_novel_docs_bloom(spark, sf_dir):
+    """The r9 registered definition of incremental_novel_docs: bloom
+    build + prefilter split + maybe-side anti-join + verdict column —
+    the production ingest shape (X62), timed under its own name."""
+    qid = entrymod.queries()["incremental_novel_docs"]
+    return qid(spark, sf_dir)
+
+
 EXTRAS = {
     "x_bpe_train": _x_bpe_train,
+    "x_novel_docs_bloom": _x_novel_docs_bloom,
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
     # its old name so the per-qid series continues unbroken

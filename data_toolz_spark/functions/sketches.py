@@ -642,6 +642,239 @@ def dcs_quantiles(
     return spark.createDataFrame(out, schema)
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable MEMBERSHIP state (no false negatives)
+# ---------------------------------------------------------------------------
+#
+# The membership member of the sketch family (HLL = distinct, CMS =
+# frequency, DCS = quantiles): Bloom 1970.  State is a packed bitset
+# TABLE of (word, mask) rows — ``ceil(m/64)`` rows maximum, each an
+# int64 whose bits are the filter's bits ``word*64 .. word*64+63`` —
+# because in Spark that keeps every operation relational:
+#
+# * BUILD is one explode(×k) + partial-combined ``bit_or`` aggregate —
+#   at most ceil(m/64) rows per group cross the shuffle, independent
+#   of key count (same contract as the HLL/CMS/DCS rows above);
+# * MERGE is GROUP BY word BIT_OR(mask) — bitwise OR is associative,
+#   commutative, and IDEMPOTENT, so incremental folding is drift-free
+#   and even replay-safe (folding the same increment twice is a no-op,
+#   a stronger guarantee than the SUM-state sketches give);
+# * MEMBERSHIP for a candidate key set is a join against ≤ ceil(m/64)
+#   sketch rows (broadcast-able by construction) + AND over the k
+#   probed bits.  "absent" is CERTAIN (no false negatives); "maybe"
+#   is wrong with p ≈ (1 − e^{−kn/m})^k.
+#
+# Why this matters at 100 TB: membership against a billion-key history
+# (an ingested-fingerprint catalog, a blocklist) normally costs an
+# anti-join that ships the probe side to the history's partitioning.
+# The bloom row-set is a fixed ``m/64 × 8``-byte broadcast — a 2^27-bit
+# filter is 16 MB — so the definitely-absent majority of a fresh crawl
+# is cleared WITHOUT touching the history at all, and only the maybes
+# pay the exact anti-join (``operators/incremental.py::novel_documents``
+# wires exactly that split).
+#
+# Hashing mirrors the CMS cells: ``xxhash64(key, i) % m`` by default,
+# ``portable=True`` derives positions from md5 hex so the ENTIRE filter
+# — build and probe — is reproducible bit-for-bit in any SQL engine.
+# A DuckDB oracle need not replay the (word, mask) packing: membership
+# depends only on the SET of positions hit, so ``SELECT DISTINCT pos``
+# over the history keys joined against the probe positions is the
+# value-exact twin (the packing itself is pinned by pytest).
+
+
+def _bloom_validate(k: int, m: int) -> None:
+    if not 1 <= k <= 16:
+        raise ValueError("bloom: k (hash probes) must be in [1, 16]")
+    if not 64 <= m <= 1 << 30:
+        raise ValueError("bloom: m (bits) must be in [64, 2^30]")
+
+
+def _bloom_pos(col: Column, i: int, m: int, portable: bool) -> Column:
+    """Bit position of hash ``i`` for a key — int in [0, m)."""
+    if portable:
+        # first 15 md5 hex chars as a 60-bit int — cross-engine
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f"|{i}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(m)).cast("int")
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).cast("int")
+
+
+def bloom_sketch_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    k: int = 5,
+    m: int = 8192,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a (``group_cols`` +)
+    ``word, mask`` packed-bitset table — the persistable building
+    block; NULL keys are excluded (they have no membership question to
+    answer).  Only words with at least one set bit appear (sparse);
+    absent words are all-zero.  k and m are structural —
+    membership/merge must use the same values, so keep them stored
+    with the sketch.
+    """
+    _bloom_validate(k, m)
+    key = _c(key_col)
+    positions = F.array(
+        *[_bloom_pos(key, i, m, portable) for i in range(k)]
+    )
+    exploded = (
+        df.filter(key.isNotNull())
+        .select(*group_cols, F.explode(positions).alias("__pos"))
+        .select(
+            *group_cols,
+            F.shiftright(F.col("__pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), __pos % 64)").alias(
+                "__mask"
+            ),
+        )
+    )
+    return exploded.groupBy(*group_cols, "word").agg(
+        F.bit_or("__mask").alias("mask")
+    )
+
+
+def bloom_merge(
+    sketch_df: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold stored bloom rows (any number of increments, any grouping)
+    into one filter per ``group_cols``: GROUP BY word BIT_OR —
+    associative, order-independent, AND idempotent, so replaying an
+    increment cannot corrupt the filter (pinned by tests)."""
+    return sketch_df.groupBy(*group_cols, "word").agg(
+        F.bit_or("mask").alias("mask")
+    )
+
+
+def bloom_maybe_contains(
+    sketch_df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    k: int = 5,
+    m: int = 8192,
+    portable: bool = False,
+    result_col: str = "bloom_maybe",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Membership test for a candidate key set: re-hash each key to its
+    k positions, left-join the filter's words (≤ ceil(m/64) rows per
+    group — Spark broadcasts it from AQE size estimation), AND over
+    the k probed bits.  ``result_col`` is true = "maybe present"
+    (false-positive rate ≈ (1−e^{−kn/m})^k), false = "definitely
+    absent" — the exact guarantee, which is why the false branch can
+    short-circuit an anti-join.  Output: ``group_cols + [key_col,
+    result_col]`` (distinct keys).
+
+    With ``group_cols`` the filter must have been built with the SAME
+    grouping and ``keys`` must carry the group columns.  k/m/portable
+    MUST match the build — a mismatch probes the wrong bits and the
+    no-false-negative guarantee is silently lost.
+    """
+    _bloom_validate(k, m)
+    gcols = list(group_cols)
+    key = _c(key_col)
+    positions = F.array(
+        *[_bloom_pos(key, i, m, portable) for i in range(k)]
+    )
+    probes = (
+        keys.filter(key.isNotNull())
+        .select(*gcols, key.alias(key_col))
+        .distinct()
+        .select(*gcols, key_col, F.explode(positions).alias("__pos"))
+        .select(
+            *gcols,
+            key_col,
+            F.shiftright(F.col("__pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), __pos % 64)").alias(
+                "__bit"
+            ),
+        )
+    )
+    joined = probes.join(
+        sketch_df.select(*gcols, "word", "mask"),
+        on=[*gcols, "word"],
+        how="left",
+    ).select(
+        *gcols,
+        key_col,
+        (
+            F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("__bit"))
+            != 0
+        ).alias("__hit"),
+    )
+    return joined.groupBy(*gcols, key_col).agg(
+        F.min("__hit").alias(result_col)
+    )
+
+
+def bloom_filter_column(
+    df: DataFrame,
+    key_col: str,
+    sketch_df: DataFrame,
+    *,
+    k: int = 5,
+    m: int = 8192,
+    portable: bool = False,
+    result_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Append a per-ROW membership verdict without regrouping: k
+    broadcast hash joins of the row's probe words against the filter
+    (≤ ceil(m/64) rows — explicitly broadcast), AND over the k bits.
+
+    This is the ingest-path primitive: the input keeps its columns and
+    its partitioning (no explode, no shuffle, no distinct), so a
+    100 TB scan acquires the verdict at broadcast-join cost.  Use
+    :func:`bloom_maybe_contains` when the question is about a KEY SET
+    rather than rows.  NULL keys get a NULL verdict.
+    """
+    _bloom_validate(k, m)
+    key = _c(key_col)
+    out = df
+    hits = []
+    for i in range(k):
+        pos = _bloom_pos(key, i, m, portable)
+        out = (
+            out.withColumn(f"__bf_p{i}", pos)
+            .withColumn(f"__bf_w{i}", F.shiftright(F.col(f"__bf_p{i}"), 6))
+            .withColumn(
+                f"__bf_b{i}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), __bf_p{i} % 64)"),
+            )
+        )
+        probe = F.broadcast(
+            sketch_df.select(
+                F.col("word").alias(f"__bf_w{i}"),
+                F.col("mask").alias(f"__bf_m{i}"),
+            )
+        )
+        out = out.join(probe, on=f"__bf_w{i}", how="left")
+        hits.append(
+            F.coalesce(F.col(f"__bf_m{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"__bf_b{i}")
+            )
+            != 0
+        )
+    verdict = hits[0]
+    for h in hits[1:]:
+        verdict = verdict & h
+    scratch = [c for i in range(k) for c in
+               (f"__bf_p{i}", f"__bf_w{i}", f"__bf_b{i}", f"__bf_m{i}")]
+    return out.withColumn(
+        result_col, F.when(key.isNotNull(), verdict)
+    ).drop(*scratch)
+
+
 __all__ = [
     "hll_sketch",
     "hll_merge",
@@ -657,4 +890,8 @@ __all__ = [
     "dcs_rank_leq",
     "dcs_total",
     "dcs_quantiles",
+    "bloom_sketch_table",
+    "bloom_merge",
+    "bloom_maybe_contains",
+    "bloom_filter_column",
 ]

@@ -67,6 +67,7 @@ from data_toolz_spark.operators.incremental import (
     append_to_minhash_index,
     build_fingerprint_catalog,
     build_ivf_index,
+    catalog_bloom,
     build_minhash_index,
     incremental_near_duplicates,
     ivf_query_index,

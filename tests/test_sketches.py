@@ -524,3 +524,143 @@ def test_dcs_domain_and_validation(spark):
         dcs_sketch_table(df, "v", bits=0)
     with _pytest.raises(ValueError, match="d \\(hash rows\\)"):
         dcs_sketch_table(df, "v", bits=4, d=0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — membership state
+# ---------------------------------------------------------------------------
+
+
+def _bloom_mods():
+    from data_toolz_spark.functions.sketches import (
+        bloom_filter_column,
+        bloom_maybe_contains,
+        bloom_merge,
+        bloom_sketch_table,
+    )
+
+    return (
+        bloom_sketch_table,
+        bloom_merge,
+        bloom_maybe_contains,
+        bloom_filter_column,
+    )
+
+
+def test_bloom_no_false_negatives_both_hashes(spark):
+    """Every inserted key must test 'maybe' — the structural guarantee,
+    for both the JVM xxhash64 and the portable md5 position hash."""
+    build, _, contains, _ = _bloom_mods()
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(300)], "k string"
+    )
+    for portable in (False, True):
+        sk = build(keys, "k", k=4, m=4096, portable=portable)
+        got = contains(sk, keys, "k", k=4, m=4096, portable=portable)
+        assert got.filter(~F.col("bloom_maybe")).count() == 0
+        assert got.count() == 300
+
+
+def test_bloom_absent_is_certain_and_fp_rate_sane(spark):
+    """'false' verdicts are never wrong; at m=10n the false-positive
+    rate over a disjoint probe set stays far under 10 %."""
+    build, _, contains, _ = _bloom_mods()
+    inserted = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(400)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(400)], "k string"
+    )
+    sk = build(inserted, "k", k=5, m=4096, portable=True)
+    got = contains(sk, probes, "k", k=5, m=4096, portable=True)
+    fp = got.filter(F.col("bloom_maybe")).count()
+    assert fp < 40  # expected ~1-2 % at these parameters
+
+
+def test_bloom_merge_idempotent_and_matches_full_rebuild(spark):
+    """BIT_OR state: merging part-filters (in any grouping, with
+    replays) equals the one-shot filter over the union — bitwise OR is
+    associative, commutative, AND idempotent."""
+    build, merge, _, _ = _bloom_mods()
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(150)], "k string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(150)], "k string")
+    full = build(a.union(b), "k", k=4, m=2048, portable=True)
+    ska, skb = (build(d, "k", k=4, m=2048, portable=True) for d in (a, b))
+    merged = merge(ska.union(skb).union(skb))  # skb folded TWICE
+    assert {
+        (r["word"], r["mask"]) for r in full.collect()
+    } == {(r["word"], r["mask"]) for r in merged.collect()}
+
+
+def test_bloom_row_level_column_matches_set_variant(spark):
+    """bloom_filter_column (k broadcast joins, no regroup) gives the
+    same verdict per key as bloom_maybe_contains; NULL keys get NULL;
+    scratch columns do not leak; the probe side never shuffles."""
+    build, _, contains, row_col = _bloom_mods()
+    inserted = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(100)], "k string"
+    )
+    sk = build(inserted, "k", k=3, m=1024, portable=True)
+    probes = spark.createDataFrame(
+        [(1, "in-5"), (2, "definitely-not-here-xyz"), (3, None)],
+        "id int, k string",
+    )
+    flagged = row_col(probes, "k", sk, k=3, m=1024, portable=True)
+    assert set(flagged.columns) == {"id", "k", "bloom_maybe"}
+    rows = {r["id"]: r["bloom_maybe"] for r in flagged.collect()}
+    assert rows[1] is True
+    assert rows[3] is None
+    ref = {
+        r["k"]: r["bloom_maybe"]
+        for r in contains(
+            sk, probes, "k", k=3, m=1024, portable=True
+        ).collect()
+    }
+    assert rows[2] == ref["definitely-not-here-xyz"]
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    # one per hash probe (AQE prints initial + final plan, so ≥)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the filter BUILD may exchange its (tiny) word rows; the PROBE
+    # side must never shuffle — no hash partitioning on its columns
+    import re as _re
+
+    assert not _re.search(r"Exchange hashpartitioning\([^)]*\b(k|id)#", plan)
+
+
+def test_bloom_validation():
+    import pytest as _pytest
+
+    from data_toolz_spark.functions.sketches import bloom_sketch_table
+
+    with _pytest.raises(ValueError, match="k \\(hash probes\\)"):
+        bloom_sketch_table(None, "k", k=0)
+    with _pytest.raises(ValueError, match="m \\(bits\\)"):
+        bloom_sketch_table(None, "k", m=32)
+
+
+def test_novel_documents_bloom_split_matches_plain(spark, documents):
+    """novel_documents(bloom=…) returns exactly the unfiltered answer
+    (no false negatives → the split is result-invariant)."""
+    import tempfile
+
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+        catalog_bloom,
+        novel_documents,
+    )
+
+    table = "dtz_test_bloom_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = tempfile.mkdtemp(prefix="dtz_bloomcat_") + "/catalog"
+    history = documents.filter(F.col("doc_id") % 2 == 0)
+    increment = documents.filter(F.col("doc_id") % 2 == 1)
+    build_fingerprint_catalog(history, table, n_buckets=4, path=path)
+    plain = novel_documents(spark, increment, table)
+    bloom = catalog_bloom(spark, table, m=1024, k=3, portable=True)
+    split = novel_documents(
+        spark, increment, table,
+        bloom=bloom, bloom_m=1024, bloom_k=3, bloom_portable=True,
+    )
+    assert {r["doc_id"] for r in plain.select("doc_id").collect()} == {
+        r["doc_id"] for r in split.select("doc_id").collect()
+    }
