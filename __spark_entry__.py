@@ -597,6 +597,36 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 (r9): distributed INTEGER-EXACT k-means over the embeddings
+    corpus — the clustering primitive curation pipelines build on
+    (cluster-balanced sampling, per-cluster dedup, coarse quantizers).
+
+    k=4, 3 Lloyd's rounds from the md5-seeded deterministic init,
+    vectors quantized to floor(x·1024): every distance is int64
+    arithmetic and every centroid update an integer SUM + floor-div,
+    so the whole training loop is order-free, repartition-invariant,
+    and replayable bit-for-bit in SQL — the DuckDB oracle re-runs all
+    three assign/update rounds (one CTE triple per round) plus the
+    final assignment and must match every (vec_id, cluster, dist2)
+    row exactly.  Assignment is one Arrow matmul scan per round
+    (|x−c|² = |x|² − 2x·c + |c|²); the update shuffle carries only
+    k·dim partial-combined cells.
+    """
+    from data_toolz_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = kmeans_fit(
+        emb, dim=64, k=4, n_iter=3, seed=42, scale=1024, persist=False
+    )
+    return kmeans_assign(emb, model, dist_col="dist2").select(
+        "vec_id", "cluster", "dist2"
+    )
+
+
 def incremental_novel_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 (r4): incremental exact dedup against a persistent bucketed
     fingerprint catalog — the production shape of daily ingestion.
@@ -2525,7 +2555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attest the same JSON-key machinery (json_keys presence +
         # get_json_object extraction feeding a numeric agg); callable in
         # bench.LEGACY.  Slot freed for url_canonicalize (VERDICT r5 #3).
-        "dedup_exact": dedup_exact_q,
+        # dedup_exact folded r9 → its min-id-per-group exact-dedup
+        # semantics stay value-verified by incremental_novel_docs
+        # (min-id representative per fingerprint, within-increment
+        # collapse) and by pipeline_clean_corpus's dedup stages;
+        # callable in bench.LEGACY (headline member).  Slot freed for
+        # embedding_kmeans (X63).
+        "embedding_kmeans": embedding_kmeans_q,
         # dedup_minhash folded r6 → dedup_cc_drop RUNS
         # minhash_near_duplicates for its pair graph (its oracle embeds
         # the same brute-force Jaccard SQL) and incremental_minhash_pairs
@@ -2602,6 +2638,81 @@ WHERE len(a.e) > 0 AND len(b.e) > 0
   AND ROUND(len(list_intersect(a.e, b.e))::DOUBLE
             / len(list_distinct(a.e || b.e)), 6) >= {threshold}
 """
+
+
+def _kmeans_oracle_sql(
+    k: int, n_iter: int, dim: int, seed: int, scale: int
+) -> str:
+    """DuckDB replay of the ENTIRE integer-exact k-means loop
+    (operators/clustering.py): quantize → md5-seeded init → n_iter ×
+    (argmin assignment, integer-sum floor-div update) → final
+    assignment.  Every quantity is integer-exact (int64 arithmetic on
+    the Spark side; DuckDB's DOUBLE list_dot_product is exact below
+    2^53, far above these magnitudes), so the replay is bit-for-bit:
+    same grid (floor(float64(x)·scale)), same init order (md5 hex,
+    ties by id), same tie-breaks (d2, then cluster), same floor
+    division (floor(sum/count) — exact for count ≤ corpus size).
+    One CTE triple (assign aN / cells uN / centers cN) per round.
+    """
+    d2 = (
+        "list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, c.v)"
+        " + list_dot_product(c.v, c.v)"
+    )
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(e AS DOUBLE) * {scale}) AS BIGINT)
+          for e in embedding] AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+c0 AS (
+  SELECT (row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || '|{seed}'), vec_id
+          )) - 1 AS c, v
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|{seed}'), vec_id
+  LIMIT {k}
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, c, v FROM (
+    SELECT q.vec_id, c.c, q.v, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {d2}, c.c
+           ) AS rn
+    FROM q CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT c, g.pos, SUM(v[g.pos]) AS s, COUNT(*) AS n
+  FROM a{i} CROSS JOIN generate_series(1, {dim}) g(pos)
+  GROUP BY c, g.pos
+),
+c{i} AS (
+  SELECT c{i - 1}.c, COALESCE(nc.v, c{i - 1}.v) AS v
+  FROM c{i - 1} LEFT JOIN (
+    SELECT c,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                ORDER BY pos) AS v
+    FROM u{i} GROUP BY c
+  ) nc USING (c)
+)""")
+    parts.append(f"""
+SELECT vec_id, CAST(c AS INTEGER) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM (
+  SELECT q.vec_id, c.c, {d2} AS d2,
+         row_number() OVER (
+           PARTITION BY q.vec_id ORDER BY {d2}, c.c
+         ) AS rn
+  FROM q CROSS JOIN c{n_iter} c
+)
+WHERE rn = 1
+""")
+    return "".join(parts)
 
 
 _STOP_SQL = {
@@ -3377,9 +3488,11 @@ FROM (
 JOIN orders ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """,
-        "dedup_exact": (
-            "SELECT user_id, event_type, MIN(event_id) AS event_id, "
-            "COUNT(*) AS n_copies FROM events GROUP BY user_id, event_type"
+        # dedup_exact oracle retired with its qid (folded r9 →
+        # incremental_novel_docs / pipeline_clean_corpus); slot now
+        # value-verifies the full distributed k-means training loop
+        "embedding_kmeans": _kmeans_oracle_sql(
+            k=4, n_iter=3, dim=64, seed=42, scale=1024
         ),
         # dedup_minhash oracle retired with its qid (folded r6); the
         # same pairs SQL lives on inside dedup_cc_drop and, restricted

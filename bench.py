@@ -214,6 +214,8 @@ LEGACY = {
     "dedup_minhash": entrymod.dedup_minhash_q,  # headline member
     # r9 fold (slot freed for multimodal_image_neardup)
     "multimodal_decode": entrymod.multimodal_decode_q,  # headline member
+    # r9 fold (slot freed for embedding_kmeans)
+    "dedup_exact": entrymod.dedup_exact_q,  # headline member
     "topk_per_group": entrymod.topk_per_group,  # headline member
     "win_running_total": entrymod.win_running_total_q,
     "sim_topk_exact": entrymod.sim_topk_exact_q,  # folded r4 → sim_topk_ivf

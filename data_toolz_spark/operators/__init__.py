@@ -1,5 +1,11 @@
 """Large-scale LLM-data-pipeline operators (SURVEY §2.9 extensions)."""
 
+from data_toolz_spark.operators.clustering import (
+    KMeansModel,
+    kmeans_assign,
+    kmeans_cluster_profile,
+    kmeans_fit,
+)
 from data_toolz_spark.operators.bpe import (
     bpe_apply_expr,
     bpe_token_count_expr,
@@ -122,6 +128,10 @@ __all__ = [
     "bpe_train",
     "bpe_word_table",
     "dedup_exact",
+    "KMeansModel",
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_cluster_profile",
     "fingerprint_band_pairs",
     "fingerprint_components",
     "exact_jaccard_pairs",

@@ -1,0 +1,165 @@
+"""Integer-exact distributed k-means: differential vs a pure-numpy
+reference, repartition invariance (the determinism contract), empty
+clusters, assignment semantics, input hygiene, validation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.clustering import (
+    KMeansModel,
+    kmeans_assign,
+    kmeans_cluster_profile,
+    kmeans_fit,
+)
+
+
+def _ref_fit(ids, vecs, *, k, n_iter, seed, scale):
+    """Pure-numpy twin of kmeans_fit (same quantization, same md5
+    init, same floor-div update, same first-min tie-break)."""
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * scale).astype(
+        np.int64
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"{ids[i]}|{seed}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    centers = q[order[:k]].copy()
+    for _ in range(n_iter):
+        d2 = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                new[j] = np.floor_divide(q[mask].sum(0), mask.sum())
+        centers = new
+    d2 = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(axis=1)
+    dist = d2[np.arange(len(ids)), assign]
+    return centers, dict(zip(ids, zip(assign.tolist(), dist.tolist())))
+
+
+def _frame(spark, ids, vecs):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_fit_and_assign_match_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    n, dim, k = 120, 6, 4
+    vecs = rng.normal(size=(n, dim))
+    ids = list(range(n))
+    df = _frame(spark, ids, vecs)
+    model = kmeans_fit(
+        df, dim=dim, k=k, n_iter=3, seed=11, scale=1024, persist=False
+    )
+    ref_centers, ref_assign = _ref_fit(
+        ids, vecs, k=k, n_iter=3, seed=11, scale=1024
+    )
+    assert np.array_equal(model.centers, ref_centers)
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_assign(
+            df, model, dist_col="d2"
+        ).collect()
+    }
+    assert got == ref_assign
+
+
+def test_repartition_invariance(spark):
+    """The determinism contract: integer sums are associative, so ANY
+    physical layout yields bit-identical centers."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(90, 5))
+    df = _frame(spark, range(90), vecs)
+    models = [
+        kmeans_fit(
+            d, dim=5, k=3, n_iter=4, seed=1, scale=512, persist=False
+        )
+        for d in (df.repartition(1), df.repartition(7), df.repartition(32))
+    ]
+    assert np.array_equal(models[0].centers, models[1].centers)
+    assert np.array_equal(models[0].centers, models[2].centers)
+
+
+def test_empty_clusters_keep_previous_center(spark):
+    """Two distinct points, k=3: at least one cluster is empty every
+    round and must retain its (seed) center — k stays fixed."""
+    vecs = [[0.0, 0.0]] * 6 + [[10.0, 10.0]] * 6
+    df = _frame(spark, range(12), vecs)
+    model = kmeans_fit(
+        df, dim=2, k=3, n_iter=2, seed=5, scale=10, persist=False
+    )
+    assert model.centers.shape == (3, 2)
+    # live clusters converge to the two point masses
+    centers = {tuple(c) for c in model.centers.tolist()}
+    assert (0, 0) in centers and (100, 100) in centers
+
+
+def test_input_hygiene_excludes_bad_vectors(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, [1.0]),  # wrong length
+            (4, [float("nan"), 1.0]),
+            (5, [float("inf"), 1.0]),
+            (6, [3.0, 4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    model = kmeans_fit(
+        df, dim=2, k=2, n_iter=1, seed=1, scale=8, persist=False
+    )
+    assigned = kmeans_assign(df, model)
+    assert {r["vec_id"] for r in assigned.collect()} == {1, 6}
+
+
+def test_cluster_profile(spark):
+    vecs = [[0.0]] * 4 + [[8.0]] * 2
+    df = _frame(spark, range(6), vecs)
+    model = kmeans_fit(
+        df, dim=1, k=2, n_iter=2, seed=2, scale=4, persist=False
+    )
+    prof = kmeans_cluster_profile(
+        kmeans_assign(df, model, dist_col="dist2")
+    )
+    rows = {r["cluster"]: (r["n_members"], r["inertia"]) for r in
+            prof.collect()}
+    assert sum(n for n, _ in rows.values()) == 6
+    assert all(i == 0 for _, i in rows.values())  # exact point masses
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_fit(None, dim=4, k=1)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_fit(None, dim=4, k=2, n_iter=0)
+    with pytest.raises(ValueError, match="scale"):
+        kmeans_fit(None, dim=4, k=2, scale=0)
+
+
+def test_needs_k_vectors(spark):
+    df = _frame(spark, range(2), [[0.0], [1.0]])
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_fit(df, dim=1, k=3, n_iter=1, persist=False)
+
+
+def test_model_shape_properties():
+    m = KMeansModel(
+        centers=np.zeros((4, 7), dtype=np.int64),
+        scale=1024,
+        n_iter=3,
+        seed=42,
+    )
+    assert m.k == 4 and m.dim == 7
