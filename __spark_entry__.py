@@ -1320,6 +1320,8 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scan.
     """
     from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        build_bigram_counts,
         build_vocab,
         keep_document,
         pii_features,
@@ -1363,8 +1365,22 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the corpus's own vocab, so every token is in-vocab here (the
     # OOV path is pytest-pinned); zero-token docs carry NULL
     nll = unigram_logprob(docs, build_vocab(docs), alpha=1.0)
-    out = redact_artifacts(keep_document(docs), out_col="__red").join(
-        nll, on="doc_id", how="left"
+    # r9 (X64): stupid-backoff bigram fluency, model trained on the
+    # EVEN docs only so odd docs exercise the backoff branch (unseen
+    # bigrams + OOV words) and even docs the seen-bigram ratios —
+    # all three score levels are value-verified
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    bg_nll = bigram_logprob(
+        docs,
+        build_bigram_counts(even),
+        build_vocab(even),
+        alpha=1.0,
+        backoff=0.4,
+    )
+    out = (
+        redact_artifacts(keep_document(docs), out_col="__red")
+        .join(nll, on="doc_id", how="left")
+        .join(bg_nll, on="doc_id", how="left")
     )
     out = pii_features(
         redact_pii(out, "__aug", out_col="__pred"), "__aug"
@@ -1385,6 +1401,7 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep").cast("long").alias("keep"),
         F.md5(F.encode(F.col("__red"), "UTF-8")).alias("redacted_fp"),
         "nll",
+        "bg_nll",
         "n_phones",
         "n_ipv4",
         "n_ssn",
@@ -2879,6 +2896,48 @@ WITH tok AS (
            / 10000 AS nll
   FROM tok JOIN vocab vb USING (token), vst
   GROUP BY tok.doc_id
+), bgt AS (
+  -- bigram model training side: EVEN docs only (the qid trains there
+  -- so odd docs exercise stupid backoff's unigram + OOV levels)
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bvocab AS (
+  SELECT u.token, COUNT(*)::DOUBLE AS tf
+  FROM (SELECT unnest(t) AS token FROM bgt WHERE doc_id % 2 = 0) u
+  GROUP BY u.token
+), bvst AS (
+  SELECT SUM(tf) + 1.0 * (COUNT(*) + 1) AS denom FROM bvocab
+), bgm AS (
+  SELECT p.w1, p.w2, COUNT(*)::DOUBLE AS c12
+  FROM (
+    SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                   for i in generate_series(1, len(t) - 1)]) AS p
+    FROM bgt WHERE doc_id % 2 = 0 AND len(t) >= 2
+  )
+  GROUP BY p.w1, p.w2
+), bgp AS (
+  SELECT doc_id, p.w1, p.w2
+  FROM (
+    SELECT doc_id,
+           unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                   for i in generate_series(1, len(t) - 1)]) AS p
+    FROM bgt WHERE len(t) >= 2
+  )
+), bglm AS (
+  -- stupid backoff: seen-bigram ratio else 0.4 · add-1 unigram score
+  SELECT bgp.doc_id,
+         floor(AVG(-ln(
+           CASE WHEN bgm.c12 IS NOT NULL AND v1.tf IS NOT NULL
+                THEN bgm.c12 / v1.tf
+                ELSE 0.4 * ((COALESCE(v2.tf, 0) + 1.0) / bvst.denom)
+           END)) * 10000) / 10000 AS bg_nll
+  FROM bgp
+  LEFT JOIN bgm ON bgp.w1 = bgm.w1 AND bgp.w2 = bgm.w2
+  LEFT JOIN bvocab v1 ON bgp.w1 = v1.token
+  LEFT JOIN bvocab v2 ON bgp.w2 = v2.token, bvst
+  GROUP BY bgp.doc_id
 ), b AS (
   SELECT doc_id, text, lower(text) AS low, {_DD_TOKS} AS toks,
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
@@ -2953,8 +3012,10 @@ SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
   md5(regexp_replace(regexp_replace(text, '{_URL_RE_SQL}', '<URL>', 'g'),
       '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')) AS redacted_fp,
   lm.nll AS nll,
+  bglm.bg_nll AS bg_nll,
   pp.n_phones, pp.n_ipv4, pp.n_ssn, pp.n_cards, pp.pii_redacted_fp
-FROM g LEFT JOIN lm USING (doc_id) JOIN piired pp USING (doc_id)
+FROM g LEFT JOIN lm USING (doc_id) LEFT JOIN bglm USING (doc_id)
+JOIN piired pp USING (doc_id)
 """
 
 

@@ -1136,6 +1136,146 @@ def unigram_logprob(
     )
 
 
+def build_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram frequency table ``(w1, w2, bg_count)`` — the
+    model half of :func:`bigram_logprob`.
+
+    Scale shape mirrors :func:`build_vocab`: one in-row adjacent-pair
+    transform (no self-join — the pairs are built from the token array
+    before the explode) → one hash aggregate with map-side partial
+    combine, so only (pair, partial count) rows cross the shuffle —
+    bounded by the DISTINCT bigram vocabulary per task.  Counts are
+    DOUBLE (they only ever enter ratios).
+    """
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    pairs = (
+        df.select(tokens(txt).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1), (x, i) -> "
+                    "named_struct('w1', x, 'w2', element_at(__t, i + 2)))"
+                )
+            ).alias("p")
+        )
+    )
+    out = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("bg_count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("bg_count") >= F.lit(float(min_count)))
+    return out
+
+
+def bigram_logprob(
+    df: DataFrame,
+    bigram: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+    out_col: str = "bg_nll",
+) -> DataFrame:
+    """Per-document mean negative log-score under a bigram LM with
+    STUPID BACKOFF (Brants et al. 2007 §4) — the fluency signal one
+    order up from :func:`unigram_logprob`, with the backoff scheme
+    that paper designed precisely for distributed, count-table LMs
+    (no discounting state to normalize across shards):
+
+    ``S(w2|w1) = count(w1 w2) / count(w1)`` when the bigram was seen,
+    else ``backoff · (tf(w2) + alpha) / (N + alpha·(V+1))`` — the
+    add-alpha unigram score, OOV hitting the +alpha floor.  Scores,
+    not probabilities (stupid backoff does not normalize) — which is
+    exactly why every quantity here is a ratio of counts and the
+    whole model stays SQL-replayable.
+
+    ``bigram`` is :func:`build_bigram_counts` output, ``vocab`` is
+    :func:`build_vocab` output from the SAME training corpus (its tf
+    doubles as the context count — every seen bigram's c(w1 w2) ≤
+    tf(w1), so seen-branch scores stay ≤ 1).
+
+    Scale shape: the corpus side explodes to (doc, w1, w2) pairs and
+    re-aggregates by doc — one shuffle of (doc, partial sums).  The
+    bigram table joins as a plain equi-join (broadcast when small; at
+    corpus-derived sizes AQE picks the shuffle join — the model is
+    data, not driver state).  The vocab joins twice (context count +
+    backoff numerator), both broadcast-sized.  Docs with < 2 tokens
+    get NULL.
+    """
+    if alpha <= 0:
+        raise ValueError("bigram_logprob: alpha must be positive")
+    if not 0 < backoff <= 1:
+        raise ValueError("bigram_logprob: backoff must be in (0, 1]")
+    import math as _math
+
+    stats = vocab.agg(
+        F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    if stats["n"] is None or stats["v"] == 0:
+        raise ValueError(
+            "bigram_logprob: empty vocabulary model — an empty "
+            "training corpus cannot score anything"
+        )
+    denom = float(stats["n"]) + alpha * (int(stats["v"]) + 1)
+    del _math
+
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    pairs = (
+        df.select(F.col(id_col), tokens(txt).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1), (x, i) -> "
+                    "named_struct('w1', x, 'w2', element_at(__t, i + 2)))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    v1 = F.broadcast(
+        vocab.select(F.col("token").alias("w1"), F.col("tf").alias("__tf1"))
+    )
+    v2 = F.broadcast(
+        vocab.select(F.col("token").alias("w2"), F.col("tf").alias("__tf2"))
+    )
+    joined = (
+        pairs.join(bigram, on=["w1", "w2"], how="left")
+        .join(v1, on="w1", how="left")
+        .join(v2, on="w2", how="left")
+    )
+    score = F.when(
+        F.col("bg_count").isNotNull() & F.col("__tf1").isNotNull(),
+        F.col("bg_count") / F.col("__tf1"),
+    ).otherwise(
+        F.lit(backoff)
+        * (
+            (F.coalesce(F.col("__tf2").cast("double"), F.lit(0.0)) + alpha)
+            / F.lit(denom)
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        (F.floor(F.avg(-F.log(score)) * 10000) / 10000).alias(out_col)
+    )
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -1151,6 +1291,8 @@ __all__ = [
     "line_dedup",
     "chunk_documents",
     "build_vocab",
+    "build_bigram_counts",
+    "bigram_logprob",
     "truncate_vocab",
     "vocab_coverage",
     "unigram_logprob",

@@ -79,3 +79,138 @@ def test_broadcast_model_plan(spark, documents):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob — stupid backoff
+# ---------------------------------------------------------------------------
+
+
+def _bg_ref(train_texts, score_texts, *, alpha=1.0, backoff=0.4):
+    """Pure-Python stupid-backoff twin of bigram_logprob."""
+    import collections
+
+    uni: collections.Counter = collections.Counter()
+    bi: collections.Counter = collections.Counter()
+    for t in train_texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    v = len(uni)
+    denom = n + alpha * (v + 1)
+    out = {}
+    for i, t in enumerate(score_texts):
+        toks = t.lower().split()
+        if len(toks) < 2:
+            continue
+        s = []
+        for w1, w2 in zip(toks, toks[1:]):
+            if (w1, w2) in bi and w1 in uni:
+                s.append(-math.log(bi[(w1, w2)] / uni[w1]))
+            else:
+                s.append(
+                    -math.log(backoff * ((uni.get(w2, 0) + alpha) / denom))
+                )
+        out[i] = math.floor(sum(s) / len(s) * 10000) / 10000
+    return out
+
+
+def test_bigram_matches_python_reference(spark):
+    from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        build_bigram_counts,
+    )
+
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+    ]
+    score = [
+        "the cat sat on the log",   # all-seen bigrams
+        "the zebra sat quietly",    # OOV word -> backoff floor
+        "cat dog mat log",          # seen words, unseen bigrams
+        "single",                   # < 2 tokens -> excluded
+        "the cat",                  # one seen bigram
+    ]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], ["doc_id", "text"]
+    )
+    vocab = build_vocab(tdf)
+    bg = build_bigram_counts(tdf)
+    got = {
+        r["doc_id"]: r["bg_nll"]
+        for r in bigram_logprob(sdf, bg, vocab).collect()
+    }
+    ref = _bg_ref(train, score)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-9), k
+
+
+def test_bigram_fluent_beats_shuffled(spark):
+    """A doc made of training bigrams scores better (lower NLL) than
+    the same words in an order the model never saw."""
+    from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        build_bigram_counts,
+    )
+
+    train = ["the cat sat on the mat"] * 5
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    sdf = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat the on sat cat the")],
+        ["doc_id", "text"],
+    )
+    vocab = build_vocab(tdf)
+    bg = build_bigram_counts(tdf)
+    got = {
+        r["doc_id"]: r["bg_nll"]
+        for r in bigram_logprob(sdf, bg, vocab).collect()
+    }
+    assert got[0] < got[1]
+
+
+def test_bigram_validation(spark):
+    from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        build_bigram_counts,
+        build_vocab as _bv,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    vocab = _bv(df)
+    bg = build_bigram_counts(df)
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_logprob(df, bg, vocab, alpha=0.0)
+    with pytest.raises(ValueError, match="backoff"):
+        bigram_logprob(df, bg, vocab, backoff=0.0)
+    empty = _bv(df.filter(F.col("doc_id") < 0))
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        bigram_logprob(df, bg, empty)
+
+
+def test_bigram_min_count_filter(spark):
+    from data_toolz_spark.operators.text_analysis import (
+        build_bigram_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    all_pairs = {
+        (r["w1"], r["w2"]): r["bg_count"]
+        for r in build_bigram_counts(df).collect()
+    }
+    assert all_pairs == {("a", "b"): 2.0, ("b", "a"): 1.0, ("c", "d"): 1.0}
+    kept = {
+        (r["w1"], r["w2"])
+        for r in build_bigram_counts(df, min_count=2).collect()
+    }
+    assert kept == {("a", "b")}
