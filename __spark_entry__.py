@@ -1205,6 +1205,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked end-to-end: trim → canonicalize → min-id drop
     window (``is_dup``).
     """
+    from data_toolz_spark.operators.text_analysis import strip_html
     from data_toolz_spark.operators.urls import (
         canonical_url,
         trim_prose_punctuation,
@@ -1228,9 +1229,35 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              "?a=1&z=2&fbclid=q", "?utm_campaign=only"),
         pick(d, "", ".", ").", ",", ""),
     )
-    urls = docs.select(
+    # r9 (X65): the same synthesize-and-attest pattern for the HTML
+    # front door — each doc's text wrapped in doc_id-varied HTML
+    # (script payload with nested tags, style, comment, heading level,
+    # entity set, <br> form) and stripped back; the md5 of the cleaned
+    # text value-verifies the ENTIRE strip/decode/normalize chain
+    html = F.concat(
+        F.lit('<html><HEAD><script type="t">var x = "<p>ignore</p>";'
+              "</script><style>p{color:red}</style></HEAD><body><"),
+        pick(d, "h1", "h2", "h3"),
+        F.lit(">Doc "),
+        d.cast("string"),
+        F.lit("</"),
+        pick(d, "h1", "h2", "h3"),
+        F.lit("><!-- c <b>x</b> --><p>alpha &amp; beta&nbsp;"),
+        pick(d, "&lt;q&gt;", "&quot;w&quot;", "&#39;z&#39;"),
+        F.lit("</p><div>"),
+        F.col("text"),
+        F.lit("</div>"),
+        pick(d, "<br>", "<br/>", "<BR />"),
+        F.lit("tail</body></html>"),
+    )
+    urls = strip_html(
+        docs.withColumn("__html", html), "__html", out_col="__hclean"
+    ).select(
         "doc_id",
         canonical_url(trim_prose_punctuation(raw)).alias("canonical"),
+        F.md5(F.encode(F.col("__hclean"), "UTF-8")).alias(
+            "html_clean_md5"
+        ),
     )
     w = Window.partitionBy("canonical")
     return urls.withColumn(
@@ -2732,6 +2759,30 @@ WHERE rn = 1
     return "".join(parts)
 
 
+def _strip_html_sql(x: str) -> str:
+    """DuckDB twin of ``text_analysis.strip_html`` (block_newlines
+    mode): the identical regexp/replace chain — scripts/styles/
+    comments out, block closers → newline, tags out, the six core
+    entities decoded in the same no-double-decode order, whitespace
+    normalized.  Every pattern is RE2-safe by construction (the
+    operator's portability contract); verified case-for-case against
+    the Spark operator's pytest expectations.
+    """
+    x = f"regexp_replace({x}, '(?is)<script\\b.*?</script>', ' ', 'g')"
+    x = f"regexp_replace({x}, '(?is)<style\\b.*?</style>', ' ', 'g')"
+    x = f"regexp_replace({x}, '(?s)<!--.*?-->', ' ', 'g')"
+    x = (f"regexp_replace({x}, '(?is)</(?:p|div|li|h[1-6]|tr|table|ul|ol|"
+         f"blockquote)>|<br\\s*/?>', chr(10), 'g')")
+    x = f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+        x = f"replace({x}, '{ent}', '{rep}')"
+    x = f"regexp_replace({x}, '[^\\S\\n]+', ' ', 'g')"
+    x = f"regexp_replace({x}, '\\s*\\n\\s*', chr(10), 'g')"
+    x = f"regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+    return x
+
+
 _STOP_SQL = {
     "de": "('der','die','das','und','ist','nicht','ein','zu')",
     "en": "('the','a','of','and','to','in','is','it')",
@@ -3368,11 +3419,35 @@ canon AS (
                    THEN '?' || array_to_string(params, '&') ELSE '' END
     END AS canonical
   FROM q
+),
+u AS (
+  SELECT doc_id, canonical,
+         CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canonical)
+              AS BIGINT) AS is_dup
+  FROM canon
 )
-SELECT doc_id, canonical,
-       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canonical)
-            AS BIGINT) AS is_dup
-FROM canon
+""" + f""",
+hsynth AS (
+  SELECT doc_id,
+    '<html><HEAD><script type="t">var x = "<p>ignore</p>";</script>'
+    || '<style>p{{color:red}}</style></HEAD><body><'
+    || (['h1','h2','h3'])[CAST(doc_id % 3 AS INT) + 1]
+    || '>Doc ' || CAST(doc_id AS VARCHAR) || '</'
+    || (['h1','h2','h3'])[CAST(doc_id % 3 AS INT) + 1]
+    || '><!-- c <b>x</b> --><p>alpha &amp; beta&nbsp;'
+    || (['&lt;q&gt;','&quot;w&quot;','&#39;z&#39;'])
+         [CAST(doc_id % 3 AS INT) + 1]
+    || '</p><div>' || text || '</div>'
+    || (['<br>','<br/>','<BR />'])[CAST(doc_id % 3 AS INT) + 1]
+    || 'tail</body></html>' AS h
+  FROM documents
+),
+hclean AS (
+  SELECT doc_id, md5({_strip_html_sql('h')}) AS html_clean_md5
+  FROM hsynth
+)
+SELECT u.doc_id, u.canonical, hc.html_clean_md5, u.is_dup
+FROM u JOIN hclean hc USING (doc_id)
 """,
         # inverted-index search, brute-force token-scan oracle: OR over
         # three fixed terms, n_matched = distinct matched terms per doc,

@@ -1136,6 +1136,70 @@ def unigram_logprob(
     )
 
 
+#: Core named/numeric entities a crawl-cleaning pass must decode —
+#: ``&amp;`` is deliberately LAST so already-decoded payloads are not
+#: double-decoded (the standard ordering).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: Block-level closers (plus <br>) that become newlines when
+#: ``block_newlines=True`` — keeps line identity for the line-level
+#: operators downstream (line_dedup, boilerplate line filters).
+_HTML_BLOCK_RE = (
+    r"(?is)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br\s*/?>"
+)
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "clean_text",
+    block_newlines: bool = True,
+) -> DataFrame:
+    """Crawl front-door HTML-to-text: drop script/style/comment blocks,
+    turn block-level tag closers into newlines, strip remaining tags,
+    decode the core entities, normalize whitespace.
+
+    The whole pass is a chain of ``regexp_replace`` / literal
+    ``replace`` column expressions — pure codegen riding the ingest
+    scan (zero UDFs, zero shuffles), and every pattern is RE2-safe (no
+    backreferences, no lookarounds), so the identical chain replays in
+    any SQL engine — the same portability contract as ``redact_pii``.
+    This is a cleaning heuristic, not an HTML5 parser: unterminated
+    ``<script`` swallows to the next ``</script>`` or survives as
+    text, exotic entities pass through verbatim — the right trade for
+    boilerplate removal at crawl scale (a DOM parser belongs in a UDF
+    nobody needs for corpus filtering).
+
+    ``block_newlines=True`` preserves line structure (one line per
+    block element) so line-level operators compose downstream; False
+    flattens to single-space text.
+    """
+    c = F.col(text_col)
+    # containers whose PAYLOAD must vanish, then comments
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    if block_newlines:
+        c = F.regexp_replace(c, _HTML_BLOCK_RE, "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # horizontal runs → one space; newline runs (w/ flanking space) →
+    # one newline; strip the ends
+    c = F.regexp_replace(c, r"[^\S\n]+", " ")
+    c = F.regexp_replace(c, r"\s*\n\s*", "\n")
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return df.withColumn(out_col, c)
+
+
 def build_bigram_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -1292,6 +1356,8 @@ __all__ = [
     "chunk_documents",
     "build_vocab",
     "build_bigram_counts",
+    "strip_html",
+    "HTML_ENTITIES",
     "bigram_logprob",
     "truncate_vocab",
     "vocab_coverage",
