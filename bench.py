@@ -700,6 +700,39 @@ def _x_bpe_train(spark, sf_dir):
     return entrymod.text_bpe_tokens(spark, sf_dir)
 
 
+def _x_interval_join(spark, sf_dir):
+    """X66: point-in-interval join of the event stream against
+    per-user activity windows via the range-bucketing rewrite (every
+    17th event opens a 1-7 minute window; 5-minute bucket grid) — the
+    equi-join shape that replaces Catalyst's BroadcastNestedLoopJoin
+    for BETWEEN joins."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.windows import bucketed_interval_join
+
+    ev = entrymod.load(spark, sf_dir, "events")
+    points = ev.select("user_id", "event_id", "ts")
+    intervals = ev.filter(F.col("event_id") % 17 == 0).select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("w_start"),
+        F.timestamp_add(
+            "MINUTE",
+            (F.col("event_id") % 7 + 1).cast("int"),
+            F.col("ts"),
+        ).alias("w_end"),
+    )
+    return bucketed_interval_join(
+        points,
+        intervals,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        on="user_id",
+        bucket_width=300_000_000,  # 5-minute grid in epoch micros
+    )
+
+
 def _x_novel_docs_bloom(spark, sf_dir):
     """The r9 registered definition of incremental_novel_docs: bloom
     build + prefilter split + maybe-side anti-join + verdict column —
@@ -711,6 +744,7 @@ def _x_novel_docs_bloom(spark, sf_dir):
 EXTRAS = {
     "x_bpe_train": _x_bpe_train,
     "x_novel_docs_bloom": _x_novel_docs_bloom,
+    "x_interval_join": _x_interval_join,
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
     # its old name so the per-qid series continues unbroken

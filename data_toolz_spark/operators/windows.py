@@ -159,4 +159,131 @@ def asof_join(
     return out
 
 
-__all__ = ["sessionize", "session_stats", "running_total", "asof_join"]
+def _to_line(col_name: str, df: DataFrame):
+    """Numeric view of a point/bound column: timestamps → epoch micros
+    (exact long), integral types pass through.  Used only for
+    bucketing and the containment filter — output columns keep their
+    original type."""
+    dt = df.schema[col_name].dataType.simpleString()
+    c = F.col(col_name)
+    if dt.startswith("timestamp"):
+        return F.unix_micros(c)
+    if dt in ("long", "int", "bigint", "integer", "smallint", "date"):
+        return c.cast("long") if dt != "date" else F.datediff(
+            c, F.lit("1970-01-01")
+        ).cast("long")
+    raise ValueError(
+        f"bucketed_interval_join: unsupported type {dt} for {col_name!r}"
+        " (timestamp, date, or integral required — pre-scale floats"
+        " yourself, the bucket grid must be exact)"
+    )
+
+
+def bucketed_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | tuple[str, str] | None = None,
+    bucket_width: int,
+    end_inclusive: bool = True,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Point-in-interval equi-ized join: every point row paired with
+    every interval row containing it (same ``on`` key, ``start ≤ p ≤
+    end``; strict end when ``end_inclusive=False``).
+
+    Why this operator exists: open-source Catalyst plans a raw
+    ``p BETWEEN s AND e`` join as BroadcastNestedLoopJoin (or a
+    per-key cartesian) — quadratic per key, the classic 100 TB
+    cliff.  The fix is the standard range-bucketing rewrite: each
+    interval EXPLODES to the ⌈span/width⌉ grid buckets it covers, each
+    point hashes to its single bucket, and the join becomes a plain
+    equi-join on (key, bucket) + a residual containment filter.  Each
+    qualifying (point, interval) pair meets in EXACTLY one bucket (the
+    point's), so no post-dedup is needed.  Cost is linear:
+    |points| + Σ spans/width exploded rows through one hash join —
+    pick ``bucket_width`` near the median interval span so most
+    intervals explode to 1–2 rows (the ``max_buckets_per_interval``
+    guard raises mid-plan on a width that would detonate — a plan bug,
+    not data to silently absorb).
+
+    Time semantics: timestamps bucket on exact epoch micros, dates on
+    epoch days, integrals as-is; output columns keep their original
+    types.  Intervals with ``end < start`` (or ``end <= start`` when
+    half-open) have no containment semantics and are dropped, matching
+    the SQL BETWEEN twin.  Non-key column names must be disjoint
+    across the two frames (validated) — the output is simply all point
+    columns + all interval columns.
+    """
+    if bucket_width < 1:
+        raise ValueError("bucketed_interval_join: bucket_width must be >= 1")
+    pk, ik = (on, on) if isinstance(on, str) or on is None else on
+    overlap = (set(points.columns) & set(intervals.columns)) - (
+        {pk} if pk == ik and pk is not None else set()
+    )
+    if overlap:
+        raise ValueError(
+            "bucketed_interval_join: overlapping non-key columns "
+            f"{sorted(overlap)} — rename one side first"
+        )
+
+    w = int(bucket_width)
+    # named numeric-line columns so the bucket index can use exact
+    # integer `div` — epoch micros exceed 2^53, double division is NOT
+    # exact.  (line - pmod(line, w)) is exactly divisible, and pmod is
+    # non-negative, so `div` == floor division even for negative lines.
+    bucket_of = f"(%s - pmod(%s, {w})) div {w}"
+    pts = points.withColumn("__ij_p", _to_line(point_col, points))
+    pts = pts.withColumn(
+        "__ij_b", F.expr(bucket_of % ("__ij_p", "__ij_p"))
+    )
+    ivals = intervals.withColumn(
+        "__ij_s", _to_line(start_col, intervals)
+    ).withColumn("__ij_e", _to_line(end_col, intervals))
+    live = (
+        F.col("__ij_s") <= F.col("__ij_e")
+        if end_inclusive
+        else F.col("__ij_s") < F.col("__ij_e")
+    )
+    sb = F.expr(bucket_of % ("__ij_s", "__ij_s"))
+    eb = F.expr(bucket_of % ("__ij_e", "__ij_e"))
+    seq = F.when(
+        eb - sb + 1 > max_buckets_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bucketed_interval_join: an interval spans more than "
+                    f"{max_buckets_per_interval} buckets at width {w} — "
+                    "raise bucket_width (or the guard) instead of "
+                    "exploding the plan: span="
+                ),
+                (F.col("__ij_e") - F.col("__ij_s")).cast("string"),
+            )
+        ),
+    ).otherwise(F.sequence(sb, eb))
+    ivals = ivals.filter(live).withColumn("__ij_b", F.explode(seq))
+    join_keys = ["__ij_b"] if pk is None else [pk, "__ij_b"]
+    if pk is not None and pk != ik:
+        ivals = ivals.withColumnRenamed(ik, pk)
+    contained = (F.col("__ij_p") >= F.col("__ij_s")) & (
+        F.col("__ij_p") <= F.col("__ij_e")
+        if end_inclusive
+        else F.col("__ij_p") < F.col("__ij_e")
+    )
+    return (
+        pts.join(ivals, on=join_keys, how="inner")
+        .filter(contained)
+        .drop("__ij_b", "__ij_p", "__ij_s", "__ij_e")
+    )
+
+
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "running_total",
+    "asof_join",
+    "bucketed_interval_join",
+]
