@@ -733,6 +733,25 @@ def _x_interval_join(spark, sf_dir):
     )
 
 
+def _x_pagerank(spark, sf_dir):
+    """X67: integer-exact PageRank over a synthesized doc-link graph
+    (two pseudo-random out-links per doc + one link into a 16-node hub
+    tier — realistic in-degree skew), 5 power rounds."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.graph import pagerank
+
+    d = entrymod.load(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        d.select(F.col("doc_id").alias("src"),
+                 ((F.col("doc_id") * 7 + 1) % 4096).alias("dst"))
+        .union(d.select(F.col("doc_id"),
+                        (F.col("doc_id") * 13 + 3) % 4096))
+        .union(d.select(F.col("doc_id"), F.col("doc_id") % 16))
+    )
+    return pagerank(edges, n_iter=5)
+
+
 def _x_novel_docs_bloom(spark, sf_dir):
     """The r9 registered definition of incremental_novel_docs: bloom
     build + prefilter split + maybe-side anti-join + verdict column —
@@ -745,6 +764,7 @@ EXTRAS = {
     "x_bpe_train": _x_bpe_train,
     "x_novel_docs_bloom": _x_novel_docs_bloom,
     "x_interval_join": _x_interval_join,
+    "x_pagerank": _x_pagerank,
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
     # its old name so the per-qid series continues unbroken
