@@ -166,6 +166,11 @@ def _to_line(col_name: str, df: DataFrame):
     original type."""
     dt = df.schema[col_name].dataType.simpleString()
     c = F.col(col_name)
+    if dt == "timestamp_ntz":
+        # NTZ has no epoch; the session-zone cast is a consistent
+        # monotone mapping, and all three line columns convert the
+        # same way — only differences and buckets matter here
+        return F.unix_micros(c.cast("timestamp"))
     if dt.startswith("timestamp"):
         return F.unix_micros(c)
     if dt in ("long", "int", "bigint", "integer", "smallint", "date"):

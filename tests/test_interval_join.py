@@ -117,6 +117,26 @@ def test_timestamp_lines(spark):
     assert dict(got.dtypes)["p"] == "timestamp"
 
 
+def test_timestamp_ntz_lines(spark):
+    """TIMESTAMP_NTZ inputs (the raw-parquet events schema in some
+    testdata generations) bucket via the session-zone cast — a
+    consistent monotone mapping applied to all three line columns."""
+    t0 = datetime.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=10))],
+        "pid long, p timestamp_ntz",
+    )
+    intervals = spark.createDataFrame(
+        [(0, t0, t0 + datetime.timedelta(minutes=20))],
+        "iid long, s timestamp_ntz, e timestamp_ntz",
+    )
+    got = bucketed_interval_join(
+        points, intervals, point_col="p", start_col="s", end_col="e",
+        bucket_width=60_000_000,
+    )
+    assert _pairs(got) == {(1, 0)}
+
+
 def test_malformed_intervals_dropped(spark):
     points = spark.createDataFrame([(1, 5)], "pid long, p long")
     intervals = spark.createDataFrame(
