@@ -97,13 +97,16 @@ def main() -> int:
         n_nodes = pagerank(edges, n_iter=5).count()
         t_pr = round(time.perf_counter() - t0, 2)
 
+        # stride divisible by lcm(17, 7) so every copy selects the
+        # SAME interval events with the SAME lengths — pairs must then
+        # replicate exactly mult-fold
         pts = replicate(
             ev.select("user_id", "event_id", "ts"), "event_id",
-            mult, 10_000_000,
+            mult, 11_900_000,
         ).withColumn(
             "user_id",
-            F.col("user_id") + (F.col("event_id") / 10_000_000).cast(
-                "long") * 1_000,
+            F.col("user_id") + (F.col("event_id") / 11_900_000).cast(
+                "long") * 1_000_000,
         )
         iv = pts.filter(F.col("event_id") % 17 == 0).select(
             "user_id",
