@@ -2281,21 +2281,57 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality over REAL playable .wav blobs (r6): RIFF/WAVE
-    PCM 16-bit chunk walk + vectorized waveform stats; the sample
-    pattern matches the former toy table, so the arithmetic oracle is
-    unchanged — only the byte path got real (like PNG/Y4M)."""
+    PCM 16-bit chunk walk + vectorized waveform stats.
+
+    r9 (X68): the corpus is now the PLANTED near-dup table (30 groups
+    of 5 sharing an amplitude profile up to a sparse member
+    perturbation; measured margins within ≤ 6 / cross ≥ 14), and the
+    qid additionally attests audio-CONTENT near-dup: the 64-bit
+    energy-delta fingerprint (`audio_fingerprint` — integer-exact
+    Haitsma-Kalker sign bits, time-domain) plus per-media neighbor
+    aggregates from the GENERIC Hamming banding at τ=6 (exact recall
+    by pigeonhole at 8 blocks).  DuckDB rebuilds samples, energies,
+    the packed fingerprint, and the τ=6 pair graph bit-for-bit —
+    completing content near-dup across every modality (text,
+    embeddings, images, audio)."""
+    from data_toolz_spark.operators.dedup import fingerprint_band_pairs
     from data_toolz_spark.operators.multimodal import (
         audio_features,
-        wav_audio_table,
+        audio_fingerprint,
+        wav_neardup_table,
     )
 
-    return audio_features(wav_audio_table(spark, 150), decoder="wav").select(
-        "media_id",
-        "sample_rate",
-        "n_samples",
-        F.round("duration_sec", 6).alias("duration_sec"),
-        F.round("rms", 6).alias("rms"),
-        "peak",
+    tbl = wav_neardup_table(spark, 150)
+    feats = audio_features(tbl, decoder="wav").drop("content")
+    fps = audio_fingerprint(tbl, decoder="wav").select("media_id", "afp")
+    pairs = fingerprint_band_pairs(
+        fps, "media_id", "afp", max_hamming=6, n_blocks=8
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("media_id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("media_id"), F.col("id_a").alias("nbr")
+        )
+    )
+    agg = sym.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.min("nbr").alias("min_neighbor"),
+    )
+    return (
+        feats.join(fps, on="media_id")
+        .join(agg, on="media_id", how="left")
+        .select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            F.round("duration_sec", 6).alias("duration_sec"),
+            F.round("rms", 6).alias("rms"),
+            "peak",
+            "afp",
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            "min_neighbor",
+        )
     )
 
 
@@ -3962,22 +3998,67 @@ JOIN ah ON ah.m = d.m
 JOIN dh ON dh.m = d.m
 LEFT JOIN neigh ON neigh.mid = d.m
 """,
+        # r9 (X68): planted near-dup wav corpus — rebuild the sample
+        # arithmetic (amp profile × base shape + member perturbation),
+        # the 65 frame energies (integer sums of squares), the packed
+        # 64-bit energy-delta fingerprint (HUGEINT wrap to Spark's
+        # signed long, the image-hash device), and the τ=6 Hamming
+        # pair graph via brute-force bit_count(xor) — value-equal to
+        # Spark's pigeonhole banding, which is exact at 8 blocks
         "multimodal_audio": """
-WITH dims AS (
-  SELECT m, 8000 + (m % 3) * 4000 AS rate, 800 + (m % 5) * 400 AS n
-  FROM generate_series(0, 149) t(m)
-), w AS (
-  SELECT m, rate, n,
-         [((m*131 + i*17) % 2048) - 1024
-          for i in generate_series(0, n - 1)] AS s
-  FROM dims
+WITH ids AS (SELECT m FROM generate_series(0, 149) t(m)),
+smp AS (
+  SELECT m,
+    [ (1 + (((m // 5) * 2654435761 + (i // 20) * 2246822519
+             + (m // 5) * (i // 20) * 40503) % 1009) % 5)
+      * (((i * 17 + (m // 5) * 131) % 64) - 32)
+      + (CASE WHEN (i * 31 + (m % 5)) % 37 = 0 THEN m % 5 ELSE 0 END)
+      for i in generate_series(0, 1299)] AS s
+  FROM ids
+),
+en AS (
+  SELECT m, s,
+    [ list_sum([s[j] * s[j]
+                for j in generate_series(f * 20 + 1, f * 20 + 20)])
+      for f in generate_series(0, 64) ] AS e
+  FROM smp
+),
+fp AS (
+  SELECT m, s,
+    CAST(CASE WHEN au >= CAST(2**63 AS HUGEINT)
+              THEN au - CAST(2**64 AS HUGEINT) ELSE au END AS BIGINT)
+      AS afp
+  FROM (
+    SELECT m, s,
+      CAST(COALESCE(list_sum(
+        [CASE WHEN e[b + 2] > e[b + 1] THEN CAST(2**b AS HUGEINT)
+              ELSE CAST(0 AS HUGEINT) END
+         for b in generate_series(0, 63)]), 0) AS HUGEINT) AS au
+    FROM en
+  )
+),
+pr AS (
+  SELECT a.m AS ma, b.m AS mb
+  FROM fp a JOIN fp b ON a.m < b.m
+  WHERE bit_count(xor(a.afp, b.afp)) <= 6
+),
+nb AS (
+  SELECT m, COUNT(*) AS n_neighbors, MIN(nbr) AS min_neighbor
+  FROM (SELECT ma AS m, mb AS nbr FROM pr
+        UNION ALL SELECT mb, ma FROM pr)
+  GROUP BY m
 )
-SELECT m AS media_id, rate AS sample_rate, n AS n_samples,
-  ROUND(n::DOUBLE / rate, 6) AS duration_sec,
-  ROUND(sqrt(list_sum(list_transform(s, x -> x::DOUBLE * x))::DOUBLE / n), 6)
-    AS rms,
-  list_max(list_transform(s, x -> abs(x))) AS peak
-FROM w
+SELECT fp.m AS media_id,
+  8000 + (fp.m % 3) * 4000 AS sample_rate,
+  1300 AS n_samples,
+  ROUND(1300::DOUBLE / (8000 + (fp.m % 3) * 4000), 6) AS duration_sec,
+  ROUND(sqrt(list_sum(list_transform(s, x -> x::DOUBLE * x))::DOUBLE
+             / 1300), 6) AS rms,
+  list_max(list_transform(s, x -> abs(x))) AS peak,
+  fp.afp,
+  COALESCE(nb.n_neighbors, 0) AS n_neighbors,
+  nb.min_neighbor
+FROM fp LEFT JOIN nb ON fp.m = nb.m
 """,
         # real-container frame sampling: recompute the deterministic
         # planar pixel pattern per sampled frame arithmetically

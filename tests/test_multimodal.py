@@ -424,3 +424,96 @@ def test_resize_media_png_real_bytes(spark):
         xs = (np.arange(8) * w // 8).clip(0, w - 1)
         want = px[ys][:, xs]
         assert np.array_equal(flat.reshape(6, 8, c), want), m
+
+
+# ---------------------------------------------------------------------------
+# Audio-content near-dup (X68): energy-delta fingerprint + Hamming banding
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_planted_groups(spark):
+    """τ=6 banding recovers exactly the planted 5-member groups: every
+    within-group pair qualifies, no cross-group pair does — the
+    measured margins (within ≤ 6, cross ≥ 14) hold on the real wav
+    byte path, and banding equals brute force (pigeonhole exactness)."""
+    import itertools
+
+    from data_toolz_spark.operators.dedup import fingerprint_band_pairs
+    from data_toolz_spark.operators.multimodal import (
+        audio_fingerprint,
+        wav_neardup_table,
+    )
+
+    n, g = 60, 5
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(
+            wav_neardup_table(spark, n), decoder="wav"
+        ).collect()
+    }
+    assert len(fps) == n and all(v is not None for v in fps.values())
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    within = [
+        ham(fps[i], fps[j])
+        for base in range(0, n, g)
+        for i, j in itertools.combinations(range(base, base + g), 2)
+    ]
+    cross = [
+        ham(fps[a], fps[b])
+        for a, b in itertools.combinations(range(0, n, g), 2)
+    ]
+    assert max(within) <= 6
+    assert min(cross) >= 14
+
+    pairs_df = fingerprint_band_pairs(
+        audio_fingerprint(wav_neardup_table(spark, n), decoder="wav"),
+        "media_id",
+        "afp",
+        max_hamming=6,
+        n_blocks=8,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs_df.collect()}
+    want = {
+        (i, j)
+        for base in range(0, n, g)
+        for i, j in itertools.combinations(range(base, base + g), 2)
+    }
+    assert got == want
+
+
+def test_audio_fingerprint_bad_blobs_null(spark):
+    from data_toolz_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+    )
+    import numpy as np
+
+    rows = [
+        (1, bytes(b"not a wav")),
+        (2, None),
+        (3, encode_wav(np.arange(50, dtype=np.int64), 8000)),  # too short
+        (4, encode_wav(((np.arange(1300) * 37) % 512) - 256, 8000)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(df, decoder="wav").collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is not None
+
+
+def test_audio_fingerprint_validation(spark):
+    import pytest as _pytest
+
+    from data_toolz_spark.operators.multimodal import audio_fingerprint
+
+    with _pytest.raises(ValueError, match="decoder"):
+        audio_fingerprint(None, decoder="mp3")
+    with _pytest.raises(ValueError, match="n_frames"):
+        audio_fingerprint(None, n_frames=66)
+    with _pytest.raises(ValueError, match="frame_len"):
+        audio_fingerprint(None, frame_len=0)
