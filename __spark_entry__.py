@@ -2340,21 +2340,56 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     playable YUV4MPEG2 stream, decoded by the stdlib container walk and
     sampled every 2nd frame; one output row per kept frame with
     per-frame pixel stats, so the oracle value-checks the decoded
-    BYTES, not just counts.  Retires the last fully-synthetic modality
-    from the driver rows (VERDICT r5 item 9)."""
+    BYTES, not just counts.
+
+    r9 (X69): the corpus is the PLANTED near-dup table (25 groups of 4
+    sharing frame content except ONE inverted sampled frame per
+    non-base member) and each frame row additionally carries the
+    video-level columns: `vfp` (majority-voted per-frame Y-plane dHash
+    — the single-frame edit is outvoted, so within-group fingerprints
+    are IDENTICAL; cross-group Hamming ≥ 6 measured) and the τ=3
+    neighbor aggregates from the generic Hamming banding.  DuckDB
+    rebuilds pixels, per-frame dHashes, the majority vote, and the
+    pair graph bit-for-bit — video joins text/embeddings/images/audio
+    in the content-near-dup tier."""
+    from data_toolz_spark.operators.dedup import fingerprint_band_pairs
     from data_toolz_spark.operators.multimodal import (
         sample_frames_y4m,
-        y4m_video_table,
+        video_fingerprint,
+        y4m_neardup_table,
     )
 
-    frames = sample_frames_y4m(y4m_video_table(spark, 100), every_k=2)
-    return frames.select(
-        "media_id",
-        "frame_index",
-        "width",
-        "height",
-        F.round("mean_byte", 6).alias("mean_byte"),
-        "max_byte",
+    tbl = y4m_neardup_table(spark, 100)
+    frames = sample_frames_y4m(tbl, every_k=2)
+    fps = video_fingerprint(tbl, every_k=2).select("media_id", "vfp")
+    pairs = fingerprint_band_pairs(
+        fps, "media_id", "vfp", max_hamming=3, n_blocks=4
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("media_id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("media_id"), F.col("id_a").alias("nbr")
+        )
+    )
+    agg = sym.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("nbr").alias("min_neighbor"),
+    )
+    return (
+        frames.join(fps, on="media_id")
+        .join(agg, on="media_id", how="left")
+        .select(
+            "media_id",
+            "frame_index",
+            "width",
+            "height",
+            F.round("mean_byte", 6).alias("mean_byte"),
+            "max_byte",
+            "vfp",
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            "min_neighbor",
+        )
     )
 
 
@@ -4062,25 +4097,86 @@ FROM fp LEFT JOIN nb ON fp.m = nb.m
 """,
         # real-container frame sampling: recompute the deterministic
         # planar pixel pattern per sampled frame arithmetically
+        # r9 (X69): planted near-dup video corpus — rebuild the Y-plane
+        # pixel arithmetic per sampled frame, each frame's 8×9-grid
+        # dHash (cross-multiplied means, the image-oracle device), the
+        # per-bit MAJORITY vote across the 3 sampled frames, the
+        # HUGEINT-wrapped packed fingerprint, and the τ=3 pair graph
         "multimodal_frames": """
-WITH dims AS (
-  SELECT m, 8 + m % 24 AS w, 8 + m % 16 AS h, 2 + m % 7 AS n
+WITH vids AS (
+  SELECT m, m // 4 AS g, m % 4 AS k,
+         24 + 8 * ((m // 4) % 3) AS w,
+         16 + 8 * ((m // 4) % 2) AS h
   FROM generate_series(0, 99) t(m)
-), fr AS (
-  SELECT m, w, h, fi
-  FROM dims, unnest(generate_series(0, n - 1, 2)) AS s(fi)
+),
+fr AS (
+  SELECT m, g, k, w, h, fi
+  FROM vids, unnest([0, 2, 4]) s(fi)
+),
+px AS (
+  SELECT m, g, k, w, h, fi, s.i % w AS x, s.i // w AS y
+  FROM fr, unnest(generate_series(0, w * h - 1)) s(i)
+),
+gpx AS (
+  SELECT m, fi, w, h,
+    (y * 8) // h AS ry, (x * 9) // w AS cx9,
+    192 * (CASE WHEN k > 0 AND fi = (2 * (k - 1)) % 5
+           THEN 1 - bit ELSE bit END)
+      + ((y * w + x) * 7 + fi * 13) % 32 AS gray
+  FROM (
+    SELECT *, ((g * 2654435761
+                + (((y * 8) // h) * 9 + (x * 9) // w) * 2246822519
+                + g * (((y * 8) // h) * 9 + (x * 9) // w) * 40503)
+               % 1009) % 2 AS bit
+    FROM px
+  )
+),
+cells9 AS (
+  SELECT m, fi, ry, cx9, SUM(gray)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM gpx GROUP BY m, fi, ry, cx9
+),
+fbits AS (
+  SELECT a.m, a.fi, a.ry * 8 + a.cx9 AS b,
+         CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+  FROM cells9 a JOIN cells9 b
+    ON a.m = b.m AND a.fi = b.fi AND a.ry = b.ry AND b.cx9 = a.cx9 + 1
+),
+vbits AS (
+  SELECT m, b, CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS bit
+  FROM fbits GROUP BY m, b
+),
+vfps AS (
+  SELECT m, CAST(CASE WHEN vu >= CAST(2**63 AS HUGEINT)
+                 THEN vu - CAST(2**64 AS HUGEINT) ELSE vu END AS BIGINT)
+           AS vfp
+  FROM (SELECT m,
+          CAST(COALESCE(SUM(CASE WHEN bit = 1
+                 THEN CAST(2**b AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END), 0) AS HUGEINT) AS vu
+        FROM vbits GROUP BY m)
+),
+pr AS (
+  SELECT a.m AS ma, b.m AS mb FROM vfps a JOIN vfps b ON a.m < b.m
+  WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
+),
+nb AS (
+  SELECT m, COUNT(*) AS n_near, MIN(nbr) AS min_neighbor
+  FROM (SELECT ma AS m, mb AS nbr FROM pr
+        UNION ALL SELECT mb, ma FROM pr)
+  GROUP BY m
+),
+fstat AS (
+  SELECT m, fi, w, h, SUM(gray)::BIGINT AS sy, MAX(gray) AS mg
+  FROM gpx GROUP BY m, fi, w, h
 )
-SELECT m AS media_id,
-  CAST(fi AS INTEGER) AS frame_index,
-  CAST(w AS INTEGER) AS width,
-  CAST(h AS INTEGER) AS height,
-  ROUND(list_sum([(m*131 + fi*17 + i*7) % 256
-                  for i in generate_series(0, w*h*3 - 1)])::DOUBLE
-        / (w*h*3), 6) AS mean_byte,
-  CAST(list_max([(m*131 + fi*17 + i*7) % 256
-                 for i in generate_series(0, w*h*3 - 1)]) AS BIGINT)
-    AS max_byte
-FROM fr
+SELECT fstat.m AS media_id, CAST(fi AS INTEGER) AS frame_index,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  ROUND((sy + 2 * 128 * w * h)::DOUBLE / (3 * w * h), 6) AS mean_byte,
+  CAST(GREATEST(mg, 128) AS BIGINT) AS max_byte,
+  vfps.vfp,
+  COALESCE(nb.n_near, 0) AS n_near,
+  nb.min_neighbor
+FROM fstat JOIN vfps ON vfps.m = fstat.m LEFT JOIN nb ON nb.m = fstat.m
 """,
         "stream_windowed_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -708,6 +708,127 @@ def audio_features(
     return df.mapInPandas(decode, out_schema)
 
 
+#: video near-dup grid: 5-frame clips, every 2nd frame sampled (odd
+#: sample count → strict bit majorities, no ties)
+VFP_N_FRAMES = 5
+
+
+def _y4m_y_plane(
+    g: int, member: int, fi: int, w: int, h: int
+) -> np.ndarray:
+    """Y plane of the planted video pattern: brightness is constant
+    per dHash 8×9 grid cell (hash-mixed per group with a group×cell
+    interaction), frames differ by a moving texture that block means
+    ignore, and member k > 0 INVERTS the cell pattern of exactly one
+    SAMPLED frame — the majority vote must outvote it (measured:
+    within-group video-fp Hamming = 0, cross-group ≥ 6)."""
+    y, x = np.mgrid[0:h, 0:w]
+    cell = ((y * 8) // h) * 9 + (x * 9) // w
+    bit = ((g * 2654435761 + cell * 2246822519 + g * cell * 40503)
+           % 1009) % 2
+    if member > 0 and fi == 2 * (member - 1) % VFP_N_FRAMES:
+        bit = 1 - bit
+    tex = ((y * w + x) * 7 + fi * 13) % 32
+    return (192 * bit + tex).astype(np.uint8)
+
+
+def y4m_neardup_table(
+    spark, n_rows: int, *, group_size: int = 4,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic near-dup video corpus: REAL playable YUV4MPEG2 C444
+    blobs in groups of ``group_size`` sharing frame content except one
+    inverted sampled frame per non-base member (see
+    :func:`_y4m_y_plane`; U = V = 128).  Dims per group:
+    w = 24 + 8·(g%3), h = 16 + 8·(g%2); ``VFP_N_FRAMES`` frames."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            blobs = []
+            for m in ids:
+                m = int(m)
+                g, member = m // group_size, m % group_size
+                w, h = 24 + 8 * (g % 3), 16 + 8 * (g % 2)
+                frames = np.empty(
+                    (VFP_N_FRAMES, h, w, 3), dtype=np.uint8
+                )
+                for fi in range(VFP_N_FRAMES):
+                    frames[fi, :, :, 0] = _y4m_y_plane(g, member, fi, w, h)
+                    frames[fi, :, :, 1:] = 128
+                blobs.append(encode_y4m(frames))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    n_parts = n_partitions or _range_partitions(spark, n_rows)
+    return spark.range(n_rows, numPartitions=n_parts).mapInPandas(
+        gen, out_schema
+    )
+
+
+def video_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    *,
+    every_k: int = 2,
+    out_col: str = "vfp",
+) -> DataFrame:
+    """64-bit video-content fingerprint: dHash of each sampled frame's
+    Y plane (the integer-exact image hash,
+    ``image_dedup.phash_from_pixels``), MAJORITY-voted per bit across
+    the sampled frames — single-frame edits, inserts, or re-encodes of
+    a minority of frames cannot change the fingerprint (pinned by
+    tests on the planted corpus), which is exactly the video near-dup
+    semantics.  Everything stays integer arithmetic from the raw
+    bytes, so a SQL oracle rebuilds frame hashes, the vote, and the
+    packed value.  One Arrow pass (container walk + per-frame hash +
+    vote); undecodable blobs get NULL.  Pick ``every_k`` so the
+    sampled count is ODD when possible — strict majorities have no
+    tie branch (an even split votes 0, documented).  Mine pairs with
+    ``dedup.fingerprint_band_pairs`` like every other fingerprint.
+    """
+    from data_toolz_spark.operators.image_dedup import phash_from_pixels
+
+    if every_k < 1:
+        raise ValueError("video_fingerprint: every_k must be >= 1")
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for blob in pdf[content_col]:
+                parsed = None if blob is None else decode_y4m(bytes(blob))
+                if parsed is None:
+                    fps.append(None)
+                    continue
+                meta, frames = parsed
+                hashes = []
+                for fi in range(0, meta["n_frames"], every_k):
+                    _ah, dh = phash_from_pixels(frames[fi][:, :, :1])
+                    hashes.append(dh & ((1 << 64) - 1))
+                n = len(hashes)
+                v = 0
+                for b in range(64):
+                    if 2 * sum((hh >> b) & 1 for hh in hashes) > n:
+                        v |= 1 << b
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                fps.append(v)
+            out = pdf.copy()
+            out[out_col] = pd.array(fps, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 #: audio fingerprint grid: 65 fixed-length frames → 64 energy-delta
 #: sign bits (Haitsma & Kalker 2002's bit derivation, simplified to
 #: time-domain frame energies so every quantity is EXACT int64
@@ -1079,6 +1200,9 @@ __all__ = [
     "sample_frames_y4m",
     "resize_media",
     "wav_neardup_table",
+    "y4m_neardup_table",
+    "video_fingerprint",
+    "VFP_N_FRAMES",
     "audio_fingerprint",
     "AFP_N_FRAMES",
     "AFP_FRAME_LEN",

@@ -517,3 +517,75 @@ def test_audio_fingerprint_validation(spark):
         audio_fingerprint(None, n_frames=66)
     with _pytest.raises(ValueError, match="frame_len"):
         audio_fingerprint(None, frame_len=0)
+
+
+# ---------------------------------------------------------------------------
+# Video-content near-dup (X69): majority-voted frame dHash signature
+# ---------------------------------------------------------------------------
+
+
+def test_video_fingerprint_majority_outvotes_edited_frame(spark):
+    """Planted groups: each non-base member inverts ONE sampled
+    frame's cell pattern — the per-bit majority across the 3 sampled
+    frames must outvote it, so within-group fingerprints are
+    IDENTICAL while cross-group distance stays ≥ 6; banding at τ=3
+    recovers exactly the groups."""
+    import itertools
+
+    from data_toolz_spark.operators.dedup import fingerprint_band_pairs
+    from data_toolz_spark.operators.multimodal import (
+        video_fingerprint,
+        y4m_neardup_table,
+    )
+
+    n, g = 48, 4
+    fps = {
+        r["media_id"]: r["vfp"]
+        for r in video_fingerprint(
+            y4m_neardup_table(spark, n), every_k=2
+        ).collect()
+    }
+    assert len(fps) == n and all(v is not None for v in fps.values())
+    for base in range(0, n, g):
+        assert len({fps[i] for i in range(base, base + g)}) == 1
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    cross = [
+        ham(fps[a], fps[b])
+        for a, b in itertools.combinations(range(0, n, g), 2)
+    ]
+    assert min(cross) >= 6
+
+    pairs = fingerprint_band_pairs(
+        video_fingerprint(y4m_neardup_table(spark, n), every_k=2),
+        "media_id",
+        "vfp",
+        max_hamming=3,
+        n_blocks=4,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {
+        (i, j)
+        for base in range(0, n, g)
+        for i, j in itertools.combinations(range(base, base + g), 2)
+    }
+    assert got == want
+
+
+def test_video_fingerprint_bad_blobs_and_validation(spark):
+    import pytest as _pytest
+
+    from data_toolz_spark.operators.multimodal import video_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, bytes(b"not a y4m")), (2, None)],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["vfp"] for r in video_fingerprint(df).collect()
+    }
+    assert got == {1: None, 2: None}
+    with _pytest.raises(ValueError, match="every_k"):
+        video_fingerprint(df, every_k=0)
