@@ -733,6 +733,33 @@ def _x_interval_join(spark, sf_dir):
     )
 
 
+def _x_quality_logreg(spark, sf_dir):
+    """X70: distill the heuristic keep/drop rule into a learned linear
+    quality filter — quality + web-artifact features, labels from
+    keep_document, 12 integer-exact GD rounds, then score the corpus
+    (one codegen projection)."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.classifier import (
+        logreg_fit,
+        logreg_score,
+    )
+    from data_toolz_spark.operators.text_analysis import (
+        keep_document,
+        quality_features,
+        web_artifact_features,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    feats = keep_document(
+        web_artifact_features(quality_features(docs))
+    ).withColumn("label", F.col("keep").cast("int"))
+    cols = ["mean_tok_len", "alpha_ratio", "stop_ratio",
+            "quality_score", "artifact_ratio"]
+    model = logreg_fit(feats, cols, "label", n_iter=12)
+    return logreg_score(feats, model).select("doc_id", "quality_prob")
+
+
 def _x_pagerank(spark, sf_dir):
     """X67: integer-exact PageRank over a synthesized doc-link graph
     (two pseudo-random out-links per doc + one link into a 16-node hub
@@ -765,6 +792,7 @@ EXTRAS = {
     "x_novel_docs_bloom": _x_novel_docs_bloom,
     "x_interval_join": _x_interval_join,
     "x_pagerank": _x_pagerank,
+    "x_quality_logreg": _x_quality_logreg,
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
     # its old name so the per-qid series continues unbroken

@@ -1,5 +1,10 @@
 """Large-scale LLM-data-pipeline operators (SURVEY §2.9 extensions)."""
 
+from data_toolz_spark.operators.classifier import (
+    LogRegModel,
+    logreg_fit,
+    logreg_score,
+)
 from data_toolz_spark.operators.clustering import (
     KMeansModel,
     kmeans_assign,
@@ -136,6 +141,9 @@ __all__ = [
     "bpe_word_table",
     "dedup_exact",
     "KMeansModel",
+    "LogRegModel",
+    "logreg_fit",
+    "logreg_score",
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_cluster_profile",
