@@ -733,6 +733,21 @@ def _x_interval_join(spark, sf_dir):
     )
 
 
+def _x_dsir_weights(spark, sf_dir):
+    """X71: DSIR importance weights — target = every 7th doc, source =
+    the corpus; two bucket-bounded hashed-n-gram aggregates + one
+    broadcast-ratio scoring pass."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.sampling import dsir_logweights
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0).select("text"),
+        n_buckets=8192,
+    )
+
+
 def _x_quality_logreg(spark, sf_dir):
     """X70: distill the heuristic keep/drop rule into a learned linear
     quality filter — quality + web-artifact features, labels from
@@ -793,6 +808,7 @@ EXTRAS = {
     "x_interval_join": _x_interval_join,
     "x_pagerank": _x_pagerank,
     "x_quality_logreg": _x_quality_logreg,
+    "x_dsir_weights": _x_dsir_weights,
     # r8 fold (slot freed for embedding_decontaminate): the lsh tier
     # of the dedup_embedding composite, timed at its old config under
     # its old name so the per-qid series continues unbroken

@@ -368,6 +368,131 @@ def pack_greedy(
     )
 
 
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    n_buckets: int = 8192,
+    lowercase: bool = True,
+    include_bigrams: bool = True,
+    alpha: float = 1.0,
+    portable: bool = False,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    per-document log importance weight
+    ``Σ_features log p̂_target(b) − log p̂_source(b)`` over hashed
+    unigram+bigram buckets — the cheap bag-of-hashed-n-grams proxy
+    that paper shows selects pretraining data competitive with far
+    costlier methods.  Downstream: threshold, top-k, or Gumbel-top-k
+    resample on ``out_col``.
+
+    Scale shape: BOTH distributions are ``n_buckets``-bounded
+    aggregates (the corpus side is one explode + partial-combined
+    count — bounded rows cross the shuffle regardless of corpus
+    size), the log-ratio table broadcasts by construction, and scoring
+    is one explode + broadcast join + per-doc re-aggregation — the
+    ``unigram_logprob`` shape.  Estimates are add-``alpha`` smoothed
+    over the bucket space, so unseen buckets score the constant
+    default ratio.  The per-doc sum is floor-4-truncated (the engine-
+    portable device every LM score here uses).  Zero-token docs are
+    absent from the output.
+    """
+    if alpha <= 0:
+        raise ValueError("dsir_logweights: alpha must be positive")
+    if not 16 <= n_buckets <= 1 << 24:
+        raise ValueError(
+            "dsir_logweights: n_buckets must be in [16, 2^24]"
+        )
+    import math
+
+    tcol = target_text_col or text_col
+
+    def feat_frame(df: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        txt = F.lower(F.col(col)) if lowercase else F.col(col)
+        staged = df.select(
+            *([id_col] if keep_id else []),
+            F.filter(
+                F.split(txt, r"\s+"), lambda t: t != ""
+            ).alias("__dsir_t"),
+        ).filter(F.size("__dsir_t") > 0)
+        feats = F.col("__dsir_t")
+        if include_bigrams:
+            feats = F.concat(
+                feats,
+                F.expr(
+                    "transform(slice(__dsir_t, 1, size(__dsir_t) - 1), "
+                    "(x, i) -> concat(x, ' ', element_at(__dsir_t, i + 2)))"
+                ),
+            )
+        if portable:
+            bucket = F.transform(
+                feats,
+                lambda x: F.pmod(
+                    F.conv(
+                        F.substring(F.md5(x), 1, 15), 16, 10
+                    ).cast("long"),
+                    F.lit(n_buckets),
+                ).cast("int"),
+            )
+        else:
+            bucket = F.transform(
+                feats,
+                lambda x: F.pmod(
+                    F.xxhash64(x), F.lit(n_buckets)
+                ).cast("int"),
+            )
+        return staged.select(
+            *([id_col] if keep_id else []),
+            F.explode(bucket).alias("bucket"),
+        )
+
+    t_counts = (
+        feat_frame(target, tcol, keep_id=False)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    s_feats = feat_frame(corpus, text_col, keep_id=True)
+    s_counts = s_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    totals_t = t_counts.agg(F.sum("ct")).collect()[0][0]
+    totals_s = s_counts.agg(F.sum("cs")).collect()[0][0]
+    if not totals_t or not totals_s:
+        raise ValueError(
+            "dsir_logweights: empty target or source feature stream"
+        )
+    denom_t = float(totals_t) + alpha * n_buckets
+    denom_s = float(totals_s) + alpha * n_buckets
+    log_denoms = math.log(denom_t) - math.log(denom_s)
+    ratio = F.broadcast(
+        t_counts.join(s_counts, on="bucket", how="full")
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("ct").cast("double"), F.lit(0.0))
+                      + alpha)
+                - F.log(
+                    F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
+                    + alpha
+                )
+                - F.lit(log_denoms)
+            ).alias("__logr"),
+        )
+    )
+    default_logr = math.log(alpha) - math.log(alpha) - log_denoms
+    scored = s_feats.join(ratio, on="bucket", how="left").select(
+        id_col,
+        F.coalesce(F.col("__logr"), F.lit(default_logr)).alias("__logr"),
+    )
+    return scored.groupBy(id_col).agg(
+        (F.floor(F.sum("__logr") * 10000) / 10000).alias(out_col)
+    )
+
+
 __all__ = [
     "split_column",
     "hash_split",
@@ -376,4 +501,5 @@ __all__ = [
     "mixture_rates",
     "mixture_sample",
     "pack_greedy",
+    "dsir_logweights",
 ]
