@@ -493,6 +493,58 @@ def dsir_logweights(
     )
 
 
+def gumbel_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    *,
+    k: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement with probability
+    ∝ exp(weight) — the Gumbel-top-k trick (Vieira 2014; Kool et al.
+    2019): perturb each log-weight with Gumbel(0,1) noise and keep the
+    top k.  For k=1 this IS softmax sampling exactly (pinned by a
+    frequency test); for k>1 it is successive softmax draws without
+    replacement.  The natural consumer of :func:`dsir_logweights`:
+    importance RESAMPLING instead of a hard threshold keeps diversity
+    in the tail.
+
+    Like every sampler here the noise is a pure hash of (key, seed) —
+    ``-ln(-ln(u))`` with ``u`` the keyed unit hash — so the draw is
+    deterministic, retry-stable, and partitioning-independent (ties
+    break by ``key_cols``).  Plan shape: ``TakeOrderedAndProject``
+    (per-partition top-k + one small merge, never a global sort), so
+    the corpus is scanned once and only k rows survive.
+
+    ``score_col`` keeps the perturbed key in the output for auditing.
+    NULL weights never win (they sort last and are filtered).
+    """
+    if k < 1:
+        raise ValueError("gumbel_topk_sample: k must be >= 1")
+    if not key_cols:
+        raise ValueError("gumbel_topk_sample: key_cols is required")
+    # (pmod + 0.5) / N keeps u strictly inside (0, 1): u = 0 would send
+    # the double-log noise to -inf
+    h = F.xxhash64(
+        *[F.col(c) for c in key_cols], F.lit(seed)
+    )
+    u = (F.pmod(h, F.lit(_BUCKETS)).cast("double") + 0.5) / F.lit(
+        float(_BUCKETS)
+    )
+    perturbed = F.col(weight_col).cast("double") - F.log(-F.log(u))
+    out = df.filter(F.col(weight_col).isNotNull()).withColumn(
+        "__gumbel", perturbed
+    )
+    ordered = out.orderBy(
+        F.col("__gumbel").desc(), *[F.col(c) for c in key_cols]
+    ).limit(k)
+    if score_col:
+        return ordered.withColumnRenamed("__gumbel", score_col)
+    return ordered.drop("__gumbel")
+
+
 __all__ = [
     "split_column",
     "hash_split",
@@ -502,4 +554,5 @@ __all__ = [
     "mixture_sample",
     "pack_greedy",
     "dsir_logweights",
+    "gumbel_topk_sample",
 ]

@@ -100,3 +100,82 @@ def test_validation(spark):
         dsir_logweights(df, df, n_buckets=4)
     with pytest.raises(ValueError, match="empty target"):
         dsir_logweights(df, df.filter("doc_id < 0"))
+
+
+# ---------------------------------------------------------------------------
+# gumbel_topk_sample — softmax resampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_k1_is_softmax_sampling(spark):
+    """For k=1 the Gumbel-argmax law says P(pick i) = softmax(logw)_i
+    EXACTLY; check empirical frequencies over many seeds against the
+    analytic softmax."""
+    from data_toolz_spark.operators.sampling import gumbel_topk_sample
+
+    logw = {1: 0.0, 2: math.log(3.0), 3: math.log(6.0)}
+    df = spark.createDataFrame(
+        [(i, w) for i, w in logw.items()], "id long, w double"
+    )
+    n_seeds = 400
+    wins = {1: 0, 2: 0, 3: 0}
+    rows = []
+    for s in range(n_seeds):
+        rows.append(
+            gumbel_topk_sample(df, "w", k=1, key_cols=["id"], seed=s)
+        )
+    # union all draws into one job instead of 400 collects
+    import functools
+
+    all_draws = functools.reduce(lambda a, b: a.unionByName(b), rows)
+    for r in all_draws.collect():
+        wins[r["id"]] += 1
+    z = 1 + 3 + 6
+    for i, weight in ((1, 1), (2, 3), (3, 6)):
+        p = weight / z
+        se = math.sqrt(p * (1 - p) / n_seeds)
+        assert abs(wins[i] / n_seeds - p) < 5 * se, (i, wins)
+
+
+def test_gumbel_deterministic_and_partition_invariant(spark):
+    from data_toolz_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)], "id long, w double"
+    )
+    a = {r["id"] for r in gumbel_topk_sample(
+        df.repartition(1), "w", k=25, key_cols=["id"], seed=7
+    ).collect()}
+    b = {r["id"] for r in gumbel_topk_sample(
+        df.repartition(16), "w", k=25, key_cols=["id"], seed=7
+    ).collect()}
+    assert a == b and len(a) == 25
+
+
+def test_gumbel_null_weights_and_validation(spark):
+    import pytest as _pytest
+
+    from data_toolz_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "id long, w double"
+    )
+    got = gumbel_topk_sample(df, "w", k=2, key_cols=["id"]).collect()
+    assert [r["id"] for r in got] == [2]
+    with _pytest.raises(ValueError, match="k must"):
+        gumbel_topk_sample(df, "w", k=0, key_cols=["id"])
+    with _pytest.raises(ValueError, match="key_cols"):
+        gumbel_topk_sample(df, "w", k=1, key_cols=[])
+
+
+def test_gumbel_plan_is_take_ordered(spark):
+    from data_toolz_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, w double"
+    )
+    plan = (
+        gumbel_topk_sample(df, "w", k=5, key_cols=["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
