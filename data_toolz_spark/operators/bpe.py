@@ -202,10 +202,81 @@ def bpe_token_count_expr(
     )
 
 
+def bpe_base_chars(word_table: DataFrame) -> list[str]:
+    """Sorted distinct single characters of the training word table —
+    the base alphabet the id space starts from.  One explode + distinct
+    aggregate; alphabet-sized driver state (bounded like the merges)."""
+    rows = (
+        word_table.select(
+            F.explode(F.split(F.col("word"), "(?!^)(?=.)")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def bpe_vocab(
+    merges: list[dict], base_chars: list[str]
+) -> dict[str, int]:
+    """Symbol → token-id map: base characters take ids 0..B−1 in
+    sorted order, merge ``rank`` takes id B + rank — the standard BPE
+    id convention (deterministic given the training corpus + K)."""
+    vocab = {ch: i for i, ch in enumerate(sorted(base_chars))}
+    b = len(vocab)
+    for m in merges:
+        vocab[m["merged"]] = b + int(m["rank"])
+    return vocab
+
+
+def bpe_encode_expr(
+    text_col: Column | str,
+    merges: list[dict],
+    vocab: dict[str, int],
+    *,
+    sep: str = BPE_SEP,
+    unk_id: int = -1,
+) -> Column:
+    """Token-id ARRAY per document under a trained merge list — the
+    export surface a tokenization pipeline hands to training
+    (``input_ids``).  Words apply the same literal replace chain
+    training used, symbols look up in a LITERAL map (vocab-sized —
+    driver-bounded like the merge list), out-of-alphabet symbols get
+    ``unk_id``.  All codegen'd expressions: encoding a 100 TB corpus
+    rides the scan with zero UDFs and no shuffle.
+    """
+    if not vocab:
+        raise ValueError("bpe_encode_expr: empty vocab")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    keys, vals = zip(*sorted(vocab.items()))
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(int(v)) for v in vals]),
+    )
+    words = F.filter(
+        F.split(col, r"\s+"),
+        lambda w: (w != "") & ~w.contains(sep),
+    )
+    per_word = F.transform(
+        words,
+        lambda w: F.transform(
+            _symbols(bpe_apply_expr(w, merges, sep=sep), sep),
+            lambda s: F.coalesce(
+                F.element_at(vmap, s), F.lit(int(unk_id))
+            ),
+        ),
+    )
+    return F.flatten(per_word)
+
+
 __all__ = [
     "BPE_SEP",
     "bpe_word_table",
     "bpe_train",
     "bpe_apply_expr",
     "bpe_token_count_expr",
+    "bpe_base_chars",
+    "bpe_vocab",
+    "bpe_encode_expr",
 ]

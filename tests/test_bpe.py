@@ -146,3 +146,96 @@ def test_bpe_single_char_words_no_merges(spark):
     corpus = ["a b c a b", "c a b"]
     _, got, want, _ = _train_on(spark, corpus, 5)
     assert got == [] and want == []
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_expr — token-id export (X61b)
+# ---------------------------------------------------------------------------
+
+
+def _ref_apply_syms(word: str, merges) -> list:
+    syms = list(word)
+    for _, l, r, mg, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(mg)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_ids(spark):
+    """Encoded id arrays == reference segmentation mapped through the
+    canonical id space (sorted base chars, then merges by rank);
+    out-of-alphabet symbols take unk_id; ids are flat across words."""
+    from data_toolz_spark.operators.bpe import (
+        bpe_base_chars,
+        bpe_encode_expr,
+        bpe_vocab,
+        bpe_word_table,
+    )
+
+    corpus = [
+        "banana bandana and sand anna",
+        "nan an banana band",
+        "zebra!",  # z, e, r, !  unseen? (z/e/r/! appear only here)
+    ]
+    docs, got, want, _ = _train_on(spark, corpus, 8)
+    word_table = bpe_word_table(docs)
+    base = bpe_base_chars(word_table)
+    vocab = bpe_vocab(got, base)
+    # reference vocab built the same way from the same alphabet
+    ref_vocab = {ch: i for i, ch in enumerate(sorted(base))}
+    for rank, _l, _r, mg, _c in want:
+        ref_vocab[mg] = len(base) + rank
+    rows = docs.select(
+        "doc_id", bpe_encode_expr("text", got, vocab).alias("ids")
+    ).collect()
+    for r in rows:
+        expect = [
+            ref_vocab.get(s, -1)
+            for w in corpus[r["doc_id"]].split()
+            for s in _ref_apply_syms(w, want)
+        ]
+        assert list(r["ids"]) == expect, r["doc_id"]
+
+
+def test_bpe_encode_count_consistency_and_unk(spark):
+    """len(encode(text)) == bpe_token_count_expr(text) for in-alphabet
+    text; symbols outside the vocab map to unk_id."""
+    from data_toolz_spark.operators.bpe import (
+        bpe_base_chars,
+        bpe_encode_expr,
+        bpe_token_count_expr,
+        bpe_vocab,
+        bpe_word_table,
+    )
+
+    corpus = ["aa ab ba aa", "abba baab"]
+    docs, got, _, _ = _train_on(spark, corpus, 4)
+    vocab = bpe_vocab(got, bpe_base_chars(bpe_word_table(docs)))
+    rows = docs.select(
+        bpe_encode_expr("text", got, vocab).alias("ids"),
+        bpe_token_count_expr("text", got).alias("n"),
+    ).collect()
+    for r in rows:
+        assert len(r["ids"]) == r["n"]
+        assert all(i >= 0 for i in r["ids"])
+    oov = spark.createDataFrame([("aa zz",)], "text string")
+    ids = oov.select(
+        bpe_encode_expr("text", got, vocab, unk_id=-7).alias("ids")
+    ).collect()[0]["ids"]
+    assert -7 in ids  # 'z' never seen by the alphabet
+
+
+def test_bpe_encode_validation():
+    import pytest as _pytest
+
+    from data_toolz_spark.operators.bpe import bpe_encode_expr
+
+    with _pytest.raises(ValueError, match="empty vocab"):
+        bpe_encode_expr("text", [], {})
