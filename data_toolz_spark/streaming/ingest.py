@@ -358,4 +358,123 @@ def run_near_dup_ingest(
     query.awaitTermination()
 
 
-__all__ = ["run_dedup_ingest", "run_near_dup_ingest"]
+def run_vector_ingest(
+    stream_df: DataFrame,
+    *,
+    index_prefix: str,
+    output_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_probe: int = 4,
+) -> None:
+    """Embedding-stream ingestion with near-dup removal against the
+    persistent IVF index — the VECTOR twin of
+    :func:`run_near_dup_ingest` (r9): per micro-batch, each vector
+    queries the index (probe-cell partition pruning — the inverted
+    file's unprobed partitions are never read), batch vectors whose
+    nearest indexed cosine ≥ ``threshold`` are dropped, within-batch
+    near-dups collapse to the min-id representative (batch-sized
+    blocked Gram work), survivors append to the corpus sink and fold
+    into the inverted file — so batch N+1 dedups against batch N.
+
+    Requires a FLAT index (built without ``pq_m``): the drop decision
+    needs exact cosines, and the PQ path returns ADC estimates; a PQ
+    index raises with instructions rather than silently thresholding
+    approximate scores.
+
+    Failure semantics: at-least-once per epoch, sink-append before
+    index-fold (retry after sink-commit can duplicate sink rows —
+    idempotent sink when exactly-once matters, the module contract).
+    Replay protection needs NO side table here, unlike the MinHash
+    ingest: a retry AFTER the fold re-queries the index that now
+    CONTAINS the batch — every replayed vector matches itself at
+    cosine 1.0 ≥ threshold and drops.  The index append itself is one
+    job-atomic ``insertInto`` (no journal needed — single table).
+
+    Probe recall caveat: a batch vector whose true near-dup lives in
+    a cell outside its ``n_probe`` probes survives (the standard IVF
+    recall trade) — raise ``n_probe`` for stricter dedup; at
+    ``n_probe = n_centroids`` the check is exact.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("run_vector_ingest: threshold must be in (0, 1]")
+
+    in_cols = stream_df.columns
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from data_toolz_spark.cache import release
+        from data_toolz_spark.operators.incremental import (
+            _load_centroids,
+            _meta_pq_m,
+            append_to_ivf_index,
+            ivf_query_index,
+        )
+        from data_toolz_spark.operators.similarity import (
+            cosine_near_duplicates,
+        )
+
+        spark = batch_df.sparkSession
+        meta, _ = _load_centroids(spark, index_prefix)
+        if _meta_pq_m(meta) is not None:
+            raise ValueError(
+                "run_vector_ingest: the index is IVF-PQ — ADC scores "
+                "are estimates, not cosines, so thresholding them "
+                "would dedup on approximation noise.  Build a flat "
+                "index for ingest-time dedup (or dedup offline with "
+                "refine_with re-ranking)."
+            )
+        survivors = None
+        try:
+            batch_df = batch_df.persist()
+            hits = ivf_query_index(
+                spark,
+                batch_df,
+                index_prefix,
+                query_id=id_col,
+                query_vec=vec_col,
+                k=1,
+                n_probe=n_probe,
+            )
+            index_dups = hits.filter(
+                F.col("cosine") >= threshold
+            ).select(F.col("query_id").alias("__drop"))
+            within = cosine_near_duplicates(
+                batch_df,
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+            ).select(F.col("id_b").alias("__drop"))
+            drops = index_dups.unionByName(within).distinct()
+            survivors = batch_df.join(
+                drops, on=F.col(id_col) == F.col("__drop"), how="left_anti"
+            ).persist()
+            survivors.select(*in_cols).write.mode("append").parquet(
+                output_path
+            )
+            append_to_ivf_index(
+                spark,
+                survivors,
+                index_prefix,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        finally:
+            batch_df.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
+            release()
+
+    query = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+__all__ = ["run_dedup_ingest", "run_near_dup_ingest", "run_vector_ingest"]

@@ -625,3 +625,95 @@ def test_interval_join_rejects_unbounded(spark, events_dir):
     assert {c for c in out.columns if c.startswith("l_")} and {
         c for c in out.columns if c.startswith("r_")
     }
+
+
+def test_streaming_vector_ingest_across_cycles(spark, tmp_path):
+    """r9: the vector ingest drops batch vectors whose nearest indexed
+    cosine clears the threshold (index queried with partition-pruned
+    probes), collapses within-batch near-dups to the min-id
+    representative, folds survivors into the inverted file, and a
+    second cycle dedups against the first; a fresh-checkpoint replay
+    adds nothing — every replayed vector matches itself in the index
+    at cosine 1.0, so no side table is needed."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import build_ivf_index
+    from data_toolz_spark.streaming.ingest import run_vector_ingest
+
+    src = str(tmp_path / "vsrc")
+    out = str(tmp_path / "vcorpus")
+    prefix = "t_vingest_idx"
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    seed = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    build_ivf_index(
+        seed, prefix, dim=4, n_centroids=2,
+        path=str(tmp_path / "vidx"),
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),     # dup of seed 1
+            (11, [0.0, 1.0, 0.0, 0.0]),     # novel
+            (12, [0.0, 0.999, 0.01, 0.0]),  # dup of 11 (loses on id)
+            (13, [0.0, 0.0, 1.0, 0.0]),     # novel (cos 0.5 to seed 2)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    run_vector_ingest(
+        stream, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "vckpt"),
+        threshold=0.9, n_probe=2,
+    )
+    got1 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {11, 13}
+
+    batch2 = spark.createDataFrame(
+        [
+            (20, [0.0, 1.0, 0.0, 0.0]),  # dup of kept 11
+            (21, [0.0, 0.0, 0.0, 1.0]),  # novel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    run_vector_ingest(
+        stream2, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "vckpt"),
+        threshold=0.9, n_probe=2,
+    )
+    got2 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {11, 13, 21}
+
+    # fresh checkpoint: everything replays, everything self-matches
+    stream3 = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    run_vector_ingest(
+        stream3, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "vckpt2"),
+        threshold=0.9, n_probe=2,
+    )
+    got3 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got3 == {11, 13, 21}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        run_vector_ingest(
+            stream3, index_prefix=prefix, output_path=out,
+            checkpoint_dir=str(tmp_path / "vckpt3"), threshold=0.0,
+        )
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+        drop_stale_table(spark, f"{prefix}_{t}")
