@@ -171,4 +171,47 @@ def logreg_score(
     return df.withColumn(out_col, p.cast("double") / P_SCALE)
 
 
-__all__ = ["LogRegModel", "logreg_fit", "logreg_score"]
+def save_logreg_model(spark, model: LogRegModel, table: str) -> None:
+    """Persist the model as a (k+1)-row table ``(idx, weight, feature,
+    feature_scale, n_iter)`` (idx 0 = bias, feature NULL) — train the
+    filter once, score every future ingest batch.  One job-atomic
+    overwrite."""
+    rows = [
+        (0, int(model.weights[0]), None,
+         int(model.feature_scale), int(model.n_iter))
+    ] + [
+        (j, int(model.weights[j]), model.feature_cols[j - 1],
+         int(model.feature_scale), int(model.n_iter))
+        for j in range(1, len(model.weights))
+    ]
+    spark.createDataFrame(
+        rows,
+        "idx int, weight long, feature string, feature_scale long, "
+        "n_iter int",
+    ).write.mode("overwrite").saveAsTable(table)
+
+
+def load_logreg_model(spark, table: str) -> LogRegModel:
+    """Rehydrate a :func:`save_logreg_model` table (bounded driver
+    state, ordered by idx; idx 0 is the bias)."""
+    rows = sorted(spark.table(table).collect(), key=lambda r: r["idx"])
+    if not rows or [r["idx"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"load_logreg_model: {table} is empty or its idx column is "
+            "not 0..k — not a save_logreg_model table"
+        )
+    return LogRegModel(
+        weights=tuple(int(r["weight"]) for r in rows),
+        feature_cols=tuple(r["feature"] for r in rows[1:]),
+        feature_scale=int(rows[0]["feature_scale"]),
+        n_iter=int(rows[0]["n_iter"]),
+    )
+
+
+__all__ = [
+    "LogRegModel",
+    "logreg_fit",
+    "logreg_score",
+    "save_logreg_model",
+    "load_logreg_model",
+]

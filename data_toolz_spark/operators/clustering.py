@@ -294,9 +294,50 @@ def kmeans_cluster_profile(
     )
 
 
+def save_kmeans_model(spark, model: KMeansModel, table: str) -> None:
+    """Persist the model as a k-row table ``(cluster, center, scale,
+    n_iter, seed)`` — train once, assign daily: the production
+    continuity every persistent index here has (IVF centroids, PQ
+    codebooks).  One job-atomic overwrite."""
+    rows = [
+        (int(c), [int(v) for v in model.centers[c]],
+         int(model.scale), int(model.n_iter), int(model.seed))
+        for c in range(model.k)
+    ]
+    spark.createDataFrame(
+        rows,
+        "cluster int, center array<long>, scale long, n_iter int, "
+        "seed long",
+    ).write.mode("overwrite").saveAsTable(table)
+
+
+def load_kmeans_model(spark, table: str) -> KMeansModel:
+    """Rehydrate a :func:`save_kmeans_model` table (k×dim bounded
+    driver state, ordered by cluster id)."""
+    rows = sorted(
+        spark.table(table).collect(), key=lambda r: r["cluster"]
+    )
+    if not rows:
+        raise ValueError(f"load_kmeans_model: {table} is empty")
+    if [r["cluster"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"load_kmeans_model: {table} cluster ids are not 0..k-1 — "
+            "not a save_kmeans_model table"
+        )
+    centers = np.asarray([r["center"] for r in rows], dtype=np.int64)
+    return KMeansModel(
+        centers=centers,
+        scale=int(rows[0]["scale"]),
+        n_iter=int(rows[0]["n_iter"]),
+        seed=int(rows[0]["seed"]),
+    )
+
+
 __all__ = [
     "KMeansModel",
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_cluster_profile",
+    "save_kmeans_model",
+    "load_kmeans_model",
 ]

@@ -147,3 +147,28 @@ def test_validation(spark):
         logreg_fit(
             df.filter("label = 5"), ["f1"], "label", persist=False
         )
+
+
+def test_model_save_load_roundtrip(spark):
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.classifier import (
+        load_logreg_model,
+        save_logreg_model,
+    )
+
+    X, y = _data(seed=2, n=60)
+    df = _frame(spark, X, y)
+    model = logreg_fit(
+        df, ["f1", "f2", "f3"], "label", n_iter=4, persist=False
+    )
+    table = "t_logreg_model"
+    drop_stale_table(spark, table)
+    save_logreg_model(spark, model, table)
+    back = load_logreg_model(spark, table)
+    assert back == model  # frozen dataclass equality: every field
+    a = {r["id"]: r["quality_prob"]
+         for r in logreg_score(df, model).collect()}
+    b = {r["id"]: r["quality_prob"]
+         for r in logreg_score(df, back).collect()}
+    assert a == b
+    drop_stale_table(spark, table)

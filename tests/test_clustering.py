@@ -163,3 +163,38 @@ def test_model_shape_properties():
         seed=42,
     )
     assert m.k == 4 and m.dim == 7
+
+
+def test_model_save_load_roundtrip(spark):
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.clustering import (
+        load_kmeans_model,
+        save_kmeans_model,
+    )
+
+    rng = np.random.default_rng(1)
+    df = _frame(spark, range(40), rng.normal(size=(40, 3)))
+    model = kmeans_fit(df, dim=3, k=2, n_iter=2, persist=False)
+    table = "t_kmeans_model"
+    drop_stale_table(spark, table)
+    save_kmeans_model(spark, model, table)
+    back = load_kmeans_model(spark, table)
+    assert np.array_equal(back.centers, model.centers)
+    assert (back.scale, back.n_iter, back.seed) == (
+        model.scale, model.n_iter, model.seed
+    )
+    # assignments through the rehydrated model are identical
+    a = {r["vec_id"]: r["cluster"]
+         for r in kmeans_assign(df, model).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in kmeans_assign(df, back).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="empty"):
+        drop_stale_table(spark, "t_kmeans_model_missing")
+        spark.createDataFrame(
+            [], "cluster int, center array<long>, scale long, "
+            "n_iter int, seed long"
+        ).write.mode("overwrite").saveAsTable("t_kmeans_model_missing")
+        load_kmeans_model(spark, "t_kmeans_model_missing")
+    drop_stale_table(spark, table)
+    drop_stale_table(spark, "t_kmeans_model_missing")
