@@ -780,9 +780,15 @@ def bloom_maybe_contains(
     grouping and ``keys`` must carry the group columns.  k/m/portable
     MUST match the build — a mismatch probes the wrong bits and the
     no-false-negative guarantee is silently lost.
+
+    Unmerged sketch rows (several increments' bloom tables unioned,
+    duplicate ``word`` rows) are folded with :func:`bloom_merge`
+    internally — a groupBy over the ≤ ceil(m/64)-row filter, so the
+    probe join can never multiply key rows.
     """
     _bloom_validate(k, m)
     gcols = list(group_cols)
+    sketch_df = bloom_merge(sketch_df, gcols)
     key = _c(key_col)
     positions = F.array(
         *[_bloom_pos(key, i, m, portable) for i in range(k)]
@@ -837,8 +843,14 @@ def bloom_filter_column(
     100 TB scan acquires the verdict at broadcast-join cost.  Use
     :func:`bloom_maybe_contains` when the question is about a KEY SET
     rather than rows.  NULL keys get a NULL verdict.
+
+    Unmerged sketch rows (duplicate ``word`` rows from unioned
+    increments) would multiply input rows through the per-probe join —
+    :func:`bloom_merge` is applied internally (a groupBy over the
+    ≤ ceil(m/64)-row filter) so the row count is join-invariant.
     """
     _bloom_validate(k, m)
+    sketch_df = bloom_merge(sketch_df)
     key = _c(key_col)
     out = df
     hits = []

@@ -117,10 +117,35 @@ def logreg_fit(
     if persist:
         q = q.persist()
     try:
-        n = q.count()
+        k = len(feats) + 1
+        # One pre-pass job doubles as the materializing count AND the
+        # int64-overflow guard: each gradient term is |e|·|__f_j| ≤
+        # P_SCALE·max|__f_j|, so the summed gradient is bounded by
+        # n·P_SCALE·max|__f_j| — require that below 2^62 (headroom bit)
+        # or the SUM can overflow a long (abort under ANSI, silent wrap
+        # otherwise).  The fix is upstream: shrink feature_scale or
+        # subsample the labeled set — quality-filter training sets are
+        # small by design, so the bound only trips on misuse.
+        stats = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.max(F.abs(F.col(f"__f{j}"))).alias(f"m{j}")
+                for j in range(k)
+            ],
+        ).collect()[0]
+        n = int(stats["n"])
         if n == 0:
             raise ValueError("logreg_fit: no labeled rows")
-        k = len(feats) + 1
+        for j in range(k):
+            maxf = int(stats[f"m{j}"] or 0)
+            if n * P_SCALE * max(maxf, 1) >= (1 << 62):
+                raise ValueError(
+                    "logreg_fit: gradient sum for feature "
+                    f"{j} can overflow int64 (n={n}, max|f|={maxf}, "
+                    f"P_SCALE={P_SCALE}) — reduce feature_scale, "
+                    "rescale the feature to O(1), or subsample the "
+                    "labeled set"
+                )
         w = [0] * k
         for _ in range(n_iter):
             margin = sum(

@@ -164,7 +164,13 @@ def novel_documents(
             m=bloom_m,
             portable=bloom_portable,
         )
-        absent = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+        # NULL fingerprints (NULL text) get a NULL bloom verdict; the
+        # plain anti-join returns them as novel (NULL keys never match
+        # an equi-join), so route them into the absent/novel branch
+        # here too — otherwise the two paths disagree on NULL-text rows.
+        absent = flagged.filter(
+            F.col("bloom_maybe").isNull() | ~F.col("bloom_maybe")
+        ).drop("bloom_maybe")
         maybe = flagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
         novel = absent.unionByName(
             maybe.join(catalog, on="fingerprint", how="left_anti")

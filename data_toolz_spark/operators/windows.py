@@ -160,23 +160,26 @@ def asof_join(
 
 
 def _to_line(col_name: str, df: DataFrame):
-    """Numeric view of a point/bound column: timestamps → epoch micros
-    (exact long), integral types pass through.  Used only for
-    bucketing and the containment filter — output columns keep their
-    original type."""
+    """Numeric view of a point/bound column plus its unit tag:
+    timestamps → epoch micros (exact long, unit ``"micros"``), dates →
+    epoch days (``"days"``), integral types pass through (``"raw"``).
+    Used only for bucketing and the containment filter — output
+    columns keep their original type.  The unit tag lets the caller
+    reject mixed-unit column trios (a timestamp point against date
+    intervals compares micros to days — silently wrong)."""
     dt = df.schema[col_name].dataType.simpleString()
     c = F.col(col_name)
     if dt == "timestamp_ntz":
         # NTZ has no epoch; the session-zone cast is a consistent
         # monotone mapping, and all three line columns convert the
         # same way — only differences and buckets matter here
-        return F.unix_micros(c.cast("timestamp"))
+        return F.unix_micros(c.cast("timestamp")), "micros"
     if dt.startswith("timestamp"):
-        return F.unix_micros(c)
-    if dt in ("long", "int", "bigint", "integer", "smallint", "date"):
-        return c.cast("long") if dt != "date" else F.datediff(
-            c, F.lit("1970-01-01")
-        ).cast("long")
+        return F.unix_micros(c), "micros"
+    if dt == "date":
+        return F.datediff(c, F.lit("1970-01-01")).cast("long"), "days"
+    if dt in ("long", "int", "bigint", "integer", "smallint"):
+        return c.cast("long"), "raw"
     raise ValueError(
         f"bucketed_interval_join: unsupported type {dt} for {col_name!r}"
         " (timestamp, date, or integral required — pre-scale floats"
@@ -241,13 +244,25 @@ def bucketed_interval_join(
     # exact.  (line - pmod(line, w)) is exactly divisible, and pmod is
     # non-negative, so `div` == floor division even for negative lines.
     bucket_of = f"(%s - pmod(%s, {w})) div {w}"
-    pts = points.withColumn("__ij_p", _to_line(point_col, points))
+    p_line, p_unit = _to_line(point_col, points)
+    s_line, s_unit = _to_line(start_col, intervals)
+    e_line, e_unit = _to_line(end_col, intervals)
+    units = {point_col: p_unit, start_col: s_unit, end_col: e_unit}
+    if len(set(units.values())) != 1:
+        raise ValueError(
+            "bucketed_interval_join: point and interval columns resolve "
+            f"to different numeric units {units} — a timestamp point "
+            "joined against date intervals (or either against a raw "
+            "integer) compares incompatible lines and silently returns "
+            "wrong/empty results; cast all three to one unit first"
+        )
+    pts = points.withColumn("__ij_p", p_line)
     pts = pts.withColumn(
         "__ij_b", F.expr(bucket_of % ("__ij_p", "__ij_p"))
     )
-    ivals = intervals.withColumn(
-        "__ij_s", _to_line(start_col, intervals)
-    ).withColumn("__ij_e", _to_line(end_col, intervals))
+    ivals = intervals.withColumn("__ij_s", s_line).withColumn(
+        "__ij_e", e_line
+    )
     live = (
         F.col("__ij_s") <= F.col("__ij_e")
         if end_inclusive

@@ -413,6 +413,9 @@ def run_vector_ingest(
             append_to_ivf_index,
             ivf_query_index,
         )
+        from data_toolz_spark.operators.dedup import (
+            near_duplicate_drop_list,
+        )
         from data_toolz_spark.operators.similarity import (
             cosine_near_duplicates,
         )
@@ -442,12 +445,22 @@ def run_vector_ingest(
             index_dups = hits.filter(
                 F.col("cosine") >= threshold
             ).select(F.col("query_id").alias("__drop"))
-            within = cosine_near_duplicates(
-                batch_df,
-                id_col=id_col,
-                vec_col=vec_col,
-                threshold=threshold,
-            ).select(F.col("id_b").alias("__drop"))
+            # Within-batch collapse must be the TRUE min-id-per-
+            # component representative: a greedy "drop every id_b"
+            # over-drops on transitive chains (A~B, B~C, A≁C drops
+            # both B and C, leaving C with no surviving
+            # representative).  exact=True runs connected components
+            # over the batch-sized pair graph — a handful of tiny
+            # driver-looped jobs per micro-batch, bounded by the batch.
+            within = near_duplicate_drop_list(
+                cosine_near_duplicates(
+                    batch_df,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    threshold=threshold,
+                ),
+                exact=True,
+            ).select(F.col("drop_id").alias("__drop"))
             drops = index_dups.unionByName(within).distinct()
             survivors = batch_df.join(
                 drops, on=F.col(id_col) == F.col("__drop"), how="left_anti"

@@ -172,3 +172,20 @@ def test_model_save_load_roundtrip(spark):
          for r in logreg_score(df, back).collect()}
     assert a == b
     drop_stale_table(spark, table)
+
+
+def test_gradient_overflow_guard(spark):
+    """r10 (ADVICE): the per-iteration gradient SUM is bounded by
+    n·P_SCALE·max|__f| — a feature_scale big enough to push that past
+    2^62 must raise up front (ANSI would abort mid-train; non-ANSI
+    would silently wrap) instead of training on wrapped sums."""
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.5, 0)], "x double, label int"
+    )
+    with pytest.raises(ValueError, match="overflow int64"):
+        logreg_fit(
+            df, ["x"], "label", n_iter=1, feature_scale=1 << 42,
+        )
+    # the same data at a sane scale trains fine
+    m = logreg_fit(df, ["x"], "label", n_iter=2, feature_scale=1024)
+    assert len(m.weights) == 2

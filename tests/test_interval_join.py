@@ -195,3 +195,35 @@ def test_plan_is_equi_join(spark, random_data):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixed_unit_columns_raise(spark):
+    """r10 (ADVICE): a timestamp point joined against date intervals
+    resolves to micros-vs-days — incompatible number lines that would
+    silently produce wrong/empty output; the join must refuse."""
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "pid int, p string"
+    ).withColumn("p", F.col("p").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-05")], "iid int, s string, e string"
+    ).withColumn("s", F.col("s").cast("date")).withColumn(
+        "e", F.col("e").cast("date")
+    )
+    with pytest.raises(ValueError, match="different numeric units"):
+        bucketed_interval_join(
+            points, intervals, point_col="p", start_col="s",
+            end_col="e", bucket_width=86_400_000_000,
+        )
+    # integral point vs timestamp bounds is just as wrong
+    ipoints = spark.createDataFrame([(1, 100)], "pid int, p long")
+    tintervals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "iid int, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+    with pytest.raises(ValueError, match="different numeric units"):
+        bucketed_interval_join(
+            ipoints, tintervals, point_col="p", start_col="s",
+            end_col="e", bucket_width=1000,
+        )

@@ -664,3 +664,61 @@ def test_novel_documents_bloom_split_matches_plain(spark, documents):
     assert {r["doc_id"] for r in plain.select("doc_id").collect()} == {
         r["doc_id"] for r in split.select("doc_id").collect()
     }
+
+
+def test_bloom_filter_column_folds_unmerged_sketch_rows(spark):
+    """r10 (ADVICE): duplicate word rows (several increments' bloom
+    tables unioned without bloom_merge) must not multiply probe rows —
+    the merge now happens inside both probe variants."""
+    build, _, contains, row_col = _bloom_mods()
+    inserted = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(100)], "k string"
+    )
+    sk = build(inserted, "k", k=3, m=1024, portable=True)
+    unmerged = sk.union(sk).union(sk)  # three replays of the same rows
+    probes = spark.createDataFrame(
+        [(i, f"in-{i}") for i in range(50)], "id int, k string"
+    )
+    flagged = row_col(probes, "k", unmerged, k=3, m=1024, portable=True)
+    assert flagged.count() == 50
+    assert flagged.filter(~F.col("bloom_maybe")).count() == 0
+    got = contains(unmerged, probes, "k", k=3, m=1024, portable=True)
+    assert got.count() == 50
+    assert got.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_novel_documents_bloom_null_text_matches_plain(spark):
+    """r10 (ADVICE): NULL-text rows have NULL fingerprints — the plain
+    anti-join returns them as novel (NULL never equi-matches), so the
+    bloom split must route its NULL verdicts into the novel branch,
+    not silently drop them between the two filters."""
+    import tempfile
+
+    from data_toolz_spark.operators.incremental import (
+        build_fingerprint_catalog,
+        catalog_bloom,
+        novel_documents,
+    )
+
+    table = "dtz_test_bloom_null_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = tempfile.mkdtemp(prefix="dtz_bloomnull_") + "/catalog"
+    history = spark.createDataFrame(
+        [(1, "seen before")], "doc_id long, text string"
+    )
+    build_fingerprint_catalog(history, table, n_buckets=2, path=path)
+    increment = spark.createDataFrame(
+        [(101, None), (102, "brand new"), (103, "seen before")],
+        "doc_id long, text string",
+    )
+    bloom = catalog_bloom(spark, table, m=1024, k=3, portable=True)
+    plain = novel_documents(spark, increment, table)
+    split = novel_documents(
+        spark, increment, table,
+        bloom=bloom, bloom_m=1024, bloom_k=3, bloom_portable=True,
+    )
+    want = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    assert 101 in want  # NULL text is novel under the plain path
+    assert want == {
+        r["doc_id"] for r in split.select("doc_id").collect()
+    }

@@ -717,3 +717,52 @@ def test_streaming_vector_ingest_across_cycles(spark, tmp_path):
         )
     for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
         drop_stale_table(spark, f"{prefix}_{t}")
+
+
+def test_vector_ingest_within_batch_transitive_chain(spark, tmp_path):
+    """r10 (ADVICE): within-batch collapse is true connected-components
+    min-id-per-component, not a greedy id_b drop.  Chain shape 3~10,
+    5~10, 3≁5: greedy would drop only 10 (keeping 3 AND 5, two members
+    of one component); CC keeps exactly the component min {3}."""
+    import math
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import build_ivf_index
+    from data_toolz_spark.streaming.ingest import run_vector_ingest
+
+    src = str(tmp_path / "vcsrc")
+    out = str(tmp_path / "vccorpus")
+    prefix = "t_vingest_cc_idx"
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    # seed index orthogonal to every batch vector (cosine 0)
+    seed = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 0.0]), (2, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    build_ivf_index(
+        seed, prefix, dim=4, n_centroids=2,
+        path=str(tmp_path / "vcidx"),
+    )
+    a = math.radians(25.0)  # cos 25° ≈ 0.906 ≥ 0.9; cos 50° ≈ 0.64 < 0.9
+    batch = spark.createDataFrame(
+        [
+            (3, [math.cos(a), math.sin(a), 0.0, 0.0]),
+            (5, [math.cos(a), -math.sin(a), 0.0, 0.0]),
+            (10, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    run_vector_ingest(
+        stream, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "vcckpt"),
+        threshold=0.9, n_probe=2,
+    )
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {3}
+    for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
+        drop_stale_table(spark, f"{prefix}_{t}")
