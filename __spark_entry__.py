@@ -2088,8 +2088,11 @@ def text_bpe_tokens(
     """
     from data_toolz_spark.functions.text import bpe_token_count, token_count
     from data_toolz_spark.operators.bpe import (
+        bpe_base_chars,
+        bpe_encode_bytes_expr,
         bpe_token_count_expr,
         bpe_train,
+        bpe_vocab_bytes,
         bpe_word_table,
     )
     from data_toolz_spark.operators.text_analysis import chunk_documents
@@ -2110,11 +2113,30 @@ def text_bpe_tokens(
         # definition (_with_bpe_training=False) and times the
         # composite as x_bpe_train, so the r5-comparable series
         # survives with the attribution explicit.
-        merges = bpe_train(
-            bpe_word_table(docs), n_merges=_BPE_N_MERGES, min_count=2
-        )
+        wt = bpe_word_table(docs)
+        merges = bpe_train(wt, n_merges=_BPE_N_MERGES, min_count=2)
         cols.append(
             bpe_token_count_expr("text", merges).alias("bpe_vocab_tokens")
+        )
+        # r10 fold (VERDICT r9 item 1): the byte-fallback id-array md5.
+        # The corpus is ASCII, so each doc gets a planted decoration
+        # cycling the 2-/3-/4-byte UTF-8 arms plus a lone separator
+        # byte (_BPE_PLANTS) — the oracle rebuilds the ENTIRE lossless
+        # encoding (segmentation, merge replaces, vocab ids, RFC 3629
+        # byte decomposition) from the same code-point arithmetic.
+        vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
+        plant = F.element_at(
+            F.array(*[F.lit(p) for p in _BPE_PLANTS]),
+            (F.col("doc_id") % len(_BPE_PLANTS) + 1).cast("int"),
+        )
+        planted_text = F.concat(F.col("text"), F.lit(" "), plant)
+        ids = bpe_encode_bytes_expr(planted_text, merges, vocab)
+        cols.append(
+            F.md5(
+                F.array_join(
+                    F.transform(ids, lambda i: i.cast("string")), ","
+                )
+            ).alias("bpe_ids_md5")
         )
     base = docs.select(*cols)
     chunks = chunk_documents(docs, max_words=24, overlap=6)
@@ -2134,7 +2156,7 @@ def text_bpe_tokens(
     )
     out_cols = ["doc_id", "ws_tokens", "bpe_tokens"]
     if _with_bpe_training:
-        out_cols.append("bpe_vocab_tokens")
+        out_cols.extend(["bpe_vocab_tokens", "bpe_ids_md5"])
     return base.join(agg, on="doc_id", how="left").select(
         *out_cols,
         F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
@@ -2147,6 +2169,24 @@ def text_bpe_tokens(
 #: replay the same number of ranks
 _BPE_N_MERGES = 32
 
+#: planted byte-fallback decorations for the r10 bpe_ids_md5 fold —
+#: a 2-byte (é), 3-byte (€), 4-byte (😀) code point and a lone
+#: separator byte next to a 3-byte CJK char; shared by the Spark qid
+#: and the oracle generator
+_BPE_PLANTS = ["é", "€", "😀", "中\x1f文"]
+
+
+def _bpe_sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, control chars via
+    chr() — keeps the planted decorations printable in the SQL."""
+    parts = []
+    for ch in s:
+        if ord(ch) < 32:
+            parts.append(f"chr({ord(ch)})")
+        else:
+            parts.append("'" + ch.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
 
 def _bpe_tokens_sql(n_merges: int = None, min_count: int = 2) -> str:
     """Generate the text_bpe_tokens oracle: the r5 chunking arm plus a
@@ -2156,7 +2196,16 @@ def _bpe_tokens_sql(n_merges: int = None, min_count: int = 2) -> str:
     the Spark side), ``chr(30)`` the impossible-match guard that turns
     an exhausted rank's empty best-selection into an identity replace
     (equivalent to the Spark loop's early break because an exhausted
-    state is a fixed point)."""
+    state is a fixed point).
+
+    r10 adds the byte-fallback replay (``bpe_ids_md5``): the id space
+    is bytes 0..255 + base chars (row-numbered in sorted order, same
+    binary collation as Python's ``sorted``) + merges; the planted
+    text segments on the RE2-safe ``\\s+|\\x1f|[^\\s\\x1f]+``
+    alternation, every segment runs the same merge-replace chain, and
+    out-of-vocab symbols decompose to UTF-8 bytes by RFC 3629
+    code-point arithmetic over ``unicode(sym)`` — the DuckDB twin of
+    the Spark side's ``ascii()`` arithmetic."""
     n_merges = _BPE_N_MERGES if n_merges is None else n_merges
     s31 = "chr(31)"
     stages = []
@@ -2188,6 +2237,18 @@ def _bpe_tokens_sql(n_merges: int = None, min_count: int = 2) -> str:
     applied = enc
     for i in range(n_merges):
         applied = f"replace({applied}, pat{i}, rep{i})"
+    # segment-level twin for the byte-fallback arm: (?s) because
+    # whitespace-run segments contain newlines
+    applied_seg = f"regexp_replace(seg, '(?s)(.)', {s31} || '\\1' || {s31}, 'g')"
+    for i in range(n_merges):
+        applied_seg = f"replace({applied_seg}, pat{i}, rep{i})"
+    vocab_arms = "\n  ".join(
+        f"UNION ALL SELECT l || r AS sym, "
+        f"256 + (SELECT COUNT(*) FROM bc) + {i} AS id FROM b{i}"
+        for i in range(n_merges)
+    )
+    plants = ", ".join(_bpe_sql_str(p) for p in _BPE_PLANTS)
+    plant_ix = f"(doc_id % {len(_BPE_PLANTS)} + 1)::INT"
     stages_sql = ",\n".join(stages)
     return rf"""
 WITH w AS MATERIALIZED (
@@ -2221,6 +2282,59 @@ appw AS (
 appagg AS (
   SELECT doc_id, SUM(n)::BIGINT AS bpe_vocab_tokens FROM appw GROUP BY doc_id
 ),
+bc AS (
+  SELECT ch, 255 + ROW_NUMBER() OVER (ORDER BY ch) AS id
+  FROM (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS ch
+        FROM wt)
+),
+vocab AS MATERIALIZED (
+  SELECT ch AS sym, id FROM bc
+  {vocab_arms}
+),
+sg AS MATERIALIZED (
+  SELECT doc_id, si, sl[si] AS seg
+  FROM (SELECT doc_id,
+               regexp_extract_all(
+                 text || ' ' || ([{plants}])[{plant_ix}],
+                 '\s+|\x1f|[^\s\x1f]+') AS sl
+        FROM documents) t,
+       unnest(generate_series(1, len(sl))) g(si)
+),
+es AS MATERIALIZED (
+  SELECT doc_id, si,
+    CASE WHEN seg = chr(31) THEN [chr(31)]
+         ELSE string_split(apps[2:len(apps) - 1], {s31} || {s31}) END
+      AS syms
+  FROM sg, mt, LATERAL (SELECT {applied_seg} AS apps) a
+),
+sy AS (
+  SELECT doc_id, si, yi, syms[yi] AS sym
+  FROM es, unnest(generate_series(1, len(syms))) g(yi)
+),
+sid AS (
+  SELECT doc_id, si, yi,
+    CASE WHEN v.id IS NOT NULL THEN v.id::VARCHAR
+         WHEN cp < 128 THEN cp::VARCHAR
+         WHEN cp < 2048 THEN
+           (192 + cp // 64)::VARCHAR || ',' || (128 + cp % 64)::VARCHAR
+         WHEN cp < 65536 THEN
+           (224 + cp // 4096)::VARCHAR || ',' ||
+           (128 + (cp // 64) % 64)::VARCHAR || ',' ||
+           (128 + cp % 64)::VARCHAR
+         ELSE
+           (240 + cp // 262144)::VARCHAR || ',' ||
+           (128 + (cp // 4096) % 64)::VARCHAR || ',' ||
+           (128 + (cp // 64) % 64)::VARCHAR || ',' ||
+           (128 + cp % 64)::VARCHAR
+    END AS idstr
+  FROM (SELECT doc_id, si, yi, sym, unicode(sym) AS cp FROM sy) s
+  LEFT JOIN vocab v ON v.sym = s.sym
+),
+bi AS (
+  SELECT doc_id, md5(string_agg(idstr, ',' ORDER BY si, yi))
+           AS bpe_ids_md5
+  FROM sid GROUP BY doc_id
+),
 ch AS (
   SELECT doc_id, i,
          array_to_string(wl[(i-1)*18+1 : (i-1)*18+24], ' ') AS txt
@@ -2239,9 +2353,11 @@ SELECT w.doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
     AS bpe_tokens,
   COALESCE(appagg.bpe_vocab_tokens, 0)::BIGINT AS bpe_vocab_tokens,
+  COALESCE(bi.bpe_ids_md5, md5('')) AS bpe_ids_md5,
   COALESCE(agg.n_chunks, 0)::BIGINT AS n_chunks,
   COALESCE(agg.chunks_md5, md5('')) AS chunks_md5
 FROM w LEFT JOIN appagg USING (doc_id) LEFT JOIN agg USING (doc_id)
+  LEFT JOIN bi USING (doc_id)
 """
 
 

@@ -159,13 +159,12 @@ def bpe_train(
     return merges
 
 
-def bpe_apply_expr(
-    word: Column, merges: list[dict], *, sep: str = BPE_SEP
+def _apply_merges(
+    encoded: Column, merges: list[dict], sep: str
 ) -> Column:
-    """Encoded-state column for ``word`` after applying ``merges`` in
-    rank order — the same literal replaces training used, so encode ∘
-    apply is exactly the trained segmentation."""
-    e = _encode_word(word, sep)
+    """Apply a trained merge list to an already-encoded state column —
+    the same literal replaces training used, in rank order."""
+    e = encoded
     for m in merges:
         e = F.replace(
             e,
@@ -173,6 +172,15 @@ def bpe_apply_expr(
             F.lit(sep + m["merged"] + sep),
         )
     return e
+
+
+def bpe_apply_expr(
+    word: Column, merges: list[dict], *, sep: str = BPE_SEP
+) -> Column:
+    """Encoded-state column for ``word`` after applying ``merges`` in
+    rank order — the same literal replaces training used, so encode ∘
+    apply is exactly the trained segmentation."""
+    return _apply_merges(_encode_word(word, sep), merges, sep)
 
 
 def bpe_token_count_expr(
@@ -270,8 +278,211 @@ def bpe_encode_expr(
     return F.flatten(per_word)
 
 
+# ---------------------------------------------------------------------------
+# Byte-fallback export (r10, VERDICT r9 item 1): a LOSSLESS id space.
+#
+# ``bpe_encode_expr`` emits ``unk_id`` for out-of-alphabet symbols —
+# real tokenizer exports never lose bytes.  The byte-fallback layout
+# reserves ids 0..255 for the 256 raw bytes (the GPT-2 move), puts the
+# training alphabet at 256.., merges after it, and decomposes any
+# symbol outside the vocab into its UTF-8 bytes.  Because whitespace
+# never enters the training alphabet (bpe_word_table splits on \s+),
+# whitespace runs fall back to bytes too — which is exactly what makes
+# encode ∘ decode == identity on ARBITRARY text: nothing is dropped,
+# not even the separator byte itself (isolated by the segmentation
+# regex and emitted as its own byte id).
+#
+# Every step is deterministic string/UTF-8 arithmetic (code-point
+# cases mirror RFC 3629), so the DuckDB oracle replays the whole
+# encoding — segmentation, merge replaces, vocab lookups, byte
+# decomposition — value for value.
+# ---------------------------------------------------------------------------
+
+#: ids 0..255 are the raw bytes; string symbols start here
+BPE_BYTE_OFFSET = 256
+
+
+def _encode_any(col: Column, sep: str) -> Column:
+    """Separator-wrap EVERY code point, newlines included — ``(?s)``
+    because byte-fallback segments may be whitespace runs."""
+    return F.regexp_replace(col, "(?s)(.)", sep + "$1" + sep)
+
+
+def bpe_vocab_bytes(
+    merges: list[dict], base_chars: list[str]
+) -> dict[str, int]:
+    """Byte-fallback symbol → id map: ids 0..255 are reserved for raw
+    bytes (implicit — not in the dict), base characters take
+    256..256+B−1 in sorted order, merge ``rank`` takes 256+B+rank.
+    Deterministic given the corpus + K, like :func:`bpe_vocab`."""
+    vocab = {
+        ch: BPE_BYTE_OFFSET + i for i, ch in enumerate(sorted(base_chars))
+    }
+    b = len(vocab)
+    for m in merges:
+        vocab[m["merged"]] = BPE_BYTE_OFFSET + b + int(m["rank"])
+    return vocab
+
+
+def _utf8_byte_ids(sym: Column) -> Column:
+    """UTF-8 byte values of a SINGLE-character symbol as an int array —
+    pure code-point arithmetic (RFC 3629's four length cases), exact in
+    doubles (code points < 2^21 ≪ 2^53).  Out-of-vocab symbols are
+    single characters by construction: merges only ever concatenate
+    in-alphabet symbols, so anything multi-character is in the vocab."""
+    cp = F.ascii(sym)
+
+    def d(n: int) -> Column:
+        return F.floor(cp / F.lit(n)).cast("int")
+
+    def p(base: int, val: Column) -> Column:
+        return (F.lit(base) + val).cast("int")
+
+    return (
+        F.when(cp < 0x80, F.array(cp))
+        .when(cp < 0x800, F.array(p(192, d(64)), p(128, cp % 64)))
+        .when(
+            cp < 0x10000,
+            F.array(p(224, d(4096)), p(128, d(64) % 64), p(128, cp % 64)),
+        )
+        .otherwise(
+            F.array(
+                p(240, d(262144)),
+                p(128, d(4096) % 64),
+                p(128, d(64) % 64),
+                p(128, cp % 64),
+            )
+        )
+    )
+
+
+def bpe_encode_bytes_expr(
+    text_col: Column | str,
+    merges: list[dict],
+    vocab: dict[str, int],
+    *,
+    sep: str = BPE_SEP,
+) -> Column:
+    """LOSSLESS token-id array per document — the byte-fallback export.
+
+    The text splits into segments via ``\\s+|<sep>|[^\\s<sep>]+`` (a
+    plain-alternation regex — RE2-safe, every character lands in
+    exactly one segment): non-whitespace runs apply the trained merge
+    chain and look up the vocab; symbols outside the vocab (unseen
+    characters, every whitespace character) decompose to their UTF-8
+    bytes at ids 0..255; the separator byte itself is isolated by the
+    segmentation and emitted as its own byte id.  No ``unk`` exists —
+    every input byte maps to ids and :func:`bpe_decode_expr` inverts
+    exactly.  All codegen'd expressions: the merge chain and vocab ride
+    the plan as literals, so a 100 TB encode is zero-UDF, zero-shuffle.
+    """
+    if not vocab:
+        raise ValueError("bpe_encode_bytes_expr: empty vocab")
+    low = [s for s, i in vocab.items() if int(i) < BPE_BYTE_OFFSET]
+    if low:
+        raise ValueError(
+            "bpe_encode_bytes_expr: vocab ids below 256 collide with "
+            f"the byte id space ({low[:3]}…) — build the map with "
+            "bpe_vocab_bytes"
+        )
+    # whitespace here means the regex \s class ([ \t\n\v\f\r]) — NOT
+    # Python's str.isspace(), which also claims \x1c-\x1f
+    if len(sep) != 1 or ord(sep) >= 0x80 or sep in " \t\n\x0b\x0c\r":
+        raise ValueError(
+            "bpe_encode_bytes_expr: sep must be one non-\\s ASCII "
+            "character (its byte id doubles as its encoding)"
+        )
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    keys, vals = zip(*sorted(vocab.items()))
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(int(v)) for v in vals]),
+    )
+    sep_re = f"\\x{ord(sep):02X}"
+    segs = F.regexp_extract_all(
+        col, F.lit(rf"\s+|{sep_re}|[^\s{sep_re}]+"), F.lit(0)
+    )
+
+    def seg_ids(seg: Column) -> Column:
+        syms = _symbols(_apply_merges(_encode_any(seg, sep), merges, sep), sep)
+        return F.flatten(
+            F.transform(
+                syms,
+                lambda s: F.when(
+                    F.element_at(vmap, s).isNotNull(),
+                    F.array(F.element_at(vmap, s)),
+                ).otherwise(_utf8_byte_ids(s)),
+            )
+        )
+
+    per_seg = F.transform(
+        segs,
+        lambda seg: F.when(
+            seg == F.lit(sep), F.array(F.lit(ord(sep)))
+        ).otherwise(seg_ids(seg)),
+    )
+    return F.flatten(per_seg)
+
+
+def bpe_decode_expr(
+    ids_col: Column | str, vocab: dict[str, int]
+) -> Column:
+    """Exact inverse of :func:`bpe_encode_bytes_expr`: ids → text.
+
+    Every id renders to the hex of its UTF-8 bytes — ids 0..255 are the
+    byte itself, vocab ids look up a literal id → hex map — then one
+    ``unhex`` + ``decode`` rebuilds the string.  Hex assembly (rather
+    than per-element binary concat) keeps the whole thing a linear
+    codegen expression.  An id outside both ranges raises mid-plan:
+    decoding with the wrong vocab is a pipeline bug, not data to
+    absorb.  Byte-fallback sequences re-enter as the characters they
+    spell, so encode ∘ decode == identity (pinned by a fuzz test)."""
+    col = F.col(ids_col) if isinstance(ids_col, str) else ids_col
+    items = sorted(vocab.items(), key=lambda kv: kv[1])
+    low = [s for s, i in items if int(i) < BPE_BYTE_OFFSET]
+    if low:
+        raise ValueError(
+            "bpe_decode_expr: vocab ids below 256 collide with the "
+            "byte id space — build the map with bpe_vocab_bytes"
+        )
+    hexmap = F.map_from_arrays(
+        F.array(*[F.lit(int(i)) for _, i in items]),
+        F.array(
+            *[F.lit(s.encode("utf-8").hex().upper()) for s, _ in items]
+        ),
+    )
+
+    def piece(i: Column) -> Column:
+        return (
+            F.when(
+                (i >= 0) & (i < BPE_BYTE_OFFSET),
+                F.lpad(F.hex(i), 2, "0"),
+            )
+            .when(
+                F.element_at(hexmap, i).isNotNull(),
+                F.element_at(hexmap, i),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bpe_decode_expr: token id outside the vocab "
+                            "and byte range: "
+                        ),
+                        i.cast("string"),
+                    )
+                )
+            )
+        )
+
+    return F.decode(
+        F.unhex(F.array_join(F.transform(col, piece), "")), "UTF-8"
+    )
+
+
 __all__ = [
     "BPE_SEP",
+    "BPE_BYTE_OFFSET",
     "bpe_word_table",
     "bpe_train",
     "bpe_apply_expr",
@@ -279,4 +490,7 @@ __all__ = [
     "bpe_base_chars",
     "bpe_vocab",
     "bpe_encode_expr",
+    "bpe_vocab_bytes",
+    "bpe_encode_bytes_expr",
+    "bpe_decode_expr",
 ]

@@ -239,3 +239,134 @@ def test_bpe_encode_validation():
 
     with _pytest.raises(ValueError, match="empty vocab"):
         bpe_encode_expr("text", [], {})
+
+
+# ---------------------------------------------------------------------------
+# r10: byte-fallback export — lossless id space, exact decode inverse
+# ---------------------------------------------------------------------------
+
+
+def _bytes_setup(spark):
+    from data_toolz_spark.operators.bpe import (
+        bpe_base_chars,
+        bpe_train,
+        bpe_vocab_bytes,
+        bpe_word_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("low lower lowest newest widest",),
+            ("the newest low wide news",),
+        ],
+        "text string",
+    )
+    wt = bpe_word_table(corpus)
+    merges = bpe_train(wt, n_merges=8, min_count=2)
+    vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
+    return merges, vocab
+
+
+def test_bytes_vocab_layout():
+    from data_toolz_spark.operators.bpe import bpe_vocab_bytes
+
+    merges = [
+        {"rank": 0, "left": "a", "right": "b", "merged": "ab"},
+        {"rank": 1, "left": "ab", "right": "c", "merged": "abc"},
+    ]
+    v = bpe_vocab_bytes(merges, ["c", "a", "b"])
+    # base chars sorted at 256.., merges after the alphabet by rank
+    assert v == {"a": 256, "b": 257, "c": 258, "ab": 259, "abc": 260}
+    assert min(v.values()) >= 256  # never collides with the byte ids
+
+
+def test_bytes_roundtrip_fuzz(spark):
+    """encode ∘ decode == identity over adversarial unicode: every
+    UTF-8 length class, the separator byte itself, whitespace runs
+    with newlines/tabs, empty strings, unseen alphabets."""
+    import random
+
+    from data_toolz_spark.operators.bpe import (
+        bpe_decode_expr,
+        bpe_encode_bytes_expr,
+    )
+    from pyspark.sql import functions as F
+
+    merges, vocab = _bytes_setup(spark)
+    rng = random.Random(20251015)
+    pool = (
+        "abcdefgh lowestnew é€中文😀\x1f\t\n "
+        "ДЖ ქართული ωφ   ￿\U0001f9ea"
+    )
+    cases = [""] + [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        for _ in range(120)
+    ] + ["\x1f\x1f\x1f", "   \n\t  ", "low\x1flower", "😀😀", "￿"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i long, text string")
+    out = df.select(
+        "i", "text",
+        bpe_encode_bytes_expr("text", merges, vocab).alias("ids"),
+    ).select(
+        "i", "text", "ids", bpe_decode_expr("ids", vocab).alias("back")
+    ).collect()
+    assert len(out) == len(cases)
+    for r in out:
+        assert r["back"] == r["text"], (r["i"], repr(r["text"]), r["ids"])
+        assert all(i >= 0 for i in r["ids"])  # NO unk in the byte space
+
+
+def test_bytes_encode_known_ids(spark):
+    """Byte-fallback arms produce exactly the RFC 3629 bytes and vocab
+    symbols keep their ids — checked against Python's own encoder."""
+    from data_toolz_spark.operators.bpe import bpe_encode_bytes_expr
+    from pyspark.sql import functions as F
+
+    merges, vocab = _bytes_setup(spark)
+    df = spark.createDataFrame([("é€ 😀",)], "text string")
+    [row] = df.select(
+        bpe_encode_bytes_expr("text", merges, vocab).alias("ids")
+    ).collect()
+    want = list("é".encode()) + list("€".encode()) + [32] + list(
+        "😀".encode()
+    )
+    assert row["ids"] == want
+    # a fully in-vocab word emits vocab ids only (all >= 256)
+    df2 = spark.createDataFrame([("low",)], "text string")
+    [r2] = df2.select(
+        bpe_encode_bytes_expr("text", merges, vocab).alias("ids")
+    ).collect()
+    assert all(i >= 256 for i in r2["ids"])
+
+
+def test_bytes_decode_unknown_id_raises(spark):
+    from data_toolz_spark.operators.bpe import bpe_decode_expr
+    from pyspark.sql import functions as F
+
+    merges, vocab = _bytes_setup(spark)
+    bad = spark.createDataFrame([([99999],)], "ids array<int>")
+    with pytest.raises(Exception, match="token id outside"):
+        bad.select(bpe_decode_expr("ids", vocab).alias("t")).collect()
+    neg = spark.createDataFrame([([-1],)], "ids array<int>")
+    with pytest.raises(Exception, match="token id outside"):
+        neg.select(bpe_decode_expr("ids", vocab).alias("t")).collect()
+
+
+def test_bytes_validation(spark):
+    from data_toolz_spark.operators.bpe import (
+        bpe_decode_expr,
+        bpe_encode_bytes_expr,
+        bpe_vocab,
+    )
+
+    merges, vocab = _bytes_setup(spark)
+    # a char-offset vocab (ids from 0) collides with the byte space
+    legacy = {"a": 0, "b": 1}
+    with pytest.raises(ValueError, match="byte id space"):
+        bpe_encode_bytes_expr("text", merges, legacy)
+    with pytest.raises(ValueError, match="byte id space"):
+        bpe_decode_expr("ids", legacy)
+    with pytest.raises(ValueError, match="empty vocab"):
+        bpe_encode_bytes_expr("text", merges, {})
+    with pytest.raises(ValueError, match="non-\\\\s ASCII"):
+        bpe_encode_bytes_expr("text", merges, vocab, sep=" ")
