@@ -1076,13 +1076,103 @@ def emb_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: stopword-overlap language ID."""
+#: hyperparameters for the text_lang_id trained-classifier fold (r10,
+#: VERDICT r9 item 2) — shared by the Spark qid and the oracle
+#: generator so both replay the same GD loop
+_LID_CLASSES = ["de", "en", "es", "fr", "zh"]
+#: markers repeat 3× so their bucket mass (and marker-internal bigrams)
+#: survives dilution by the ~100-token language-agnostic body
+_LID_MARKERS = {
+    lang: " ".join([base] * 3)
+    for lang, base in {
+        "de": "der und das nicht",
+        "en": "the and that not",
+        "es": "el los las es",
+        "fr": "le les est un",
+        "zh": "的 是 了 在",
+    }.items()
+}
+_LID_BUCKETS = 2048
+_LID_ITER = 6
+
+
+def text_lang_id_q(
+    spark: SparkSession, sf_dir: str, *, _with_clf_training: bool = True
+) -> DataFrame:
+    """X4 → r10: language ID, heuristic AND trained.
+
+    ``lang_pred`` keeps the stopword-overlap heuristic (the legacy
+    column, unchanged oracle arm).  ``clf_pred`` + ``margins_md5`` are
+    the r10 fold (VERDICT r9 item 2): a fastText-shaped multiclass
+    integer-exact linear classifier (``operators/classifier.py::
+    multiclass_fit`` — K one-vs-rest hard-sigmoid heads over hashed
+    unigram+bigram buckets, integer batch GD) trains on the corpus
+    with per-class planted markers (the raw text is language-agnostic
+    word soup; the ``lang`` column is a pure label) and scores every
+    document.  The DuckDB oracle replays the ENTIRE training loop —
+    quantized features, per-round margins, hard-sigmoid errors,
+    per-bucket gradient sums, floor-division updates — plus the argmax
+    scoring pass, so the trained model is value-verified end to end
+    like ``embedding_kmeans``; ``margins_md5`` pins every per-head
+    margin integer, not just the argmax."""
+    from data_toolz_spark.operators.classifier import (
+        multiclass_fit,
+        multiclass_score,
+    )
     from data_toolz_spark.operators.text_analysis import language_id
 
-    return language_id(load(spark, sf_dir, "documents")).select(
-        "doc_id", "lang_pred"
+    docs = load(spark, sf_dir, "documents")
+    if not _with_clf_training:
+        # the r5-comparable headline-series definition (bench DEFN_PIN)
+        return language_id(docs).select("doc_id", "lang_pred")
+    marker = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _LID_MARKERS]),
+            F.array(*[F.lit(v) for v in _LID_MARKERS.values()]),
+        ),
+        F.col("lang"),
     )
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.col("text"), marker).alias("ptext"),
+    )
+    model = multiclass_fit(
+        planted,
+        "ptext",
+        "lang",
+        id_col="doc_id",
+        classes=_LID_CLASSES,
+        n_buckets=_LID_BUCKETS,
+        n_iter=_LID_ITER,
+        portable=True,
+    )
+    scored = multiclass_score(
+        planted,
+        model,
+        text_col="ptext",
+        id_col="doc_id",
+        out_col="clf_pred",
+        keep_margins=True,
+    )
+    k = len(_LID_CLASSES)
+    legacy = language_id(docs).select("doc_id", "lang_pred")
+    return legacy.join(
+        scored.select(
+            "doc_id",
+            "clf_pred",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"margin_{i}").cast("string")
+                        for i in range(k)
+                    ],
+                )
+            ).alias("margins_md5"),
+        ),
+        on="doc_id",
+    ).select("doc_id", "lang_pred", "clf_pred", "margins_md5")
 
 
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3008,6 +3098,119 @@ FROM s
 """
 )
 
+def _lang_id_clf_sql() -> str:
+    """text_lang_id oracle (r10): the legacy stopword arm wrapped as a
+    derived table, plus a FULL relational replay of the multiclass
+    integer-GD training loop — quantized hashed-bucket features
+    (md5-prefix 60-bit hash, the established portable twin), one
+    (margins, errors, gradient, weights) CTE quadruple per iteration
+    with the pmod floor-division device (DuckDB ``//`` truncates,
+    Python floors), then the argmax scoring pass and the per-doc
+    margin md5."""
+    k = len(_LID_CLASSES)
+    nb, fs, n_it = _LID_BUCKETS, 1024, _LID_ITER
+    P, d = 1 << 20, 4 * 1024
+    dd_div = f"(2 * nn.n * {fs})"
+    marker_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lg}' THEN '{mk}'" for lg, mk in _LID_MARKERS.items()
+        )
+        + " ELSE '' END"
+    )
+    cls_vals = ", ".join(
+        f"({i}, '{c}')" for i, c in enumerate(_LID_CLASSES)
+    )
+    md5b = (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        "substr(md5(feat), j, 1)) - 1) * CAST(16**(15-j) AS BIGINT) "
+        f"for j in generate_series(1, 15)]) % {nb} AS INTEGER)"
+    )
+    iters = []
+    for i in range(n_it):
+        iters.append(f"""m{i} AS (
+  SELECT f.doc_id, w.head, SUM(f.f * w.w)::BIGINT AS m
+  FROM feats f JOIN w{i} w ON w.bucket = f.bucket
+  GROUP BY 1, 2
+), e{i} AS (
+  SELECT m.doc_id, m.head,
+         LEAST({P}, GREATEST(0,
+           (m.m - ((m.m % {d} + {d}) % {d})) // {d} + {P // 2}))
+         - CASE WHEN lb.lang = cl.cls THEN {P} ELSE 0 END AS e
+  FROM m{i} m JOIN lb ON lb.doc_id = m.doc_id
+       JOIN cl ON cl.head = m.head
+), g{i} AS (
+  SELECT f.bucket, e.head, SUM(e.e * f.f)::BIGINT AS g
+  FROM feats f JOIN e{i} e ON e.doc_id = f.doc_id
+  GROUP BY 1, 2
+), w{i + 1} AS MATERIALIZED (
+  SELECT w.bucket, w.head,
+         w.w - (COALESCE(g.g, 0)
+                - ((COALESCE(g.g, 0) % {dd_div} + {dd_div}) % {dd_div}))
+               // {dd_div} AS w
+  FROM w{i} w CROSS JOIN nn
+       LEFT JOIN g{i} g ON g.bucket = w.bucket AND g.head = w.head
+)""")
+    iters_sql = ",\n".join(iters)
+    return rf"""
+WITH dd AS MATERIALIZED (
+  SELECT doc_id, lang, text || ' ' || {marker_case} AS ptext
+  FROM documents
+),
+lb AS (SELECT doc_id, lang FROM dd),
+cl AS (SELECT * FROM (VALUES {cls_vals}) t(head, cls)),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(ptext), '\s+'),
+                     x -> x <> '') AS tl
+  FROM dd
+),
+fx AS (
+  SELECT doc_id, unnest(tl) AS feat FROM tk
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tl) - 1),
+                               i -> tl[i] || ' ' || tl[i + 1])) AS feat
+  FROM tk WHERE len(tl) >= 2
+),
+feats AS MATERIALIZED (
+  -- presence mode: f = feature_scale per touched bucket (collisions
+  -- collapse via DISTINCT), plus the bias row
+  SELECT DISTINCT doc_id, {md5b} AS bucket, {fs}::BIGINT AS f FROM fx
+  UNION ALL
+  SELECT doc_id, {nb} AS bucket, {fs}::BIGINT AS f FROM dd
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM dd),
+w0 AS (
+  SELECT b AS bucket, h AS head, 0::BIGINT AS w
+  FROM generate_series(0, {nb}) t(b),
+       generate_series(0, {k - 1}) s(h)
+),
+{iters_sql},
+sm AS (
+  SELECT f.doc_id, w.head, SUM(f.f * w.w)::BIGINT AS m
+  FROM feats f JOIN w{n_it} w ON w.bucket = f.bucket
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT doc_id, cls AS clf_pred
+  FROM (SELECT sm.doc_id, cl.cls,
+               ROW_NUMBER() OVER (PARTITION BY sm.doc_id
+                                  ORDER BY sm.m DESC, sm.head ASC) AS rn
+        FROM sm JOIN cl ON cl.head = sm.head)
+  WHERE rn = 1
+),
+mm AS (
+  SELECT doc_id,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY head)) AS margins_md5
+  FROM sm GROUP BY doc_id
+)
+SELECT sw.doc_id, sw.lang_pred, pr.clf_pred, mm.margins_md5
+FROM ({_LANG_ID_SQL}) sw
+JOIN pr USING (doc_id) JOIN mm USING (doc_id)
+"""
+
+
 # inline CASE computing lang_pred from a distinct-token column `dtoks`
 _LANG_SCORE = {
     lang: (
@@ -3885,7 +4088,7 @@ FROM s WHERE rn = 1 AND ROUND(cos, 6) >= 0.35
         # sim_topk_ivf_q docstring)
         "sim_topk_ann": _TOPK_SQL,
         "sim_topk_ivf": _TOPK_SQL,
-        "text_lang_id": _LANG_ID_SQL,
+        "text_lang_id": _lang_id_clf_sql(),
         "text_web_signals": _WEB_SIGNALS_SQL,
         # text_token_stats oracle retired with its qid (folded r6)
         "pipeline_clean_corpus": f"""

@@ -187,10 +187,22 @@ def _text_bpe_tokens_prefold(spark, sf_dir):
 # would change what a headline-series entry measures is timed at its
 # ORIGINAL definition (the redefined composite is what the driver's
 # correctness gate runs — this only affects bench attribution).
+def _text_lang_id_prefold(spark, sf_dir):
+    """The r1–r9 definition of the text_lang_id qid (stopword-overlap
+    heuristic only).  r10 folded the multiclass integer-GD classifier
+    TRAINING loop into the registered qid (6 sequential rounds, three
+    small shuffles each — fixed job overhead at sf0.1 that amortizes
+    at scale); the pin keeps the V1 headline entry comparable, the
+    trained composite is timed as x_lang_clf below."""
+    return entrymod.text_lang_id_q(spark, sf_dir, _with_clf_training=False)
+
+
 DEFN_PIN = {
     "dedup_embedding": _dedup_embedding_blocked,
     # r9: BPE-training fold (X61) pinned out of the headline series
     "text_bpe_tokens": _text_bpe_tokens_prefold,
+    # r10: multiclass-classifier fold pinned out of the headline series
+    "text_lang_id": _text_lang_id_prefold,
     # r9: bloom-prefilter fold (X62) pinned out of the headline-V2
     # series (identical result set; the split shape is x_novel_docs_bloom)
     "incremental_novel_docs": _novel_docs_prebloom,
@@ -477,6 +489,59 @@ def _prepare_corpus_stage_times(spark) -> dict:
         marginal[name] = round(took - prev, 3)
         prev = took
         clear_session_caches(spark)
+
+    # r10: the three media content tiers, timed against a WIDENED
+    # corpus (planted PNG/WAV/Y4M columns left-joined onto the first
+    # 1024 docs — the rest carry NULL media, the mixed-corpus shape)
+    # so the binary columns' ride-along cost can't contaminate the
+    # historical text-stage series above: media_widen_base re-times
+    # the full text config on the widened frame, media_neardup then
+    # adds the image/audio/video fingerprint tiers — its MARGINAL is
+    # the tiers' true cost (decode + hash + banding + CC ×3).
+    from data_toolz_spark.operators.image_dedup import png_neardup_table
+    from data_toolz_spark.operators.multimodal import (
+        wav_neardup_table,
+        y4m_neardup_table,
+    )
+
+    media_n = min(n_docs, 1024)
+
+    def media_col(builder, name):
+        return (
+            builder(spark, media_n)
+            .withColumnRenamed("media_id", "doc_id")
+            .withColumnRenamed("content", name)
+        )
+
+    widened = (
+        docs.join(media_col(png_neardup_table, "img"), "doc_id", "left")
+        .join(media_col(wav_neardup_table, "aud"), "doc_id", "left")
+        .join(media_col(y4m_neardup_table, "vid"), "doc_id", "left")
+    )
+    start = time.perf_counter()
+    prepare_training_corpus(widened, eval_df, **cfg).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    base_took = time.perf_counter() - start
+    clear_session_caches(spark)
+    media_cfg = dict(
+        cfg,
+        media_dedup=[
+            {"kind": "image", "col": "img"},
+            {"kind": "audio", "col": "aud"},
+            {"kind": "video", "col": "vid"},
+        ],
+    )
+    start = time.perf_counter()
+    prepare_training_corpus(widened, eval_df, **media_cfg).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    media_took = time.perf_counter() - start
+    clear_session_caches(spark)
+    cumulative["media_widen_base"] = round(base_took, 3)
+    cumulative["media_neardup"] = round(media_took, 3)
+    marginal["media_widen_base"] = round(base_took - prev, 3)
+    marginal["media_neardup"] = round(media_took - base_took, 3)
     return {"cumulative": cumulative, "marginal": marginal}
 
 
@@ -802,8 +867,18 @@ def _x_novel_docs_bloom(spark, sf_dir):
     return qid(spark, sf_dir)
 
 
+def _x_lang_clf(spark, sf_dir):
+    """The REGISTERED text_lang_id definition (r10 fold): multiclass
+    integer-GD training (presence features over 2048 hashed buckets,
+    6 rounds) + argmax scoring + the legacy stopword arm.  The V1
+    headline slot is pinned pre-fold — the delta vs text_lang_id is
+    the training + scoring cost."""
+    return entrymod.text_lang_id_q(spark, sf_dir)
+
+
 EXTRAS = {
     "x_bpe_train": _x_bpe_train,
+    "x_lang_clf": _x_lang_clf,
     "x_novel_docs_bloom": _x_novel_docs_bloom,
     "x_interval_join": _x_interval_join,
     "x_pagerank": _x_pagerank,

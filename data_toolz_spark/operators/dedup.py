@@ -1187,10 +1187,13 @@ def _hamming_block_vals(
     ``fp_name`` via shiftrightunsigned + mask (bitwise AND, not %:
     modulo is sign-preserving and the top block of a 64-bit
     fingerprint has the sign bit set)."""
+    # width == 64 (max_hamming=0, n_blocks=1 — the exact-match case):
+    # (1 << 64) - 1 overflows a long literal; -1 is the same all-ones
+    # mask in two's complement
     return F.array(
         *[
             F.shiftrightunsigned(F.col(fp_name), lo).bitwiseAND(
-                F.lit((1 << width) - 1)
+                F.lit(-1 if width >= 64 else (1 << width) - 1)
             )
             for lo, width in _hamming_block_bounds(
                 max_hamming, n_blocks, bits

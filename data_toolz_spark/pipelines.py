@@ -7,6 +7,9 @@ canonical order with state shared between stages.
       → cross-document boilerplate removal       (line_dedup)
       → repeated-passage removal                 (remove_duplicate_spans)
       → near-duplicate removal                   (MinHash-LSH + CC)
+      → media content near-dup tiers (r10)       (image/audio/video
+                                                  fingerprints + Hamming
+                                                  banding + CC)
       → eval-set decontamination                 (ngram_decontaminate)
       → leakage-safe train/val/test split        (component_split)
       → context-window chunking                  (chunk_documents)
@@ -36,10 +39,66 @@ Composition details that matter at 100 TB:
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: default Hamming radius per media fingerprint kind — the values the
+#: qid-attested tiers use (image dHash τ=3, audio Haitsma-Kalker τ=6,
+#: video majority-dHash τ=3)
+_MEDIA_TAU = {"image": 3, "audio": 6, "video": 3, "fingerprint": 3}
+
+
+def _media_fingerprints(
+    out: DataFrame, spec: Mapping, id_col: str
+) -> DataFrame:
+    """``(id, __mfp)`` for one media-dedup tier spec.  ``kind`` picks
+    the fingerprint kernel (all integer-exact, one Arrow pass each):
+    ``image`` = PNG decode + dHash (``spec["hash"]="ahash"`` to
+    switch), ``audio`` = WAV Haitsma-Kalker energy-delta bits,
+    ``video`` = per-frame dHash majority vote, ``fingerprint`` = a
+    PRECOMPUTED integer column used as-is (the escape hatch for
+    fingerprints minted upstream).  Undecodable blobs yield NULL
+    fingerprints, which the banding ignores — such rows always
+    survive."""
+    kind, col = spec["kind"], spec["col"]
+    sub = out.select(id_col, col)
+    if kind == "image":
+        from data_toolz_spark.operators.image_dedup import image_phash
+
+        hashed = image_phash(sub, content_col=col, id_col=id_col)
+        # ahash is the phash_near_duplicates default; spec["hash"]
+        # switches to dhash
+        return hashed.select(
+            id_col, F.col(spec.get("hash", "ahash")).alias("__mfp")
+        )
+    if kind == "audio":
+        from data_toolz_spark.operators.multimodal import (
+            audio_fingerprint,
+        )
+
+        kw = {
+            k: spec[k] for k in ("frame_len", "n_frames") if k in spec
+        }
+        return audio_fingerprint(
+            sub, content_col=col, out_col="__mfp", **kw
+        ).select(id_col, "__mfp")
+    if kind == "video":
+        from data_toolz_spark.operators.multimodal import (
+            video_fingerprint,
+        )
+
+        kw = {k: spec[k] for k in ("every_k",) if k in spec}
+        return video_fingerprint(
+            sub, content_col=col, id_col=id_col, out_col="__mfp", **kw
+        ).select(id_col, "__mfp")
+    if kind == "fingerprint":
+        return sub.select(id_col, F.col(col).cast("long").alias("__mfp"))
+    raise ValueError(
+        f"prepare_training_corpus: unknown media_dedup kind {kind!r} "
+        "(image, audio, video, or fingerprint)"
+    )
 
 
 def prepare_training_corpus(
@@ -53,6 +112,7 @@ def prepare_training_corpus(
     line_sep: str = "\n",
     span_dedup_n: int | None = None,
     near_dup_threshold: float | None = 0.8,
+    media_dedup: Sequence[Mapping] | None = None,
     decontaminate_n: int = 8,
     fractions: Mapping[str, float] | None = None,
     chunk_max_words: int | None = None,
@@ -149,6 +209,58 @@ def prepare_training_corpus(
         )
         out = out.join(drops, on=id_col, how="left_anti")
 
+    # 3b. content-fingerprint near-dup tiers (r10, optional): image /
+    # audio / video binary columns hash in one Arrow pass each, pairs
+    # mine through the generic Hamming banding, and the skew-safe
+    # component map drops everything but the min-id representative.
+    # Runs AFTER the text tier (fewer docs to decode — decode is the
+    # expensive step) and BEFORE decontamination/splitting.  Like the
+    # text tier, each component keeps exactly ONE surviving member, so
+    # split leakage-safety holds downstream without coupling these
+    # maps into component_split.  Each tier's CC loop materializes at
+    # call time (same contract as stage 3), hence the persist.
+    if media_dedup:
+        from data_toolz_spark.operators.dedup import (
+            fingerprint_components,
+        )
+
+        if persist_cleaned and cc is None:
+            from pyspark import StorageLevel
+
+            from data_toolz_spark.cache import track
+
+            out = track(out.persist(StorageLevel.MEMORY_AND_DISK))
+
+        spark = out.sparkSession
+
+        def _trunc(df: DataFrame) -> DataFrame:
+            # LAZY lineage truncation after each tier: the next tier's
+            # fingerprint scan (or the caller's first action) is the
+            # materializing job, so no extra pass is scheduled — but
+            # the downstream plan references a flat scan instead of a
+            # tree that re-nests every anti-join under the chunk /
+            # decontamination self-joins (the analyzer's
+            # DeduplicateRelations pass blows up on that shape).
+            if spark.sparkContext.getCheckpointDir() is not None:
+                return df.checkpoint(eager=False)
+            return df.localCheckpoint(eager=False)
+
+        for spec in media_dedup:
+            fp = _media_fingerprints(out, spec, id_col)
+            tau = int(
+                spec.get("max_hamming", _MEDIA_TAU[spec["kind"]])
+            )
+            comp = fingerprint_components(
+                fp.filter(F.col("__mfp").isNotNull()),
+                id_col,
+                "__mfp",
+                max_hamming=tau,
+            )
+            drops = comp.filter(
+                F.col("id") != F.col("component")
+            ).select(F.col("id").alias(id_col))
+            out = _trunc(out.join(drops, on=id_col, how="left_anti"))
+
     # 4. benchmark decontamination (optional)
     if eval_df is not None:
         from data_toolz_spark.operators.decontamination import (
@@ -235,6 +347,7 @@ def stage_counts(
         **{
             **base,
             "near_dup_threshold": None,
+            "media_dedup": None,
             "line_dedup_max_doc_freq": None,
             "span_dedup_n": None,
             "chunk_max_words": None,
@@ -248,6 +361,7 @@ def stage_counts(
             **{
                 **base,
                 "near_dup_threshold": None,
+                "media_dedup": None,
                 "span_dedup_n": None,
                 "chunk_max_words": None,
                 "pack_budget": None,
@@ -255,6 +369,17 @@ def stage_counts(
         ).count()
     if base.get("near_dup_threshold", 0.8) is not None:
         counts["near_dup"] = prepare_training_corpus(
+            docs,
+            None,
+            **{
+                **base,
+                "media_dedup": None,
+                "chunk_max_words": None,
+                "pack_budget": None,
+            },
+        ).count()
+    if base.get("media_dedup"):
+        counts["media_dedup"] = prepare_training_corpus(
             docs,
             None,
             **{**base, "chunk_max_words": None, "pack_budget": None},

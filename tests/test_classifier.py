@@ -189,3 +189,232 @@ def test_gradient_overflow_guard(spark):
     # the same data at a sane scale trains fine
     m = logreg_fit(df, ["x"], "label", n_iter=2, feature_scale=1024)
     assert len(m.weights) == 2
+
+
+# ---------------------------------------------------------------------------
+# r10: multiclass integer-exact linear classifier (fastText-shaped)
+# ---------------------------------------------------------------------------
+
+
+def _mc_ref_buckets(text, n_buckets, *, lowercase=True, bigrams=True):
+    import hashlib
+
+    toks = [t for t in (text.lower() if lowercase else text).split() if t]
+    feats = list(toks)
+    if bigrams:
+        feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [
+        int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % n_buckets
+        for x in feats
+    ]
+
+
+def _mc_ref_features(rows, n_buckets, fscale, mode="presence"):
+    """(doc -> {bucket: f}) with the bias row at bucket n_buckets."""
+    from collections import Counter
+
+    out = {}
+    for doc_id, text, _ in rows:
+        c = Counter(_mc_ref_buckets(text, n_buckets))
+        tot = sum(c.values())
+        if mode == "presence":
+            f = {b: fscale for b in c}
+        else:
+            f = (
+                {b: (n * fscale) // tot for b, n in c.items()}
+                if tot
+                else {}
+            )
+        f[n_buckets] = fscale
+        out[doc_id] = f
+    return out
+
+def _mc_ref_fit(rows, classes, *, n_buckets, n_iter, fscale=1024,
+                lr_num=1, lr_den=2, mode="presence"):
+    P = 1 << 20
+    feats = _mc_ref_features(rows, n_buckets, fscale, mode)
+    labels = {doc_id: lab for doc_id, _, lab in rows}
+    n = len(rows)
+    w = [[0] * (n_buckets + 1) for _ in classes]
+
+    def p(m):
+        return max(0, min(P, m // (4 * fscale) + P // 2))
+
+    for _ in range(n_iter):
+        g = [[0] * (n_buckets + 1) for _ in classes]
+        for doc_id, f in feats.items():
+            for i, cls in enumerate(classes):
+                m = sum(fv * w[i][b] for b, fv in f.items())
+                e = p(m) - (P if labels[doc_id] == cls else 0)
+                for b, fv in f.items():
+                    g[i][b] += e * fv
+        for i in range(len(classes)):
+            for b in range(n_buckets + 1):
+                w[i][b] -= (g[i][b] * lr_num) // (lr_den * n * fscale)
+    return w
+
+
+def _mc_ref_pred(rows, classes, w, n_buckets, fscale, mode="presence"):
+    feats = _mc_ref_features(rows, n_buckets, fscale, mode)
+    out = {}
+    for doc_id, f in feats.items():
+        margins = [
+            sum(fv * w[i][b] for b, fv in f.items())
+            for i in range(len(classes))
+        ]
+        out[doc_id] = classes[margins.index(max(margins))]
+    return out
+
+
+def _mc_corpus(seed=11, n=120, n_classes=3):
+    import random
+
+    rng = random.Random(seed)
+    vocab = {
+        "de": ["der", "und", "nicht", "das", "zu"],
+        "en": ["the", "and", "not", "that", "to"],
+        "fr": ["le", "et", "pas", "que", "de"],
+    }
+    classes = list(vocab)[:n_classes]
+    shared = ["data", "table", "spark", "row", "key"]
+    rows = []
+    for i in range(n):
+        lang = classes[i % n_classes]
+        words = [rng.choice(vocab[lang] + shared) for _ in range(10)]
+        rows.append((i, " ".join(words), lang))
+    return rows, classes
+
+
+def test_multiclass_matches_python_reference(spark):
+    """Weights AND predictions are bit-identical to an independent
+    pure-Python twin of the integer GD — the kmeans/logreg posture."""
+    from data_toolz_spark.operators.classifier import (
+        multiclass_fit,
+        multiclass_score,
+    )
+
+    rows, classes = _mc_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for mode in ("presence", "tf"):
+        m = multiclass_fit(
+            df, "text", "lang", id_col="doc_id", n_buckets=64,
+            n_iter=4, portable=True, feature_mode=mode,
+        )
+        assert list(m.classes) == classes
+        want_w = _mc_ref_fit(
+            rows, classes, n_buckets=64, n_iter=4, mode=mode
+        )
+        assert [list(h) for h in m.weights] == want_w, mode
+        scored = multiclass_score(
+            df, m, text_col="text", id_col="doc_id", out_col="pred"
+        )
+        got = {r["doc_id"]: r["pred"] for r in scored.collect()}
+        want = _mc_ref_pred(rows, classes, want_w, 64, 1024, mode)
+        assert got == want, mode
+
+
+def test_multiclass_repartition_invariance(spark):
+    from data_toolz_spark.operators.classifier import multiclass_fit
+
+    rows, _ = _mc_corpus(seed=5, n=60)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = multiclass_fit(
+        df.repartition(1), "text", "lang", id_col="doc_id",
+        n_buckets=32, n_iter=3, portable=True,
+    )
+    b = multiclass_fit(
+        df.repartition(13), "text", "lang", id_col="doc_id",
+        n_buckets=32, n_iter=3, portable=True,
+    )
+    assert a.weights == b.weights
+
+
+def test_multiclass_beats_stopword_heuristic(spark):
+    """On a separable corpus the TRAINED classifier must be at least
+    as accurate as the stopword-overlap heuristic it retires."""
+    from data_toolz_spark.operators.classifier import (
+        multiclass_fit,
+        multiclass_score,
+    )
+    from data_toolz_spark.operators.text_analysis import language_id
+
+    rows, _ = _mc_corpus(seed=23, n=180)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = multiclass_fit(
+        df, "text", "lang", id_col="doc_id", n_buckets=256, n_iter=8,
+        portable=True,
+    )
+    scored = multiclass_score(
+        df, m, text_col="text", id_col="doc_id", out_col="pred"
+    )
+    clf_acc = scored.filter(F.col("pred") == F.col("lang")).count()
+    sw_acc = (
+        language_id(df)
+        .filter(F.col("lang_pred") == F.col("lang"))
+        .count()
+    )
+    assert clf_acc >= sw_acc
+    assert clf_acc >= 0.95 * len(rows)
+
+
+def test_multiclass_zero_token_docs_still_score(spark):
+    from data_toolz_spark.operators.classifier import (
+        multiclass_fit,
+        multiclass_score,
+    )
+
+    rows, _ = _mc_corpus(seed=3, n=60)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = multiclass_fit(
+        df, "text", "lang", id_col="doc_id", n_buckets=32, n_iter=2,
+        portable=True,
+    )
+    empty = spark.createDataFrame(
+        [(900, ""), (901, "   ")], "doc_id long, text string"
+    )
+    got = multiclass_score(
+        empty, m, text_col="text", id_col="doc_id", out_col="pred"
+    ).collect()
+    assert all(r["pred"] in m.classes for r in got)  # bias-only argmax
+
+
+def test_multiclass_save_load_roundtrip(spark):
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.classifier import (
+        load_multiclass_model,
+        multiclass_fit,
+        save_multiclass_model,
+    )
+
+    rows, _ = _mc_corpus(seed=9, n=60)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = multiclass_fit(
+        df, "text", "lang", id_col="doc_id", n_buckets=32, n_iter=3,
+        portable=True,
+    )
+    table = "dtz_test_mc_model"
+    drop_stale_table(spark, table)
+    save_multiclass_model(spark, m, table)
+    back = load_multiclass_model(spark, table)
+    assert back == m
+    drop_stale_table(spark, table)
+
+
+def test_multiclass_validation(spark):
+    from data_toolz_spark.operators.classifier import (
+        hashed_text_features,
+        multiclass_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "c d", "x")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="at least 2 classes"):
+        multiclass_fit(df, "text", "lang", id_col="doc_id", n_buckets=32)
+    with pytest.raises(ValueError, match="n_iter"):
+        multiclass_fit(
+            df, "text", "lang", id_col="doc_id", n_buckets=32, n_iter=0
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashed_text_features(df, "text", "doc_id", n_buckets=4)

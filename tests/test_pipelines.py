@@ -190,3 +190,87 @@ def test_span_dedup_stage_composes(spark):
     # doc 0 keeps the passage; every other doc lost it
     assert passage in got[0]
     assert all(passage not in got[i] for i in range(1, 6))
+
+
+def test_pipeline_media_dedup_tiers(spark):
+    """r10: image/audio content near-dup tiers compose into the
+    end-to-end pipeline — planted cross-modality dups drop to their
+    min-id representative while the text-only config is unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.image_dedup import png_neardup_table
+    from data_toolz_spark.operators.multimodal import encode_wav
+    from data_toolz_spark.pipelines import prepare_training_corpus
+
+    n = 9
+    imgs = png_neardup_table(spark, n, group_size=3).withColumnRenamed(
+        "media_id", "doc_id"
+    ).withColumnRenamed("content", "img")
+
+    def wav(seed: int) -> bytes:
+        s = (
+            np.sin(np.arange(65 * 10, dtype=np.float64) * (0.05 + seed))
+            * 3000
+        ).astype(np.int16)
+        return encode_wav(s, 8000)
+
+    # audio dup pair SPANS image groups: doc 0 (group 0) and doc 6
+    # (group 2) share identical audio; everyone else is unique
+    rows = [
+        (
+            i,
+            f"document body number {i} with enough distinct tokens "
+            f"alpha{i} beta{i} gamma{i} delta{i}",
+            bytearray(wav(0 if i in (0, 6) else i + 1)),
+        )
+        for i in range(n)
+    ]
+    base = spark.createDataFrame(
+        rows, "doc_id long, text string, aud binary"
+    )
+    docs = base.join(imgs, on="doc_id")
+    media = [
+        {"kind": "image", "col": "img", "max_hamming": 3},
+        {
+            "kind": "audio",
+            "col": "aud",
+            "frame_len": 10,
+            "n_frames": 65,
+            "max_hamming": 0,
+        },
+    ]
+    kw = dict(
+        quality_thresholds={"min_tokens": 1},
+        line_dedup_max_doc_freq=None,
+        span_dedup_n=None,
+        near_dup_threshold=None,
+    )
+    out = prepare_training_corpus(docs, None, media_dedup=media, **kw)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # image tier: groups {0,1,2},{3,4,5},{6,7,8} → reps {0,3,6};
+    # audio tier then drops 6 (dup of surviving 0) → {0,3}
+    assert got == {0, 3}
+    assert "split" in out.columns
+    # text-only config unchanged: nothing drops
+    plain = prepare_training_corpus(docs, None, **kw)
+    assert {r["doc_id"] for r in plain.select("doc_id").collect()} == set(
+        range(n)
+    )
+    # precomputed-fingerprint escape hatch + unknown kind validation
+    fp_docs = docs.withColumn("fp", F.col("doc_id") % 4)
+    fp_out = prepare_training_corpus(
+        fp_docs, None,
+        media_dedup=[{"kind": "fingerprint", "col": "fp",
+                      "max_hamming": 0}],
+        **kw,
+    )
+    assert {r["doc_id"] for r in fp_out.select("doc_id").collect()} == {
+        0, 1, 2, 3
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown media_dedup kind"):
+        prepare_training_corpus(
+            docs, None, media_dedup=[{"kind": "webp", "col": "img"}], **kw
+        )
