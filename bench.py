@@ -876,9 +876,32 @@ def _x_lang_clf(spark, sf_dir):
     return entrymod.text_lang_id_q(spark, sf_dir)
 
 
+def _x_shard_export(spark, sf_dir):
+    """r10: deterministic corpus shuffle + training-shard manifest —
+    hash-ordered shards over the documents table (token counts from
+    the whitespace tokenizer), budget-bounded (shard, bin) manifest
+    rows with in-order doc ids; the returned frame is the manifest
+    (corpus-sized data never reaches the driver)."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.functions.text import token_count
+    from data_toolz_spark.operators.sampling import (
+        export_training_shards,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return export_training_shards(
+        docs, id_col="doc_id", token_col="n_tokens", budget=4096,
+        n_shards=64,
+    )
+
+
 EXTRAS = {
     "x_bpe_train": _x_bpe_train,
     "x_lang_clf": _x_lang_clf,
+    "x_shard_export": _x_shard_export,
     "x_novel_docs_bloom": _x_novel_docs_bloom,
     "x_interval_join": _x_interval_join,
     "x_pagerank": _x_pagerank,

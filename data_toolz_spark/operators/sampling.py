@@ -316,6 +316,125 @@ def mixture_sample(
     )
 
 
+def export_training_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: int = 42,
+    components: DataFrame | None = None,
+    path: str | None = None,
+    manifest_table: str | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle + training-shard export (r10,
+    VERDICT r9 item 4).
+
+    Training reproducibility needs a GLOBAL document order that is a
+    pure function of ids + seed — never of partitioning, input file
+    layout, or cluster size.  The order here is two-level, like every
+    sampler in this module: ``shard = pmod(xxhash64(route, seed),
+    n_shards)``, then within a shard ``(xxhash64(id, seed+1), id)``
+    ascending — a deterministic hash shuffle (documents land in a
+    pseudo-random but reproducible sequence), cut into token-budget
+    bins exactly like :func:`pack_greedy`.
+
+    ``components`` (an ``(id, component)`` map, e.g. the pipeline's
+    near-dup CC output) switches the SHARD route key to the component
+    minimum, so no near-duplicate cluster ever straddles a shard
+    boundary — the shard-level twin of :func:`component_split`'s
+    train/eval guarantee.  Docs absent from the map route by their own
+    id.
+
+    Returns the MANIFEST: one row per ``(shard, bin)`` with the
+    in-order document ids, token totals, and an order-sensitive md5 —
+    the reproducibility receipt.  Manifest rows are budget-bounded by
+    construction (a bin holds at most ``budget / min_doc_tokens + 1``
+    docs), so the id arrays stay small at any corpus size; the
+    corpus-sized data never reaches the driver.  ``path`` additionally
+    writes the data hive-partitioned by shard, sorted by the global
+    position within each shard (one ``repartition`` +
+    ``sortWithinPartitions`` — order inside every output file follows
+    the manifest); ``manifest_table`` persists the manifest.
+    """
+    if budget <= 0:
+        raise ValueError("export_training_shards: budget must be positive")
+    if n_shards < 1:
+        raise ValueError(
+            "export_training_shards: n_shards must be >= 1"
+        )
+    from pyspark.sql.window import Window
+
+    base_cols = df.columns
+    route = F.col(id_col).cast("long")
+    staged = df
+    if components is not None:
+        comp = components.select(
+            F.col("id").alias(id_col), F.col("component").alias("__route")
+        )
+        staged = staged.join(comp, on=id_col, how="left")
+        route = F.coalesce(F.col("__route"), F.col(id_col).cast("long"))
+    staged = staged.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(route, F.lit(seed)), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    staged = (
+        staged.withColumn("position", F.row_number().over(w))
+        .withColumn(
+            "pack_bin",
+            F.floor((cum - F.col(token_col)).cast("long") / F.lit(budget)),
+        )
+        .select(*base_cols, "shard", "position", "pack_bin")
+    )
+    manifest = (
+        staged.groupBy("shard", "pack_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("total_tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("position").alias("p"),
+                            F.col(id_col).cast("long").alias("i"),
+                        )
+                    )
+                ),
+                lambda s: s["i"],
+            ).alias("doc_ids"),
+        )
+        .withColumn(
+            "ids_md5",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.col("doc_ids"), lambda i: i.cast("string")
+                    ),
+                    ",",
+                )
+            ),
+        )
+    )
+    if path is not None:
+        (
+            staged.repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "position")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    if manifest_table is not None:
+        manifest.write.mode("overwrite").saveAsTable(manifest_table)
+    return manifest
+
+
 def pack_greedy(
     df: DataFrame,
     *,
@@ -553,6 +672,7 @@ __all__ = [
     "mixture_rates",
     "mixture_sample",
     "pack_greedy",
+    "export_training_shards",
     "dsir_logweights",
     "gumbel_topk_sample",
 ]
