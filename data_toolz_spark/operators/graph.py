@@ -93,8 +93,15 @@ def pagerank(
         dangling = nodes.join(
             deg.withColumnRenamed("src", "node"), on="node", how="left_anti"
         ).persist()
+        dst_type = e.schema["dst"].dataType
         for _ in range(n_iter):
-            contrib = (
+            # r10 (VERDICT r9 nit 1): the dangling share rides the SAME
+            # groupBy as the edge contributions — dangling ranks union
+            # in under a NULL sentinel dst (impossible for a real edge:
+            # NULL endpoints are rejected above), so one aggregate job
+            # per round produces both the per-node in-sums and the
+            # global dangling sum, and NOTHING crosses to the driver.
+            contrib_in = (
                 ranks.withColumnRenamed("node", "src")
                 .join(ed, on="src")
                 .select(
@@ -104,34 +111,46 @@ def pagerank(
                         f"(CAST({damping_den} AS BIGINT) * __deg)"
                     ).alias("__c"),
                 )
+            )
+            dang_in = ranks.join(dangling, on="node").select(
+                F.lit(None).cast(dst_type).alias("dst"),
+                F.expr(
+                    f"(rank * {damping_num}) div "
+                    f"(CAST({damping_den} AS BIGINT) * {n_nodes})"
+                ).alias("__c"),
+            )
+            agg = (
+                contrib_in.unionByName(dang_in)
                 .groupBy("dst")
                 .agg(F.sum("__c").alias("__in"))
             )
-            d_share = (
-                ranks.join(dangling, on="node")
-                .agg(
-                    F.sum(
-                        F.expr(
-                            f"(rank * {damping_num}) div "
-                            f"(CAST({damping_den} AS BIGINT) * {n_nodes})"
-                        )
-                    ).alias("s")
-                )
-                .collect()[0]["s"]
-            ) or 0
-            ranks = nodes.join(
-                contrib.withColumnRenamed("dst", "node"),
-                on="node",
-                how="left",
-            ).select(
-                "node",
-                (
-                    F.lit(teleport + int(d_share)).cast("long")
-                    + F.coalesce(F.col("__in"), F.lit(0))
-                ).alias("rank"),
-            )
             if checkpoint:
-                ranks = ranks.localCheckpoint(eager=True)
+                # ONE job per round: the eager checkpoint materializes
+                # the combined aggregate; both consumers below (the
+                # per-node join and the 1-row share frame) read the
+                # checkpointed rows, and the next round's ranks plan
+                # stays flat without its own checkpoint.
+                agg = agg.localCheckpoint(eager=True)
+            share = agg.filter(F.col("dst").isNull()).agg(
+                F.coalesce(F.sum("__in"), F.lit(0)).alias("__share")
+            )
+            ranks = (
+                nodes.join(
+                    agg.filter(F.col("dst").isNotNull())
+                    .withColumnRenamed("dst", "node"),
+                    on="node",
+                    how="left",
+                )
+                .crossJoin(share)  # exactly one row — a broadcast
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.col("__share")
+                        + F.coalesce(F.col("__in"), F.lit(0))
+                    ).alias("rank"),
+                )
+            )
         return ranks
     finally:
         ed.unpersist()

@@ -1412,3 +1412,190 @@ def append_to_ivf_index(
     assigned.select(*inv_cols).write.mode("append").insertInto(
         f"{table_prefix}_ivf_inv"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent Hamming-fingerprint index (r10, VERDICT r9 item 5) — the
+# content-fingerprint twin of the IVF index: one pre-banded table
+# serves image (aHash/dHash), audio (Haitsma-Kalker), and video
+# (majority-dHash) fingerprints through the same pigeonhole banding
+# the batch path uses (dedup.fingerprint_band_pairs).
+# ---------------------------------------------------------------------------
+
+
+def _hfp_banded(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    max_hamming: int,
+    n_blocks: int | None,
+    bits: int,
+    n_partitions: int,
+) -> DataFrame:
+    """(id, fp, blk, val, pv) banded rows; NULL fingerprints are
+    excluded (they have no Hamming-space question to answer)."""
+    from data_toolz_spark.operators.dedup import _hamming_block_vals
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(fp_col).cast("long").alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    return base.select(
+        "id",
+        "fp",
+        F.posexplode(
+            _hamming_block_vals("fp", max_hamming, n_blocks, bits)
+        ).alias("blk", "val"),
+    ).withColumn("pv", F.pmod(F.col("val"), F.lit(n_partitions)).cast("int"))
+
+
+def build_hamming_index(
+    df: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    bits: int = 64,
+    n_partitions: int = 64,
+    path: str | None = None,
+) -> str:
+    """Persist a pre-banded Hamming-fingerprint index.
+
+    Two tables:
+
+    * ``{p}_hfp_meta``  — one row pinning (max_hamming, n_blocks, bits,
+      n_partitions) so a drifted query/append fails loudly;
+    * ``{p}_hfp_bands`` — (id, fp, blk, val) **partitioned by
+      pv = pmod(val, n_partitions)**: a query batch's banded rows name
+      the pv partitions they can possibly match (bounded by the batch),
+      so the probe reads only those partitions — the banding twin of
+      the IVF probe-cell pruning.  Candidates meet on (blk, val) and
+      verify with one ``bit_count(xor)`` against the stored fp —
+      exact recall for Hamming ≤ max_hamming (pigeonhole), candidate
+      volume Σ|bucket|², never |corpus|².
+    """
+    from data_toolz_spark.operators.dedup import _hamming_block_bounds
+
+    spark = df.sparkSession
+    blocks = _hamming_block_bounds(max_hamming, n_blocks, bits)
+    if n_partitions < 1:
+        raise ValueError(
+            "build_hamming_index: n_partitions must be >= 1"
+        )
+    meta = spark.createDataFrame(
+        [(int(max_hamming), len(blocks), int(bits), int(n_partitions))],
+        "max_hamming int, n_blocks int, bits int, n_partitions int",
+    )
+    loc = f" LOCATION '{path}'" if path else ""
+    meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_hfp_meta")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_hfp_bands")
+    spark.sql(
+        f"CREATE TABLE {table_prefix}_hfp_bands "
+        "(id BIGINT, fp BIGINT, blk INT, val BIGINT) USING parquet "
+        f"PARTITIONED BY (pv INT){loc}"
+    )
+    banded = _hfp_banded(
+        df, id_col, fp_col,
+        max_hamming=max_hamming, n_blocks=len(blocks), bits=bits,
+        n_partitions=n_partitions,
+    )
+    banded.select("id", "fp", "blk", "val", "pv").write.insertInto(
+        f"{table_prefix}_hfp_bands"
+    )
+    return f"{table_prefix}_hfp_bands"
+
+
+def _hfp_meta(spark: SparkSession, table_prefix: str):
+    rows = spark.table(f"{table_prefix}_hfp_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{table_prefix}_hfp_meta must hold exactly one row"
+        )
+    return rows[0]
+
+
+def hamming_query_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Hamming-near matches of ``batch`` against the stored index:
+    ``(query_id, index_id, hamming)``.  The batch's banded rows name
+    the pv partitions worth reading (one bounded ``collect`` of ≤
+    n_partitions ints); unprobed partitions are never scanned."""
+    m = _hfp_meta(spark, table_prefix)
+    banded = _hfp_banded(
+        batch, id_col, fp_col,
+        max_hamming=m["max_hamming"], n_blocks=m["n_blocks"],
+        bits=m["bits"], n_partitions=m["n_partitions"],
+    )
+    pvs = sorted(
+        r["pv"] for r in banded.select("pv").distinct().collect()
+    )
+    if not pvs:
+        return spark.createDataFrame(
+            [], "query_id long, index_id long, hamming int"
+        )
+    idx = spark.table(f"{table_prefix}_hfp_bands").filter(
+        F.col("pv").isin(pvs)
+    )
+    q = banded.select(
+        F.col("id").alias("query_id"),
+        F.col("fp").alias("qfp"),
+        "blk",
+        "val",
+    )
+    i = idx.select(
+        F.col("id").alias("index_id"),
+        F.col("fp").alias("ifp"),
+        "blk",
+        "val",
+    )
+    return (
+        q.join(i, on=["blk", "val"])
+        .select(
+            "query_id",
+            "index_id",
+            F.bit_count(
+                F.col("qfp").bitwiseXOR(F.col("ifp"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= int(m["max_hamming"]))
+        .dropDuplicates(["query_id", "index_id"])
+    )
+
+
+def append_to_hamming_index(
+    spark: SparkSession,
+    increment: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str,
+    fp_col: str,
+) -> None:
+    """Fold new fingerprints into the band table — ONE job-atomic
+    ``insertInto`` (single table, no journal; the
+    :func:`append_to_catalog` argument), dynamic-partition append so
+    only the pv partitions the increment touches are written."""
+    m = _hfp_meta(spark, table_prefix)
+    banded = _hfp_banded(
+        increment, id_col, fp_col,
+        max_hamming=m["max_hamming"], n_blocks=m["n_blocks"],
+        bits=m["bits"], n_partitions=m["n_partitions"],
+    )
+    banded.select("id", "fp", "blk", "val", "pv").write.insertInto(
+        f"{table_prefix}_hfp_bands"
+    )
+
+
+__all__ += [
+    "build_hamming_index",
+    "hamming_query_index",
+    "append_to_hamming_index",
+]

@@ -766,3 +766,83 @@ def test_vector_ingest_within_batch_transitive_chain(spark, tmp_path):
     assert got == {3}
     for t in ("ivf_meta", "ivf_centroids", "ivf_inv"):
         drop_stale_table(spark, f"{prefix}_{t}")
+
+
+def test_streaming_fingerprint_ingest_across_cycles(spark, tmp_path):
+    """r10: the generic Hamming-fingerprint ingest (one twin serving
+    image/audio/video hashes) — index near-dups drop via the
+    partition-pruned band probe, within-batch chains collapse to the
+    min-id component rep, survivors fold into the band table, a second
+    cycle dedups against the first, a fresh-checkpoint replay adds
+    nothing (every replayed fp self-matches at Hamming 0), and NULL
+    fingerprints are rejected."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        build_hamming_index,
+    )
+    from data_toolz_spark.streaming.ingest import run_fingerprint_ingest
+
+    src = str(tmp_path / "fsrc")
+    out = str(tmp_path / "fcorpus")
+    prefix = "t_fingest_idx"
+    for t in ("hfp_meta", "hfp_bands"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    A = 0x0F0F0F0F0F0F0F0F
+    B = 0x1234500000054321
+    seed = spark.createDataFrame(
+        [(1, A)], "media_id long, fp long"
+    )
+    build_hamming_index(
+        seed, prefix, id_col="media_id", fp_col="fp",
+        max_hamming=3, n_partitions=8,
+        path=str(tmp_path / "fidx"),
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, A ^ 0b111),   # hamming 3 to indexed A → drop
+            (11, B),           # novel
+            (12, B ^ 0b1),     # within-batch dup of 11 → drop
+            (13, ~B),          # novel (hamming 64 to B)
+            (14, None),        # NULL fp → rejected
+        ],
+        "media_id long, fp long",
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("media_id long, fp long").parquet(src)
+    run_fingerprint_ingest(
+        stream, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "fckpt"),
+        fp_col="fp", id_col="media_id",
+    )
+    got1 = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {11, 13}
+
+    batch2 = spark.createDataFrame(
+        [
+            (20, B ^ 0b11),    # hamming 2 to kept 11 → drop
+            (21, 0x00FF00FF00FF00FF),  # novel
+        ],
+        "media_id long, fp long",
+    )
+    batch2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("media_id long, fp long").parquet(src)
+    run_fingerprint_ingest(
+        stream2, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "fckpt"),
+        fp_col="fp", id_col="media_id",
+    )
+    got2 = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {11, 13, 21}
+
+    # fresh checkpoint: everything replays, everything self-matches
+    stream3 = spark.readStream.schema("media_id long, fp long").parquet(src)
+    run_fingerprint_ingest(
+        stream3, index_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "fckpt2"),
+        fp_col="fp", id_col="media_id",
+    )
+    got3 = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got3 == {11, 13, 21}
+    for t in ("hfp_meta", "hfp_bands"):
+        drop_stale_table(spark, f"{prefix}_{t}")
