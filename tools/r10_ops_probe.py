@@ -1,0 +1,202 @@
+"""Scale probe for the round-10 operators: training-shard export, the
+persistent Hamming-fingerprint index, and multiclass classifier
+scoring, at 1x/5x/20x of sf0.1 (same id-offset replication device as
+tools/scale_probe.py).
+
+Claims measured (appended to SCALE_PROBE.md between r10-ops markers):
+
+* export_training_shards wall tracks corpus size (one window + one
+  bounded-rows manifest aggregate); Σ manifest n_docs == corpus size
+  at every scale (every doc exactly once), and manifest rows stay
+  budget-bounded (max docs per bin independent of corpus size);
+* hamming_query_index wall for a FIXED small batch grows sublinearly
+  as the index grows — the batch's banded rows name ≤ batch×n_blocks
+  pv partitions, so unprobed partitions are never read; hits replicate
+  exactly mult-fold (id-shifted copies duplicate the same
+  fingerprints — a correctness signal riding the perf probe);
+* multiclass_score wall tracks corpus size (one explode + one
+  broadcast join against the K·(n_buckets+1)-row weight table);
+  training state is bounded, so the model from 1x scores any scale.
+
+Usage: python tools/r10_ops_probe.py [max_mult]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.classifier import (
+    multiclass_fit,
+    multiclass_score,
+)
+from data_toolz_spark.operators.incremental import (
+    build_hamming_index,
+    hamming_query_index,
+)
+from data_toolz_spark.operators.sampling import export_training_shards
+from data_toolz_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BEGIN, END = "<!-- r10-ops:begin -->", "<!-- r10-ops:end -->"
+
+
+def replicate(df, id_col: str, mult: int, stride: int = 1_000_000):
+    if mult == 1:
+        return df
+    out = df
+    for i in range(1, mult):
+        out = out.unionByName(
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
+        )
+    return out
+
+
+def main() -> int:
+    max_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    mults = [m for m in (1, 5, 20) if m <= max_mult]
+    spark = get_spark(
+        app_name="r10-ops-probe",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    from data_toolz_spark.functions.text import token_count
+
+    docs = entrymod.load(spark, SF_DIR, "documents")
+    n_docs0 = docs.count()
+    toks = docs.select(
+        "doc_id", "lang", "text", token_count("text").alias("n_tokens")
+    ).persist()
+    toks.count()
+
+    # fixed small probe batch for the index (pruning only pays when
+    # batch × n_blocks ≪ n_partitions — the streaming micro-batch
+    # shape): 4 fingerprints KNOWN to the index (their hits must
+    # replicate mult-fold) + 4 synthetic misses
+    known = [
+        (900_000 + i, int(r["fp"]))
+        for i, r in enumerate(
+            toks.select(F.xxhash64("text").alias("fp"))
+            .orderBy("fp").limit(4).collect()
+        )
+    ]
+    misses = [
+        (900_100 + i, (0x9E3779B97F4A7C15 * (i + 1)) % (1 << 62))
+        for i in range(4)
+    ]
+    probe = spark.createDataFrame(
+        known + misses, "media_id long, fp long"
+    )
+
+    # one model trained at 1x scores every scale (bounded state)
+    model = multiclass_fit(
+        toks, "text", "lang", id_col="doc_id", n_buckets=2048,
+        n_iter=4, portable=False,
+    )
+
+    rows = []
+    for mult in mults:
+        d = replicate(toks, "doc_id", mult)
+
+        t0 = time.perf_counter()
+        manifest = export_training_shards(
+            d, id_col="doc_id", token_col="n_tokens", budget=4096,
+            n_shards=64,
+        ).persist()
+        agg = manifest.agg(
+            F.sum("n_docs").alias("n"),
+            F.max("n_docs").alias("maxb"),
+        ).collect()[0]
+        t_sh = round(time.perf_counter() - t0, 2)
+        manifest.unpersist()
+
+        fps = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.xxhash64("text").alias("fp"),
+        )
+        prefix = "t_r10probe_hfp"
+        for t in ("hfp_meta", "hfp_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        build_hamming_index(
+            fps, prefix, id_col="media_id", fp_col="fp",
+            max_hamming=3, n_partitions=512,
+        )
+        t0 = time.perf_counter()
+        n_hits = hamming_query_index(
+            spark, probe, prefix, id_col="media_id", fp_col="fp"
+        ).count()
+        t_q = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        n_scored = multiclass_score(
+            d, model, text_col="text", id_col="doc_id", out_col="pred"
+        ).count()
+        t_sc = round(time.perf_counter() - t0, 2)
+
+        rows.append((mult, int(agg["n"]), int(agg["maxb"]), t_sh,
+                     mult * n_docs0, n_hits, t_q, n_scored, t_sc))
+        print(
+            f"mult={mult}: shards {t_sh}s (n={agg['n']}, max_bin="
+            f"{agg['maxb']}), hquery {t_q}s/{n_hits} hits, "
+            f"score {t_sc}s/{n_scored}",
+            flush=True,
+        )
+
+    lines = [
+        BEGIN,
+        "",
+        "Round-10 operators at 1x/5x/20x (id-offset replication; shard "
+        "export budget 4096 over 64 shards; Hamming index P=512 probed "
+        "by a FIXED 8-row batch — the streaming micro-batch shape; "
+        "multiclass scoring with the ONE model trained at 1x — bounded "
+        "state, so the same weights score any scale):",
+        "",
+        "| mult | manifest Σdocs | max bin | shards s | fps indexed |"
+        " hits | hquery s | scored | score s |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(
+            f"{v:,}" if isinstance(v, int) else str(v) for v in r
+        ) + " |")
+    lines += [
+        "",
+        "Σ manifest docs == corpus size at every scale (every doc "
+        "exactly once) and the max bin occupancy is corpus-size-"
+        "independent (budget-bounded manifest rows); the fixed-batch "
+        "index probe grows sublinearly because only the ≤ batch×blocks "
+        "pv partitions are read; hits replicate mult-fold (id-shifted "
+        "copies duplicate the same fingerprints).  Scoring wall tracks "
+        "the scan — the weight table is the same broadcast at every "
+        "scale.",
+        "",
+        END,
+    ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALE_PROBE.md")
+    txt = open(path).read()
+    block = "\n".join(lines)
+    if BEGIN in txt:
+        pre = txt[: txt.index(BEGIN)]
+        post = txt[txt.index(END) + len(END):]
+        txt = pre + block + post
+    else:
+        txt = txt.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(txt)
+    print("SCALE_PROBE.md updated")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
