@@ -898,10 +898,41 @@ def _x_shard_export(spark, sf_dir):
     )
 
 
+def _x_token_pack(spark, sf_dir):
+    """r10: the full tokenize-and-pack last mile — train BPE merges on
+    the corpus, encode every document to lossless byte-fallback ids,
+    and pack the per-shard token streams into exact 512-token training
+    sequences (docs concatenated in deterministic hash order, EOS
+    boundaries).  Returns the sequence frame."""
+    from data_toolz_spark.operators.bpe import (
+        bpe_base_chars,
+        bpe_encode_bytes_expr,
+        bpe_train,
+        bpe_vocab_bytes,
+        bpe_word_table,
+    )
+    from data_toolz_spark.operators.sampling import pack_token_sequences
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    wt = bpe_word_table(docs)
+    merges = bpe_train(wt, n_merges=16, min_count=2)
+    vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
+    eos = 256 + len(vocab) + 64  # outside the vocab + byte space
+    ids = docs.select(
+        "doc_id",
+        bpe_encode_bytes_expr("text", merges, vocab).alias("ids"),
+    )
+    return pack_token_sequences(
+        ids, id_col="doc_id", ids_col="ids", seq_len=512,
+        eos_id=eos, n_shards=64,
+    )
+
+
 EXTRAS = {
     "x_bpe_train": _x_bpe_train,
     "x_lang_clf": _x_lang_clf,
     "x_shard_export": _x_shard_export,
+    "x_token_pack": _x_token_pack,
     "x_novel_docs_bloom": _x_novel_docs_bloom,
     "x_interval_join": _x_interval_join,
     "x_pagerank": _x_pagerank,

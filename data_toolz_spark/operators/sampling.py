@@ -435,6 +435,139 @@ def export_training_shards(
     return manifest
 
 
+def pack_token_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    ids_col: str,
+    seq_len: int,
+    eos_id: int,
+    n_shards: int = 256,
+    seed: int = 42,
+    components: DataFrame | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Pack per-document token-id arrays into EXACT fixed-length
+    training sequences — the pretraining shard format (r10): within
+    each shard, documents concatenate in the deterministic
+    :func:`export_training_shards` order (each doc followed by one
+    ``eos_id``) into a conceptual flat token stream, which is cut into
+    consecutive ``seq_len`` windows.  Output: one row per sequence,
+    ``(shard, seq_index, input_ids)`` with ``size(input_ids) ==
+    seq_len`` exactly (``drop_last=False`` keeps each shard's final
+    partial window).  Sequences can span document boundaries and long
+    documents span sequences — the standard packed-LM convention; the
+    ``eos_id`` marks every boundary.
+
+    Fully deterministic and partition-invariant (pure function of ids
+    + seed, pinned), so re-running the pipeline regenerates
+    bit-identical shards — and, paired with
+    :func:`bpe_encode_bytes_expr`'s lossless ids, the original corpus
+    text is recoverable from the stream.
+
+    Scale shape: one window cumsum per shard computes each document's
+    global offset; each document explodes to the ≤ ``n_ids/seq_len +
+    1`` sequences it overlaps, contributing an array SLICE; one
+    groupBy(shard, seq) reassembles in-order.  Rows are seq_len ints —
+    bounded — and nothing reaches the driver.  ``components`` routes
+    shards by near-dup component min like the manifest export.
+    """
+    if seq_len < 2:
+        raise ValueError(
+            "pack_token_sequences: seq_len must be >= 2"
+        )
+    if n_shards < 1:
+        raise ValueError(
+            "pack_token_sequences: n_shards must be >= 1"
+        )
+    from pyspark.sql.window import Window
+
+    route = F.col(id_col).cast("long")
+    staged = df
+    if components is not None:
+        comp = components.select(
+            F.col("id").alias(id_col), F.col("component").alias("__route")
+        )
+        staged = staged.join(comp, on=id_col, how="left")
+        route = F.coalesce(F.col("__route"), F.col(id_col).cast("long"))
+    staged = staged.select(
+        F.col(id_col).alias("__id"),
+        F.concat(
+            F.coalesce(F.col(ids_col), F.array().cast("array<int>")),
+            F.array(F.lit(int(eos_id)).cast("int")),
+        ).alias("__ids"),
+        F.pmod(F.xxhash64(route, F.lit(seed)), F.lit(n_shards))
+        .cast("int")
+        .alias("__shard"),
+    )
+    w = Window.partitionBy("__shard").orderBy(
+        F.xxhash64(F.col("__id"), F.lit(seed + 1)), F.col("__id")
+    )
+    staged = (
+        staged.withColumn("__n", F.size("__ids").cast("long"))
+        .withColumn(
+            "__start", (F.sum("__n").over(w) - F.col("__n")).cast("long")
+        )
+    )
+    L = int(seq_len)
+    # the sequences this doc overlaps: floor(start/L) .. floor((end-1)/L)
+    pieces = staged.select(
+        "__shard",
+        "__ids",
+        "__start",
+        "__n",
+        F.explode(
+            F.sequence(
+                F.expr(f"__start div {L}"),
+                F.expr(f"(__start + __n - 1) div {L}"),
+            )
+        ).alias("__seq"),
+    ).select(
+        "__shard",
+        "__seq",
+        F.greatest(F.col("__start"), F.col("__seq") * L).alias("__lo"),
+        F.least(
+            F.col("__start") + F.col("__n"), (F.col("__seq") + 1) * L
+        ).alias("__hi"),
+        "__ids",
+        "__start",
+    ).select(
+        "__shard",
+        "__seq",
+        "__lo",
+        F.expr(
+            "slice(__ids, CAST(__lo - __start + 1 AS INT), "
+            "CAST(__hi - __lo AS INT))"
+        ).alias("__piece"),
+    )
+    seqs = (
+        pieces.groupBy("__shard", "__seq")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__lo").alias("o"),
+                                F.col("__piece").alias("p"),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                )
+            ).alias("input_ids")
+        )
+        .select(
+            F.col("__shard").alias("shard"),
+            F.col("__seq").alias("seq_index"),
+            "input_ids",
+        )
+    )
+    if drop_last:
+        seqs = seqs.filter(F.size("input_ids") == L)
+    return seqs
+
+
 def pack_greedy(
     df: DataFrame,
     *,
@@ -673,6 +806,7 @@ __all__ = [
     "mixture_sample",
     "pack_greedy",
     "export_training_shards",
+    "pack_token_sequences",
     "dsir_logweights",
     "gumbel_topk_sample",
 ]

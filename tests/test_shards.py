@@ -125,3 +125,132 @@ def test_validation(spark):
             _docs(spark), id_col="doc_id", token_col="n_tokens",
             budget=10, n_shards=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# pack_token_sequences: the pretraining shard format
+# ---------------------------------------------------------------------------
+
+
+def _spark_order(spark, ids, n_shards, seed):
+    """Resolve the (shard, order-key) the operator uses via Spark's own
+    xxhash64 — the twin shares the hash, diffs the PACKING logic."""
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = df.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(n_shards))
+        .cast("int").alias("shard"),
+        F.xxhash64("doc_id", F.lit(seed + 1)).alias("ok"),
+    ).collect()
+    return {r["doc_id"]: (r["shard"], r["ok"]) for r in rows}
+
+
+def _ref_sequences(spark, docs, *, seq_len, eos, n_shards, seed,
+                   drop_last=True):
+    order = _spark_order(spark, [d for d, _ in docs], n_shards, seed)
+    by_shard = {}
+    for doc_id, ids in docs:
+        s, ok = order[doc_id]
+        by_shard.setdefault(s, []).append((ok, doc_id, ids))
+    out = {}
+    for s, members in by_shard.items():
+        stream = []
+        for _, _, ids in sorted(members, key=lambda t: (t[0], t[1])):
+            stream.extend(list(ids) + [eos])
+        for i in range(0, len(stream), seq_len):
+            chunk = stream[i : i + seq_len]
+            if drop_last and len(chunk) < seq_len:
+                continue
+            out[(s, i // seq_len)] = chunk
+    return out
+
+
+def _tok_docs(n=60, seed=5, max_len=37):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (i, [rng.randrange(0, 1000) for _ in range(rng.randrange(0, max_len))])
+        for i in range(n)
+    ]
+
+
+def test_token_pack_matches_python_twin(spark):
+    from data_toolz_spark.operators.sampling import pack_token_sequences
+
+    docs = _tok_docs()
+    df = spark.createDataFrame(docs, "doc_id long, ids array<int>")
+    got = {
+        (r["shard"], r["seq_index"]): list(r["input_ids"])
+        for r in pack_token_sequences(
+            df, id_col="doc_id", ids_col="ids", seq_len=16,
+            eos_id=-99, n_shards=4, seed=7,
+        ).collect()
+    }
+    want = _ref_sequences(
+        spark, docs, seq_len=16, eos=-99, n_shards=4, seed=7
+    )
+    assert got == want
+    assert all(len(v) == 16 for v in got.values())
+    # a long doc (> seq_len) must span sequences intact
+    long_doc = [(500, list(range(100, 170)))]
+    df2 = spark.createDataFrame(long_doc, "doc_id long, ids array<int>")
+    got2 = {
+        (r["shard"], r["seq_index"]): list(r["input_ids"])
+        for r in pack_token_sequences(
+            df2, id_col="doc_id", ids_col="ids", seq_len=16,
+            eos_id=-99, n_shards=2, seed=7, drop_last=False,
+        ).collect()
+    }
+    want2 = _ref_sequences(
+        spark, long_doc, seq_len=16, eos=-99, n_shards=2, seed=7,
+        drop_last=False,
+    )
+    assert got2 == want2
+    flat = [t for k in sorted(got2) for t in got2[k]]
+    assert flat == list(range(100, 170)) + [-99]
+
+
+def test_token_pack_partition_invariance_and_drop_last(spark):
+    from data_toolz_spark.operators.sampling import pack_token_sequences
+
+    docs = _tok_docs(n=80, seed=11)
+    df1 = spark.createDataFrame(docs, "doc_id long, ids array<int>").repartition(1)
+    df2 = spark.createDataFrame(docs, "doc_id long, ids array<int>").repartition(13)
+    key = lambda out: {
+        (r["shard"], r["seq_index"]): list(r["input_ids"])
+        for r in out.collect()
+    }
+    kw = dict(id_col="doc_id", ids_col="ids", seq_len=32, eos_id=0,
+              n_shards=8, seed=3)
+    a = key(pack_token_sequences(df1, **kw))
+    b = key(pack_token_sequences(df2, **kw))
+    assert a == b
+    # drop_last=False keeps each shard's trailing partial and conserves
+    # EVERY token: Σ lens == Σ (doc len + 1)
+    full = key(pack_token_sequences(df1, drop_last=False, **kw))
+    assert sum(len(v) for v in full.values()) == sum(
+        len(ids) + 1 for _, ids in docs
+    )
+    # empty / NULL ids docs contribute exactly one EOS
+    ed = spark.createDataFrame(
+        [(1, []), (2, None)], "doc_id long, ids array<int>"
+    )
+    eout = key(pack_token_sequences(ed, drop_last=False, **kw))
+    assert sum(len(v) for v in eout.values()) == 2
+    assert all(set(v) == {0} for v in eout.values())
+
+
+def test_token_pack_validation(spark):
+    from data_toolz_spark.operators.sampling import pack_token_sequences
+
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id long, ids array<int>")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_token_sequences(
+            df, id_col="doc_id", ids_col="ids", seq_len=1, eos_id=0
+        )
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_token_sequences(
+            df, id_col="doc_id", ids_col="ids", seq_len=8, eos_id=0,
+            n_shards=0,
+        )
