@@ -468,6 +468,19 @@ def multiclass_fit(
         n, rows = int(stats["n"]), int(stats["rows"])
         if n == 0:
             raise ValueError("multiclass_fit: no labeled rows")
+        # right-size the iterated state (the bpe_train device): the
+        # loop runs n_iter small jobs over this frame, and scheduling
+        # dozens of near-empty tasks per job is pure overhead at demo
+        # scale while ~64k feature rows/partition keeps a full-corpus
+        # labeled set at cluster parallelism
+        feats = feats.coalesce(
+            max(
+                1,
+                min(
+                    feats.rdd.getNumPartitions(), rows // 65_536 + 1
+                ),
+            )
+        )
         maxf = int(stats["maxf"] or 0)
         if rows * P_SCALE * max(maxf, 1) >= (1 << 62):
             raise ValueError(

@@ -4,6 +4,8 @@ canonical order with state shared between stages.
 
     raw docs
       → quality/repetition/web-artifact filter   (keep_document)
+      → trained quality + language gates (r10)   (logreg_score /
+                                                  multiclass_score)
       → cross-document boilerplate removal       (line_dedup)
       → repeated-passage removal                 (remove_duplicate_spans)
       → near-duplicate removal                   (MinHash-LSH + CC)
@@ -108,6 +110,10 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     quality_thresholds: dict | None = None,
+    quality_model=None,
+    quality_min_prob: float = 0.5,
+    lang_model=None,
+    keep_langs: Sequence[str] | None = None,
     line_dedup_max_doc_freq: int | None = None,
     line_sep: str = "\n",
     span_dedup_n: int | None = None,
@@ -144,6 +150,51 @@ def prepare_training_corpus(
     # 1. per-document quality gate (map-only)
     out = keep_document(out, text_col, thresholds=quality_thresholds)
     out = out.filter(F.col("keep")).select(*base_cols)
+
+    # 1b. TRAINED quality filter (r10, optional): a LogRegModel from
+    # operators/classifier.py scores the standard heuristic features
+    # (quality_features → web_artifact_features — the columns the
+    # bench's x_quality_logreg distillation trains on) as one codegen
+    # projection; rows below quality_min_prob drop.  Train once,
+    # gate every pipeline run — the GPT-3 curation move.
+    if quality_model is not None:
+        from data_toolz_spark.operators.classifier import logreg_score
+        from data_toolz_spark.operators.text_analysis import (
+            quality_features,
+            web_artifact_features,
+        )
+
+        feat = web_artifact_features(
+            quality_features(out, text_col), text_col
+        )
+        scored = logreg_score(
+            feat, quality_model, out_col="__qprob"
+        )
+        out = scored.filter(
+            F.col("__qprob") >= float(quality_min_prob)
+        ).select(*base_cols)
+
+    # 1c. TRAINED language filter (r10, optional): a MulticlassModel
+    # (the fastText-shaped LID classifier) predicts per doc; only
+    # ``keep_langs`` predictions survive.  One explode + broadcast
+    # weight join + per-doc argmax.
+    if lang_model is not None:
+        if not keep_langs:
+            raise ValueError(
+                "prepare_training_corpus: lang_model requires "
+                "keep_langs (the language predictions to keep)"
+            )
+        from data_toolz_spark.operators.classifier import (
+            multiclass_score,
+        )
+
+        out = multiclass_score(
+            out, lang_model, text_col=text_col, id_col=id_col,
+            out_col="__lang_pred",
+        )
+        out = out.filter(
+            F.col("__lang_pred").isin(*list(keep_langs))
+        ).select(*base_cols)
 
     # 2. cross-document boilerplate removal (optional)
     if line_dedup_max_doc_freq is not None:

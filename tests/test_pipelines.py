@@ -274,3 +274,75 @@ def test_pipeline_media_dedup_tiers(spark):
         prepare_training_corpus(
             docs, None, media_dedup=[{"kind": "webp", "col": "img"}], **kw
         )
+
+
+def test_pipeline_trained_quality_and_lang_gates(spark):
+    """r10: trained models compose as pipeline gates — a logreg
+    quality filter distilled from keep_document labels and the
+    multiclass LID classifier; only keep_langs survivors above the
+    probability floor reach the later stages."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.classifier import (
+        logreg_fit,
+        multiclass_fit,
+    )
+    from data_toolz_spark.operators.text_analysis import (
+        keep_document,
+        quality_features,
+        web_artifact_features,
+    )
+    from data_toolz_spark.pipelines import prepare_training_corpus
+
+    rng = random.Random(31)
+    vocab = {
+        "en": ["the", "and", "that", "with", "from"],
+        "fr": ["le", "et", "que", "avec", "dans"],
+    }
+    rows = []
+    for i in range(80):
+        lang = "en" if i % 2 == 0 else "fr"
+        words = [rng.choice(vocab[lang]) for _ in range(30)]
+        rows.append((i, " ".join(words), lang))
+    # a junk doc that the TRAINED quality filter must drop (all
+    # boilerplate-free but absurdly short after the heuristic floor)
+    rows.append((900, "x", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    feats = keep_document(
+        web_artifact_features(quality_features(docs))
+    ).withColumn("label", F.col("keep").cast("int"))
+    qmodel = logreg_fit(
+        feats,
+        ["mean_tok_len", "alpha_ratio", "stop_ratio", "quality_score",
+         "artifact_ratio"],
+        "label",
+        n_iter=8,
+    )
+    lmodel = multiclass_fit(
+        docs, "text", "lang", id_col="doc_id", n_buckets=256,
+        n_iter=6, portable=True,
+    )
+    kw = dict(
+        quality_thresholds={"min_tokens": 1},
+        line_dedup_max_doc_freq=None,
+        span_dedup_n=None,
+        near_dup_threshold=None,
+    )
+    out = prepare_training_corpus(
+        docs, None,
+        quality_model=qmodel, quality_min_prob=0.5,
+        lang_model=lmodel, keep_langs=["en"],
+        **kw,
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got  # en docs survive
+    assert got <= {i for i in range(80) if i % 2 == 0}  # fr + junk gone
+    assert 900 not in got
+    # lang gate requires keep_langs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_langs"):
+        prepare_training_corpus(docs, None, lang_model=lmodel, **kw)
