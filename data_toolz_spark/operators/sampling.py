@@ -316,6 +316,26 @@ def mixture_sample(
     )
 
 
+def _order_hash(col: Column, seed: int, portable: bool) -> Column:
+    """Deterministic 60/64-bit order key for the shard/pack operators.
+    ``portable=True`` selects the md5-prefix hash (first 15 hex chars
+    of ``md5(value || '|' || seed)`` as a 60-bit int — the established
+    engine-portable device), so the ENTIRE shard order is replayable
+    by any SQL engine or by ``hashlib`` in plain Python; the default
+    ``xxhash64`` is faster JVM-side."""
+    if portable:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", col.cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    return F.xxhash64(col, F.lit(seed))
+
+
 def export_training_shards(
     df: DataFrame,
     *,
@@ -325,6 +345,7 @@ def export_training_shards(
     n_shards: int = 256,
     seed: int = 42,
     components: DataFrame | None = None,
+    portable: bool = False,
     path: str | None = None,
     manifest_table: str | None = None,
 ) -> DataFrame:
@@ -377,12 +398,12 @@ def export_training_shards(
         route = F.coalesce(F.col("__route"), F.col(id_col).cast("long"))
     staged = staged.withColumn(
         "shard",
-        F.pmod(F.xxhash64(route, F.lit(seed)), F.lit(n_shards)).cast(
+        F.pmod(_order_hash(route, seed, portable), F.lit(n_shards)).cast(
             "int"
         ),
     )
     w = Window.partitionBy("shard").orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col)
+        _order_hash(F.col(id_col), seed + 1, portable), F.col(id_col)
     )
     cum = F.sum(F.col(token_col)).over(w)
     staged = (
@@ -445,6 +466,7 @@ def pack_token_sequences(
     n_shards: int = 256,
     seed: int = 42,
     components: DataFrame | None = None,
+    portable: bool = False,
     drop_last: bool = True,
 ) -> DataFrame:
     """Pack per-document token-id arrays into EXACT fixed-length
@@ -496,12 +518,12 @@ def pack_token_sequences(
             F.coalesce(F.col(ids_col), F.array().cast("array<int>")),
             F.array(F.lit(int(eos_id)).cast("int")),
         ).alias("__ids"),
-        F.pmod(F.xxhash64(route, F.lit(seed)), F.lit(n_shards))
+        F.pmod(_order_hash(route, seed, portable), F.lit(n_shards))
         .cast("int")
         .alias("__shard"),
     )
     w = Window.partitionBy("__shard").orderBy(
-        F.xxhash64(F.col("__id"), F.lit(seed + 1)), F.col("__id")
+        _order_hash(F.col("__id"), seed + 1, portable), F.col("__id")
     )
     staged = (
         staged.withColumn("__n", F.size("__ids").cast("long"))

@@ -254,3 +254,64 @@ def test_token_pack_validation(spark):
             df, id_col="doc_id", ids_col="ids", seq_len=8, eos_id=0,
             n_shards=0,
         )
+
+
+def test_portable_order_matches_hashlib_twin(spark):
+    """portable=True shard order is replayable in PLAIN PYTHON: the
+    md5-prefix hash twin reproduces the full manifest and every packed
+    sequence with no Spark hash resolution — the oracle-ability
+    contract the xxhash64 default can't offer."""
+    import hashlib
+
+    from data_toolz_spark.operators.sampling import (
+        export_training_shards,
+        pack_token_sequences,
+    )
+
+    def h(v, seed):
+        return int(
+            hashlib.md5(f"{v}|{seed}".encode()).hexdigest()[:15], 16
+        )
+
+    docs = _tok_docs(n=50, seed=9)
+    df = spark.createDataFrame(docs, "doc_id long, ids array<int>")
+    df = df.withColumn("n_tokens", F.size("ids") + F.lit(1))
+
+    # manifest twin
+    m = export_training_shards(
+        df, id_col="doc_id", token_col="n_tokens", budget=64,
+        n_shards=4, seed=5, portable=True,
+    )
+    got = {
+        (r["shard"], r["pack_bin"]): tuple(r["doc_ids"])
+        for r in m.collect()
+    }
+    by_shard = {}
+    for doc_id, ids in docs:
+        by_shard.setdefault(h(doc_id, 5) % 4, []).append(
+            (h(doc_id, 6), doc_id, len(ids) + 1)
+        )
+    want = {}
+    for s, members in by_shard.items():
+        start = 0
+        for _, doc_id, n in sorted(members):
+            want.setdefault((s, start // 64), []).append(doc_id)
+            start += n
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+    # packed-sequence twin
+    seqs = {
+        (r["shard"], r["seq_index"]): list(r["input_ids"])
+        for r in pack_token_sequences(
+            df, id_col="doc_id", ids_col="ids", seq_len=16, eos_id=-1,
+            n_shards=4, seed=5, portable=True, drop_last=False,
+        ).collect()
+    }
+    want_seqs = {}
+    for s, members in by_shard.items():
+        stream = []
+        for _, doc_id, _ in sorted(members):
+            stream.extend(dict(docs)[doc_id] + [-1])
+        for i in range(0, len(stream), 16):
+            want_seqs[(s, i // 16)] = stream[i : i + 16]
+    assert seqs == want_seqs
