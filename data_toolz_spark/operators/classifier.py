@@ -345,13 +345,12 @@ def hashed_text_features(
             ),
         )
     if portable:
+        from data_toolz_spark.functions.hashing import md5_prefix60
+
         bucket = F.transform(
             feats,
             lambda x: F.pmod(
-                F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast(
-                    "long"
-                ),
-                F.lit(n_buckets),
+                md5_prefix60(x), F.lit(n_buckets)
             ).cast("int"),
         )
     else:
@@ -457,8 +456,9 @@ def multiclass_fit(
         feature_mode=feature_mode,
         extra_cols=[label_col],
     )
-    if persist:
-        feats = feats.persist()
+    cached = feats.persist() if persist else None
+    if cached is not None:
+        feats = cached
     try:
         stats = feats.agg(
             F.count(F.lit(1)).alias("rows"),
@@ -562,8 +562,12 @@ def multiclass_fit(
             weights=tuple(tuple(int(x) for x in row) for row in w),
         )
     finally:
-        if persist:
-            feats.unpersist()
+        # unpersist the ORIGINAL cached handle — `feats` is rebound to
+        # a coalesce above, and CacheManager matches plans by
+        # sameResult, so unpersisting the rebound frame would leak the
+        # cache for the session lifetime
+        if cached is not None:
+            cached.unpersist()
 
 
 def multiclass_score(

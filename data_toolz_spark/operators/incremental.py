@@ -1489,22 +1489,25 @@ def build_hamming_index(
         [(int(max_hamming), len(blocks), int(bits), int(n_partitions))],
         "max_hamming int, n_blocks int, bits int, n_partitions int",
     )
-    loc = f" LOCATION '{path}'" if path else ""
     meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_hfp_meta")
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_hfp_bands")
-    spark.sql(
-        f"CREATE TABLE {table_prefix}_hfp_bands "
-        "(id BIGINT, fp BIGINT, blk INT, val BIGINT) USING parquet "
-        f"PARTITIONED BY (pv INT){loc}"
-    )
     banded = _hfp_banded(
         df, id_col, fp_col,
         max_hamming=max_hamming, n_blocks=len(blocks), bits=bits,
         n_partitions=n_partitions,
     )
-    banded.select("id", "fp", "blk", "val", "pv").write.insertInto(
-        f"{table_prefix}_hfp_bands"
+    # overwrite-mode saveAsTable (the build_ivf_index pattern), NOT
+    # DROP + CREATE + insertInto: dropping an EXTERNAL (path) table
+    # leaves its parquet files, and an append-mode insert would
+    # resurrect a previous build's rows — stale fingerprints banded
+    # under possibly-different parameters
+    writer = (
+        banded.select("id", "fp", "blk", "val", "pv")
+        .write.mode("overwrite")
+        .partitionBy("pv")
     )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(f"{table_prefix}_hfp_bands")
     return f"{table_prefix}_hfp_bands"
 
 

@@ -324,15 +324,9 @@ def _order_hash(col: Column, seed: int, portable: bool) -> Column:
     by any SQL engine or by ``hashlib`` in plain Python; the default
     ``xxhash64`` is faster JVM-side."""
     if portable:
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", col.cast("string"), F.lit(str(seed)))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        from data_toolz_spark.functions.hashing import md5_prefix60
+
+        return md5_prefix60(col, seed)
     return F.xxhash64(col, F.lit(seed))
 
 
@@ -406,11 +400,15 @@ def export_training_shards(
         _order_hash(F.col(id_col), seed + 1, portable), F.col(id_col)
     )
     cum = F.sum(F.col(token_col)).over(w)
+    # exact integer `div` (operands non-negative): double division
+    # rounds once cumulative token counts pass 2^53, and the manifest's
+    # contract is a bit-identical integer replay
     staged = (
         staged.withColumn("position", F.row_number().over(w))
+        .withColumn("__cum", cum.cast("long"))
         .withColumn(
             "pack_bin",
-            F.floor((cum - F.col(token_col)).cast("long") / F.lit(budget)),
+            F.expr(f"(__cum - {token_col}) div {int(budget)}"),
         )
         .select(*base_cols, "shard", "position", "pack_bin")
     )
@@ -703,13 +701,12 @@ def dsir_logweights(
                 ),
             )
         if portable:
+            from data_toolz_spark.functions.hashing import md5_prefix60
+
             bucket = F.transform(
                 feats,
                 lambda x: F.pmod(
-                    F.conv(
-                        F.substring(F.md5(x), 1, 15), 16, 10
-                    ).cast("long"),
-                    F.lit(n_buckets),
+                    md5_prefix60(x), F.lit(n_buckets)
                 ).cast("int"),
             )
         else:

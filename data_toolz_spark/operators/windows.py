@@ -247,8 +247,15 @@ def bucketed_interval_join(
     p_line, p_unit = _to_line(point_col, points)
     s_line, s_unit = _to_line(start_col, intervals)
     e_line, e_unit = _to_line(end_col, intervals)
-    units = {point_col: p_unit, start_col: s_unit, end_col: e_unit}
-    if len(set(units.values())) != 1:
+    # a LIST, not a name-keyed dict: point_col may share a NAME with an
+    # interval bound (they live in different frames), and a dict would
+    # overwrite the point's unit and let a real mismatch through
+    units = [
+        (f"point {point_col!r}", p_unit),
+        (f"start {start_col!r}", s_unit),
+        (f"end {end_col!r}", e_unit),
+    ]
+    if len({u for _, u in units}) != 1:
         raise ValueError(
             "bucketed_interval_join: point and interval columns resolve "
             f"to different numeric units {units} — a timestamp point "
