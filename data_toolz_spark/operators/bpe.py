@@ -480,9 +480,76 @@ def bpe_decode_expr(
     )
 
 
+def save_bpe_model(
+    spark, merges: list[dict], vocab: dict[str, int], table: str
+) -> None:
+    """Persist a trained tokenizer — merge list + id space — as ONE
+    catalog table (train once, encode every future ingest batch: the
+    kmeans/logreg/multiclass persistence pattern).  Rows:
+    ``kind='merge'`` carry (rank, left, right, merged, pair_count) in
+    rank order; ``kind='vocab'`` carry (symbol, token_id).  One
+    job-atomic overwrite."""
+    rows = [
+        (
+            "merge",
+            int(m["rank"]),
+            m["left"],
+            m["right"],
+            m["merged"],
+            int(m.get("pair_count", 0)),
+            None,
+        )
+        for m in merges
+    ] + [
+        ("vocab", None, None, None, sym, None, int(tid))
+        for sym, tid in sorted(vocab.items(), key=lambda kv: kv[1])
+    ]
+    spark.createDataFrame(
+        rows,
+        "kind string, rank int, left string, right string, "
+        "merged string, pair_count long, token_id long",
+    ).write.mode("overwrite").saveAsTable(table)
+
+
+def load_bpe_model(
+    spark, table: str
+) -> tuple[list[dict], dict[str, int]]:
+    """Rehydrate a :func:`save_bpe_model` table → (merges, vocab),
+    merges in rank order — bounded driver state (one row per merge +
+    one per symbol)."""
+    rows = spark.table(table).collect()
+    merges = sorted(
+        (
+            {
+                "rank": int(r["rank"]),
+                "left": r["left"],
+                "right": r["right"],
+                "merged": r["merged"],
+                "pair_count": int(r["pair_count"]),
+            }
+            for r in rows
+            if r["kind"] == "merge"
+        ),
+        key=lambda m: m["rank"],
+    )
+    if [m["rank"] for m in merges] != list(range(len(merges))):
+        raise ValueError(
+            f"load_bpe_model: {table} merge ranks are not 0..K-1 — "
+            "not a save_bpe_model table"
+        )
+    vocab = {
+        r["merged"]: int(r["token_id"])
+        for r in rows
+        if r["kind"] == "vocab"
+    }
+    return merges, vocab
+
+
 __all__ = [
     "BPE_SEP",
     "BPE_BYTE_OFFSET",
+    "save_bpe_model",
+    "load_bpe_model",
     "bpe_word_table",
     "bpe_train",
     "bpe_apply_expr",

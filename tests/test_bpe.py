@@ -370,3 +370,37 @@ def test_bytes_validation(spark):
         bpe_encode_bytes_expr("text", merges, {})
     with pytest.raises(ValueError, match="non-\\\\s ASCII"):
         bpe_encode_bytes_expr("text", merges, vocab, sep=" ")
+
+
+def test_bpe_model_save_load_roundtrip(spark):
+    """r10: the tokenizer persists like every other trained artifact —
+    merges + id space round-trip through one catalog table, and the
+    rehydrated model encodes identically."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.bpe import (
+        bpe_encode_bytes_expr,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    merges, vocab = _bytes_setup(spark)
+    table = "dtz_test_bpe_model"
+    drop_stale_table(spark, table)
+    save_bpe_model(spark, merges, vocab, table)
+    m2, v2 = load_bpe_model(spark, table)
+    assert m2 == merges
+    assert v2 == vocab
+    df = spark.createDataFrame([("low lower é",)], "text string")
+    a = df.select(bpe_encode_bytes_expr("text", merges, vocab).alias("i"))
+    b = df.select(bpe_encode_bytes_expr("text", m2, v2).alias("i"))
+    assert a.collect() == b.collect()
+    drop_stale_table(spark, table)
+    # a non-model table fails loudly
+    spark.createDataFrame(
+        [("merge", 5, "a", "b", "ab", 1, None)],
+        "kind string, rank int, left string, right string, "
+        "merged string, pair_count long, token_id long",
+    ).write.mode("overwrite").saveAsTable(table)
+    with pytest.raises(ValueError, match="not 0..K-1"):
+        load_bpe_model(spark, table)
+    drop_stale_table(spark, table)
