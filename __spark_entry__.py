@@ -2203,8 +2203,15 @@ def text_bpe_tokens(
         # definition (_with_bpe_training=False) and times the
         # composite as x_bpe_train, so the r5-comparable series
         # survives with the attribution explicit.
-        wt = bpe_word_table(docs)
-        merges = bpe_train(wt, n_merges=_BPE_N_MERGES, min_count=2)
+        # the word table feeds BOTH training and the alphabet scan —
+        # persist for the two consumers (merges/vocab end up literals,
+        # so nothing downstream holds the cache)
+        wt = bpe_word_table(docs).persist()
+        try:
+            merges = bpe_train(wt, n_merges=_BPE_N_MERGES, min_count=2)
+        except Exception:
+            wt.unpersist()
+            raise
         cols.append(
             bpe_token_count_expr("text", merges).alias("bpe_vocab_tokens")
         )
@@ -2214,7 +2221,10 @@ def text_bpe_tokens(
         # byte (_BPE_PLANTS) — the oracle rebuilds the ENTIRE lossless
         # encoding (segmentation, merge replaces, vocab ids, RFC 3629
         # byte decomposition) from the same code-point arithmetic.
-        vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
+        try:
+            vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
+        finally:
+            wt.unpersist()
         plant = F.element_at(
             F.array(*[F.lit(p) for p in _BPE_PLANTS]),
             (F.col("doc_id") % len(_BPE_PLANTS) + 1).cast("int"),
