@@ -408,7 +408,7 @@ def export_training_shards(
         .withColumn("__cum", cum.cast("long"))
         .withColumn(
             "pack_bin",
-            F.expr(f"(__cum - {token_col}) div {int(budget)}"),
+            F.expr(f"(__cum - `{token_col}`) div {int(budget)}"),
         )
         .select(*base_cols, "shard", "position", "pack_bin")
     )
