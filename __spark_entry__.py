@@ -1294,10 +1294,22 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic builds the same strings in DuckDB, so every branch is
     value-checked end-to-end: trim → canonicalize → min-id drop
     window (``is_dup``).
+
+    X79 fold (r10): the per-site frequency cap — ``host_of`` +
+    ``cap_per_domain`` (the C4/RefinedWeb domain-cap tier) attested
+    per doc as ``domain`` + ``cap_keep``: at most 25 docs per host
+    survive a portable md5 hash lottery, and DuckDB replays the
+    identical window (`('0x'||substr(md5(id||'|seed'),1,15))::BIGINT`
+    rank per domain).  The skew-safe two-stage rank is exercised on
+    the Spark side (salt_buckets=16 default) while the oracle ranks
+    in ONE window — passing pins the two-stage == single-window
+    equivalence on real data, not just pytest corpora.
     """
     from data_toolz_spark.operators.text_analysis import strip_html
     from data_toolz_spark.operators.urls import (
         canonical_url,
+        cap_per_domain,
+        host_of,
         trim_prose_punctuation,
     )
     from pyspark.sql.window import Window
@@ -1349,10 +1361,31 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "html_clean_md5"
         ),
     )
+    kept = cap_per_domain(
+        urls.select("doc_id", "canonical"),
+        id_col="doc_id",
+        url_col="canonical",
+        max_per_domain=25,
+        seed=7,
+        portable=True,
+    ).select("doc_id", F.lit(1).alias("__kept"))
     w = Window.partitionBy("canonical")
-    return urls.withColumn(
-        "is_dup",
-        (F.col("doc_id") != F.min("doc_id").over(w)).cast("long"),
+    return (
+        urls.withColumn(
+            "is_dup",
+            (F.col("doc_id") != F.min("doc_id").over(w)).cast("long"),
+        )
+        .join(kept, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "canonical",
+            "html_clean_md5",
+            "is_dup",
+            host_of(F.col("canonical")).alias("domain"),
+            F.coalesce(F.col("__kept"), F.lit(0))
+            .cast("long")
+            .alias("cap_keep"),
+        )
     )
 
 
@@ -3823,8 +3856,21 @@ canon AS (
 u AS (
   SELECT doc_id, canonical,
          CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canonical)
-              AS BIGINT) AS is_dup
+              AS BIGINT) AS is_dup,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(canonical,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+           '^www\.', ''), ':[0-9]+$', '') AS domain
   FROM canon
+),
+capped AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|7'),
+                                    1, 15))::BIGINT, doc_id
+         ) AS cap_rank
+  FROM u WHERE domain IS NOT NULL AND domain <> ''
 )
 """ + f""",
 hsynth AS (
@@ -3846,8 +3892,11 @@ hclean AS (
   SELECT doc_id, md5({_strip_html_sql('h')}) AS html_clean_md5
   FROM hsynth
 )
-SELECT u.doc_id, u.canonical, hc.html_clean_md5, u.is_dup
+SELECT u.doc_id, u.canonical, hc.html_clean_md5, u.is_dup,
+       CASE WHEN u.domain = '' THEN NULL ELSE u.domain END AS domain,
+       CAST(COALESCE(c.cap_rank <= 25, FALSE) AS BIGINT) AS cap_keep
 FROM u JOIN hclean hc USING (doc_id)
+LEFT JOIN capped c USING (doc_id)
 """,
         # inverted-index search, brute-force token-scan oracle: OR over
         # three fixed terms, n_matched = distinct matched terms per doc,

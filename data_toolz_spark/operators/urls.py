@@ -137,6 +137,112 @@ def canonical_url(url: Column | str) -> Column:
     )
 
 
+def host_of(url: Column | str) -> Column:
+    """Grouping host of a URL: lowercased hostname with the ``www.``
+    prefix and ANY ``:port`` stripped; NULL when the value does not
+    parse as ``scheme://host…``.
+
+    This is the DOMAIN-CAP key, deliberately coarser than
+    :func:`canonical_url`'s host handling (which keeps non-default
+    ports distinct, because a different origin is a different page):
+    for per-site frequency capping ``example.com:8080`` and
+    ``example.com`` are the same publisher, so the port never splits
+    a site into two quota pools.  Without a public-suffix list the
+    host itself is the site key — subdomains count separately, the
+    conservative direction (a cap key that is too fine never lets one
+    site exceed its quota).
+    """
+    u = _c(url)
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":[0-9]+$", ""
+    )
+    return F.when(host != "", host)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    *,
+    id_col: str,
+    url_col: str | None = None,
+    host_col: str | None = None,
+    max_per_domain: int,
+    seed: int = 42,
+    portable: bool = False,
+    salt_buckets: int = 16,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Per-site frequency cap: keep at most ``max_per_domain``
+    documents per host, chosen by a deterministic hash lottery — the
+    C4/RefinedWeb "domain cap" tier that stops a single template-heavy
+    site from dominating a crawl corpus (Raffel et al. 2020 §2.2,
+    Penedo et al. 2023 §3.1 run this between URL dedup and content
+    dedup).
+
+    Selection is a pure function of (id, seed): rows order by
+    ``hash(id, seed)`` (ties broken by id) within their host, and the
+    first ``max_per_domain`` survive — a uniform random-looking N-of-M
+    sample per site that is reproducible across runs, partitionings,
+    and cluster sizes, unlike "first N by id" (which biases toward
+    early crawl order) or ``rand()`` (which is neither stable nor
+    replayable).  ``portable=True`` selects the md5-prefix60 order
+    hash so any SQL engine can replay the exact survivor set.
+
+    Scale shape: the rank-within-host window is the one shuffle, and a
+    mega-site (the exact skew this operator exists to fix) would pin
+    its whole row set on one task — so ranking is two-stage, the
+    standard skew-safe top-N: stage 1 ranks within ``(host,
+    pmod(order_hash, salt_buckets))`` and keeps ≤ ``max_per_domain``
+    per salt slice (each true global top row is top-≤cap within its
+    slice, so no survivor is lost); stage 2 re-ranks the ≤
+    ``salt_buckets × cap`` finalists per host — a bounded frame no
+    matter how large the site.  Result is IDENTICAL to the
+    single-window rank for every ``salt_buckets ≥ 1`` (pinned by
+    tests).
+
+    Rows whose URL does not parse (NULL host) are passed through
+    uncapped — no-URL documents are not a "site" and C4 does not drop
+    them at this tier.  Output: all input columns + ``domain_col``.
+    Exactly one of ``url_col`` / ``host_col`` must name the source.
+    """
+    if (url_col is None) == (host_col is None):
+        raise ValueError(
+            "cap_per_domain: pass exactly one of url_col / host_col"
+        )
+    if max_per_domain < 1:
+        raise ValueError("cap_per_domain: max_per_domain must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError("cap_per_domain: salt_buckets must be >= 1")
+    from pyspark.sql.window import Window
+
+    from data_toolz_spark.operators.sampling import _order_hash
+
+    dom = (
+        host_of(F.col(url_col)) if url_col is not None
+        else F.col(host_col)
+    )
+    base = df.withColumn(domain_col, dom)
+    free = base.filter(F.col(domain_col).isNull())
+    sited = base.filter(F.col(domain_col).isNotNull()).withColumn(
+        "__ok", _order_hash(F.col(id_col), seed, portable)
+    )
+    w1 = Window.partitionBy(
+        domain_col, F.pmod(F.col("__ok"), F.lit(salt_buckets))
+    ).orderBy("__ok", id_col)
+    stage1 = sited.withColumn(
+        "__rn", F.row_number().over(w1)
+    ).filter(F.col("__rn") <= max_per_domain)
+    w2 = Window.partitionBy(domain_col).orderBy("__ok", id_col)
+    kept = (
+        stage1.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= max_per_domain)
+        .drop("__ok", "__rn", "__rn2")
+    )
+    return kept.unionByName(free)
+
+
 def url_dedup(
     df: DataFrame,
     *,
@@ -175,5 +281,7 @@ __all__ = [
     "extract_urls",
     "trim_prose_punctuation",
     "canonical_url",
+    "host_of",
+    "cap_per_domain",
     "url_dedup",
 ]

@@ -289,3 +289,175 @@ def test_canonicalization_is_idempotent(spark):
     )
     bad = twice.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad
+
+
+# ---------------------------------------------------------------------------
+# host_of + cap_per_domain (r10: per-site frequency capping)
+# ---------------------------------------------------------------------------
+
+
+def test_host_of_forms(spark):
+    rows = [
+        (1, "https://WWW.Example.com:8080/a"),
+        (2, "http://sub.test.org/x"),
+        (3, "https://example.com:443/y"),
+        (4, "not a url"),
+        (5, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    from data_toolz_spark.operators.urls import host_of
+
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", host_of("url").alias("h")).collect()
+    }
+    assert got[1] == "example.com"  # www + ANY port stripped
+    assert got[2] == "sub.test.org"  # subdomain kept (finer is safe)
+    assert got[3] == "example.com"
+    assert got[4] is None
+    assert got[5] == "example.com"
+
+
+def _cap_corpus(spark, n=400):
+    """n docs over 3 sites with very skewed counts + some no-URL rows."""
+    rows = []
+    for i in range(n):
+        if i % 10 == 9:
+            url = "nope"  # unparseable → uncapped pass-through
+        elif i % 4 == 0:
+            url = f"https://www.big.com/p/{i}"
+        elif i % 4 in (1, 2):
+            url = f"http://big.com:80/q/{i}"  # same site as above
+        else:
+            url = f"https://small.org/{i}"
+        rows.append((i, url))
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def test_cap_per_domain_counts_and_determinism(spark):
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    df = _cap_corpus(spark)
+    kept = cap_per_domain(
+        df, id_col="doc_id", url_col="url", max_per_domain=25, seed=7
+    )
+    counts = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    # big.com has 300 rows → capped to 25; small.org has 60 → capped
+    # to 25; the 40 unparseable rows pass through with NULL domain
+    assert counts["big.com"] == 25
+    assert counts["small.org"] == 25
+    assert counts[None] == 40
+    # deterministic: a second run (different partitioning) keeps the
+    # SAME ids, not just the same counts
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_domain(
+            df.repartition(13),
+            id_col="doc_id",
+            url_col="url",
+            max_per_domain=25,
+            seed=7,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_cap_per_domain_salt_invariance(spark):
+    """The skew-safe two-stage rank is semantically invisible: every
+    salt_buckets value yields the identical survivor set."""
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    df = _cap_corpus(spark, n=200)
+    base = None
+    for s in (1, 4, 32):
+        ids = sorted(
+            r["doc_id"]
+            for r in cap_per_domain(
+                df,
+                id_col="doc_id",
+                url_col="url",
+                max_per_domain=11,
+                seed=3,
+                salt_buckets=s,
+            ).collect()
+        )
+        if base is None:
+            base = ids
+        assert ids == base, f"salt_buckets={s} changed the survivor set"
+
+
+def test_cap_per_domain_portable_python_twin(spark):
+    """portable=True survivor set replayed exactly by hashlib."""
+    import hashlib
+
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    df = _cap_corpus(spark, n=120)
+    kept = cap_per_domain(
+        df,
+        id_col="doc_id",
+        url_col="url",
+        max_per_domain=5,
+        seed=11,
+        portable=True,
+    )
+    got = sorted(
+        r["doc_id"] for r in kept.filter(
+            F.col("domain").isNotNull()
+        ).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"{i}|11".encode()).hexdigest()[:15], 16)
+
+    sites: dict[str, list[int]] = {}
+    for i in range(120):
+        if i % 10 == 9:
+            continue
+        dom = "big.com" if i % 4 in (0, 1, 2) else "small.org"
+        sites.setdefault(dom, []).append(i)
+    want = sorted(
+        i
+        for ids in sites.values()
+        for i in sorted(ids, key=lambda x: (h(x), x))[:5]
+    )
+    assert got == want
+
+
+def test_cap_per_domain_host_col_and_validation(spark):
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(i, "a.com" if i < 8 else "b.com") for i in range(10)],
+        ["doc_id", "site"],
+    )
+    kept = cap_per_domain(
+        df, id_col="doc_id", host_col="site", max_per_domain=3
+    )
+    counts = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == {"a.com": 3, "b.com": 2}
+    with pytest.raises(ValueError):
+        cap_per_domain(df, id_col="doc_id", max_per_domain=3)
+    with pytest.raises(ValueError):
+        cap_per_domain(
+            df,
+            id_col="doc_id",
+            host_col="site",
+            url_col="site",
+            max_per_domain=3,
+        )
+    with pytest.raises(ValueError):
+        cap_per_domain(
+            df, id_col="doc_id", host_col="site", max_per_domain=0
+        )
