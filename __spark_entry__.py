@@ -1471,10 +1471,12 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_toolz_spark.operators.text_analysis import (
         bigram_logprob,
+        bucket_by_thresholds,
         build_bigram_counts,
         build_vocab,
         keep_document,
         pii_features,
+        rank_thresholds,
         redact_artifacts,
         redact_pii,
         unigram_logprob,
@@ -1532,6 +1534,14 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nll, on="doc_id", how="left")
         .join(bg_nll, on="doc_id", how="left")
     )
+    # r10 (X80): CCNet head/middle/tail strata — exact 1/3–2/3 rank
+    # thresholds over the bg_nll population (histogram-cumsum, integer
+    # target ranks), labels broadcast back onto the scan; the oracle
+    # replays the identical cut points and CASE
+    thr = rank_thresholds(bg_nll, "bg_nll", [(1, 3), (2, 3)])
+    out = bucket_by_thresholds(
+        out, "bg_nll", thr, labels=("head", "middle", "tail")
+    )
     out = pii_features(
         redact_pii(out, "__aug", out_col="__pred"), "__aug"
     )
@@ -1552,6 +1562,7 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.col("__red"), "UTF-8")).alias("redacted_fp"),
         "nll",
         "bg_nll",
+        "ppl_bucket",
         "n_phones",
         "n_ipv4",
         "n_ssn",
@@ -3422,6 +3433,17 @@ WITH tok AS (
   LEFT JOIN bvocab v1 ON bgp.w1 = v1.token
   LEFT JOIN bvocab v2 ON bgp.w2 = v2.token, bvst
   GROUP BY bgp.doc_id
+), bgthr AS (
+  -- r10 (X80): exact CCNet strata cut points — histogram → ordered
+  -- cumulative sum → smallest value whose rank meets the integer
+  -- ceil-target, the same arithmetic rank_thresholds runs on Spark
+  SELECT
+    MIN(v) FILTER (WHERE cum >= (1 * n + 2) // 3) AS t1,
+    MIN(v) FILTER (WHERE cum >= (2 * n + 2) // 3) AS t2
+  FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+    FROM (SELECT bg_nll AS v, COUNT(*) AS c FROM bglm GROUP BY 1)
+  )
 ), b AS (
   SELECT doc_id, text, lower(text) AS low, {_DD_TOKS} AS toks,
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
@@ -3497,9 +3519,13 @@ SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
       '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')) AS redacted_fp,
   lm.nll AS nll,
   bglm.bg_nll AS bg_nll,
+  CASE WHEN bglm.bg_nll IS NULL THEN NULL
+       WHEN bglm.bg_nll <= bgthr.t1 THEN 'head'
+       WHEN bglm.bg_nll <= bgthr.t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket,
   pp.n_phones, pp.n_ipv4, pp.n_ssn, pp.n_cards, pp.pii_redacted_fp
 FROM g LEFT JOIN lm USING (doc_id) LEFT JOIN bglm USING (doc_id)
-JOIN piired pp USING (doc_id)
+JOIN piired pp USING (doc_id), bgthr
 """
 
 

@@ -9,6 +9,8 @@ no Python UDFs.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1340,6 +1342,152 @@ def bigram_logprob(
     )
 
 
+def rank_thresholds(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[tuple[int, int]],
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT rank quantile thresholds of a numeric column: for each
+    fraction ``num/den`` the smallest value ``v`` with
+    ``rank(≤ v) ≥ ⌈num·N/den⌉`` — quantiles as pure integer rank
+    arithmetic, no interpolation, no approximation, so any SQL engine
+    replays the identical cut points (fractions stay integer pairs
+    precisely so the target rank is ``(num·N + den − 1) div den``,
+    never a float product).
+
+    Scale shape — the reason this is not ``percentile_approx`` or a
+    global sort: pass 1 is a value HISTOGRAM (one hash aggregate with
+    map-side combine; only (value, partial count) rows shuffle), and
+    the ordered cumulative sum runs over the histogram, bounded by the
+    column's DISTINCT-value count, not the corpus.  That is the right
+    contract for quality scores, which are quantized by construction
+    (``bg_nll`` carries 4 decimals; the integer signals are small) —
+    for a genuinely unbounded domain use ``dcs_sketch_table`` +
+    ``dcs_quantiles`` instead (sketched, mergeable) and accept the
+    approximation.  NULL values are excluded (they get no rank and
+    :func:`bucket_by_thresholds` gives them a NULL bucket).
+
+    Output: ``group_cols + [q_num, q_den, threshold]``; a group whose
+    population is empty emits no rows.
+    """
+    for num, den in qs:
+        if den < 1 or num < 1 or num > den:
+            raise ValueError(
+                f"rank_thresholds: fraction {num}/{den} must satisfy "
+                "0 < num/den <= 1"
+            )
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*gcols, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*gcols)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    frac = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("q_num"), F.lit(den).alias("q_den")
+                )
+                for num, den in qs
+            ]
+        )
+    ).alias("__q")
+    expanded = cum.select(*gcols, "__v", "__cum", "__n", frac).select(
+        *gcols,
+        "__v",
+        "__cum",
+        "__q.q_num",
+        "__q.q_den",
+        # ⌈num·N/den⌉ in exact integer arithmetic — operands are
+        # non-negative, so `div` is floor division
+        F.expr("(q_num * __n + q_den - 1) div q_den").alias("__target"),
+    )
+    return (
+        expanded.filter(F.col("__cum") >= F.col("__target"))
+        .groupBy(*gcols, "q_num", "q_den")
+        .agg(F.min("__v").alias("threshold"))
+    )
+
+
+def bucket_by_thresholds(
+    df: DataFrame,
+    score_col: str,
+    thresholds: DataFrame,
+    *,
+    group_cols: Sequence[str] = (),
+    bucket_col: str = "ppl_bucket",
+    labels: Sequence[str] | None = None,
+) -> DataFrame:
+    """Label every row by where its score falls among the ``k``
+    thresholds: bucket ``i`` = first threshold (ascending) with
+    ``score ≤ tᵢ``, bucket ``k`` = above all of them.  With
+    ``rank_thresholds`` at 1/3 and 2/3 over an LM score this is the
+    CCNet head/middle/tail split (Wenzek et al. 2020 §4.3 — lower
+    perplexity = "head", the cleanest third of the crawl), which
+    downstream samplers consume as a quality stratum column.
+
+    The thresholds frame (``rank_thresholds`` output, ≤ groups·k rows)
+    folds to ONE array per group and broadcast-joins onto the corpus —
+    the scan acquires its stratum label at map cost, no shuffle of
+    corpus rows.  The bucket index is a codegen'd higher-order
+    ``filter``/``size`` over the threshold array (count of thresholds
+    strictly below the score), never a UDF.  NULL scores → NULL
+    bucket.  ``labels`` defaults to ``b0..bk``; pass
+    ``("head", "middle", "tail")`` for the CCNet naming (length must
+    be k+1).
+    """
+    gcols = list(group_cols)
+    thr = thresholds.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("q_num").cast("double")
+                        / F.col("q_den").cast("double")
+                    ).alias("q"),
+                    F.col("threshold").alias("t"),
+                )
+            )
+        ).alias("__qt")
+    )
+    if labels is None:
+        # only the default-label path needs k ahead of time — a count
+        # over the ≤ groups·k threshold frame, not the corpus
+        k = thresholds.select("q_num", "q_den").distinct().count()
+        labels = tuple(f"b{i}" for i in range(k + 1))
+    thr = thr.withColumn(
+        "__thr", F.expr("transform(__qt, x -> x.t)")
+    ).drop("__qt")
+    if gcols:
+        joined = df.join(F.broadcast(thr), on=gcols, how="left")
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
+    s = F.col(score_col)
+    idx = F.size(F.filter(F.col("__thr"), lambda t: s > t))
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in labels]),
+        (idx + 1).cast("int"),
+    )
+    return joined.withColumn(
+        bucket_col,
+        F.when(s.isNotNull() & F.col("__thr").isNotNull(), lab),
+    ).drop("__thr")
+
+
 __all__ = [
     "language_id",
     "quality_features",
@@ -1363,6 +1511,8 @@ __all__ = [
     "vocab_coverage",
     "unigram_logprob",
     "tfidf_terms",
+    "rank_thresholds",
+    "bucket_by_thresholds",
     "remove_duplicate_spans",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",
