@@ -614,6 +614,7 @@ def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·dim partial-combined cells.
     """
     from data_toolz_spark.operators.clustering import (
+        kcenter_select,
         kmeans_assign,
         kmeans_fit,
     )
@@ -622,8 +623,35 @@ def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = kmeans_fit(
         emb, dim=64, k=4, n_iter=3, seed=42, scale=1024, persist=False
     )
-    return kmeans_assign(emb, model, dist_col="dist2").select(
+    out = kmeans_assign(emb, model, dist_col="dist2").select(
         "vec_id", "cluster", "dist2"
+    )
+    # r10 (X81): greedy k-center coreset selection (Gonzalez) over the
+    # same corpus — md5-seeded start, 3 farthest-point rounds, then
+    # every vector assigned to its nearest exemplar.  The oracle
+    # replays the ENTIRE selection sequence (one min-dist + argmax CTE
+    # pair per round) and the final cover assignment, so pick order,
+    # tie-breaks, and every kc distance are value-verified.
+    kc = kcenter_select(
+        emb, dim=64, m=4, seed=42, scale=1024, persist=False
+    )
+    kca = kmeans_assign(
+        emb,
+        kc.as_kmeans_model(),
+        cluster_col="kc_cluster",
+        dist_col="kc_d2",
+    )
+    picks = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(kc.ids)],
+        "vec_id long, kc_pick int",
+    )
+    return (
+        out.join(kca, on="vec_id")
+        .join(picks, on="vec_id", how="left")
+        .select(
+            "vec_id", "cluster", "dist2", "kc_pick", "kc_cluster",
+            "kc_d2",
+        )
     )
 
 
@@ -3016,7 +3044,8 @@ WHERE len(a.e) > 0 AND len(b.e) > 0
 
 
 def _kmeans_oracle_sql(
-    k: int, n_iter: int, dim: int, seed: int, scale: int
+    k: int, n_iter: int, dim: int, seed: int, scale: int,
+    kc_m: int = 0,
 ) -> str:
     """DuckDB replay of the ENTIRE integer-exact k-means loop
     (operators/clustering.py): quantize → md5-seeded init → n_iter ×
@@ -3076,7 +3105,8 @@ c{i} AS (
     FROM u{i} GROUP BY c
   ) nc USING (c)
 )""")
-    parts.append(f"""
+    if not kc_m:
+        parts.append(f"""
 SELECT vec_id, CAST(c AS INTEGER) AS cluster, CAST(d2 AS BIGINT) AS dist2
 FROM (
   SELECT q.vec_id, c.c, {d2} AS d2,
@@ -3086,6 +3116,64 @@ FROM (
   FROM q CROSS JOIN c{n_iter} c
 )
 WHERE rn = 1
+""")
+        return "".join(parts)
+    # r10 (X81): greedy k-center replay — s0 = md5-min start, then one
+    # (min-dist, argmax) CTE pair per round: the farthest point from
+    # the selected set joins it (ties → smallest id, exactly
+    # ORDER BY md2 DESC, vec_id LIMIT 1, the operator's contract)
+    parts.append(f""",
+s0 AS (
+  SELECT vec_id, v, 0 AS pick FROM (
+    SELECT vec_id, v FROM q
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || '|{seed}'), vec_id
+    LIMIT 1
+  )
+)""")
+    for i in range(1, kc_m):
+        parts.append(f""",
+pm{i} AS (
+  SELECT q.vec_id, MIN({d2.replace("c.v", "s.v")}) AS md2
+  FROM q CROSS JOIN s{i - 1} s
+  GROUP BY q.vec_id
+),
+s{i} AS (
+  SELECT * FROM s{i - 1}
+  UNION ALL
+  SELECT w.vec_id, w.v, {i} AS pick FROM (
+    SELECT p.vec_id, q2.v FROM pm{i} p JOIN q q2 USING (vec_id)
+    ORDER BY p.md2 DESC, p.vec_id LIMIT 1
+  ) w
+)""")
+    parts.append(f""",
+kcf AS (
+  SELECT vec_id, pick AS kc_cluster, d2 AS kc_d2 FROM (
+    SELECT q.vec_id, s.pick, {d2.replace("c.v", "s.v")} AS d2,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {d2.replace("c.v", "s.v")}, s.pick
+           ) AS rn
+    FROM q CROSS JOIN s{kc_m - 1} s
+  ) WHERE rn = 1
+)
+SELECT km.vec_id, km.cluster, km.dist2,
+       CAST(sp.pick AS INTEGER) AS kc_pick,
+       CAST(kcf.kc_cluster AS INTEGER) AS kc_cluster,
+       CAST(kcf.kc_d2 AS BIGINT) AS kc_d2
+FROM (
+  SELECT vec_id, CAST(c AS INTEGER) AS cluster,
+         CAST(d2 AS BIGINT) AS dist2
+  FROM (
+    SELECT q.vec_id, c.c, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {d2}, c.c
+           ) AS rn
+    FROM q CROSS JOIN c{n_iter} c
+  )
+  WHERE rn = 1
+) km
+JOIN kcf USING (vec_id)
+LEFT JOIN (SELECT vec_id, pick FROM s{kc_m - 1}) sp USING (vec_id)
 """)
     return "".join(parts)
 
@@ -4103,7 +4191,7 @@ JOIN customer ON o_custkey = c_custkey
         # incremental_novel_docs / pipeline_clean_corpus); slot now
         # value-verifies the full distributed k-means training loop
         "embedding_kmeans": _kmeans_oracle_sql(
-            k=4, n_iter=3, dim=64, seed=42, scale=1024
+            k=4, n_iter=3, dim=64, seed=42, scale=1024, kc_m=4
         ),
         # dedup_minhash oracle retired with its qid (folded r6); the
         # same pairs SQL lives on inside dedup_cc_drop and, restricted

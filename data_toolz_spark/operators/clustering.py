@@ -294,6 +294,137 @@ def kmeans_cluster_profile(
     )
 
 
+@dataclass(frozen=True)
+class KCenterResult:
+    """Greedy k-center selection state: the picked ids in selection
+    order, their quantized vectors (m × dim — bounded driver state,
+    same contract as ``KMeansModel.centers``), and the coverage radii
+    sequence (``radii[i]`` = squared distance of pick ``i`` to the
+    previously selected set = the corpus coverage radius after ``i``
+    centers — the classic diminishing-returns curve to plot when
+    choosing m)."""
+
+    ids: tuple
+    centers: np.ndarray
+    radii: tuple[int, ...]
+    scale: int
+    seed: int
+
+    @property
+    def m(self) -> int:
+        return int(self.centers.shape[0])
+
+    def as_kmeans_model(self) -> KMeansModel:
+        """View the selection as a centroid model so
+        :func:`kmeans_assign` can assign every corpus vector to its
+        nearest selected exemplar (cluster id = pick order)."""
+        return KMeansModel(
+            centers=self.centers, scale=self.scale, n_iter=0,
+            seed=self.seed,
+        )
+
+
+def kcenter_select(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    seed: int = 42,
+    scale: int = 1024,
+    persist: bool = True,
+) -> KCenterResult:
+    """Greedy farthest-point k-center selection (Gonzalez 1985) over
+    an embedding corpus — the DIVERSITY complement to the similarity
+    stack's dedup: where SemDeDup drops what is redundant, k-center
+    picks the ``m`` exemplars that best COVER the corpus (every point
+    within the returned radius of some pick; the greedy set is a
+    2-approximation of the optimal k-center cover).  Training-data
+    uses: seed sets for active labeling, diverse eval panels, coreset
+    pre-selection before expensive human/model scoring (Sener &
+    Savarese 2018 use exactly this rule for coreset selection).
+
+    Integer-exact like :func:`kmeans_fit` (same ``floor(x·scale)``
+    grid, same int64 distance identity), so the ENTIRE selection
+    sequence is a pure function of (ids, seed) — repartition-
+    invariant and SQL-replayable: start from the smallest
+    ``md5(id|seed)`` vector, then ``m−1`` rounds of "the point whose
+    min-distance to the selected set is LARGEST" (ties → smallest
+    id, exactly ``ORDER BY d2 DESC, id LIMIT 1``).
+
+    Scale shape per round: one Arrow matmul scan computes every
+    point's min-distance to the ≤ m selected centers riding in the
+    kernel closure (no shuffle of vectors), and ONE (d2, id) row
+    reaches the driver via TakeOrdered — total O(n·m) distance work
+    across m rounds, driver state m×dim.  The recompute-per-round
+    design is deliberate: an incremental running-min column would
+    need a checkpoint chain (plan growth, files), while the
+    stateless rescan is the same cost shape as ``kmeans_fit`` and
+    keeps every round independently replayable.
+
+    Stops early (returns < m picks) when the farthest remaining point
+    is at distance 0 — the corpus has fewer distinct vectors than
+    ``m``, and duplicating exemplars would be pure noise downstream.
+    """
+    _validate(max(m, 2), 1, scale, dim)
+    id_type = df.schema[id_col].dataType.simpleString()
+    q = _quantized(df, id_col, vec_col, dim, scale).withColumnRenamed(
+        id_col, "id_out"
+    )
+    if persist:
+        q = q.persist()
+    try:
+        row0 = (
+            q.select(
+                "id_out",
+                "__qv",
+                F.md5(
+                    F.concat(
+                        F.col("id_out").cast("string"), F.lit(f"|{seed}")
+                    )
+                ).alias("__h"),
+            )
+            .orderBy("__h", "id_out")
+            .limit(1)
+            .collect()
+        )
+        if not row0:
+            raise ValueError(
+                "kcenter_select: no usable vectors in the corpus"
+            )
+        ids = [row0[0]["id_out"]]
+        centers = np.asarray([row0[0]["__qv"]], dtype=np.int64)
+        radii: list[int] = []
+        for _ in range(1, m):
+            kernel, schema = _assign_kernel(
+                centers, id_type, with_vec=True, with_dist=True
+            )
+            far = (
+                q.mapInPandas(kernel, schema)
+                .orderBy(F.desc("dist2"), F.asc("id_out"))
+                .limit(1)
+                .collect()
+            )
+            if not far or far[0]["dist2"] == 0:
+                break  # corpus exhausted: every point is a duplicate
+            ids.append(far[0]["id_out"])
+            radii.append(int(far[0]["dist2"]))
+            centers = np.vstack(
+                [centers, np.asarray(far[0]["qv"], dtype=np.int64)]
+            )
+    finally:
+        if persist:
+            q.unpersist()
+    return KCenterResult(
+        ids=tuple(ids),
+        centers=centers,
+        radii=tuple(radii),
+        scale=scale,
+        seed=seed,
+    )
+
+
 def save_kmeans_model(spark, model: KMeansModel, table: str) -> None:
     """Persist the model as a k-row table ``(cluster, center, scale,
     n_iter, seed)`` — train once, assign daily: the production
@@ -335,9 +466,11 @@ def load_kmeans_model(spark, table: str) -> KMeansModel:
 
 __all__ = [
     "KMeansModel",
+    "KCenterResult",
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_cluster_profile",
+    "kcenter_select",
     "save_kmeans_model",
     "load_kmeans_model",
 ]

@@ -198,3 +198,119 @@ def test_model_save_load_roundtrip(spark):
         load_kmeans_model(spark, "t_kmeans_model_missing")
     drop_stale_table(spark, table)
     drop_stale_table(spark, "t_kmeans_model_missing")
+
+
+# ---------------------------------------------------------------------------
+# kcenter_select (r10: greedy farthest-point coreset selection)
+# ---------------------------------------------------------------------------
+
+
+def _ref_kcenter(ids, vecs, *, m, seed, scale):
+    """Pure-Python twin: md5-min start, then m-1 rounds of argmax over
+    min-dist-to-selected (ties → smallest id), early stop at d2=0."""
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * scale).astype(
+        np.int64
+    )
+    start = min(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"{ids[i]}|{seed}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    sel = [start]
+    radii = []
+    for _ in range(1, m):
+        mind2 = (
+            ((q[:, None, :] - q[sel][None, :, :]) ** 2).sum(-1).min(1)
+        )
+        far = min(
+            range(len(ids)), key=lambda i: (-int(mind2[i]), ids[i])
+        )
+        if mind2[far] == 0:
+            break
+        sel.append(far)
+        radii.append(int(mind2[far]))
+    return [ids[i] for i in sel], radii
+
+
+def test_kcenter_matches_python_twin(spark):
+    from data_toolz_spark.operators.clustering import kcenter_select
+
+    rng = np.random.default_rng(5)
+    n, dim, m = 90, 5, 7
+    vecs = rng.normal(size=(n, dim)) * 3
+    ids = list(range(n))
+    df = _frame(spark, ids, vecs)
+    res = kcenter_select(
+        df, dim=dim, m=m, seed=13, scale=1024, persist=False
+    )
+    want_ids, want_radii = _ref_kcenter(
+        ids, vecs, m=m, seed=13, scale=1024
+    )
+    assert list(res.ids) == want_ids
+    assert list(res.radii) == want_radii
+    # radii are non-increasing — the greedy coverage guarantee
+    assert all(
+        a >= b for a, b in zip(res.radii, res.radii[1:])
+    ), res.radii
+
+
+def test_kcenter_repartition_invariance(spark):
+    from data_toolz_spark.operators.clustering import kcenter_select
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(60, 4))
+    df = _frame(spark, list(range(60)), vecs)
+    a = kcenter_select(
+        df, dim=4, m=5, seed=3, scale=1024, persist=False
+    )
+    b = kcenter_select(
+        df.repartition(11), dim=4, m=5, seed=3, scale=1024,
+        persist=False,
+    )
+    assert a.ids == b.ids and a.radii == b.radii
+    assert np.array_equal(a.centers, b.centers)
+
+
+def test_kcenter_early_stop_on_duplicates(spark):
+    """Fewer distinct vectors than m → selection stops, no duplicate
+    exemplars."""
+    from data_toolz_spark.operators.clustering import kcenter_select
+
+    base = [[1.0, 0.0], [0.0, 1.0], [5.0, 5.0]]
+    rows = [(i, base[i % 3]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    res = kcenter_select(df, dim=2, m=10, seed=1, persist=False)
+    assert res.m == 3
+    assert len(res.radii) == 2
+
+
+def test_kcenter_assignment_via_model_view(spark):
+    """as_kmeans_model: every corpus vector assigns to its nearest
+    pick, and no distance exceeds the last coverage radius."""
+    from data_toolz_spark.operators.clustering import kcenter_select
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(80, 3))
+    df = _frame(spark, list(range(80)), vecs)
+    res = kcenter_select(
+        df, dim=3, m=6, seed=21, scale=1024, persist=False
+    )
+    assigned = kmeans_assign(
+        df, res.as_kmeans_model(), cluster_col="pick", dist_col="d2"
+    )
+    rows = assigned.collect()
+    assert len(rows) == 80
+    # the selected ids assign to themselves at distance 0
+    sel = {r["vec_id"]: r for r in rows if r["vec_id"] in res.ids}
+    for i, vid in enumerate(res.ids):
+        assert sel[vid]["pick"] == i and sel[vid]["d2"] == 0
+    # coverage: after the last pick every point is within the radius
+    # the NEXT pick would have had — i.e. max d2 <= last recorded
+    # radius is not guaranteed, but max d2 must equal the d2 of the
+    # point the (m+1)-th round would pick; check the weaker monotone
+    # bound: max d2 <= radii[-1]
+    assert max(r["d2"] for r in rows) <= res.radii[-1]
