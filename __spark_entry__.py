@@ -800,14 +800,33 @@ def dedup_cc_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is UNCHANGED: the fp-level closure expands to exactly the
     member-level closure (pinned against the pair path in
     tests/test_operators.py), so the same recursive CTE verifies it.
-    """
-    from data_toolz_spark.operators.dedup import minhash_components
 
-    cc = minhash_components(
-        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    X82 fold (r10): quality-aware canonical selection — every dropped
+    row also names ``q_kept``, the member its cluster KEEPS under
+    ``component_representatives`` with text length as the quality
+    signal (longest member wins, ties → smallest id; the skew-safe
+    two-stage argmax runs on the Spark side).  The oracle rebuilds the
+    same per-component argmax from the recursive closure, so the
+    best-member policy is value-verified against real clusters, not
+    just pytest corpora.
+    """
+    from data_toolz_spark.operators.dedup import (
+        component_representatives,
+        minhash_components,
     )
-    return cc.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("drop_id")
+
+    docs = load(spark, sf_dir, "documents")
+    cc = minhash_components(docs, "doc_id", "text", threshold=0.8)
+    reps = component_representatives(
+        cc,
+        docs.select(
+            F.col("doc_id").alias("id"), F.length("text").alias("tl")
+        ),
+        score_col="tl",
+    )
+    return reps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("drop_id"),
+        F.col("kept_id").alias("q_kept"),
     )
 
 
@@ -4211,8 +4230,25 @@ reach(u, v) AS (
   SELECT u, v FROM edges
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS component
+  FROM reach GROUP BY u
+),
+rep AS (
+  -- r10 (X82): quality-aware keeper — longest text, ties → min id
+  SELECT component, id AS kept FROM (
+    SELECT c.component, c.id,
+           row_number() OVER (
+             PARTITION BY c.component
+             ORDER BY length(d.text) DESC, c.id
+           ) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.id
+  ) WHERE rn = 1
 )
-SELECT u AS drop_id FROM reach GROUP BY u HAVING MIN(v) < u
+SELECT c.id AS drop_id, r.kept AS q_kept
+FROM comp c JOIN rep r USING (component)
+WHERE c.component < c.id
 """,
         "dedup_simhash64_band": f"""
 WITH sh AS ({_SIMHASH64_SQL})

@@ -609,6 +609,117 @@ def near_duplicate_drop_list(
     )
 
 
+def component_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "id",
+    component_col: str = "component",
+    score_col: str,
+    keep_highest: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Quality-aware canonical member per near-dup cluster: instead of
+    the min-id policy (:func:`near_duplicate_drop_list` — right for
+    determinism, blind to content), keep the member with the BEST
+    score — what production dedup actually wants, since near-dup
+    clusters mix clean originals with boilerplate-wrapped or truncated
+    copies and "lowest id" keeps whichever crawled first.  Feed it any
+    per-doc signal: ``quality_score``, ``bg_nll``
+    (``keep_highest=False`` — lower perplexity is better), token
+    count, PageRank.
+
+    Selection is deterministic: best score, ties → smallest id;
+    members missing from ``scores`` (or with NULL score) sort LAST, so
+    an unscored copy never beats a scored one and an all-unscored
+    cluster falls back to exactly the min-id policy.
+
+    Scale shape: the argmax-per-component runs as the same two-stage
+    skew-safe top-1 as ``cap_per_domain`` (stage 1 within
+    ``(component, salt)``, stage 2 over the ≤ ``salt_buckets``
+    finalists), so a mega-cluster — the known failure mode of
+    real-world LSH graphs — never pins one task.  The winner map
+    (one row per component) then equi-joins back onto the membership;
+    AQE's skew-join split handles the mega-component's member side.
+
+    Output: ``(id_col, component_col, kept_id, kept_score)`` — one row
+    per MEMBER; the drop list is ``id != kept_id``, the keep list is
+    the distinct ``kept_id``.
+    """
+    if salt_buckets < 1:
+        raise ValueError(
+            "component_representatives: salt_buckets must be >= 1"
+        )
+    from pyspark.sql.window import Window
+
+    direction = (
+        F.desc_nulls_last(score_col)
+        if keep_highest
+        else F.asc_nulls_last(score_col)
+    )
+    scored = components.select(
+        F.col(id_col), F.col(component_col)
+    ).join(
+        scores.select(
+            F.col(id_col), F.col(score_col)
+        ),
+        on=id_col,
+        how="left",
+    )
+    w1 = Window.partitionBy(
+        component_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)),
+    ).orderBy(direction, F.asc(id_col))
+    stage1 = scored.withColumn(
+        "__rn", F.row_number().over(w1)
+    ).filter(F.col("__rn") == 1)
+    w2 = Window.partitionBy(component_col).orderBy(
+        direction, F.asc(id_col)
+    )
+    kept = (
+        stage1.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") == 1)
+        .select(
+            F.col(component_col),
+            F.col(id_col).alias("kept_id"),
+            F.col(score_col).alias("kept_score"),
+        )
+    )
+    return components.select(F.col(id_col), F.col(component_col)).join(
+        kept, on=component_col, how="inner"
+    ).select(id_col, component_col, "kept_id", "kept_score")
+
+
+def quality_aware_drop_list(
+    pairs: DataFrame,
+    scores: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    score_col: str,
+    keep_highest: bool = True,
+) -> DataFrame:
+    """Drop list that keeps the BEST-scoring member of every near-dup
+    cluster: transitive closure over ``pairs``
+    (:func:`connected_components`), then
+    :func:`component_representatives` — the quality-aware twin of
+    ``near_duplicate_drop_list(exact=True)``.  Output: ``drop_id``.
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    reps = component_representatives(
+        cc,
+        scores.select(F.col(id_col).alias("id"), F.col(score_col)),
+        id_col="id",
+        component_col="component",
+        score_col=score_col,
+        keep_highest=keep_highest,
+    )
+    return reps.filter(F.col("id") != F.col("kept_id")).select(
+        F.col("id").alias("drop_id")
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1332,6 +1443,8 @@ __all__ = [
     "minhash_near_duplicates",
     "minhash_components",
     "near_duplicate_drop_list",
+    "component_representatives",
+    "quality_aware_drop_list",
     "connected_components",
     "exact_jaccard_pairs",
     "jaccard",
