@@ -597,7 +597,9 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_kmeans_q(
+    spark: SparkSession, sf_dir: str, *, _with_kcenter: bool = True
+) -> DataFrame:
     """X63 (r9): distributed INTEGER-EXACT k-means over the embeddings
     corpus — the clustering primitive curation pipelines build on
     (cluster-balanced sampling, per-cluster dedup, coarse quantizers).
@@ -626,6 +628,8 @@ def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kmeans_assign(emb, model, dist_col="dist2").select(
         "vec_id", "cluster", "dist2"
     )
+    if not _with_kcenter:
+        return out  # bench DEFN_PIN: the r9 headline definition
     # r10 (X81): greedy k-center coreset selection (Gonzalez) over the
     # same corpus — md5-seeded start, 3 farthest-point rounds, then
     # every vector assigned to its nearest exemplar.  The oracle
@@ -788,7 +792,9 @@ def dedup_minhash_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_drop_list(pairs, exact=False)
 
 
-def dedup_cc_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cc_drop_q(
+    spark: SparkSession, sf_dir: str, *, _with_quality_rep: bool = True
+) -> DataFrame:
     """X22 exact: drop list via TRUE transitive closure (oracle:
     recursive-CTE reachability over the member pair graph in DuckDB).
 
@@ -817,6 +823,11 @@ def dedup_cc_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     cc = minhash_components(docs, "doc_id", "text", threshold=0.8)
+    if not _with_quality_rep:
+        # bench DEFN_PIN: the r6-r9 headline definition (min-id drop)
+        return cc.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("drop_id")
+        )
     reps = component_representatives(
         cc,
         docs.select(

@@ -197,8 +197,34 @@ def _text_lang_id_prefold(spark, sf_dir):
     return entrymod.text_lang_id_q(spark, sf_dir, _with_clf_training=False)
 
 
+def _dedup_cc_drop_prefold(spark, sf_dir):
+    """The r6-r9 definition of the dedup_cc_drop qid (min-id drop list
+    only).  r10 folded quality-aware canonical selection into the
+    registered qid (component_representatives over text length — one
+    extra scores scan + the two-stage argmax); the pin keeps the
+    per-entry series comparable, the composite is x_cc_quality."""
+    return entrymod.dedup_cc_drop_q(
+        spark, sf_dir, _with_quality_rep=False
+    )
+
+
+def _embedding_kmeans_prefold(spark, sf_dir):
+    """The r9 definition of the embedding_kmeans qid (Lloyd's only).
+    r10 folded the greedy k-center selection + cover assignment into
+    the registered qid (3 extra argmax scans + one assignment); the
+    pin keeps the per-entry series comparable, the selection alone is
+    x_kcenter."""
+    return entrymod.embedding_kmeans_q(
+        spark, sf_dir, _with_kcenter=False
+    )
+
+
 DEFN_PIN = {
     "dedup_embedding": _dedup_embedding_blocked,
+    # r10 folds pinned out of the per-entry series (composites get
+    # their own x_ entries)
+    "dedup_cc_drop": _dedup_cc_drop_prefold,
+    "embedding_kmeans": _embedding_kmeans_prefold,
     # r9: BPE-training fold (X61) pinned out of the headline series
     "text_bpe_tokens": _text_bpe_tokens_prefold,
     # r10: multiclass-classifier fold pinned out of the headline series
@@ -928,6 +954,75 @@ def _x_token_pack(spark, sf_dir):
     )
 
 
+def _x_cc_quality(spark, sf_dir):
+    """The r10 dedup_cc_drop composite: transitive-closure clusters +
+    quality-aware (longest-member) canonical selection."""
+    return entrymod.dedup_cc_drop_q(spark, sf_dir)
+
+
+def _x_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (m=8) + full-corpus cover
+    assignment — m-1 argmax scans with one row to the driver each,
+    then one Arrow assignment scan."""
+    from data_toolz_spark.operators.clustering import (
+        kcenter_select,
+        kmeans_assign,
+    )
+
+    emb = entrymod.load(spark, sf_dir, "embeddings")
+    kc = kcenter_select(emb, dim=64, m=8, seed=42, scale=1024)
+    return kmeans_assign(
+        emb, kc.as_kmeans_model(), cluster_col="pick", dist_col="d2"
+    )
+
+
+def _x_domain_cap(spark, sf_dir):
+    """Per-site frequency cap over doc_id-synthesized URLs (50 sites,
+    cap 20): the skew-safe two-stage hash-lottery rank."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return cap_per_domain(
+        urls, id_col="doc_id", url_col="url", max_per_domain=20
+    )
+
+
+def _x_ppl_strata(spark, sf_dir):
+    """CCNet strata end-to-end: bigram-LM scoring (model trained on
+    the even half) → exact 1/3-2/3 rank thresholds → head/middle/tail
+    labels broadcast onto the corpus."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        bucket_by_thresholds,
+        build_bigram_counts,
+        build_vocab,
+        rank_thresholds,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    scored = bigram_logprob(
+        docs, build_bigram_counts(even), build_vocab(even)
+    )
+    thr = rank_thresholds(scored, "bg_nll", [(1, 3), (2, 3)])
+    return bucket_by_thresholds(
+        scored, "bg_nll", thr, labels=("head", "middle", "tail")
+    )
+
+
 EXTRAS = {
     "x_bpe_train": _x_bpe_train,
     "x_lang_clf": _x_lang_clf,
@@ -955,6 +1050,11 @@ EXTRAS = {
     "x_decon_hashed": _x_decon_hashed,
     "x_prepare_corpus": _x_prepare_corpus,
     "x_phash_mega_components": _x_phash_mega_components,
+    # r10 session-2 additions (X79-X82)
+    "x_cc_quality": _x_cc_quality,
+    "x_kcenter": _x_kcenter,
+    "x_domain_cap": _x_domain_cap,
+    "x_ppl_strata": _x_ppl_strata,
 }
 
 
