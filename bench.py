@@ -495,6 +495,13 @@ def _prepare_corpus_stage_times(spark) -> dict:
         ("chunk", {"chunk_max_words": full["chunk_max_words"],
                    "chunk_overlap": full["chunk_overlap"]}),
         ("pack", {"pack_budget": full["pack_budget"]}),
+        # r10 session-2 tiers appended AFTER the historical rows so
+        # the pre-existing cumulative/marginal series stays comparable
+        # (same convention as the media block below); domain_cap has
+        # no URL column on the synthetic docs and is timed as
+        # x_domain_cap instead
+        ("quality_keep", {"near_dup_keep": "longest"}),
+        ("ppl_strata", {"ppl_strata": {}}),
     ]
     cfg = dict(off)
     eval_df = None
@@ -530,6 +537,13 @@ def _prepare_corpus_stage_times(spark) -> dict:
         y4m_neardup_table,
     )
 
+    # the media rows' r10 series was recorded against the TEXT config
+    # only — strip the session-2 tiers so their marginals stay
+    # attributed to their own rows above, not folded in here
+    cfg = {
+        k: v for k, v in cfg.items()
+        if k not in ("near_dup_keep", "ppl_strata")
+    }
     media_n = min(n_docs, 1024)
 
     def media_col(builder, name):

@@ -118,7 +118,10 @@ def prepare_training_corpus(
     line_sep: str = "\n",
     span_dedup_n: int | None = None,
     near_dup_threshold: float | None = 0.8,
+    near_dup_keep: str = "min_id",
     media_dedup: Sequence[Mapping] | None = None,
+    domain_cap: Mapping | None = None,
+    ppl_strata: Mapping | None = None,
     decontaminate_n: int = 8,
     fractions: Mapping[str, float] | None = None,
     chunk_max_words: int | None = None,
@@ -138,14 +141,52 @@ def prepare_training_corpus(
 
     ``eval_df`` (the benchmark set) enables decontamination; it only
     needs ``text_col``.
+
+    r10 session-2 tiers (all optional):
+
+    * ``domain_cap`` — the C4/RefinedWeb per-site frequency cap, FIRST
+      (URL-tier work precedes content work): a dict of
+      :func:`~data_toolz_spark.operators.urls.cap_per_domain` kwargs
+      (``url_col`` or ``host_col``, ``max_per_domain``, optionally
+      ``seed`` / ``salt_buckets`` / ``portable``).
+    * ``near_dup_keep="longest"`` — quality-aware canonical selection
+      in the near-dup stage: each cluster keeps its LONGEST member
+      (ties → min id) instead of the min-id member.  The component
+      map — and therefore the leakage-safe split routing — is
+      unchanged; only which member survives differs.
+    * ``ppl_strata`` — CCNet head/middle/tail labeling: a bigram LM
+      trains on the SURVIVING corpus (post-dedup, post-decontamination
+      — the cleanest text available, the CCNet posture), every doc
+      scores, and exact rank thresholds cut the strata.  Dict keys:
+      ``qs`` (default ``((1,3),(2,3))``), ``labels`` (default
+      head/middle/tail), ``out_col`` (default ``ppl_bucket``).  Adds
+      a column to the doc-level output; with ``chunk_max_words`` the
+      chunk rows do not carry it (chunk output schema is fixed).
+      The LM's vocab stats collect at call time (two bounded scalars).
     """
     from data_toolz_spark.operators.text_analysis import (
         keep_document,
         line_dedup,
     )
 
+    if near_dup_keep not in ("min_id", "longest"):
+        raise ValueError(
+            "prepare_training_corpus: near_dup_keep must be 'min_id' "
+            f"or 'longest', got {near_dup_keep!r}"
+        )
+
     base_cols = docs.columns
     out = docs
+
+    # 0. per-site frequency cap (optional) — before any content work:
+    # rows a site is over quota for never pay tokenization, hashing,
+    # or dedup I/O
+    if domain_cap is not None:
+        from data_toolz_spark.operators.urls import cap_per_domain
+
+        out = cap_per_domain(
+            out, id_col=id_col, **dict(domain_cap)
+        ).select(*base_cols)
 
     # 1. per-document quality gate (map-only)
     out = keep_document(out, text_col, thresholds=quality_thresholds)
@@ -255,9 +296,29 @@ def prepare_training_corpus(
         cc = minhash_components(
             out, id_col, text_col, threshold=near_dup_threshold
         )
-        drops = cc.filter(F.col("id") != F.col("component")).select(
-            F.col("id").alias(id_col)
-        )
+        if near_dup_keep == "longest":
+            # quality-aware survivor: the cluster's longest member
+            # (ties → min id) — the split routing below still keys on
+            # the component MIN, so leakage-safety is untouched
+            from data_toolz_spark.operators.dedup import (
+                component_representatives,
+            )
+
+            reps = component_representatives(
+                cc,
+                out.select(
+                    F.col(id_col).alias("id"),
+                    F.length(text_col).alias("__s"),
+                ),
+                score_col="__s",
+            )
+            drops = reps.filter(
+                F.col("id") != F.col("kept_id")
+            ).select(F.col("id").alias(id_col))
+        else:
+            drops = cc.filter(
+                F.col("id") != F.col("component")
+            ).select(F.col("id").alias(id_col))
         out = out.join(drops, on=id_col, how="left_anti")
 
     # 3b. content-fingerprint near-dup tiers (r10, optional): image /
@@ -326,6 +387,64 @@ def prepare_training_corpus(
             n=decontaminate_n,
         ).select(id_col)
         out = out.join(flagged, on=id_col, how="left_anti")
+
+    # 4b. CCNet perplexity strata (r10, optional): bigram LM trained
+    # on the surviving corpus, exact rank thresholds, labels joined
+    # back by id.  After decontamination (train on the cleanest text),
+    # before the split (samplers stratify within splits downstream).
+    if ppl_strata is not None:
+        from data_toolz_spark.operators.text_analysis import (
+            bigram_logprob,
+            bucket_by_thresholds,
+            build_bigram_counts,
+            build_vocab,
+            rank_thresholds,
+        )
+
+        # two costs to contain here (measured 108-114 s marginal at
+        # sf0.01 before, ~3 s after):
+        # 1. the LM reads the surviving corpus five times (vocab,
+        #    bigram counts, vocab stats, scoring, thresholds) — the
+        #    persist makes the re-reads cache hits;
+        # 2. the strata join embeds the corpus subtree in the final
+        #    plan several more times, and the ANALYZER re-walks the
+        #    full upstream tree per occurrence (persist does not
+        #    shrink the logical plan) — the lazy checkpoint truncates
+        #    lineage, the same device as the media tiers.
+        if persist_cleaned:
+            from pyspark import StorageLevel
+
+            from data_toolz_spark.cache import track
+
+            out = track(out.persist(StorageLevel.MEMORY_AND_DISK))
+        spark_ = out.sparkSession
+        if spark_.sparkContext.getCheckpointDir() is not None:
+            out = out.checkpoint(eager=False)
+        else:
+            out = out.localCheckpoint(eager=False)
+
+        spec = dict(ppl_strata)
+        qs = [tuple(q) for q in spec.get("qs", ((1, 3), (2, 3)))]
+        labels = tuple(
+            spec.get("labels", ("head", "middle", "tail"))
+        )
+        bucket_col = spec.get("out_col", "ppl_bucket")
+        scored = bigram_logprob(
+            out,
+            build_bigram_counts(out, text_col),
+            build_vocab(out, text_col),
+            text_col,
+            id_col=id_col,
+        )
+        thr = rank_thresholds(scored, "bg_nll", qs)
+        labeled = bucket_by_thresholds(
+            scored,
+            "bg_nll",
+            thr,
+            bucket_col=bucket_col,
+            labels=labels,
+        ).select(id_col, bucket_col)
+        out = out.join(labeled, on=id_col, how="left")
 
     # 5. deterministic split — leakage-safe when a component map exists
     fracs = dict(fractions or {"train": 0.98, "val": 0.01, "test": 0.01})

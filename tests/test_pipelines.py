@@ -346,3 +346,132 @@ def test_pipeline_trained_quality_and_lang_gates(spark):
 
     with _pytest.raises(ValueError, match="keep_langs"):
         prepare_training_corpus(docs, None, lang_model=lmodel, **kw)
+
+
+# ---------------------------------------------------------------------------
+# r10 session-2 tiers: domain cap, quality-aware keep, perplexity strata
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_domain_cap_stage(spark):
+    """The cap runs FIRST: a template-heavy site shrinks to its quota
+    before any content stage sees it; no-URL docs pass uncapped."""
+    body = " ".join(f"unique{i} token{i % 13} word{i % 7}"
+                    for i in range(40))
+    rows = [
+        (i, f"spam farm page {i} " + body,
+         f"https://farm.example/p/{i}")
+        for i in range(30)
+    ] + [
+        (100 + i, f"healthy site doc {i} " + body, None)
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string"
+    )
+    out = prepare_training_corpus(
+        docs,
+        None,
+        domain_cap={"url_col": "url", "max_per_domain": 5},
+        near_dup_threshold=None,
+        fractions=FRACS,
+    )
+    got = [r["doc_id"] for r in out.collect()]
+    assert sum(1 for i in got if i < 100) == 5  # farm capped to 5
+    assert sum(1 for i in got if i >= 100) == 3  # NULL-url uncapped
+    # deterministic under repartitioning
+    got2 = [
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            docs.repartition(7),
+            None,
+            domain_cap={"url_col": "url", "max_per_domain": 5},
+            near_dup_threshold=None,
+            fractions=FRACS,
+        ).collect()
+    ]
+    assert sorted(got) == sorted(got2)
+
+
+def test_pipeline_near_dup_keep_longest(spark, corpus, eval_df):
+    """near_dup_keep='longest': the near-dup cluster {1, 2} keeps 2
+    (the longer member) where the min-id policy keeps 1; split
+    leakage-safety still holds (only one member survives at all)."""
+    base = dict(fractions=FRACS, line_dedup_max_doc_freq=3)
+    kept_min = {
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            corpus, eval_df, **base
+        ).collect()
+    }
+    kept_long = {
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            corpus, eval_df, near_dup_keep="longest", **base
+        ).collect()
+    }
+    assert 1 in kept_min and 2 not in kept_min
+    assert 2 in kept_long and 1 not in kept_long
+    assert kept_min - {1} == kept_long - {2}
+    with pytest.raises(ValueError):
+        prepare_training_corpus(corpus, None, near_dup_keep="best")
+
+
+def test_pipeline_ppl_strata_stage(spark):
+    """ppl_strata labels the doc-level output head/middle/tail by the
+    self-trained bigram LM; docs with < 2 tokens carry NULL."""
+    def w3(n):
+        return (
+            chr(97 + (n // 676) % 26)
+            + chr(97 + (n // 26) % 26)
+            + chr(97 + n % 26)
+        )
+
+    rng_rows = []
+    for i in range(30):
+        # mostly-distinct 3-letter words; overlap across docs varies
+        # with i so the LM scores spread
+        words = " ".join(
+            w3(i * 61 + j * (1 + i % 5)) for j in range(30)
+        )
+        rng_rows.append((i, "common prefix words " + words))
+    docs = spark.createDataFrame(rng_rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        docs,
+        None,
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=None,
+        ppl_strata={},
+        fractions=FRACS,
+    )
+    rows = out.collect()
+    assert "ppl_bucket" in out.columns
+    buckets = {r["ppl_bucket"] for r in rows}
+    assert buckets <= {"head", "middle", "tail"}
+    counts = {
+        b: sum(1 for r in rows if r["ppl_bucket"] == b)
+        for b in ("head", "middle", "tail")
+    }
+    # rank-threshold invariants (exact under ties, which pull tied
+    # scores into the LOWER bucket): head covers at least ceil(n/3),
+    # head+middle at least ceil(2n/3), everything is labeled
+    n = len(rows)
+    assert counts["head"] >= (n + 2) // 3, counts
+    assert counts["head"] + counts["middle"] >= (2 * n + 2) // 3, counts
+    assert sum(counts.values()) == n, counts
+    # custom labels + quartiles
+    out4 = prepare_training_corpus(
+        docs,
+        None,
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=None,
+        ppl_strata={
+            "qs": ((1, 4), (1, 2), (3, 4)),
+            "labels": ("q1", "q2", "q3", "q4"),
+            "out_col": "ppl_q",
+        },
+        fractions=FRACS,
+    )
+    assert {r["ppl_q"] for r in out4.collect()} <= {
+        "q1", "q2", "q3", "q4"
+    }
