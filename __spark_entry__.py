@@ -630,7 +630,7 @@ def embedding_kmeans_q(
     )
     if not _with_kcenter:
         return out  # bench DEFN_PIN: the r9 headline definition
-    # r10 (X81): greedy k-center coreset selection (Gonzalez) over the
+    # r10 (X82): greedy k-center coreset selection (Gonzalez) over the
     # same corpus — md5-seeded start, 3 farthest-point rounds, then
     # every vector assigned to its nearest exemplar.  The oracle
     # replays the ENTIRE selection sequence (one min-dist + argmax CTE
@@ -807,7 +807,7 @@ def dedup_cc_drop_q(
     member-level closure (pinned against the pair path in
     tests/test_operators.py), so the same recursive CTE verifies it.
 
-    X82 fold (r10): quality-aware canonical selection — every dropped
+    X83 fold (r10): quality-aware canonical selection — every dropped
     row also names ``q_kept``, the member its cluster KEEPS under
     ``component_representatives`` with text length as the quality
     signal (longest member wins, ties → smallest id; the skew-safe
@@ -1353,7 +1353,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked end-to-end: trim → canonicalize → min-id drop
     window (``is_dup``).
 
-    X79 fold (r10): the per-site frequency cap — ``host_of`` +
+    X80 fold (r10): the per-site frequency cap — ``host_of`` +
     ``cap_per_domain`` (the C4/RefinedWeb domain-cap tier) attested
     per doc as ``domain`` + ``cap_keep``: at most 25 docs per host
     survive a portable md5 hash lottery, and DuckDB replays the
@@ -1592,7 +1592,7 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nll, on="doc_id", how="left")
         .join(bg_nll, on="doc_id", how="left")
     )
-    # r10 (X80): CCNet head/middle/tail strata — exact 1/3–2/3 rank
+    # r10 (X81): CCNet head/middle/tail strata — exact 1/3–2/3 rank
     # thresholds over the bg_nll population (histogram-cumsum, integer
     # target ranks), labels broadcast back onto the scan; the oracle
     # replays the identical cut points and CASE
@@ -3148,7 +3148,7 @@ FROM (
 WHERE rn = 1
 """)
         return "".join(parts)
-    # r10 (X81): greedy k-center replay — s0 = md5-min start, then one
+    # r10 (X82): greedy k-center replay — s0 = md5-min start, then one
     # (min-dist, argmax) CTE pair per round: the farthest point from
     # the selected set joins it (ties → smallest id, exactly
     # ORDER BY md2 DESC, vec_id LIMIT 1, the operator's contract)
@@ -3552,7 +3552,7 @@ WITH tok AS (
   LEFT JOIN bvocab v2 ON bgp.w2 = v2.token, bvst
   GROUP BY bgp.doc_id
 ), bgthr AS (
-  -- r10 (X80): exact CCNet strata cut points — histogram → ordered
+  -- r10 (X81): exact CCNet strata cut points — histogram → ordered
   -- cumulative sum → smallest value whose rank meets the integer
   -- ceil-target, the same arithmetic rank_thresholds runs on Spark
   SELECT
@@ -4247,7 +4247,7 @@ comp AS (
   FROM reach GROUP BY u
 ),
 rep AS (
-  -- r10 (X82): quality-aware keeper — longest text, ties → min id
+  -- r10 (X83): quality-aware keeper — longest text, ties → min id
   SELECT component, id AS kept FROM (
     SELECT c.component, c.id,
            row_number() OVER (

@@ -1064,7 +1064,7 @@ EXTRAS = {
     "x_decon_hashed": _x_decon_hashed,
     "x_prepare_corpus": _x_prepare_corpus,
     "x_phash_mega_components": _x_phash_mega_components,
-    # r10 session-2 additions (X79-X82)
+    # r10 session-2 additions (X80-X83)
     "x_cc_quality": _x_cc_quality,
     "x_kcenter": _x_kcenter,
     "x_domain_cap": _x_domain_cap,
