@@ -1362,8 +1362,19 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side (salt_buckets=16 default) while the oracle ranks
     in ONE window — passing pins the two-stage == single-window
     equivalence on real data, not just pytest corpora.
+
+    X84 fold (r10): the text-REPAIR front door — each doc's text
+    wrapped in doc_id-varied mess (CR/CRLF/U+2028 line ends, NBSP, a
+    combining-mark ``e``+U+0301 that NFC must compose, zero-width/BOM
+    characters, a control byte, a blank-line run, outer whitespace)
+    and passed through ``clean_text``; the md5 of the repaired value
+    attests NFC + the whole regexp chain, DuckDB rebuilding it via
+    ``nfc_normalize`` + the identical RE2 replaces.
     """
-    from data_toolz_spark.operators.text_analysis import strip_html
+    from data_toolz_spark.operators.text_analysis import (
+        clean_text,
+        strip_html,
+    )
     from data_toolz_spark.operators.urls import (
         canonical_url,
         cap_per_domain,
@@ -1410,6 +1421,14 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(d, "<br>", "<br/>", "<BR />"),
         F.lit("tail</body></html>"),
     )
+    messy = F.concat(
+        pick(d, "\r\n", "\r", "\u2028"),
+        F.lit(" \u00A0 e\u0301 "),
+        F.col("text"),
+        pick(d, "\u200B", "\u200C", "\uFEFF"),
+        pick(d, "\x07", "\x1b", "\x01"),
+        F.lit("  \n\n\n\n tail  "),
+    )
     urls = strip_html(
         docs.withColumn("__html", html), "__html", out_col="__hclean"
     ).select(
@@ -1418,6 +1437,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.col("__hclean"), "UTF-8")).alias(
             "html_clean_md5"
         ),
+        F.md5(F.encode(clean_text(messy), "UTF-8")).alias("fixed_md5"),
     )
     kept = cap_per_domain(
         urls.select("doc_id", "canonical"),
@@ -1438,6 +1458,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "canonical",
             "html_clean_md5",
+            "fixed_md5",
             "is_dup",
             host_of(F.col("canonical")).alias("domain"),
             F.coalesce(F.col("__kept"), F.lit(0))
@@ -3208,6 +3229,25 @@ LEFT JOIN (SELECT vec_id, pick FROM s{kc_m - 1}) sp USING (vec_id)
     return "".join(parts)
 
 
+def _clean_text_sql(x: str) -> str:
+    """DuckDB twin of ``text_analysis.clean_text`` (defaults): DuckDB's
+    ``nfc_normalize`` + the IDENTICAL replace chain — the ``\\x{…}``
+    character classes parse the same under Java regex and RE2, which
+    is the operator's portability contract (differentially pinned in
+    tests/test_clean_text.py)."""
+    x = f"nfc_normalize({x})"
+    x = f"regexp_replace({x}, '\\r\\n|\\r|\\x{{2028}}|\\x{{2029}}', chr(10), 'g')"
+    x = (f"regexp_replace({x}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+         f"\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g')")
+    x = (f"regexp_replace({x}, '[\\x{{00A0}}\\x{{1680}}\\x{{2000}}-"
+         f"\\x{{200A}}\\x{{202F}}\\x{{205F}}\\x{{3000}}]', ' ', 'g')")
+    x = f"regexp_replace({x}, '[ \\t]{{2,}}', ' ', 'g')"
+    x = f"regexp_replace({x}, '[ \\t]+\\n', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    x = f"regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+    return x
+
+
 def _strip_html_sql(x: str) -> str:
     """DuckDB twin of ``text_analysis.strip_html`` (block_newlines
     mode): the identical regexp/replace chain — scripts/styles/
@@ -4035,11 +4075,32 @@ hsynth AS (
 hclean AS (
   SELECT doc_id, md5({_strip_html_sql('h')}) AS html_clean_md5
   FROM hsynth
+),
+msynth AS (
+  -- r10 (X84): the clean_text plant — CR/CRLF/U+2028 line end, NBSP,
+  -- a combining e+U+0301 NFC must compose, zero-width/BOM, a control
+  -- byte, a blank-line run, outer whitespace
+  SELECT doc_id,
+    ([chr(13) || chr(10), chr(13), chr(8232)])
+      [CAST(doc_id % 3 AS INT) + 1]
+    || ' ' || chr(160) || ' e' || chr(769) || ' '
+    || text
+    || ([chr(8203), chr(8204), chr(65279)])
+         [CAST(doc_id % 3 AS INT) + 1]
+    || ([chr(7), chr(27), chr(1)])[CAST(doc_id % 3 AS INT) + 1]
+    || '  ' || repeat(chr(10), 4) || ' tail  ' AS m
+  FROM documents
+),
+mclean AS (
+  SELECT doc_id, md5({_clean_text_sql('m')}) AS fixed_md5
+  FROM msynth
 )
-SELECT u.doc_id, u.canonical, hc.html_clean_md5, u.is_dup,
+SELECT u.doc_id, u.canonical, hc.html_clean_md5, mc.fixed_md5,
+       u.is_dup,
        CASE WHEN u.domain = '' THEN NULL ELSE u.domain END AS domain,
        CAST(COALESCE(c.cap_rank <= 25, FALSE) AS BIGINT) AS cap_keep
 FROM u JOIN hclean hc USING (doc_id)
+JOIN mclean mc USING (doc_id)
 LEFT JOIN capped c USING (doc_id)
 """,
         # inverted-index search, brute-force token-scan oracle: OR over

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1342,6 +1343,103 @@ def bigram_logprob(
     )
 
 
+#: removed outright by :func:`clean_text`: C0 controls except TAB/LF
+#: (CR is consumed by the newline rule first), DEL, zero-width
+#: joiners/non-joiners/spaces, BOM.  ``\x{…}`` escapes parse
+#: identically in Java regex (Spark) and RE2 (DuckDB/ANSI oracles) —
+#: the portability contract every regex in this module keeps.
+CLEAN_CTRL_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{200B}-\x{200D}\x{FEFF}]"
+)
+
+#: unicode horizontal spaces folded to ASCII space: NBSP, OGHAM space,
+#: the U+2000 en/em-quad family, NNBSP, MMSP, ideographic space
+CLEAN_SPACE_RE = (
+    r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+)
+
+#: CR/CRLF and the unicode line/paragraph separators → LF
+CLEAN_NEWLINE_RE = r"\r\n|\r|\x{2028}|\x{2029}"
+
+
+def _cc(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def nfc_column(text: Column | str) -> Column:
+    """Unicode NFC normalization of a string column (combining
+    sequences → precomposed forms: ``e`` + U+0301 → ``é``), NULL-safe.
+
+    This is deliberately the ONE Python kernel in the text front door:
+    Spark exposes no normalization SQL function (``java.text.
+    Normalizer`` exists JVM-side but has no expression), so the
+    choices are a per-row JVM UDF (needs compiled code), skipping NFC
+    (two byte-different spellings of the same word split every
+    downstream vocab/dedup key), or an Arrow-batched pandas UDF —
+    pandas ships the normalizer as ``Series.str.normalize``, and the
+    column rides the scan as one vectorized batch transfer.  The ANSI
+    twin is ``nfc_normalize`` (DuckDB) — differentially pinned.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc(_cc(text))
+
+
+def clean_text(
+    text: Column | str,
+    *,
+    nfc: bool = True,
+    squeeze_spaces: bool = True,
+    max_blank_lines: int | None = 1,
+) -> Column:
+    """Crawl-text repair — the fix-encoding/strip-junk pass every
+    pipeline runs FIRST (the ftfy/CCNet front door), as one column
+    expression: NFC (optional, :func:`nfc_column`), newline
+    canonicalization (CRLF/CR/U+2028/U+2029 → LF), control and
+    zero-width character removal, unicode-space folding, horizontal
+    whitespace squeezing, trailing-space-at-EOL strip, blank-line-run
+    capping (``max_blank_lines`` kept — paragraph structure survives
+    for :func:`line_dedup` and the chunkers), and outer trim.
+
+    Everything after NFC is pure codegen'd ``regexp_replace`` with
+    ``\\x{…}`` classes that parse identically under Java regex and
+    RE2, so the whole chain is ANSI-SQL-replayable (the oracle runs
+    ``nfc_normalize`` + the same replace chain).  Idempotent:
+    ``clean_text(clean_text(x)) == clean_text(x)`` (pinned) — re-runs
+    over partially processed data are no-ops.  NULL → NULL.
+
+    Order matters and is part of the contract: NFC first (combining
+    marks must compose before character classes inspect them),
+    newlines before the control strip (CR would otherwise be eaten as
+    a control and glue lines together), space folding before
+    squeezing (an NBSP run must collapse like a space run).
+    """
+    c = _cc(text)
+    if nfc:
+        c = nfc_column(c)
+    c = F.regexp_replace(c, CLEAN_NEWLINE_RE, "\n")
+    c = F.regexp_replace(c, CLEAN_CTRL_RE, "")
+    c = F.regexp_replace(c, CLEAN_SPACE_RE, " ")
+    if squeeze_spaces:
+        c = F.regexp_replace(c, r"[ \t]{2,}", " ")
+    c = F.regexp_replace(c, r"[ \t]+\n", "\n")
+    if max_blank_lines is not None:
+        if max_blank_lines < 0:
+            raise ValueError(
+                "clean_text: max_blank_lines must be >= 0"
+            )
+        run = max_blank_lines + 2
+        c = F.regexp_replace(
+            c, r"\n{" + str(run) + r",}", "\n" * (run - 1)
+        )
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def rank_thresholds(
     df: DataFrame,
     value_col: str,
@@ -1513,6 +1611,11 @@ __all__ = [
     "tfidf_terms",
     "rank_thresholds",
     "bucket_by_thresholds",
+    "clean_text",
+    "nfc_column",
+    "CLEAN_CTRL_RE",
+    "CLEAN_SPACE_RE",
+    "CLEAN_NEWLINE_RE",
     "remove_duplicate_spans",
     "QUALITY_FILTER_DEFAULTS",
     "STOPWORDS",

@@ -121,6 +121,7 @@ def prepare_training_corpus(
     near_dup_keep: str = "min_id",
     media_dedup: Sequence[Mapping] | None = None,
     domain_cap: Mapping | None = None,
+    clean: bool | Mapping = False,
     ppl_strata: Mapping | None = None,
     decontaminate_n: int = 8,
     fractions: Mapping[str, float] | None = None,
@@ -187,6 +188,17 @@ def prepare_training_corpus(
         out = cap_per_domain(
             out, id_col=id_col, **dict(domain_cap)
         ).select(*base_cols)
+
+    # 0b. text repair (optional): clean_text — NFC, control/zero-width
+    # strip, unicode-space fold, newline canonicalization — BEFORE the
+    # quality gate so its signals (alpha ratio, token stats, line
+    # dedup keys) see the repaired text.  ``clean=True`` for defaults
+    # or a dict of clean_text kwargs.
+    if clean:
+        from data_toolz_spark.operators.text_analysis import clean_text
+
+        kw = dict(clean) if isinstance(clean, Mapping) else {}
+        out = out.withColumn(text_col, clean_text(text_col, **kw))
 
     # 1. per-document quality gate (map-only)
     out = keep_document(out, text_col, thresholds=quality_thresholds)

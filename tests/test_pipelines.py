@@ -475,3 +475,27 @@ def test_pipeline_ppl_strata_stage(spark):
     assert {r["ppl_q"] for r in out4.collect()} <= {
         "q1", "q2", "q3", "q4"
     }
+
+
+def test_pipeline_clean_stage(spark):
+    """clean=True repairs text BEFORE the quality gate: a doc whose
+    alpha ratio only passes after control-char stripping survives,
+    and the output text is the repaired form."""
+    body = " ".join(f"alpha beta gamma delta{i}" for i in range(20))
+    dirty = "\r\nL INE​ one\r\n" + body + "\x07\x07  "
+    docs = spark.createDataFrame(
+        [(1, dirty), (2, body)], "doc_id long, text string"
+    )
+    out = prepare_training_corpus(
+        docs, None, clean=True, near_dup_threshold=None,
+        fractions=FRACS,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1].startswith("L INE one\n")
+    assert "\r" not in got[1] and "\x07" not in got[1]
+    # Mapping form passes kwargs through
+    out2 = prepare_training_corpus(
+        docs, None, clean={"nfc": False}, near_dup_threshold=None,
+        fractions=FRACS,
+    )
+    assert out2.count() == 2
