@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_toolz_spark.functions.text import text_fingerprint
@@ -1597,8 +1597,172 @@ def append_to_hamming_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persistent per-site QUOTA ledger (X85, r10): the incremental twin of
+# urls.cap_per_domain — a crawl ingest admits at most N docs per host
+# ACROSS batches, so the quota state must persist.  The ledger is ONE
+# table of accepted (id, domain) rows partitioned by pd =
+# pmod(xxhash64(domain), P): a batch's domains name the partitions
+# worth reading (the hamming-index pruning device), used counts are a
+# pruned groupBy, and the fold is one job-atomic dynamic-partition
+# insertInto (single table — the append_to_catalog no-journal
+# argument).  The accepted-id rows double as replay protection: a
+# replayed batch's ids are already in the ledger and admit nothing.
+# ---------------------------------------------------------------------------
+
+
+def _quota_pd(domain: Column, n_partitions: int) -> Column:
+    return F.pmod(F.xxhash64(domain), F.lit(n_partitions)).cast("int")
+
+
+def build_quota_ledger(
+    spark: SparkSession,
+    table_prefix: str,
+    *,
+    max_per_domain: int,
+    n_partitions: int = 64,
+    seed: int = 42,
+    path: str | None = None,
+) -> str:
+    """Create an EMPTY per-site quota ledger.
+
+    Two tables: ``{p}_quota_meta`` pins (max_per_domain, n_partitions,
+    seed) so a drifted admit/append fails loudly; ``{p}_quota_rows``
+    holds the accepted (id, domain) rows partitioned by
+    ``pd = pmod(xxhash64(domain), P)``.
+    """
+    if max_per_domain < 1:
+        raise ValueError(
+            "build_quota_ledger: max_per_domain must be >= 1"
+        )
+    if n_partitions < 1:
+        raise ValueError(
+            "build_quota_ledger: n_partitions must be >= 1"
+        )
+    spark.createDataFrame(
+        [(int(max_per_domain), int(n_partitions), int(seed))],
+        "max_per_domain int, n_partitions int, seed long",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_quota_meta")
+    empty = spark.createDataFrame(
+        [], "id long, domain string, pd int"
+    )
+    writer = empty.write.mode("overwrite").partitionBy("pd")
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(f"{table_prefix}_quota_rows")
+    return f"{table_prefix}_quota_rows"
+
+
+def _quota_meta(spark: SparkSession, table_prefix: str):
+    rows = spark.table(f"{table_prefix}_quota_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{table_prefix}_quota_meta must hold exactly one row"
+        )
+    return rows[0]
+
+
+def quota_admit(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str,
+    domain_col: str,
+) -> DataFrame:
+    """The subset of ``batch`` the persistent quota admits (no writes).
+
+    Reads ONLY the ledger partitions the batch's domains name (one
+    bounded collect of ≤ n_partitions ints), computes per-domain used
+    counts, drops batch ids already in the ledger (replay protection
+    — an admitted doc never re-admits), ranks the remainder per
+    domain by the deterministic ``hash(id, seed)`` lottery (ties →
+    id, the :func:`~data_toolz_spark.operators.urls.cap_per_domain`
+    rule), and admits ranks up to the remaining allowance.  The
+    ranking window is BATCH-sized — no salting needed.
+
+    Semantics note: across batches the quota is ARRIVAL-ORDER (batch
+    1's winners hold their slots; a later, luckier hash cannot evict
+    them) — the production ingest semantics, unlike the one-shot
+    ``cap_per_domain`` which lotteries over the whole corpus at once.
+
+    NULL domains are REJECTED (filtered out, never admitted): they
+    carry no quota key and no ledger row, so a replay would duplicate
+    them in the sink — route no-URL docs to a quarantine path
+    upstream (the ``run_fingerprint_ingest`` NULL-fp argument).
+    """
+    from pyspark.sql.window import Window
+
+    from data_toolz_spark.operators.sampling import _order_hash
+
+    m = _quota_meta(spark, table_prefix)
+    cap, n_parts, seed = (
+        int(m["max_per_domain"]),
+        int(m["n_partitions"]),
+        int(m["seed"]),
+    )
+    b = batch.filter(F.col(domain_col).isNotNull()).withColumn(
+        "__pd", _quota_pd(F.col(domain_col), n_parts)
+    )
+    pds = sorted(
+        r["__pd"] for r in b.select("__pd").distinct().collect()
+    )
+    if not pds:
+        return batch.filter(F.lit(False)).drop("__pd", "__ok", "__rn")
+    ledger = spark.table(f"{table_prefix}_quota_rows").filter(
+        F.col("pd").isin(pds)
+    )
+    used = ledger.groupBy("domain").agg(F.count(F.lit(1)).alias("__used"))
+    fresh = b.join(
+        ledger.select(F.col("id").alias("__lid")),
+        on=F.col(id_col).cast("long") == F.col("__lid"),
+        how="left_anti",
+    )
+    w = Window.partitionBy(domain_col).orderBy("__ok", id_col)
+    ranked = (
+        fresh.withColumn(
+            "__ok", _order_hash(F.col(id_col), seed, False)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .join(
+            used.withColumnRenamed("domain", domain_col),
+            on=domain_col,
+            how="left",
+        )
+    )
+    return ranked.filter(
+        F.col("__rn") + F.coalesce(F.col("__used"), F.lit(0)) <= cap
+    ).drop("__pd", "__ok", "__rn", "__used")
+
+
+def append_to_quota_ledger(
+    spark: SparkSession,
+    admitted: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str,
+    domain_col: str,
+) -> None:
+    """Fold admitted rows into the ledger — ONE job-atomic
+    dynamic-partition ``insertInto`` touching only the pd partitions
+    the batch's domains name."""
+    m = _quota_meta(spark, table_prefix)
+    (
+        admitted.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(domain_col).alias("domain"),
+            _quota_pd(F.col(domain_col), int(m["n_partitions"])).alias(
+                "pd"
+            ),
+        ).write.insertInto(f"{table_prefix}_quota_rows")
+    )
+
+
 __all__ += [
     "build_hamming_index",
     "hamming_query_index",
     "append_to_hamming_index",
+    "build_quota_ledger",
+    "quota_admit",
+    "append_to_quota_ledger",
 ]

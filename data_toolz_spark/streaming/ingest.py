@@ -595,9 +595,98 @@ def run_fingerprint_ingest(
     query.awaitTermination()
 
 
+def run_quota_ingest(
+    stream_df: DataFrame,
+    *,
+    ledger_prefix: str,
+    output_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    host_col: str | None = None,
+) -> None:
+    """Per-site quota enforcement over a document stream (X85, r10)
+    — the streaming twin of
+    :func:`~data_toolz_spark.operators.urls.cap_per_domain`, closing
+    the URL tier's slot in the batch-vs-streaming matrix the way
+    ``run_fingerprint_ingest`` closed the modality tiers'.
+
+    Per micro-batch: each doc's host (``host_of`` over ``url_col``,
+    or a precomputed ``host_col``) keys into the persistent ledger
+    (:func:`~data_toolz_spark.operators.incremental.build_quota_ledger`
+    — accepted rows partitioned by domain hash, so only the
+    partitions the batch's domains name are read), the batch's docs
+    compete for each site's REMAINING allowance under the
+    deterministic hash lottery, admitted docs append to the corpus
+    sink, and their (id, domain) rows fold into the ledger — batch
+    N+1 sees batch N's consumption.
+
+    Failure semantics: at-least-once per epoch, sink-append before
+    ledger-fold (the module convention).  A retry AFTER the fold
+    admits nothing (every replayed id is already a ledger row), so
+    replays cannot oversubscribe a site; the retry window between
+    sink and ledger can duplicate sink rows only — dedup downstream.
+    Docs with NULL hosts are REJECTED (no quota key, no replay row)
+    — quarantine upstream.
+    """
+    if (url_col is None) == (host_col is None):
+        raise ValueError(
+            "run_quota_ingest: pass exactly one of url_col / host_col"
+        )
+    in_cols = stream_df.columns
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from data_toolz_spark.cache import release
+        from data_toolz_spark.operators.incremental import (
+            append_to_quota_ledger,
+            quota_admit,
+        )
+        from data_toolz_spark.operators.urls import host_of
+
+        spark = batch_df.sparkSession
+        dom = (
+            host_of(F.col(url_col)) if url_col is not None
+            else F.col(host_col)
+        )
+        admitted = None
+        try:
+            admitted = quota_admit(
+                spark,
+                batch_df.withColumn("__domain", dom),
+                ledger_prefix,
+                id_col=id_col,
+                domain_col="__domain",
+            ).persist()
+            admitted.select(*in_cols).write.mode("append").parquet(
+                output_path
+            )
+            # ledger fold LAST: insertInto invalidates cached plans
+            # referencing the ledger (including admitted's own
+            # anti-join) — the run_dedup_ingest ordering argument
+            append_to_quota_ledger(
+                spark, admitted, ledger_prefix,
+                id_col=id_col, domain_col="__domain",
+            )
+        finally:
+            if admitted is not None:
+                admitted.unpersist()
+            release()
+
+    query = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 __all__ = [
     "run_dedup_ingest",
     "run_near_dup_ingest",
     "run_vector_ingest",
     "run_fingerprint_ingest",
+    "run_quota_ingest",
 ]

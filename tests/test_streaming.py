@@ -846,3 +846,87 @@ def test_streaming_fingerprint_ingest_across_cycles(spark, tmp_path):
     assert got3 == {11, 13, 21}
     for t in ("hfp_meta", "hfp_bands"):
         drop_stale_table(spark, f"{prefix}_{t}")
+
+
+def test_streaming_quota_ingest_across_cycles(spark, tmp_path):
+    """r10 (X85): persistent per-site quota over a doc stream — batch
+    1 fills a site's allowance, batch 2 admits only the remainder and
+    fresh sites, a fresh-checkpoint replay admits nothing (every
+    replayed id is a ledger row), NULL hosts are rejected, and the
+    within-batch winners follow the deterministic hash lottery."""
+    import hashlib
+
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        build_quota_ledger,
+    )
+    from data_toolz_spark.streaming.ingest import run_quota_ingest
+
+    src = str(tmp_path / "qsrc")
+    out = str(tmp_path / "qcorpus")
+    prefix = "t_qingest"
+    for t in ("quota_meta", "quota_rows"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    build_quota_ledger(
+        spark, prefix, max_per_domain=2, n_partitions=8, seed=5,
+        path=str(tmp_path / "qledger"),
+    )
+
+    def u(i, site):
+        return (i, f"https://{site}/p/{i}")
+
+    batch1 = spark.createDataFrame(
+        [u(1, "a.com"), u(2, "a.com"), u(3, "a.com"), u(4, "b.org"),
+         (5, "not a url")],
+        "doc_id long, url string",
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, url string").parquet(src)
+    run_quota_ingest(
+        stream, ledger_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "qckpt"),
+        id_col="doc_id", url_col="url",
+    )
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # a.com: 3 contenders for 2 slots — winners by xxhash64 lottery;
+    # b.org under quota; NULL host rejected
+    assert 4 in got1 and 5 not in got1
+    assert len([i for i in got1 if i <= 3]) == 2
+
+    batch2 = spark.createDataFrame(
+        [u(10, "a.com"), u(11, "b.org"), u(12, "b.org"),
+         u(13, "c.net")],
+        "doc_id long, url string",
+    )
+    batch2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "doc_id long, url string"
+    ).parquet(src)
+    run_quota_ingest(
+        stream2, ledger_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "qckpt"),
+        id_col="doc_id", url_col="url",
+    )
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # a.com is FULL (arrival-order: batch-1 winners hold their slots),
+    # b.org admits exactly one more, c.net is fresh
+    assert 10 not in got2
+    assert 13 in got2
+    assert len([i for i in got2 if i in (11, 12)]) == 1
+    assert len(got2) == len(got1) + 2
+
+    # fresh checkpoint: the whole source replays; every id is already
+    # a ledger row, so nothing is admitted twice
+    stream3 = spark.readStream.schema(
+        "doc_id long, url string"
+    ).parquet(src)
+    run_quota_ingest(
+        stream3, ledger_prefix=prefix, output_path=out,
+        checkpoint_dir=str(tmp_path / "qckpt2"),
+        id_col="doc_id", url_col="url",
+    )
+    rows3 = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows3} == got2
+    assert len(rows3) == len(got2)  # no duplicate sink rows either
+    for t in ("quota_meta", "quota_rows"):
+        drop_stale_table(spark, f"{prefix}_{t}")
