@@ -1012,6 +1012,21 @@ def _x_domain_cap(spark, sf_dir):
     )
 
 
+def _x_clean_text(spark, sf_dir):
+    """The text-repair front door over the documents corpus: NFC
+    (the one Arrow-batched Python kernel) + the 7-replace codegen
+    chain, one map-only pass."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.text_analysis import clean_text
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(clean_text("text")).alias("clean_len"),
+    )
+
+
 def _x_ppl_strata(spark, sf_dir):
     """CCNet strata end-to-end: bigram-LM scoring (model trained on
     the even half) → exact 1/3-2/3 rank thresholds → head/middle/tail
@@ -1069,6 +1084,7 @@ EXTRAS = {
     "x_kcenter": _x_kcenter,
     "x_domain_cap": _x_domain_cap,
     "x_ppl_strata": _x_ppl_strata,
+    "x_clean_text": _x_clean_text,
 }
 
 
