@@ -441,6 +441,11 @@ def prepare_training_corpus(
             spec.get("labels", ("head", "middle", "tail"))
         )
         bucket_col = spec.get("out_col", "ppl_bucket")
+        # ``group_col`` (e.g. a language column) cuts the strata PER
+        # GROUP — CCNet's per-language percentiles: a language whose
+        # LM scores run globally high still splits into its own
+        # head/middle/tail instead of landing wholesale in "tail"
+        group_col = spec.get("group_col")
         scored = bigram_logprob(
             out,
             build_bigram_counts(out, text_col),
@@ -448,11 +453,20 @@ def prepare_training_corpus(
             text_col,
             id_col=id_col,
         )
-        thr = rank_thresholds(scored, "bg_nll", qs)
+        gcols = []
+        if group_col is not None:
+            scored = scored.join(
+                out.select(id_col, group_col), on=id_col
+            )
+            gcols = [group_col]
+        thr = rank_thresholds(
+            scored, "bg_nll", qs, group_cols=gcols
+        )
         labeled = bucket_by_thresholds(
             scored,
             "bg_nll",
             thr,
+            group_cols=gcols,
             bucket_col=bucket_col,
             labels=labels,
         ).select(id_col, bucket_col)

@@ -499,3 +499,68 @@ def test_pipeline_clean_stage(spark):
         fractions=FRACS,
     )
     assert out2.count() == 2
+
+
+def test_pipeline_all_session2_stages_compose(spark):
+    """Kitchen sink: domain cap + text repair + quality-aware keep +
+    per-group perplexity strata all enabled at once, over a corpus
+    with every hazard — the stages interact correctly and the output
+    carries split + strata."""
+    def w3(n):
+        return (
+            chr(97 + (n // 676) % 26)
+            + chr(97 + (n // 26) % 26)
+            + chr(97 + n % 26)
+        )
+
+    rows = []
+    for i in range(24):
+        body = " ".join(w3(i * 53 + j * (1 + i % 7)) for j in range(40))
+        text = "L1\r\nL2  " + body  # needs repair
+        url = (
+            f"https://farm.example/p/{i}" if i < 16
+            else f"https://ok{i}.org/x"
+        )
+        lang = "aa" if i % 2 == 0 else "bb"
+        rows.append((i, text, url, lang))
+    # a near-dup pair: 100 is a truncated copy of 101 (101 longer)
+    base = "shared dup words " + " ".join(
+        w3(7000 + j) for j in range(40)
+    )
+    rows.append((100, base, "https://dup.site/a", "aa"))
+    rows.append((101, base + " longer tail", "https://dup.site/b", "aa"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, lang string"
+    )
+    out = prepare_training_corpus(
+        docs,
+        None,
+        domain_cap={"url_col": "url", "max_per_domain": 6},
+        clean=True,
+        quality_thresholds={"min_tokens": 5},
+        near_dup_threshold=0.8,
+        near_dup_keep="longest",
+        ppl_strata={"group_col": "lang"},
+        fractions=FRACS,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # farm capped 16 → 6; ok-sites and dup.site uncapped
+    assert sum(1 for i in got if i < 16) == 6
+    # quality-aware keep: the LONGER dup (101) survives
+    assert 101 in got and 100 not in got
+    # repair ran before everything: no CR/NBSP in any output text
+    assert all(
+        "\r" not in r["text"] and " " not in r["text"]
+        for r in got.values()
+    )
+    # strata labeled per language; every surviving doc gets a bucket
+    assert all(
+        r["ppl_bucket"] in ("head", "middle", "tail")
+        for r in got.values()
+    )
+    # per-group thirds: each lang's head count >= ceil(n_lang/3)
+    for lg in ("aa", "bb"):
+        docs_lg = [r for r in got.values() if r["lang"] == lg]
+        heads = sum(1 for r in docs_lg if r["ppl_bucket"] == "head")
+        assert heads >= (len(docs_lg) + 2) // 3 - 1  # ties tolerance
+    assert all(r["split"] in FRACS for r in got.values())
