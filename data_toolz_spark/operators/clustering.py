@@ -367,6 +367,8 @@ def kcenter_select(
     is at distance 0 — the corpus has fewer distinct vectors than
     ``m``, and duplicating exemplars would be pure noise downstream.
     """
+    if m < 1:
+        raise ValueError("kcenter_select: m must be >= 1")
     _validate(max(m, 2), 1, scale, dim)
     id_type = df.schema[id_col].dataType.simpleString()
     q = _quantized(df, id_col, vec_col, dim, scale).withColumnRenamed(

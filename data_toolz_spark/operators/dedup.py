@@ -632,7 +632,11 @@ def component_representatives(
     Selection is deterministic: best score, ties → smallest id;
     members missing from ``scores`` (or with NULL score) sort LAST, so
     an unscored copy never beats a scored one and an all-unscored
-    cluster falls back to exactly the min-id policy.
+    cluster falls back to exactly the min-id policy.  ``scores`` must
+    carry ONE row per id: the membership joins it by id, so a
+    duplicate id would multiply its member's row (pre-aggregate
+    upstream — forcing a defensive groupBy here would shuffle the
+    corpus-sized score frame on every call).
 
     Scale shape: the argmax-per-component runs as the same two-stage
     skew-safe top-1 as ``cap_per_domain`` (stage 1 within
