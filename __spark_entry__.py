@@ -4303,7 +4303,11 @@ reach(u, v) AS (
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ),
-comp AS (
+comp AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: comp is referenced twice (rep +
+  -- final select) and DuckDB inlines plain CTEs per reference — the
+  -- recursive closure would run twice (observed: the sf0.1 sweep sat
+  -- 25+ min here before the hint, minutes after)
   SELECT u AS id, LEAST(u, MIN(v)) AS component
   FROM reach GROUP BY u
 ),
