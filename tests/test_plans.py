@@ -340,3 +340,51 @@ def test_line_dedup_no_exchange_carries_text(spark, sf_dir):
         m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
         assert m, b
         assert "text#" not in m.group(1), b
+
+
+def test_cap_per_domain_plan_is_pure_jvm_two_stage(spark, sf_dir):
+    """The skew-safe cap: two window exchanges (salted stage + final
+    per-host rank), zero Python evaluators."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://s"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".x/p"),
+        ).alias("url"),
+    )
+    plan = plan_of(
+        cap_per_domain(
+            urls, id_col="doc_id", url_col="url", max_per_domain=5
+        )
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_bucket_thresholds_broadcast_onto_scan(spark, sf_dir):
+    """The strata labels arrive via BroadcastExchange (threshold array
+    folded to one row) — corpus rows never shuffle for labeling, and
+    the whole chain stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.text_analysis import (
+        bucket_by_thresholds,
+        rank_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", F.length("text").alias("s"))
+    thr = rank_thresholds(scored, "s", [(1, 3), (2, 3)])
+    plan = plan_of(
+        bucket_by_thresholds(
+            scored, "s", thr, labels=("head", "middle", "tail")
+        )
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan and "BatchEval" not in plan
