@@ -1012,6 +1012,26 @@ def _x_domain_cap(spark, sf_dir):
     )
 
 
+def _x_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer: hard-EM training (3 rounds over the
+    distinct-word table) + corpus encoding through the word→ids join.
+    Like x_bpe_train, sf0.1 wall is dominated by per-round fixed job
+    costs over the tiny vocab; the shapes are what transfer."""
+    from data_toolz_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+        unigram_word_table,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    words = unigram_word_table(docs)
+    model = unigram_train(
+        words, vocab_size=256, n_iter=3, max_piece_len=6,
+        seed_size=4096, min_count=2,
+    )
+    return unigram_encode(docs, model)
+
+
 def _x_clean_text(spark, sf_dir):
     """The text-repair front door over the documents corpus: NFC
     (the one Arrow-batched Python kernel) + the 7-replace codegen
@@ -1085,6 +1105,7 @@ EXTRAS = {
     "x_domain_cap": _x_domain_cap,
     "x_ppl_strata": _x_ppl_strata,
     "x_clean_text": _x_clean_text,
+    "x_unigram_train": _x_unigram_train,
 }
 
 

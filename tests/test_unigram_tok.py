@@ -1,0 +1,211 @@
+"""Unigram-LM tokenizer (X86, r10): exact differential vs a pure-
+Python twin of the hard-EM trainer, repartition invariance,
+coverage/pruning contracts, the corpus encode join path, and model
+persistence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.unigram import (
+    UNK_PIECE,
+    load_unigram_model,
+    save_unigram_model,
+    unigram_encode,
+    unigram_segment_words,
+    unigram_train,
+    unigram_word_table,
+)
+
+
+def _ref_viterbi(word, scores, max_len):
+    n = len(word)
+    NEG = -1e18
+    best = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(n):
+        if best[i] is None:
+            continue
+        s0, np0, ps0 = best[i]
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            sc = scores.get(word[i:j])
+            if sc is None:
+                continue
+            cand = (s0 + sc, np0 - 1, ps0 + (word[i:j],))
+            if best[j] is None or cand > best[j]:
+                best[j] = cand
+        cand = (s0 + NEG, np0 - 1, ps0 + (word[i : i + 1],))
+        if best[i + 1] is None or cand > best[i + 1]:
+            best[i + 1] = cand
+    return best[n][2]
+
+
+def _ref_train(word_freqs, *, vocab_size, n_iter, max_piece_len,
+               seed_size, min_count, shrink):
+    """Independent re-implementation of the documented algorithm."""
+    seed: dict = {}
+    for w, f in word_freqs.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
+                seed[w[i:j]] = seed.get(w[i:j], 0) + f
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items()
+         if len(p) > 1 and c >= min_count),
+        key=lambda x: (-x[1], x[0]),
+    )[: max(0, seed_size - len(chars))]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    for it in range(n_iter):
+        total = sum(counts.values())
+        scores = {p: math.log(c / total)
+                  for p, c in counts.items() if c > 0}
+        new_counts: dict = {}
+        for w, f in word_freqs.items():
+            for p in _ref_viterbi(w, scores, max_piece_len):
+                if p in counts:
+                    new_counts[p] = new_counts.get(p, 0) + f
+        for ch in chars:
+            new_counts.setdefault(ch, 0)
+        n_multi_target = max(
+            vocab_size - 1 - len(chars),
+            math.ceil(
+                sum(1 for p in new_counts if len(p) > 1)
+                * (shrink if it < n_iter - 1 else 0.0)
+            ),
+        )
+        multis = sorted(
+            ((p, c) for p, c in new_counts.items()
+             if len(p) > 1 and c > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[: max(0, n_multi_target)]
+        counts = {p: c for p, c in new_counts.items() if len(p) == 1}
+        counts.update(dict(multis))
+    ordered = sorted(
+        counts.items(), key=lambda x: (-x[1], x[0])
+    )[: vocab_size - 1]
+    kept = {p for p, _ in ordered}
+    for ch in chars:
+        if ch not in kept:
+            ordered.append((ch, counts.get(ch, 0)))
+    ordered = sorted(ordered, key=lambda x: (-x[1], x[0]))
+    return (UNK_PIECE,) + tuple(p for p, _ in ordered), \
+        (0,) + tuple(c for _, c in ordered)
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown cat sleeps under the warm sun",
+    "quick thinking wins the day every day",
+    "brown bread and warm butter every morning",
+    "the lazy afternoon sun over the brown field",
+    "dogs and cats sleep every lazy afternoon",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)],
+        "doc_id long, text string",
+    )
+
+
+PARAMS = dict(
+    vocab_size=48, n_iter=3, max_piece_len=6, seed_size=256,
+    min_count=2, shrink=0.75,
+)
+
+
+def test_train_matches_python_twin(spark, docs):
+    words = unigram_word_table(docs)
+    model = unigram_train(words, **PARAMS)
+    wf = {
+        r["word"]: r["freq"] for r in words.collect()
+    }
+    ref_pieces, ref_counts = _ref_train(wf, **PARAMS)
+    assert model.pieces == ref_pieces
+    assert model.counts == ref_counts
+    assert model.pieces[0] == UNK_PIECE and model.size <= 48
+
+
+def test_train_repartition_invariance(spark, docs):
+    words = unigram_word_table(docs)
+    a = unigram_train(words, **PARAMS)
+    b = unigram_train(words.repartition(13), **PARAMS)
+    assert a.pieces == b.pieces and a.counts == b.counts
+
+
+def test_vocab_too_small_for_alphabet_raises(spark, docs):
+    words = unigram_word_table(docs)
+    with pytest.raises(ValueError, match="alphabet"):
+        unigram_train(words, **{**PARAMS, "vocab_size": 5})
+
+
+def test_segmentations_reassemble_words(spark, docs):
+    words = unigram_word_table(docs)
+    model = unigram_train(words, **PARAMS)
+    seg = unigram_segment_words(
+        words.select("word"), model, max_piece_len=6
+    ).collect()
+    assert seg
+    for r in seg:
+        assert "".join(r["pieces"]) == r["word"]
+        assert all(i > 0 for i in r["ids"])  # full coverage: no unk
+        # multi-char pieces actually formed (not char-shattered
+        # everywhere)
+    assert any(len(r["pieces"]) < len(r["word"]) for r in seg)
+
+
+def test_unknown_characters_map_to_unk(spark):
+    train_docs = spark.createDataFrame(
+        [(0, "abba baab abab")], "doc_id long, text string"
+    )
+    model = unigram_train(
+        unigram_word_table(train_docs),
+        vocab_size=8, n_iter=2, max_piece_len=4, seed_size=64,
+        min_count=1,
+    )
+    seg = unigram_segment_words(
+        spark.createDataFrame([("abzba",)], "word string"),
+        model,
+        max_piece_len=4,
+    ).collect()[0]
+    assert "".join(seg["pieces"]) == "abzba"
+    assert 0 in seg["ids"]  # z → <unk>
+    z_pos = seg["pieces"].index("z")
+    assert seg["ids"][z_pos] == 0
+
+
+def test_encode_round_trips_by_id_lookup(spark, docs):
+    words = unigram_word_table(docs)
+    model = unigram_train(words, **PARAMS)
+    out = unigram_encode(docs, model).collect()
+    assert len(out) == len(CORPUS)
+    id2p = dict(enumerate(model.pieces))
+    for r in out:
+        decoded = "".join(id2p[i] for i in r["ids"])
+        assert decoded == CORPUS[r["doc_id"]].replace(" ", "")
+    # empty doc yields an empty array
+    empty = spark.createDataFrame(
+        [(99, "   ")], "doc_id long, text string"
+    )
+    got = unigram_encode(empty, model).collect()[0]
+    assert got["ids"] == []
+
+
+def test_model_persistence_round_trip(spark, docs):
+    from data_toolz_spark.catalog import drop_stale_table
+
+    words = unigram_word_table(docs)
+    model = unigram_train(words, **PARAMS)
+    table = "t_unigram_model"
+    drop_stale_table(spark, table)
+    save_unigram_model(spark, model, table)
+    loaded = load_unigram_model(spark, table)
+    assert loaded.pieces == model.pieces
+    assert loaded.counts == model.counts
+    drop_stale_table(spark, table)
