@@ -1573,7 +1573,16 @@ def bucket_by_thresholds(
     if gcols:
         joined = df.join(F.broadcast(thr), on=gcols, how="left")
     else:
-        joined = df.crossJoin(F.broadcast(thr))
+        # constant-key equi-join, NOT crossJoin: same one-row
+        # broadcast, but stream-static equi-joins are supported while
+        # stream cross joins are not — so a readStream frame can
+        # acquire its stratum label with stored thresholds (the
+        # train-once-label-forever production shape)
+        joined = df.withColumn("__one", F.lit(1)).join(
+            F.broadcast(thr.withColumn("__one", F.lit(1))),
+            on="__one",
+            how="left",
+        ).drop("__one")
     s = F.col(score_col)
     idx = F.size(F.filter(F.col("__thr"), lambda t: s > t))
     lab = F.element_at(

@@ -930,3 +930,42 @@ def test_streaming_quota_ingest_across_cycles(spark, tmp_path):
     assert len(rows3) == len(got2)  # no duplicate sink rows either
     for t in ("quota_meta", "quota_rows"):
         drop_stale_table(spark, f"{prefix}_{t}")
+
+
+def test_streaming_strata_labeling_with_stored_thresholds(spark, tmp_path):
+    """bucket_by_thresholds is stream-safe (r10): thresholds computed
+    batch-side (train once), then a readStream frame acquires its
+    stratum label through the broadcast constant-key join — no
+    stateful operator, no watermark needed."""
+    from data_toolz_spark.operators.text_analysis import (
+        bucket_by_thresholds,
+        rank_thresholds,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, float(i)) for i in range(90)], "doc_id long, score double"
+    )
+    thr = rank_thresholds(hist, "score", [(1, 3), (2, 3)])
+
+    src = str(tmp_path / "ssrc")
+    hist.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, score double"
+    ).parquet(src)
+    labeled = bucket_by_thresholds(
+        stream, "score", thr, labels=("head", "middle", "tail")
+    )
+    out = str(tmp_path / "sout")
+    q = (
+        labeled.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    counts = {}
+    for r in rows:
+        counts[r["ppl_bucket"]] = counts.get(r["ppl_bucket"], 0) + 1
+    assert counts == {"head": 30, "middle": 30, "tail": 30}

@@ -177,3 +177,97 @@ def test_gram_construction_matches_bruteforce(spark, docs, n):
             {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
         )
         assert got[i] == expect, (i, ws, n)
+
+
+# ---------------------------------------------------------------------------
+# r10 session 2: clean_text + rank_thresholds property fuzz
+# ---------------------------------------------------------------------------
+
+
+class TestCleanTextProperties:
+    """clean_text over adversarial unicode: idempotence and the
+    Python-twin chain equality, batched per example set to amortize
+    the Spark round trip (the module convention)."""
+
+    @staticmethod
+    def _py_clean(x: str) -> str:
+        """Independent Python twin of the default clean_text chain."""
+        import re
+        import unicodedata
+
+        x = unicodedata.normalize("NFC", x)
+        x = re.sub("\r\n|\r| | ", "\n", x)
+        x = re.sub(
+            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+            "​-‍﻿]", "", x
+        )
+        x = re.sub(
+            "[   -   　]", " ", x
+        )
+        x = re.sub("[ \t]{2,}", " ", x)
+        x = re.sub("[ \t]+\n", "\n", x)
+        x = re.sub("\n{3,}", "\n\n", x)
+        return re.sub(r"^\s+|\s+$", "", x)
+
+    def test_fuzzed_unicode_matches_python_twin(self, spark):
+        import random
+
+        from data_toolz_spark.operators.text_analysis import clean_text
+
+        alphabet = (
+            list("abz .\t\n") + ["\r", "\r\n", " ", " ",
+            "​", "﻿", "\x07", "é", "é", "中", "ß",
+            "　", "\x1b", " ", "‌"]
+        )
+        rng = random.Random(42)
+        cases = [
+            (i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 40))))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(cases, "id long, x string")
+        got = {
+            r["id"]: r["y"]
+            for r in df.select(
+                "id", clean_text("x").alias("y")
+            ).collect()
+        }
+        for i, x in cases:
+            assert got[i] == self._py_clean(x), (i, repr(x))
+            # idempotence via the twin (chain equality already pinned)
+            assert self._py_clean(got[i]) == got[i], (i, repr(got[i]))
+
+
+class TestRankThresholdProperties:
+    def test_fuzzed_multisets_match_exact_rank_rule(self, spark):
+        """For random multisets and random fractions, the returned
+        threshold is EXACTLY the ceil-rank order statistic."""
+        import random
+
+        from data_toolz_spark.operators.text_analysis import (
+            rank_thresholds,
+        )
+
+        rng = random.Random(7)
+        for trial in range(5):
+            n = rng.randint(1, 120)
+            vals = [rng.randint(-4, 4) for _ in range(n)]
+            qs = []
+            while len(qs) < 3:
+                den = rng.randint(1, 12)
+                num = rng.randint(1, den)
+                if (num, den) not in qs:
+                    qs.append((num, den))
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+            )
+            got = {
+                (r["q_num"], r["q_den"]): r["threshold"]
+                for r in rank_thresholds(df, "v", qs).collect()
+            }
+            svals = sorted(vals)
+            for num, den in qs:
+                target = (num * n + den - 1) // den
+                assert got[(num, den)] == svals[target - 1], (
+                    trial, num, den, n,
+                )
