@@ -128,6 +128,7 @@ def prepare_training_corpus(
     chunk_max_words: int | None = None,
     chunk_overlap: int = 0,
     pack_budget: int | None = None,
+    token_pack: Mapping | None = None,
     seed: int = 42,
     persist_cleaned: bool = True,
 ) -> DataFrame:
@@ -520,6 +521,81 @@ def prepare_training_corpus(
             ).drop("__chunk_key")
     elif pack_budget is not None:
         raise ValueError("pack_budget requires chunk_max_words")
+
+    # 8. REAL-token-id sequence packing (r10, optional — the full
+    # raw-docs → packed-pretraining-sequences path in one call):
+    # encode every surviving doc to token ids (``model`` = a trained
+    # UnigramModel, or ``ids_expr`` = any prepared id-array Column
+    # over text_col, e.g. bpe_encode_bytes_expr's output), then
+    # pack_token_sequences PER SPLIT — sequences concatenate documents,
+    # so packing across splits would stitch val tokens into train
+    # sequences; the per-split invocations keep every sequence
+    # split-pure and the near-dup component routing still applies.
+    # Output: (split, shard, seq_index, input_ids).
+    if token_pack is not None:
+        if chunk_max_words is not None:
+            raise ValueError(
+                "token_pack is exclusive with chunk_max_words/"
+                "pack_budget — pick word-chunking or token packing"
+            )
+        spec = dict(token_pack)
+        seq_len = int(spec["seq_len"])
+        eos_id = int(spec["eos_id"])
+        from data_toolz_spark.operators.sampling import (
+            pack_token_sequences,
+        )
+
+        if "model" in spec:
+            from data_toolz_spark.operators.unigram import (
+                unigram_encode,
+            )
+
+            ids = unigram_encode(
+                out,
+                spec["model"],
+                id_col=id_col,
+                text_col=text_col,
+                max_piece_len=int(spec.get("max_piece_len", 8)),
+            )
+        elif "ids_expr" in spec:
+            ids = out.select(
+                F.col(id_col), spec["ids_expr"].alias("ids")
+            )
+        else:
+            raise ValueError(
+                "token_pack: pass 'model' (UnigramModel) or "
+                "'ids_expr' (an id-array Column over the text)"
+            )
+        ids = ids.join(out.select(id_col, "split"), on=id_col)
+        # the encode plan embeds the full upstream tree and each
+        # split's pack re-reads it — same persist + lineage-truncation
+        # device as the strata stage
+        if persist_cleaned:
+            from pyspark import StorageLevel
+
+            from data_toolz_spark.cache import track
+
+            ids = track(ids.persist(StorageLevel.MEMORY_AND_DISK))
+        if out.sparkSession.sparkContext.getCheckpointDir() is not None:
+            ids = ids.checkpoint(eager=False)
+        else:
+            ids = ids.localCheckpoint(eager=False)
+        packed = None
+        for s in sorted(fracs):
+            part = pack_token_sequences(
+                ids.filter(F.col("split") == s).select(id_col, "ids"),
+                id_col=id_col,
+                ids_col="ids",
+                seq_len=seq_len,
+                eos_id=eos_id,
+                n_shards=int(spec.get("n_shards", 256)),
+                seed=seed,
+                components=cc,
+                portable=bool(spec.get("portable", False)),
+                drop_last=bool(spec.get("drop_last", True)),
+            ).withColumn("split", F.lit(s))
+            packed = part if packed is None else packed.unionByName(part)
+        return packed.select("split", "shard", "seq_index", "input_ids")
 
     return out
 

@@ -564,3 +564,75 @@ def test_pipeline_all_session2_stages_compose(spark):
         heads = sum(1 for r in docs_lg if r["ppl_bucket"] == "head")
         assert heads >= (len(docs_lg) + 2) // 3 - 1  # ties tolerance
     assert all(r["split"] in FRACS for r in got.values())
+
+
+def test_pipeline_token_pack_end_to_end(spark):
+    """token_pack: raw docs → cleaned corpus → unigram token ids →
+    split-pure packed sequences, one call."""
+    from data_toolz_spark.operators.unigram import (
+        unigram_train,
+        unigram_word_table,
+    )
+
+    def w3(n):
+        return (
+            chr(97 + (n // 676) % 26)
+            + chr(97 + (n // 26) % 26)
+            + chr(97 + n % 26)
+        )
+
+    rows = [
+        (i, " ".join(w3(i * 31 + j) for j in range(25)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_train(
+        unigram_word_table(docs), vocab_size=64, n_iter=2,
+        max_piece_len=4, seed_size=512, min_count=1,
+    )
+    eos = model.size  # first free id
+    out = prepare_training_corpus(
+        docs,
+        None,
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8,
+        token_pack={
+            "model": model, "seq_len": 32, "eos_id": eos,
+            "n_shards": 4, "drop_last": False,
+        },
+        fractions=FRACS,
+    )
+    seqs = out.collect()
+    assert seqs and set(out.columns) == {
+        "split", "shard", "seq_index", "input_ids"
+    }
+    # every full sequence is exactly seq_len; drop_last=False keeps
+    # shard-final partials
+    per_key = {}
+    for r in seqs:
+        assert r["split"] in FRACS
+        per_key.setdefault((r["split"], r["shard"]), []).append(r)
+    for (s, sh), rs in per_key.items():
+        rs = sorted(rs, key=lambda r: r["seq_index"])
+        for r in rs[:-1]:
+            assert len(r["input_ids"]) == 32
+        assert 1 <= len(rs[-1]["input_ids"]) <= 32
+    # token conservation: stream length == sum of (ids + eos) per doc
+    n_stream = sum(len(r["input_ids"]) for r in seqs)
+    from data_toolz_spark.operators.unigram import unigram_encode
+
+    kept = prepare_training_corpus(
+        docs, None, quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8, fractions=FRACS,
+    )
+    enc = unigram_encode(kept, model).collect()
+    assert n_stream == sum(len(r["ids"]) + 1 for r in enc)
+    with pytest.raises(ValueError, match="exclusive"):
+        prepare_training_corpus(
+            docs, None, chunk_max_words=8,
+            token_pack={"model": model, "seq_len": 8, "eos_id": eos},
+        )
+    with pytest.raises(ValueError, match="model"):
+        prepare_training_corpus(
+            docs, None, token_pack={"seq_len": 8, "eos_id": eos},
+        )
