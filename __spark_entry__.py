@@ -3235,10 +3235,10 @@ def _clean_text_sql(x: str) -> str:
     character classes parse the same under Java regex and RE2, which
     is the operator's portability contract (differentially pinned in
     tests/test_clean_text.py)."""
-    x = f"nfc_normalize({x})"
     x = f"regexp_replace({x}, '\\r\\n|\\r|\\x{{2028}}|\\x{{2029}}', chr(10), 'g')"
     x = (f"regexp_replace({x}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
          f"\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g')")
+    x = f"nfc_normalize({x})"
     x = (f"regexp_replace({x}, '[\\x{{00A0}}\\x{{1680}}\\x{{2000}}-"
          f"\\x{{200A}}\\x{{202F}}\\x{{205F}}\\x{{3000}}]', ' ', 'g')")
     x = f"regexp_replace({x}, '[ \\t]{{2,}}', ' ', 'g')"
@@ -4098,7 +4098,12 @@ mclean AS (
 SELECT u.doc_id, u.canonical, hc.html_clean_md5, mc.fixed_md5,
        u.is_dup,
        CASE WHEN u.domain = '' THEN NULL ELSE u.domain END AS domain,
-       CAST(COALESCE(c.cap_rank <= 25, FALSE) AS BIGINT) AS cap_keep
+       -- NULL-host rows pass the cap UNCAPPED (cap_per_domain's
+       -- pass-through branch) → keep=1, matching the Spark side
+       CASE WHEN u.domain IS NULL OR u.domain = ''
+            THEN CAST(1 AS BIGINT)
+            ELSE CAST(COALESCE(c.cap_rank <= 25, FALSE) AS BIGINT)
+       END AS cap_keep
 FROM u JOIN hclean hc USING (doc_id)
 JOIN mclean mc USING (doc_id)
 LEFT JOIN capped c USING (doc_id)

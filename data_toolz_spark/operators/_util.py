@@ -2,7 +2,54 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_safe_top_n(
+    df: DataFrame,
+    *,
+    partition_by: Sequence[str],
+    order_by: Sequence,
+    n: int,
+    salt: Column,
+    salt_buckets: int,
+) -> DataFrame:
+    """Rank-within-group top-N that a mega-group cannot pin to one
+    task — the shared construction under ``cap_per_domain``'s quota
+    rank and ``component_representatives``' argmax (and any future
+    per-key top-N): stage 1 ranks within ``(partition_by, pmod(salt,
+    S))`` and keeps ≤ N per slice — every TRUE global top-N row is
+    top-N within its own slice (pigeonhole), so no survivor is lost —
+    and stage 2 re-ranks the ≤ S·N finalists per group.  The result
+    is IDENTICAL to the single-window rank for every ``salt_buckets ≥
+    1`` (pinned by both call sites' salt-invariance tests), because
+    ``order_by`` must be a TOTAL order over the group's rows (the
+    callers order by a hash/score plus the unique id).
+
+    Returns the surviving rows with original columns (scratch rank
+    columns dropped).  ``salt`` must be a deterministic per-row
+    expression that spreads a group's rows across slices (the callers
+    pass the order hash or an id hash).
+    """
+    if salt_buckets < 1:
+        raise ValueError("skew_safe_top_n: salt_buckets must be >= 1")
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(
+        *partition_by, F.pmod(salt, F.lit(salt_buckets))
+    ).orderBy(*order_by)
+    stage1 = df.withColumn(
+        "__ssrn", F.row_number().over(w1)
+    ).filter(F.col("__ssrn") <= n)
+    w2 = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        stage1.withColumn("__ssrn2", F.row_number().over(w2))
+        .filter(F.col("__ssrn2") <= n)
+        .drop("__ssrn", "__ssrn2")
+    )
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -27,4 +74,4 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-__all__ = ["spread"]
+__all__ = ["spread", "skew_safe_top_n"]

@@ -299,10 +299,11 @@ class KCenterResult:
     """Greedy k-center selection state: the picked ids in selection
     order, their quantized vectors (m × dim — bounded driver state,
     same contract as ``KMeansModel.centers``), and the coverage radii
-    sequence (``radii[i]`` = squared distance of pick ``i`` to the
-    previously selected set = the corpus coverage radius after ``i``
-    centers — the classic diminishing-returns curve to plot when
-    choosing m)."""
+    sequence: ``len(radii) == m - 1`` — ``radii[i]`` is the squared
+    distance of pick ``i + 1`` to the first ``i + 1`` selected centers
+    (pick 0, the seed, has no entry), i.e. the corpus coverage radius
+    the selection had BEFORE that pick joined — the classic
+    diminishing-returns curve to plot when choosing m."""
 
     ids: tuple
     centers: np.ndarray

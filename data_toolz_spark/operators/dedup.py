@@ -654,7 +654,7 @@ def component_representatives(
         raise ValueError(
             "component_representatives: salt_buckets must be >= 1"
         )
-    from pyspark.sql.window import Window
+    from data_toolz_spark.operators._util import skew_safe_top_n
 
     direction = (
         F.desc_nulls_last(score_col)
@@ -670,24 +670,17 @@ def component_representatives(
         on=id_col,
         how="left",
     )
-    w1 = Window.partitionBy(
-        component_col,
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)),
-    ).orderBy(direction, F.asc(id_col))
-    stage1 = scored.withColumn(
-        "__rn", F.row_number().over(w1)
-    ).filter(F.col("__rn") == 1)
-    w2 = Window.partitionBy(component_col).orderBy(
-        direction, F.asc(id_col)
-    )
-    kept = (
-        stage1.withColumn("__rn2", F.row_number().over(w2))
-        .filter(F.col("__rn2") == 1)
-        .select(
-            F.col(component_col),
-            F.col(id_col).alias("kept_id"),
-            F.col(score_col).alias("kept_score"),
-        )
+    kept = skew_safe_top_n(
+        scored,
+        partition_by=[component_col],
+        order_by=[direction, F.asc(id_col)],
+        n=1,
+        salt=F.xxhash64(F.col(id_col)),
+        salt_buckets=salt_buckets,
+    ).select(
+        F.col(component_col),
+        F.col(id_col).alias("kept_id"),
+        F.col(score_col).alias("kept_score"),
     )
     return components.select(F.col(id_col), F.col(component_col)).join(
         kept, on=component_col, how="inner"

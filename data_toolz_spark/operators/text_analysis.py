@@ -1406,24 +1406,28 @@ def clean_text(
     capping (``max_blank_lines`` kept — paragraph structure survives
     for :func:`line_dedup` and the chunkers), and outer trim.
 
-    Everything after NFC is pure codegen'd ``regexp_replace`` with
+    Everything except NFC is pure codegen'd ``regexp_replace`` with
     ``\\x{…}`` classes that parse identically under Java regex and
     RE2, so the whole chain is ANSI-SQL-replayable (the oracle runs
-    ``nfc_normalize`` + the same replace chain).  Idempotent:
+    the same replace chain around ``nfc_normalize``).  Idempotent:
     ``clean_text(clean_text(x)) == clean_text(x)`` (pinned) — re-runs
     over partially processed data are no-ops.  NULL → NULL.
 
-    Order matters and is part of the contract: NFC first (combining
-    marks must compose before character classes inspect them),
-    newlines before the control strip (CR would otherwise be eaten as
-    a control and glue lines together), space folding before
-    squeezing (an NBSP run must collapse like a space run).
+    Order matters and is part of the contract: newlines canonicalize
+    first (CR is NOT in the control class, so it must resolve before
+    anything else sees it), then the control/zero-width strip, THEN
+    NFC — a zero-width char between a base letter and its combining
+    mark (``e·ZWSP·U+0301``, common in crawled text) blocks
+    composition, so the invisibles must be gone before NFC composes
+    (NFC itself never produces controls or zero-widths, which is what
+    makes the second pass a no-op); space folding before squeezing
+    (an NBSP run must collapse like a space run).
     """
     c = _cc(text)
-    if nfc:
-        c = nfc_column(c)
     c = F.regexp_replace(c, CLEAN_NEWLINE_RE, "\n")
     c = F.regexp_replace(c, CLEAN_CTRL_RE, "")
+    if nfc:
+        c = nfc_column(c)
     c = F.regexp_replace(c, CLEAN_SPACE_RE, " ")
     if squeeze_spaces:
         c = F.regexp_replace(c, r"[ \t]{2,}", " ")
@@ -1546,7 +1550,11 @@ def bucket_by_thresholds(
     strictly below the score), never a UDF.  NULL scores → NULL
     bucket.  ``labels`` defaults to ``b0..bk``; pass
     ``("head", "middle", "tail")`` for the CCNet naming (length must
-    be k+1).
+    be k+1 — the label lookup is a bounds-safe ``get``, so a
+    too-short tuple surfaces as NULL buckets in the top stratum, the
+    same signal under ANSI and non-ANSI, rather than a mid-job
+    array-index error; an eager length check would cost a count job
+    on every call of an otherwise fully lazy operator).
     """
     gcols = list(group_cols)
     thr = thresholds.groupBy(*gcols).agg(
@@ -1585,9 +1593,8 @@ def bucket_by_thresholds(
         ).drop("__one")
     s = F.col(score_col)
     idx = F.size(F.filter(F.col("__thr"), lambda t: s > t))
-    lab = F.element_at(
-        F.array(*[F.lit(x) for x in labels]),
-        (idx + 1).cast("int"),
+    lab = F.get(
+        F.array(*[F.lit(x) for x in labels]), idx.cast("int")
     )
     return joined.withColumn(
         bucket_col,

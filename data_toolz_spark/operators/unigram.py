@@ -93,6 +93,20 @@ def _viterbi(word: str, scores: dict, max_len: int):
     """
     n = len(word)
     NEG = -1e18
+
+    def better(cand, cur) -> bool:
+        # the DOCUMENTED total order: higher score, then fewer
+        # pieces, then lexicographically SMALLER piece tuple (a plain
+        # tuple max would prefer the larger tuple — the divergence a
+        # replay implementing the written rule would hit)
+        if cur is None:
+            return True
+        if cand[0] != cur[0]:
+            return cand[0] > cur[0]
+        if cand[1] != cur[1]:
+            return cand[1] > cur[1]
+        return cand[2] < cur[2]
+
     # best[i] = (score, neg_pieces, pieces_tuple) for word[:i]
     best = [None] * (n + 1)
     best[0] = (0.0, 0, ())
@@ -107,11 +121,11 @@ def _viterbi(word: str, scores: dict, max_len: int):
             if sc is None:
                 continue
             cand = (s0 + sc, np0 - 1, ps0 + (piece,))
-            if best[j] is None or cand > best[j]:
+            if better(cand, best[j]):
                 best[j] = cand
         # unk bridge: one character, huge penalty
         cand = (s0 + NEG, np0 - 1, ps0 + (word[i : i + 1],))
-        if best[i + 1] is None or cand > best[i + 1]:
+        if better(cand, best[i + 1]):
             best[i + 1] = cand
     return best[n][2]
 
@@ -212,6 +226,10 @@ def unigram_train(
         state.select(F.explode(subs).alias("piece"), "freq")
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
+        # two collects read this (alphabet + top multis) and the
+        # substring explode is the heaviest job in training — persist
+        # so it runs once
+        .persist()
     )
     chars = {
         r["piece"]: int(r["cnt"])
@@ -233,6 +251,7 @@ def unigram_train(
     )
     counts = dict(chars)
     counts.update({r["piece"]: int(r["cnt"]) for r in multi})
+    seeded.unpersist()
 
     def prune(counts: dict, keep_multi: int) -> dict:
         multis = sorted(

@@ -215,8 +215,7 @@ def cap_per_domain(
         raise ValueError("cap_per_domain: max_per_domain must be >= 1")
     if salt_buckets < 1:
         raise ValueError("cap_per_domain: salt_buckets must be >= 1")
-    from pyspark.sql.window import Window
-
+    from data_toolz_spark.operators._util import skew_safe_top_n
     from data_toolz_spark.operators.sampling import _order_hash
 
     dom = (
@@ -228,18 +227,14 @@ def cap_per_domain(
     sited = base.filter(F.col(domain_col).isNotNull()).withColumn(
         "__ok", _order_hash(F.col(id_col), seed, portable)
     )
-    w1 = Window.partitionBy(
-        domain_col, F.pmod(F.col("__ok"), F.lit(salt_buckets))
-    ).orderBy("__ok", id_col)
-    stage1 = sited.withColumn(
-        "__rn", F.row_number().over(w1)
-    ).filter(F.col("__rn") <= max_per_domain)
-    w2 = Window.partitionBy(domain_col).orderBy("__ok", id_col)
-    kept = (
-        stage1.withColumn("__rn2", F.row_number().over(w2))
-        .filter(F.col("__rn2") <= max_per_domain)
-        .drop("__ok", "__rn", "__rn2")
-    )
+    kept = skew_safe_top_n(
+        sited,
+        partition_by=[domain_col],
+        order_by=[F.col("__ok"), F.col(id_col)],
+        n=max_per_domain,
+        salt=F.col("__ok"),
+        salt_buckets=salt_buckets,
+    ).drop("__ok")
     return kept.unionByName(free)
 
 

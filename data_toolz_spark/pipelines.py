@@ -195,7 +195,9 @@ def prepare_training_corpus(
     # quality gate so its signals (alpha ratio, token stats, line
     # dedup keys) see the repaired text.  ``clean=True`` for defaults
     # or a dict of clean_text kwargs.
-    if clean:
+    # truthiness would silently DISABLE the tier for clean={} — the
+    # sibling specs' "empty dict = on with defaults" convention
+    if clean is not False and clean is not None:
         from data_toolz_spark.operators.text_analysis import clean_text
 
         kw = dict(clean) if isinstance(clean, Mapping) else {}

@@ -31,6 +31,10 @@ CASES = [
     (12, "tab\tkept single, \t run squeezed"),
     (13, "café already composed"),
     (14, "mixed é\r\n ​ x"),
+    # the order-contract pin: ZWSP between base letter and combining
+    # mark -- the invisibles must strip BEFORE NFC or composition is
+    # blocked and clean_text is not idempotent
+    (15, "split mark e\u200B\u0301 composes"),
 ]
 
 
@@ -49,11 +53,12 @@ SELECT id,
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(
-              regexp_replace(nfc_normalize(x),
-                '\r\n|\r|\x{2028}|\x{2029}', chr(10), 'g'),
-              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-              '', 'g'),
+            nfc_normalize(
+              regexp_replace(
+                regexp_replace(x,
+                  '\r\n|\r|\x{2028}|\x{2029}', chr(10), 'g'),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                '', 'g')),
             '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
             ' ', 'g'),
           '[ \t]{2,}', ' ', 'g'),
@@ -107,6 +112,8 @@ def test_clean_text_specific_forms(spark):
     assert got[9] == "blank\n\nrun capped"
     assert got[10] == "" and got[11] is None
     assert got[13] == "café already composed"
+    # ZWSP stripped first, THEN NFC composes e+U+0301 → é (one char)
+    assert got[15] == "split mark é composes"
 
 
 def test_clean_text_is_idempotent(spark):

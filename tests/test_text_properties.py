@@ -191,18 +191,21 @@ class TestCleanTextProperties:
 
     @staticmethod
     def _py_clean(x: str) -> str:
-        """Independent Python twin of the default clean_text chain."""
+        """Independent Python twin of the default clean_text chain
+        (same ORDER contract: newlines, then the control/zero-width
+        strip, THEN NFC, then spaces)."""
         import re
         import unicodedata
 
-        x = unicodedata.normalize("NFC", x)
-        x = re.sub("\r\n|\r| | ", "\n", x)
+        x = re.sub("\r\n|\r|\u2028|\u2029", "\n", x)
         x = re.sub(
             "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
-            "​-‍﻿]", "", x
+            "\u200b-\u200d\ufeff]", "", x
         )
+        x = unicodedata.normalize("NFC", x)
         x = re.sub(
-            "[   -   　]", " ", x
+            "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]",
+            " ", x
         )
         x = re.sub("[ \t]{2,}", " ", x)
         x = re.sub("[ \t]+\n", "\n", x)
@@ -217,7 +220,7 @@ class TestCleanTextProperties:
         alphabet = (
             list("abz .\t\n") + ["\r", "\r\n", " ", " ",
             "​", "﻿", "\x07", "é", "é", "中", "ß",
-            "　", "\x1b", " ", "‌"]
+            "　", "\x1b", " ", "‌", "\u0301"]
         )
         rng = random.Random(42)
         cases = [

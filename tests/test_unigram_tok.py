@@ -21,6 +21,16 @@ from data_toolz_spark.operators.unigram import (
 )
 
 
+def _ref_better(cand, cur):
+    if cur is None:
+        return True
+    if cand[0] != cur[0]:
+        return cand[0] > cur[0]
+    if cand[1] != cur[1]:
+        return cand[1] > cur[1]
+    return cand[2] < cur[2]  # lexicographically SMALLER pieces win
+
+
 def _ref_viterbi(word, scores, max_len):
     n = len(word)
     NEG = -1e18
@@ -35,10 +45,10 @@ def _ref_viterbi(word, scores, max_len):
             if sc is None:
                 continue
             cand = (s0 + sc, np0 - 1, ps0 + (word[i:j],))
-            if best[j] is None or cand > best[j]:
+            if _ref_better(cand, best[j]):
                 best[j] = cand
         cand = (s0 + NEG, np0 - 1, ps0 + (word[i : i + 1],))
-        if best[i + 1] is None or cand > best[i + 1]:
+        if _ref_better(cand, best[i + 1]):
             best[i + 1] = cand
     return best[n][2]
 
@@ -209,3 +219,17 @@ def test_model_persistence_round_trip(spark, docs):
     assert loaded.pieces == model.pieces
     assert loaded.counts == model.counts
     drop_stale_table(spark, table)
+
+
+def test_viterbi_tie_breaks_to_smaller_piece_sequence():
+    """Equal score + equal piece count → the lexicographically
+    SMALLER piece tuple wins (the documented portable rule; a plain
+    tuple max would pick the larger one)."""
+    from data_toolz_spark.operators.unigram import _viterbi
+
+    scores = {"ab": -1.0, "a": -0.5, "b": -0.5, "ba": -1.0}
+    # 'abab': ('ab','ab') vs ('a','ba','b') — different piece counts;
+    # craft an exact tie instead: 'aba' with {'ab','a'} vs {'a','ba'}
+    # both = score('ab'/'ba') + score('a') and both 2 pieces
+    got = _viterbi("aba", scores, 2)
+    assert got == ("a", "ba")  # smaller than ('ab', 'a')
