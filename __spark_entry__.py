@@ -3192,7 +3192,11 @@ s{i} AS (
   SELECT * FROM s{i - 1}
   UNION ALL
   SELECT w.vec_id, w.v, {i} AS pick FROM (
+    -- md2 > 0 mirrors kcenter_select's early stop: when every
+    -- remaining point duplicates a pick, NO new exemplar joins (and
+    -- all later rounds stay empty too, since the set is unchanged)
     SELECT p.vec_id, q2.v FROM pm{i} p JOIN q q2 USING (vec_id)
+    WHERE p.md2 > 0
     ORDER BY p.md2 DESC, p.vec_id LIMIT 1
   ) w
 )""")

@@ -1653,6 +1653,23 @@ def build_quota_ledger(
     return f"{table_prefix}_quota_rows"
 
 
+def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
+    """The quota ledger stores ids as int64 and replay protection is
+    an id anti-join — a non-integral id column (UUID strings, …) would
+    silently cast to NULL, never match, and fill the ledger with
+    NULL-id rows, so the documented "replays cannot oversubscribe"
+    contract would silently fail.  Fail loudly instead (hash string
+    ids to a long key upstream if needed, e.g. ``xxhash64``)."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"{fn}: id_col {id_col!r} must be an integral type (the "
+            f"ledger stores int64 ids and replay protection anti-joins "
+            f"on them), got {dt} — hash non-numeric ids to a long key "
+            "(e.g. xxhash64) before admission"
+        )
+
+
 def _quota_meta(spark: SparkSession, table_prefix: str):
     rows = spark.table(f"{table_prefix}_quota_meta").collect()
     if len(rows) != 1:
@@ -1695,6 +1712,7 @@ def quota_admit(
 
     from data_toolz_spark.operators.sampling import _order_hash
 
+    _require_integral_id(batch, id_col, "quota_admit")
     m = _quota_meta(spark, table_prefix)
     cap, n_parts, seed = (
         int(m["max_per_domain"]),
@@ -1746,6 +1764,7 @@ def append_to_quota_ledger(
     """Fold admitted rows into the ledger — ONE job-atomic
     dynamic-partition ``insertInto`` touching only the pd partitions
     the batch's domains name."""
+    _require_integral_id(admitted, id_col, "append_to_quota_ledger")
     m = _quota_meta(spark, table_prefix)
     (
         admitted.select(

@@ -67,6 +67,17 @@ class UnigramModel:
     def size(self) -> int:
         return len(self.pieces)
 
+    @property
+    def max_piece_len(self) -> int:
+        """Longest REAL piece (id 0's ``<unk>`` sentinel excluded) —
+        the sufficient DP lookahead at encode time: no candidate
+        longer than this can ever match, so segmenting with this limit
+        reproduces training segmentations even when the model was
+        trained with a larger ``max_piece_len`` (the train/encode
+        reproducibility contract; derived from the pieces so loaded
+        models carry it for free)."""
+        return max((len(p) for p in self.pieces[1:]), default=1)
+
     def scores(self) -> dict:
         """piece → log(count/total) over the non-unk mass (floats
         derived from the integer counts — deterministic)."""
@@ -313,12 +324,17 @@ def unigram_segment_words(
     model: UnigramModel,
     *,
     word_col: str = "word",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Segment a column of (distinct) words under a trained model:
     ``(word, pieces array<string>, ids array<int>)``.  One Arrow pass;
     characters outside the model map to id 0 (<unk>).
+    ``max_piece_len`` defaults to the model's own longest piece — a
+    smaller explicit value silently truncates matchable pieces, so
+    only override it to REDUCE DP work when the vocab is known short.
     """
+    if max_piece_len is None:
+        max_piece_len = model.max_piece_len
     scores = model.scores()
     piece_id = {p: i for i, p in enumerate(model.pieces)}
 
@@ -348,7 +364,7 @@ def unigram_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "ids",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Encode a corpus to unigram token ids: ``(id_col, out_col)``.
 

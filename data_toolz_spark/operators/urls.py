@@ -220,7 +220,11 @@ def cap_per_domain(
 
     dom = (
         host_of(F.col(url_col)) if url_col is not None
-        else F.col(host_col)
+        # '' is not a site: normalize to NULL so both input modes
+        # share the pass-through rule (host_of never yields '' — an
+        # upstream producing '' instead of NULL must not get a shared
+        # phantom domain capped to max_per_domain rows)
+        else F.when(F.col(host_col) != "", F.col(host_col))
     )
     base = df.withColumn(domain_col, dom)
     free = base.filter(F.col(domain_col).isNull())

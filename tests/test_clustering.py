@@ -314,3 +314,45 @@ def test_kcenter_assignment_via_model_view(spark):
     # point the (m+1)-th round would pick; check the weaker monotone
     # bound: max d2 <= radii[-1]
     assert max(r["d2"] for r in rows) <= res.radii[-1]
+
+
+def test_kcenter_oracle_sql_mirrors_early_stop(spark):
+    """r11 (advice): on a corpus with fewer distinct vectors than m
+    the DuckDB oracle must stop adding picks exactly where
+    kcenter_select does (md2 > 0 guard) — no duplicate exemplar at
+    distance 0."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _kmeans_oracle_sql
+    from data_toolz_spark.operators.clustering import kcenter_select
+
+    base = [[1.0, 0.0], [0.0, 1.0], [5.0, 5.0]]
+    rows = [(i, base[i % 3]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    res = kcenter_select(
+        df, dim=2, m=6, seed=7, scale=1024, persist=False
+    )
+    assert res.m == 3  # early-stopped on the Spark side
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+            }
+        ),
+    )
+    out = con.execute(
+        _kmeans_oracle_sql(2, 1, 2, 7, 1024, kc_m=6)
+    ).df()
+    con.close()
+    picked = out[out["kc_pick"].notna()].sort_values("kc_pick")
+    assert [int(v) for v in picked["vec_id"]] == list(res.ids)
+    assert [int(v) for v in picked["kc_pick"]] == [0, 1, 2]
+    # every row still clusters to one of the 3 real picks
+    assert set(int(v) for v in out["kc_cluster"]) <= {0, 1, 2}

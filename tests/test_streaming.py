@@ -969,3 +969,45 @@ def test_streaming_strata_labeling_with_stored_thresholds(spark, tmp_path):
     for r in rows:
         counts[r["ppl_bucket"]] = counts.get(r["ppl_bucket"], 0) + 1
     assert counts == {"head": 30, "middle": 30, "tail": 30}
+
+
+def test_quota_rejects_non_integral_ids(spark, tmp_path):
+    """r11 (advice): string/UUID ids would silently cast to NULL long,
+    never match the replay anti-join, and fill the ledger with NULL-id
+    rows — quota_admit / append_to_quota_ledger must fail loudly."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.incremental import (
+        append_to_quota_ledger,
+        build_quota_ledger,
+        quota_admit,
+    )
+
+    prefix = "t_qtype"
+    for t in ("quota_meta", "quota_rows"):
+        drop_stale_table(spark, f"{prefix}_{t}")
+    build_quota_ledger(
+        spark, prefix, max_per_domain=2, n_partitions=4,
+        path=str(tmp_path / "qledger"),
+    )
+    bad = spark.createDataFrame(
+        [("u-1", "a.com"), ("u-2", "a.com")],
+        "doc_id string, domain string",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        quota_admit(
+            spark, bad, prefix, id_col="doc_id", domain_col="domain"
+        )
+    with pytest.raises(TypeError, match="integral"):
+        append_to_quota_ledger(
+            spark, bad, prefix, id_col="doc_id", domain_col="domain"
+        )
+    # the documented remedy works: hash the string id to a long key
+    hashed = bad.select(
+        F.xxhash64("doc_id").alias("hid"), "domain"
+    )
+    admitted = quota_admit(
+        spark, hashed, prefix, id_col="hid", domain_col="domain"
+    )
+    assert admitted.count() == 2
+    for t in ("quota_meta", "quota_rows"):
+        drop_stale_table(spark, f"{prefix}_{t}")

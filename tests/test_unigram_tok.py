@@ -233,3 +233,37 @@ def test_viterbi_tie_breaks_to_smaller_piece_sequence():
     # both = score('ab'/'ba') + score('a') and both 2 pieces
     got = _viterbi("aba", scores, 2)
     assert got == ("a", "ba")  # smaller than ('ab', 'a')
+
+
+def test_encode_limit_defaults_to_model_longest_piece(spark):
+    """r11 (advice): a model trained with max_piece_len > 8 must
+    reproduce its training segmentations at encode time WITHOUT the
+    caller re-passing the limit — the default derives from the
+    longest real piece instead of a hardcoded 8."""
+    docs = spark.createDataFrame(
+        [(i, "commonlongword tail") for i in range(40)]
+        + [(100 + i, "tail xyz") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    words = unigram_word_table(docs)
+    model = unigram_train(
+        words, vocab_size=40, n_iter=2, max_piece_len=14,
+        seed_size=512, min_count=1,
+    )
+    # the 14-char word must have survived as one piece for the test
+    # to bite (with a hardcoded 8 it could never match at encode time)
+    assert "commonlongword" in model.pieces
+    assert model.max_piece_len >= 14
+    seg = {
+        r["word"]: tuple(r["pieces"])
+        for r in unigram_segment_words(
+            words.select("word"), model
+        ).collect()
+    }
+    assert seg["commonlongword"] == ("commonlongword",)
+    # persistence keeps the derived limit (pieces round-trip)
+    table = "t_unigram_mpl_rt"
+    save_unigram_model(spark, model, table)
+    loaded = load_unigram_model(spark, table)
+    assert loaded.max_piece_len == model.max_piece_len
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -461,3 +461,24 @@ def test_cap_per_domain_host_col_and_validation(spark):
         cap_per_domain(
             df, id_col="doc_id", host_col="site", max_per_domain=0
         )
+
+
+def test_cap_per_domain_empty_host_passes_through(spark):
+    """r11 (advice): '' in host_col is not a site — it must share the
+    NULL pass-through rule (host_of never yields ''), not get capped
+    as one shared phantom domain."""
+    from data_toolz_spark.operators.urls import cap_per_domain
+
+    rows = [(i, "") for i in range(10)] + [
+        (100 + i, "a.com") for i in range(10)
+    ] + [(200, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "site"])
+    kept = cap_per_domain(
+        df, id_col="doc_id", host_col="site", max_per_domain=3
+    )
+    got = kept.collect()
+    # all 10 ''-host rows AND the NULL row pass uncapped; a.com capped
+    assert len(got) == 10 + 3 + 1
+    assert all(
+        r["domain"] is None for r in got if r["doc_id"] < 100 or r["doc_id"] == 200
+    )
