@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1164,6 +1165,11 @@ def main() -> int:
             "spark.driver.memory": os.environ.get(
                 "SPARK_GRAFT_DRIVER_MEM", _default_heap()
             ),
+            # unique warehouse per run — table-building entries must
+            # not collide with a concurrent suite (tests/conftest.py)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                prefix="dts-bench-warehouse-"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -1186,8 +1192,6 @@ def main() -> int:
     # streaming-infra warmup: the first streaming query in a session
     # pays one-time init (state-store provider, streaming listener,
     # offset-log machinery) — session cost, not query cost
-    import tempfile
-
     if not os.environ.get("SPARK_GRAFT_NO_STREAM_WARMUP"):
         warm_dir = tempfile.mkdtemp(prefix="dtz_warm_") + "/ev"
         spark.range(10).selectExpr(

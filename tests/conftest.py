@@ -3,7 +3,9 @@
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 
 import pytest
 
@@ -16,13 +18,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # Per-PROCESS warehouse: the persistent-table tests use fixed
+    # table names, so two suites (normal + ANSI) sharing the repo's
+    # ./spark-warehouse race on create/drop of identical paths (seen
+    # r10: 5+7 metastore failures, all green serially).  A unique
+    # warehouse dir + Spark's per-process in-memory catalog fully
+    # isolates them — suites can now run CONCURRENTLY.
+    warehouse = tempfile.mkdtemp(prefix="dts-test-warehouse-")
     session = get_spark(
         app_name="data_toolz_spark-tests",
         master="local[*]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     yield session
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,11 +62,18 @@ def frame_signature(columns, rows):
 
 def main() -> int:
     only = set(sys.argv[1:])
+    # unique warehouse per run: table-building qids (text_search,
+    # incremental_novel_docs) must not collide with a concurrently
+    # running pytest suite or another sweep (see tests/conftest.py)
+    warehouse = tempfile.mkdtemp(prefix="dts-oracle-warehouse-")
     spark = get_spark(
         app_name="oracle-check",
         master="local[8]",
         shuffle_partitions=16,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     con = duckdb.connect()
     for table in entrymod.TABLES:
