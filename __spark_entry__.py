@@ -3094,6 +3094,57 @@ WHERE len(a.e) > 0 AND len(b.e) > 0
 """
 
 
+def _jaccard_pairs_prefix_sql(threshold: float) -> str:
+    """EXACT Jaccard-pair oracle with prefix filtering — the same
+    result set as :func:`_jaccard_pairs_sql` (block=None), minutes →
+    seconds at sf0.1 (r11, VERDICT task 6: the brute-force 12.5M-pair
+    join took ~45 min and gated every round close).
+
+    Prefix filtering principle (Chaudhuri et al. ICDE'06; Bayardo et
+    al. WWW'07 AllPairs; Xiao et al. PPJoin): order every shingle set
+    by one global total order (document frequency ASC, shingle ASC);
+    if J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so the first
+    ⌊(1−t)·|S|⌋+1 shingles of each set must share an element —
+    candidates are prefix-prefix matches, everything else is provably
+    below threshold.  Exact Jaccard (the identical ROUND(…,6)
+    expression) then verifies each candidate, so no false positives
+    either: the output is bit-identical to brute force.
+    """
+    return f"""
+WITH sh AS (
+  SELECT doc_id, e
+  FROM (SELECT doc_id, {_DD_SHINGLES} AS e
+        FROM (SELECT doc_id, {_DD_TOKS} AS t FROM documents))
+  WHERE len(e) > 0
+),
+ex AS (SELECT doc_id, unnest(e) AS s FROM sh),
+sdf AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+pfx AS (
+  SELECT doc_id, s FROM (
+    SELECT ex.doc_id, ex.s,
+           row_number() OVER (
+             PARTITION BY ex.doc_id ORDER BY sdf.df, ex.s
+           ) AS rn,
+           len(sh.e) AS sz
+    FROM ex JOIN sdf USING (s) JOIN sh USING (doc_id)
+  ) WHERE rn <= CAST(floor((1.0 - {threshold}) * sz) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_intersect(x.e, y.e))::DOUBLE
+               / len(list_distinct(x.e || y.e)), 6) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b
+)
+WHERE jaccard >= {threshold}
+"""
+
+
 def _kmeans_oracle_sql(
     k: int, n_iter: int, dim: int, seed: int, scale: int,
     kc_m: int = 0,
@@ -4298,13 +4349,15 @@ JOIN customer ON o_custkey = c_custkey
         # to increment-touching pairs, in incremental_minhash_pairs
         "incremental_minhash_pairs": f"""
 SELECT id_a, id_b, jaccard
-FROM ({_jaccard_pairs_sql(0.8, block=None)})
+FROM ({_jaccard_pairs_prefix_sql(0.8)})
 WHERE id_a % 2 = 1 OR id_b % 2 = 1
 """,
         # exact transitive closure: recursive reachability, drop every
-        # node whose component holds a smaller id
+        # node whose component holds a smaller id (r11: the pair graph
+        # comes from the prefix-filtered EXACT join — identical pairs,
+        # ~45 min → seconds at sf0.1)
         "dedup_cc_drop": f"""
-WITH RECURSIVE pr AS ({_jaccard_pairs_sql(0.8, block=None)}),
+WITH RECURSIVE pr AS ({_jaccard_pairs_prefix_sql(0.8)}),
 edges AS (SELECT id_a AS u, id_b AS v FROM pr
           UNION SELECT id_b, id_a FROM pr),
 reach(u, v) AS (
