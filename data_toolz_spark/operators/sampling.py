@@ -466,6 +466,7 @@ def pack_token_sequences(
     components: DataFrame | None = None,
     portable: bool = False,
     drop_last: bool = True,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Pack per-document token-id arrays into EXACT fixed-length
     training sequences — the pretraining shard format (r10): within
@@ -491,6 +492,18 @@ def pack_token_sequences(
     groupBy(shard, seq) reassembles in-order.  Rows are seq_len ints —
     bounded — and nothing reaches the driver.  ``components`` routes
     shards by near-dup component min like the manifest export.
+
+    ``with_spans`` (r11, VERDICT task 3) adds ``doc_spans`` — per
+    sequence, ``array<struct<doc_id, start, len>>`` sorted by
+    ``start``: the document slices the sequence is built from, the
+    metadata cross-document attention masking and position-id resets
+    need at training time.  Conventions: ``start`` is 0-based within
+    the sequence; each document's span INCLUDES its trailing
+    ``eos_id`` token (reconstruct a document by concatenating its
+    spans across sequences in seq order and dropping the final eos —
+    pinned by tests); spans tile the sequence exactly (Σ len ==
+    size(input_ids), no gaps).  Pure extension of the existing slice
+    bookkeeping — same plan shape, no extra shuffle.
     """
     if seq_len < 2:
         raise ValueError(
@@ -533,6 +546,7 @@ def pack_token_sequences(
     # the sequences this doc overlaps: floor(start/L) .. floor((end-1)/L)
     pieces = staged.select(
         "__shard",
+        "__id",
         "__ids",
         "__start",
         "__n",
@@ -544,6 +558,7 @@ def pack_token_sequences(
         ).alias("__seq"),
     ).select(
         "__shard",
+        "__id",
         "__seq",
         F.greatest(F.col("__start"), F.col("__seq") * L).alias("__lo"),
         F.least(
@@ -553,34 +568,51 @@ def pack_token_sequences(
         "__start",
     ).select(
         "__shard",
+        "__id",
         "__seq",
         "__lo",
+        (F.col("__hi") - F.col("__lo")).cast("int").alias("__len"),
         F.expr(
             "slice(__ids, CAST(__lo - __start + 1 AS INT), "
             "CAST(__hi - __lo AS INT))"
         ).alias("__piece"),
     )
+    sorted_pieces = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__lo").alias("o"),
+                F.col("__piece").alias("p"),
+                F.col("__id").alias("d"),
+                F.col("__len").alias("n"),
+            )
+        )
+    )
+    aggs = [
+        F.flatten(
+            F.transform(sorted_pieces, lambda s: s["p"])
+        ).alias("input_ids")
+    ]
+    if with_spans:
+        aggs.append(
+            F.transform(
+                sorted_pieces,
+                lambda s: F.struct(
+                    s["d"].alias("doc_id"),
+                    (s["o"] - F.col("__seq") * L)
+                    .cast("int")
+                    .alias("start"),
+                    s["n"].alias("len"),
+                ),
+            ).alias("doc_spans")
+        )
+    cols = ["input_ids"] + (["doc_spans"] if with_spans else [])
     seqs = (
         pieces.groupBy("__shard", "__seq")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("__lo").alias("o"),
-                                F.col("__piece").alias("p"),
-                            )
-                        )
-                    ),
-                    lambda s: s["p"],
-                )
-            ).alias("input_ids")
-        )
+        .agg(*aggs)
         .select(
             F.col("__shard").alias("shard"),
             F.col("__seq").alias("seq_index"),
-            "input_ids",
+            *cols,
         )
     )
     if drop_last:

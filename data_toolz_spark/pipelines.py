@@ -557,7 +557,9 @@ def prepare_training_corpus(
                 spec["model"],
                 id_col=id_col,
                 text_col=text_col,
-                max_piece_len=int(spec.get("max_piece_len", 8)),
+                # None → the model's own longest piece (r11 advice fix:
+                # a hardcoded 8 diverged from models trained larger)
+                max_piece_len=spec.get("max_piece_len"),
             )
         elif "ids_expr" in spec:
             ids = out.select(
@@ -582,6 +584,7 @@ def prepare_training_corpus(
             ids = ids.checkpoint(eager=False)
         else:
             ids = ids.localCheckpoint(eager=False)
+        with_spans = bool(spec.get("with_spans", False))
         packed = None
         for s in sorted(fracs):
             part = pack_token_sequences(
@@ -595,9 +598,16 @@ def prepare_training_corpus(
                 components=cc,
                 portable=bool(spec.get("portable", False)),
                 drop_last=bool(spec.get("drop_last", True)),
+                with_spans=with_spans,
             ).withColumn("split", F.lit(s))
             packed = part if packed is None else packed.unionByName(part)
-        return packed.select("split", "shard", "seq_index", "input_ids")
+        return packed.select(
+            "split",
+            "shard",
+            "seq_index",
+            "input_ids",
+            *(["doc_spans"] if with_spans else []),
+        )
 
     return out
 

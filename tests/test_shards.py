@@ -315,3 +315,78 @@ def test_portable_order_matches_hashlib_twin(spark):
         for i in range(0, len(stream), 16):
             want_seqs[(s, i // 16)] = stream[i : i + 16]
     assert seqs == want_seqs
+
+
+# ---------------------------------------------------------------------------
+# doc_spans (r11, VERDICT task 3): boundary metadata for attention
+# masking — spans tile each sequence and reconstruct every document
+# ---------------------------------------------------------------------------
+
+
+def test_token_pack_spans_tile_and_reconstruct(spark):
+    from data_toolz_spark.operators.sampling import pack_token_sequences
+
+    docs = _tok_docs(n=50, seed=3)
+    df = spark.createDataFrame(docs, "doc_id long, ids array<int>")
+    rows = pack_token_sequences(
+        df, id_col="doc_id", ids_col="ids", seq_len=16, eos_id=-99,
+        n_shards=3, seed=7, drop_last=False, with_spans=True,
+    ).collect()
+    rebuilt = {}
+    for r in rows:
+        seq = list(r["input_ids"])
+        spans = [
+            (s["doc_id"], s["start"], s["len"]) for s in r["doc_spans"]
+        ]
+        # spans tile the sequence exactly: sorted, contiguous, no gaps
+        assert spans == sorted(spans, key=lambda s: s[1])
+        pos = 0
+        for d, start, ln in spans:
+            assert start == pos and ln >= 1
+            pos += ln
+        assert pos == len(seq)
+        for d, start, ln in spans:
+            rebuilt.setdefault(d, []).append(
+                (r["shard"], r["seq_index"], start, seq[start : start + ln])
+            )
+    # every document reconstructs exactly: concatenate its spans in
+    # (shard, seq, start) order, drop the single trailing eos
+    for doc_id, ids in docs:
+        parts = sorted(rebuilt[doc_id])
+        toks = [t for _, _, _, p in parts for t in p]
+        assert toks[-1] == -99, doc_id
+        assert toks[:-1] == list(ids), doc_id
+    # span metadata never changes input_ids themselves
+    plain = {
+        (r["shard"], r["seq_index"]): list(r["input_ids"])
+        for r in pack_token_sequences(
+            df, id_col="doc_id", ids_col="ids", seq_len=16, eos_id=-99,
+            n_shards=3, seed=7, drop_last=False,
+        ).collect()
+    }
+    got = {
+        (r["shard"], r["seq_index"]): list(r["input_ids"]) for r in rows
+    }
+    assert got == plain
+
+
+def test_token_pack_spans_partition_invariance(spark):
+    from data_toolz_spark.operators.sampling import pack_token_sequences
+
+    docs = _tok_docs(n=70, seed=9)
+    kw = dict(
+        id_col="doc_id", ids_col="ids", seq_len=16, eos_id=-99,
+        n_shards=4, seed=7, drop_last=False, with_spans=True,
+    )
+    key = lambda out: {
+        (r["shard"], r["seq_index"]): (
+            list(r["input_ids"]),
+            [(s["doc_id"], s["start"], s["len"]) for s in r["doc_spans"]],
+        )
+        for r in out.collect()
+    }
+    df1 = spark.createDataFrame(docs, "doc_id long, ids array<int>").repartition(1)
+    df2 = spark.createDataFrame(docs, "doc_id long, ids array<int>").repartition(11)
+    assert key(pack_token_sequences(df1, **kw)) == key(
+        pack_token_sequences(df2, **kw)
+    )
