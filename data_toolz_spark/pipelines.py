@@ -41,10 +41,111 @@ Composition details that matter at 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fp_token(obj) -> str:
+    """Deterministic text form of a stage parameter for fingerprint
+    chaining: mappings canonicalize by key, sequences element-wise,
+    everything else by ``repr`` (the trained-model dataclasses are
+    frozen with value-carrying reprs, so a different model is a
+    different fingerprint)."""
+    if isinstance(obj, Mapping):
+        return (
+            "{"
+            + ",".join(
+                f"{k!r}:{_fp_token(obj[k])}" for k in sorted(obj, key=str)
+            )
+            + "}"
+        )
+    if isinstance(obj, (list, tuple)):
+        return "[" + ",".join(_fp_token(v) for v in obj) + "]"
+    return repr(obj)
+
+
+class _Materializer:
+    """Stage materialization + resume for the pipeline (r11, VERDICT
+    task 4).  Each enabled stage writes its output as a table
+    ``{prefix}_s{NN}_{name}`` plus a row in ``{prefix}_manifest``
+    (stage, fingerprint, table, n_rows).  Fingerprints chain like a
+    Merkle list: fp_i = sha256(fp_{i-1} | stage name | stage params),
+    seeded by the caller's ``input_token`` — so a config change at
+    stage k invalidates exactly stages ≥ k, while a re-run with the
+    same config resumes from the last completed stage.
+
+    Crash-safety: the stage table writes FIRST (a job-atomic
+    overwrite), the manifest row second; a crash between the two just
+    recomputes that stage on resume (the overwrite is idempotent).
+    A manifest row is trusted only when its fingerprint equals the
+    current chain value — stale rows from older configs can never
+    false-match.  The stages themselves are deterministic functions
+    of (config, input corpus), so a fingerprint match implies a
+    byte-identical stage output; the caller MUST change
+    ``input_token`` when the input data changes (the corpus is never
+    itself hashed — that would cost a full pass).
+    """
+
+    def __init__(self, spark, prefix: str, input_token: str):
+        self.spark = spark
+        self.prefix = prefix
+        self.fp = hashlib.sha256(
+            f"dts-pipeline-v1|{input_token}".encode()
+        ).hexdigest()
+        self.n_stage = 0
+        self.rows: dict = {}
+        if spark.catalog.tableExists(f"{prefix}_manifest"):
+            for r in spark.table(f"{prefix}_manifest").collect():
+                self.rows[r["stage"]] = (
+                    r["fp"], r["table"], int(r["n_rows"])
+                )
+
+    def _advance(self, name: str, params: Mapping) -> None:
+        self.n_stage += 1
+        self.fp = hashlib.sha256(
+            f"{self.fp}|{name}|{_fp_token(params)}".encode()
+        ).hexdigest()
+
+    def _table(self, name: str) -> str:
+        return f"{self.prefix}_s{self.n_stage:02d}_{name}"
+
+    def hit(self, name: str, params: Mapping, side: tuple = ()) -> bool:
+        """Advance the chain; True iff this stage (and its side
+        tables) completed under the SAME chain fingerprint."""
+        self._advance(name, params)
+        for n in (name, *side):
+            row = self.rows.get(n)
+            if row is None or row[0] != self.fp:
+                return False
+            if not self.spark.catalog.tableExists(row[1]):
+                return False
+        return True
+
+    def load(self, name: str) -> DataFrame:
+        return self.spark.table(self.rows[name][1])
+
+    def save(self, name: str, df: DataFrame) -> DataFrame:
+        """Write ``df`` as this stage's table, record the manifest row
+        (with the audit row count — a footer-stats read of the table
+        just written), and return the TABLE-backed frame (free lineage
+        truncation — downstream plans read a flat scan).  A side table
+        (e.g. the near-dup component map) saves under the same chain
+        fingerprint as its owning stage."""
+        tbl = self._table(name)
+        df.write.mode("overwrite").saveAsTable(tbl)
+        out = self.spark.table(tbl)
+        self.rows[name] = (self.fp, tbl, out.count())
+        rows = [
+            (n, fp, t, int(c))
+            for n, (fp, t, c) in sorted(self.rows.items())
+        ]
+        self.spark.createDataFrame(
+            rows, "stage string, fp string, table string, n_rows long"
+        ).write.mode("overwrite").saveAsTable(f"{self.prefix}_manifest")
+        return out
 
 #: default Hamming radius per media fingerprint kind — the values the
 #: qid-attested tiers use (image dHash τ=3, audio Haitsma-Kalker τ=6,
@@ -131,6 +232,8 @@ def prepare_training_corpus(
     token_pack: Mapping | None = None,
     seed: int = 42,
     persist_cleaned: bool = True,
+    materialize_to: str | None = None,
+    input_token: str = "",
 ) -> DataFrame:
     """Build the full cleaning → dedup → decontaminate → split (→ chunk
     → pack) plan over a raw document corpus.
@@ -165,6 +268,20 @@ def prepare_training_corpus(
       a column to the doc-level output; with ``chunk_max_words`` the
       chunk rows do not carry it (chunk output schema is fixed).
       The LM's vocab stats collect at call time (two bounded scalars).
+
+    ``materialize_to`` (r11, VERDICT task 4) turns on stage
+    materialization + resume: each enabled stage region (gates, text
+    dedup, near-dup + its component map, media dedup, decontaminate,
+    strata, split) writes its output as a table under this prefix
+    plus a fingerprint-chained manifest row, and a re-run with the
+    same prefix + config RESUMES — stages whose manifest fingerprint
+    matches load from their table instead of recomputing, so a 100 TB
+    run that dies at stage 9 of 11 does not redo stages 1-8.  A
+    config change at stage k invalidates exactly stages ≥ k.  The
+    input corpus is never hashed: pass a new ``input_token`` when the
+    underlying data (docs or eval_df) changes, or stale stage tables
+    will be trusted.  Default (None) leaves the one-lazy-plan
+    behavior untouched.
     """
     from data_toolz_spark.operators.text_analysis import (
         keep_document,
@@ -180,10 +297,29 @@ def prepare_training_corpus(
     base_cols = docs.columns
     out = docs
 
+    mat = (
+        _Materializer(docs.sparkSession, materialize_to, input_token)
+        if materialize_to is not None
+        else None
+    )
+    # gates region (stages 0-1c): resume skips every filter below
+    _skip_gates = mat is not None and mat.hit(
+        "gates",
+        {
+            "domain_cap": domain_cap,
+            "clean": clean,
+            "thresholds": quality_thresholds,
+            "qmodel": quality_model,
+            "qmin": quality_min_prob,
+            "lmodel": lang_model,
+            "langs": keep_langs,
+        },
+    )
+
     # 0. per-site frequency cap (optional) — before any content work:
     # rows a site is over quota for never pay tokenization, hashing,
     # or dedup I/O
-    if domain_cap is not None:
+    if not _skip_gates and domain_cap is not None:
         from data_toolz_spark.operators.urls import cap_per_domain
 
         out = cap_per_domain(
@@ -197,15 +333,18 @@ def prepare_training_corpus(
     # or a dict of clean_text kwargs.
     # truthiness would silently DISABLE the tier for clean={} — the
     # sibling specs' "empty dict = on with defaults" convention
-    if clean is not False and clean is not None:
+    if not _skip_gates and clean is not False and clean is not None:
         from data_toolz_spark.operators.text_analysis import clean_text
 
         kw = dict(clean) if isinstance(clean, Mapping) else {}
         out = out.withColumn(text_col, clean_text(text_col, **kw))
 
     # 1. per-document quality gate (map-only)
-    out = keep_document(out, text_col, thresholds=quality_thresholds)
-    out = out.filter(F.col("keep")).select(*base_cols)
+    if not _skip_gates:
+        out = keep_document(
+            out, text_col, thresholds=quality_thresholds
+        )
+        out = out.filter(F.col("keep")).select(*base_cols)
 
     # 1b. TRAINED quality filter (r10, optional): a LogRegModel from
     # operators/classifier.py scores the standard heuristic features
@@ -213,7 +352,7 @@ def prepare_training_corpus(
     # bench's x_quality_logreg distillation trains on) as one codegen
     # projection; rows below quality_min_prob drop.  Train once,
     # gate every pipeline run — the GPT-3 curation move.
-    if quality_model is not None:
+    if not _skip_gates and quality_model is not None:
         from data_toolz_spark.operators.classifier import logreg_score
         from data_toolz_spark.operators.text_analysis import (
             quality_features,
@@ -234,7 +373,7 @@ def prepare_training_corpus(
     # (the fastText-shaped LID classifier) predicts per doc; only
     # ``keep_langs`` predictions survive.  One explode + broadcast
     # weight join + per-doc argmax.
-    if lang_model is not None:
+    if not _skip_gates and lang_model is not None:
         if not keep_langs:
             raise ValueError(
                 "prepare_training_corpus: lang_model requires "
@@ -252,8 +391,32 @@ def prepare_training_corpus(
             F.col("__lang_pred").isin(*list(keep_langs))
         ).select(*base_cols)
 
+    if mat is not None:
+        out = (
+            mat.load("gates")
+            if _skip_gates
+            else mat.save("gates", out)
+        )
+
+    # text-dedup region (stages 2-2b)
+    _td_on = (
+        line_dedup_max_doc_freq is not None or span_dedup_n is not None
+    )
+    _skip_td = (
+        mat is not None
+        and _td_on
+        and mat.hit(
+            "text_dedup",
+            {
+                "line_max": line_dedup_max_doc_freq,
+                "line_sep": line_sep,
+                "span_n": span_dedup_n,
+            },
+        )
+    )
+
     # 2. cross-document boilerplate removal (optional)
-    if line_dedup_max_doc_freq is not None:
+    if not _skip_td and line_dedup_max_doc_freq is not None:
         cleaned = line_dedup(
             out,
             id_col=id_col,
@@ -272,7 +435,7 @@ def prepare_training_corpus(
     # passages (ExactSubstr) before near-dup detection so a shared
     # boilerplate block does not glue otherwise-distinct docs into one
     # MinHash cluster
-    if span_dedup_n is not None:
+    if not _skip_td and span_dedup_n is not None:
         from data_toolz_spark.operators.text_analysis import (
             remove_duplicate_spans,
         )
@@ -280,12 +443,30 @@ def prepare_training_corpus(
         out = remove_duplicate_spans(
             out, id_col=id_col, text_col=text_col, n=span_dedup_n
         ).select(*base_cols)
+    if mat is not None and _td_on:
+        out = (
+            mat.load("text_dedup")
+            if _skip_td
+            else mat.save("text_dedup", out)
+        )
 
     # 3. near-duplicate removal; the CC map is computed ONCE and shared
     # with the split below (drop list = non-representative members,
     # route key = component min) — the leakage-safety coupling
     cc = None
-    if near_dup_threshold is not None:
+    _skip_nd = (
+        mat is not None
+        and near_dup_threshold is not None
+        and mat.hit(
+            "near_dup",
+            {"threshold": near_dup_threshold, "keep": near_dup_keep},
+            side=("near_dup_cc",),
+        )
+    )
+    if _skip_nd:
+        out = mat.load("near_dup")
+        cc = mat.load("near_dup_cc")
+    elif near_dup_threshold is not None:
         from pyspark import StorageLevel
 
         from data_toolz_spark.cache import track
@@ -311,6 +492,11 @@ def prepare_training_corpus(
         cc = minhash_components(
             out, id_col, text_col, threshold=near_dup_threshold
         )
+        if mat is not None:
+            # the map is needed twice (drops here, split routing
+            # below) and must survive a crash before the split — the
+            # side table saves under the owning stage's fingerprint
+            cc = mat.save("near_dup_cc", cc)
         if near_dup_keep == "longest":
             # quality-aware survivor: the cluster's longest member
             # (ties → min id) — the split routing below still keys on
@@ -335,6 +521,8 @@ def prepare_training_corpus(
                 F.col("id") != F.col("component")
             ).select(F.col("id").alias(id_col))
         out = out.join(drops, on=id_col, how="left_anti")
+        if mat is not None:
+            out = mat.save("near_dup", out)
 
     # 3b. content-fingerprint near-dup tiers (r10, optional): image /
     # audio / video binary columns hash in one Arrow pass each, pairs
@@ -346,7 +534,14 @@ def prepare_training_corpus(
     # split leakage-safety holds downstream without coupling these
     # maps into component_split.  Each tier's CC loop materializes at
     # call time (same contract as stage 3), hence the persist.
-    if media_dedup:
+    _skip_md = (
+        mat is not None
+        and bool(media_dedup)
+        and mat.hit("media_dedup", {"specs": list(media_dedup)})
+    )
+    if _skip_md:
+        out = mat.load("media_dedup")
+    elif media_dedup:
         from data_toolz_spark.operators.dedup import (
             fingerprint_components,
         )
@@ -387,9 +582,18 @@ def prepare_training_corpus(
                 F.col("id") != F.col("component")
             ).select(F.col("id").alias(id_col))
             out = _trunc(out.join(drops, on=id_col, how="left_anti"))
+        if mat is not None:
+            out = mat.save("media_dedup", out)
 
     # 4. benchmark decontamination (optional)
-    if eval_df is not None:
+    _skip_dc = (
+        mat is not None
+        and eval_df is not None
+        and mat.hit("decontaminate", {"n": decontaminate_n})
+    )
+    if _skip_dc:
+        out = mat.load("decontaminate")
+    elif eval_df is not None:
         from data_toolz_spark.operators.decontamination import (
             ngram_decontaminate,
         )
@@ -402,12 +606,21 @@ def prepare_training_corpus(
             n=decontaminate_n,
         ).select(id_col)
         out = out.join(flagged, on=id_col, how="left_anti")
+        if mat is not None:
+            out = mat.save("decontaminate", out)
 
     # 4b. CCNet perplexity strata (r10, optional): bigram LM trained
     # on the surviving corpus, exact rank thresholds, labels joined
     # back by id.  After decontamination (train on the cleanest text),
     # before the split (samplers stratify within splits downstream).
-    if ppl_strata is not None:
+    _skip_ps = (
+        mat is not None
+        and ppl_strata is not None
+        and mat.hit("strata", {"spec": dict(ppl_strata)})
+    )
+    if _skip_ps:
+        out = mat.load("strata")
+    elif ppl_strata is not None:
         from data_toolz_spark.operators.text_analysis import (
             bigram_logprob,
             bucket_by_thresholds,
@@ -474,23 +687,36 @@ def prepare_training_corpus(
             labels=labels,
         ).select(id_col, bucket_col)
         out = out.join(labeled, on=id_col, how="left")
+        if mat is not None:
+            out = mat.save("strata", out)
 
     # 5. deterministic split — leakage-safe when a component map exists
     fracs = dict(fractions or {"train": 0.98, "val": 0.01, "test": 0.01})
-    if cc is not None:
-        from data_toolz_spark.operators.sampling import component_split
-
-        out = component_split(
-            out,
-            id_col=id_col,
-            fractions=fracs,
-            seed=seed,
-            components=cc,
-        )
+    _skip_sp = (
+        mat is not None
+        and mat.hit("split", {"fracs": fracs, "seed": seed})
+    )
+    if _skip_sp:
+        out = mat.load("split")
     else:
-        from data_toolz_spark.operators.sampling import hash_split
+        if cc is not None:
+            from data_toolz_spark.operators.sampling import (
+                component_split,
+            )
 
-        out = hash_split(out, [id_col], fracs, seed=seed)
+            out = component_split(
+                out,
+                id_col=id_col,
+                fractions=fracs,
+                seed=seed,
+                components=cc,
+            )
+        else:
+            from data_toolz_spark.operators.sampling import hash_split
+
+            out = hash_split(out, [id_col], fracs, seed=seed)
+        if mat is not None:
+            out = mat.save("split", out)
 
     # 6. context-window chunking (optional)
     if chunk_max_words is not None:

@@ -686,3 +686,106 @@ def test_pipeline_token_pack_with_spans(spark):
             # split purity: a document's spans live in ONE split
             assert doc_split.setdefault(s["doc_id"], r["split"]) == r["split"]
         assert pos == len(r["input_ids"])
+
+
+def test_pipeline_materialize_resume_after_crash(spark, corpus, eval_df, monkeypatch):
+    """r11 (VERDICT task 4): materialize_to writes each stage as a
+    table + manifest row; a run that dies mid-pipeline resumes WITHOUT
+    recomputing completed stages and reproduces the unmaterialized
+    result exactly; a config change invalidates exactly the changed
+    stage onward."""
+    from data_toolz_spark.catalog import drop_stale_table
+
+    prefix = "t_pipe_mat"
+
+    def cleanup():
+        for t in [
+            r["tableName"]
+            for r in spark.sql("SHOW TABLES").collect()
+            if r["tableName"].startswith(prefix)
+        ]:
+            drop_stale_table(spark, t)
+
+    cleanup()
+    kw = dict(
+        quality_thresholds={"min_tokens": 5},
+        line_dedup_max_doc_freq=2,
+        near_dup_threshold=0.8,
+        decontaminate_n=5,
+        fractions=FRACS,
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["split"], r["text"]) for r in df.collect()
+    )
+    want = key(prepare_training_corpus(corpus, eval_df, **kw))
+    kw4 = dict(kw, decontaminate_n=6)
+    want4 = key(prepare_training_corpus(corpus, eval_df, **kw4))
+
+    # run 1: decontamination explodes mid-pipeline
+    import data_toolz_spark.operators.decontamination as dc
+
+    real_decon = dc.ngram_decontaminate
+
+    def boom(*a, **k):
+        raise RuntimeError("injected decontamination crash")
+
+    monkeypatch.setattr(dc, "ngram_decontaminate", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        prepare_training_corpus(
+            corpus, eval_df, materialize_to=prefix, **kw
+        ).collect()
+    monkeypatch.setattr(dc, "ngram_decontaminate", real_decon)
+    done = {
+        r["stage"] for r in spark.table(f"{prefix}_manifest").collect()
+    }
+    assert {"gates", "text_dedup", "near_dup", "near_dup_cc"} <= done
+    assert "decontaminate" not in done and "split" not in done
+
+    # run 2 resumes: completed stages must NOT recompute — the minhash
+    # CC loop raising proves the near-dup stage loads from its table
+    import data_toolz_spark.operators.dedup as dd
+
+    real_mc = dd.minhash_components
+    monkeypatch.setattr(
+        dd,
+        "minhash_components",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("near_dup stage recomputed on resume")
+        ),
+    )
+    got = key(
+        prepare_training_corpus(
+            corpus, eval_df, materialize_to=prefix, **kw
+        )
+    )
+    assert got == want
+    done2 = {
+        r["stage"] for r in spark.table(f"{prefix}_manifest").collect()
+    }
+    assert {"decontaminate", "split"} <= done2
+
+    # run 3: full resume — every stage loads, result identical
+    got3 = key(
+        prepare_training_corpus(
+            corpus, eval_df, materialize_to=prefix, **kw
+        )
+    )
+    assert got3 == want
+
+    # run 4: a changed decontaminate_n invalidates decon + split but
+    # still resumes the (unchanged) stages before it
+    spy = {"n": 0}
+
+    def counting_decon(*a, **k):
+        spy["n"] += 1
+        return real_decon(*a, **k)
+
+    monkeypatch.setattr(dc, "ngram_decontaminate", counting_decon)
+    got4 = key(
+        prepare_training_corpus(
+            corpus, eval_df, materialize_to=prefix, **kw4
+        )
+    )
+    assert spy["n"] == 1 and got4 == want4
+    monkeypatch.setattr(dd, "minhash_components", real_mc)
+    cleanup()
