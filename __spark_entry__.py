@@ -1621,6 +1621,27 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bucket_by_thresholds(
         out, "bg_nll", thr, labels=("head", "middle", "tail")
     )
+    # r11 (X87, VERDICT task 5): the GROUPED arm — per-language cut
+    # points over the same scores (rank_thresholds group_cols), so a
+    # language whose LM scores run high still splits into its own
+    # head/middle/tail; the oracle replays the per-lang histogram
+    # cumsum and CASE
+    scored_l = bg_nll.join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    thr_l = rank_thresholds(
+        scored_l, "bg_nll", [(1, 3), (2, 3)], group_cols=["lang"]
+    )
+    # ``out`` still carries the corpus lang column (the final select
+    # below drops it), so the grouped labeling needs no extra join
+    out = bucket_by_thresholds(
+        out,
+        "bg_nll",
+        thr_l,
+        group_cols=["lang"],
+        bucket_col="ppl_bucket_lang",
+        labels=("head", "middle", "tail"),
+    )
     out = pii_features(
         redact_pii(out, "__aug", out_col="__pred"), "__aug"
     )
@@ -1642,6 +1663,7 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nll",
         "bg_nll",
         "ppl_bucket",
+        "ppl_bucket_lang",
         "n_phones",
         "n_ipv4",
         "n_ssn",
@@ -3657,13 +3679,30 @@ WITH tok AS (
     SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
     FROM (SELECT bg_nll AS v, COUNT(*) AS c FROM bglm GROUP BY 1)
   )
+), bgthr_g AS (
+  -- r11 (X87): the PER-LANGUAGE cut points — the same histogram
+  -- cumsum partitioned by lang (rank_thresholds group_cols)
+  SELECT lang,
+    MIN(v) FILTER (WHERE cum >= (1 * n + 2) // 3) AS t1,
+    MIN(v) FILTER (WHERE cum >= (2 * n + 2) // 3) AS t2
+  FROM (
+    SELECT lang, v,
+           SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+           SUM(c) OVER (PARTITION BY lang) AS n
+    FROM (
+      SELECT d.lang, bglm.bg_nll AS v, COUNT(*) AS c
+      FROM bglm JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+  )
+  GROUP BY lang
 ), b AS (
-  SELECT doc_id, text, lower(text) AS low, {_DD_TOKS} AS toks,
+  SELECT doc_id, lang, text, lower(text) AS low, {_DD_TOKS} AS toks,
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                 l -> l <> '') AS lns
   FROM documents
 ), f AS (
-  SELECT doc_id, text, toks, lns,
+  SELECT doc_id, lang, text, toks, lns,
     len(toks)::BIGINT AS n_tokens,
     CASE WHEN len(toks) > 0
          THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
@@ -3685,7 +3724,7 @@ WITH tok AS (
       ELSE 0.0 END AS db
   FROM b
 ), g AS (
-  SELECT doc_id, text, n_tokens,
+  SELECT doc_id, lang, text, n_tokens,
     floor(mtl * 10000) / 10000 AS mean_tok_len,
     floor((CASE WHEN tl > 0 THEN al / tl ELSE 0.0 END) * 10000) / 10000
       AS alpha_ratio,
@@ -3736,9 +3775,14 @@ SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
        WHEN bglm.bg_nll <= bgthr.t1 THEN 'head'
        WHEN bglm.bg_nll <= bgthr.t2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket,
+  CASE WHEN bglm.bg_nll IS NULL THEN NULL
+       WHEN bglm.bg_nll <= tg.t1 THEN 'head'
+       WHEN bglm.bg_nll <= tg.t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket_lang,
   pp.n_phones, pp.n_ipv4, pp.n_ssn, pp.n_cards, pp.pii_redacted_fp
 FROM g LEFT JOIN lm USING (doc_id) LEFT JOIN bglm USING (doc_id)
-JOIN piired pp USING (doc_id), bgthr
+JOIN piired pp USING (doc_id)
+LEFT JOIN bgthr_g tg USING (lang), bgthr
 """
 
 

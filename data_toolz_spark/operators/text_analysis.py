@@ -705,10 +705,18 @@ def build_vocab(
     min_count: int = 1,
     lowercase: bool = True,
     rank_col: str | None = "rank",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Corpus vocabulary: token frequency table, optionally truncated
     to a deterministic top-V — the input a tokenizer/vocab trainer
     needs from a 100 TB corpus.
+
+    ``group_col`` (r11): per-group vocabularies in ONE aggregate —
+    the key becomes (group, token), so a per-language LM (CCNet,
+    Wenzek et al. 2020 §4.3) costs the same single shuffle as the
+    global one instead of a driver loop over languages.  Incompatible
+    with ``top_v`` (a per-group top-V needs a per-group window — cut
+    downstream if needed).
 
     Scale shape: one ``explode`` → one hash aggregate with map-side
     partial combine (only (token, partial count) pairs cross the
@@ -727,17 +735,22 @@ def build_vocab(
     """
     if top_v is not None and top_v <= 0:
         raise ValueError("build_vocab: top_v must be positive")
+    if group_col is not None and top_v is not None:
+        raise ValueError(
+            "build_vocab: group_col is incompatible with top_v"
+        )
     txt = F.col(text_col)
     if lowercase:
         txt = F.lower(txt)
-    sel = [F.explode(tokens(txt)).alias("token")]
+    gcols = [group_col] if group_col is not None else []
+    sel = [*gcols, F.explode(tokens(txt)).alias("token")]
     if doc_id_col:
         sel.append(F.col(doc_id_col).alias("__doc"))
     base = df.select(*sel)
     aggs = [F.count(F.lit(1)).alias("tf")]
     if doc_id_col:
         aggs.append(F.count_distinct(F.col("__doc")).alias("doc_freq"))
-    vocab = base.groupBy("token").agg(*aggs)
+    vocab = base.groupBy(*gcols, "token").agg(*aggs)
     if min_count > 1:
         vocab = vocab.filter(F.col("tf") >= F.lit(min_count))
     if top_v is not None:
@@ -1209,6 +1222,7 @@ def build_bigram_counts(
     *,
     lowercase: bool = True,
     min_count: int = 1,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Corpus bigram frequency table ``(w1, w2, bg_count)`` — the
     model half of :func:`bigram_logprob`.
@@ -1218,26 +1232,30 @@ def build_bigram_counts(
     before the explode) → one hash aggregate with map-side partial
     combine, so only (pair, partial count) rows cross the shuffle —
     bounded by the DISTINCT bigram vocabulary per task.  Counts are
-    DOUBLE (they only ever enter ratios).
+    DOUBLE (they only ever enter ratios).  ``group_col`` (r11) keys
+    the table by (group, w1, w2) — the per-language-LM arm, same
+    single shuffle.
     """
     txt = F.col(text_col)
     if lowercase:
         txt = F.lower(txt)
+    gcols = [group_col] if group_col is not None else []
     pairs = (
-        df.select(tokens(txt).alias("__t"))
+        df.select(*gcols, tokens(txt).alias("__t"))
         .filter(F.size("__t") >= 2)
         .select(
+            *gcols,
             F.explode(
                 F.expr(
                     "transform(slice(__t, 1, size(__t) - 1), (x, i) -> "
                     "named_struct('w1', x, 'w2', element_at(__t, i + 2)))"
                 )
-            ).alias("p")
+            ).alias("p"),
         )
     )
     out = (
-        pairs.select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
+        pairs.select(*gcols, "p.w1", "p.w2")
+        .groupBy(*gcols, "w1", "w2")
         .agg(F.count(F.lit(1)).cast("double").alias("bg_count"))
     )
     if min_count > 1:
@@ -1256,6 +1274,7 @@ def bigram_logprob(
     alpha: float = 1.0,
     backoff: float = 0.4,
     out_col: str = "bg_nll",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-score under a bigram LM with
     STUPID BACKOFF (Brants et al. 2007 §4) — the fluency signal one
@@ -1282,32 +1301,43 @@ def bigram_logprob(
     data, not driver state).  The vocab joins twice (context count +
     backoff numerator), both broadcast-sized.  Docs with < 2 tokens
     get NULL.
+
+    ``group_col`` (r11, the CCNet per-language arm): ``bigram`` and
+    ``vocab`` must be the grouped tables (``group_col=`` on their
+    builders) and ``df`` must carry the column; every join keys on
+    (group, words) and the backoff denominator becomes a per-group
+    broadcast join instead of a driver scalar — one model pass scores
+    all languages, each against its own LM.  A doc whose group has no
+    vocabulary rows scores NULL (there is no model for it) instead of
+    raising.
     """
     if alpha <= 0:
         raise ValueError("bigram_logprob: alpha must be positive")
     if not 0 < backoff <= 1:
         raise ValueError("bigram_logprob: backoff must be in (0, 1]")
-    import math as _math
-
-    stats = vocab.agg(
-        F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    if stats["n"] is None or stats["v"] == 0:
-        raise ValueError(
-            "bigram_logprob: empty vocabulary model — an empty "
-            "training corpus cannot score anything"
-        )
-    denom = float(stats["n"]) + alpha * (int(stats["v"]) + 1)
-    del _math
+    gcols = [group_col] if group_col is not None else []
+    if group_col is None:
+        stats = vocab.agg(
+            F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
+        ).collect()[0]
+        if stats["n"] is None or stats["v"] == 0:
+            raise ValueError(
+                "bigram_logprob: empty vocabulary model — an empty "
+                "training corpus cannot score anything"
+            )
+        denom = F.lit(float(stats["n"]) + alpha * (int(stats["v"]) + 1))
+    else:
+        denom = F.col("__denom")
 
     txt = F.col(text_col)
     if lowercase:
         txt = F.lower(txt)
     pairs = (
-        df.select(F.col(id_col), tokens(txt).alias("__t"))
+        df.select(F.col(id_col), *gcols, tokens(txt).alias("__t"))
         .filter(F.size("__t") >= 2)
         .select(
             id_col,
+            *gcols,
             F.explode(
                 F.expr(
                     "transform(slice(__t, 1, size(__t) - 1), (x, i) -> "
@@ -1315,19 +1345,33 @@ def bigram_logprob(
                 )
             ).alias("p"),
         )
-        .select(id_col, "p.w1", "p.w2")
+        .select(id_col, *gcols, "p.w1", "p.w2")
     )
     v1 = F.broadcast(
-        vocab.select(F.col("token").alias("w1"), F.col("tf").alias("__tf1"))
+        vocab.select(
+            *gcols, F.col("token").alias("w1"), F.col("tf").alias("__tf1")
+        )
     )
     v2 = F.broadcast(
-        vocab.select(F.col("token").alias("w2"), F.col("tf").alias("__tf2"))
+        vocab.select(
+            *gcols, F.col("token").alias("w2"), F.col("tf").alias("__tf2")
+        )
     )
     joined = (
-        pairs.join(bigram, on=["w1", "w2"], how="left")
-        .join(v1, on="w1", how="left")
-        .join(v2, on="w2", how="left")
+        pairs.join(bigram, on=gcols + ["w1", "w2"], how="left")
+        .join(v1, on=gcols + ["w1"], how="left")
+        .join(v2, on=gcols + ["w2"], how="left")
     )
+    if group_col is not None:
+        gstats = F.broadcast(
+            vocab.groupBy(group_col).agg(
+                (
+                    F.sum("tf").cast("double")
+                    + alpha * (F.count(F.lit(1)) + 1)
+                ).alias("__denom")
+            )
+        )
+        joined = joined.join(gstats, on=group_col, how="left")
     score = F.when(
         F.col("bg_count").isNotNull() & F.col("__tf1").isNotNull(),
         F.col("bg_count") / F.col("__tf1"),
@@ -1335,7 +1379,7 @@ def bigram_logprob(
         F.lit(backoff)
         * (
             (F.coalesce(F.col("__tf2").cast("double"), F.lit(0.0)) + alpha)
-            / F.lit(denom)
+            / denom
         )
     )
     return joined.groupBy(id_col).agg(

@@ -224,6 +224,7 @@ def prepare_training_corpus(
     domain_cap: Mapping | None = None,
     clean: bool | Mapping = False,
     ppl_strata: Mapping | None = None,
+    lang_col: str | None = None,
     decontaminate_n: int = 8,
     fractions: Mapping[str, float] | None = None,
     chunk_max_words: int | None = None,
@@ -268,6 +269,14 @@ def prepare_training_corpus(
       a column to the doc-level output; with ``chunk_max_words`` the
       chunk rows do not carry it (chunk output schema is fixed).
       The LM's vocab stats collect at call time (two bounded scalars).
+    * ``lang_col`` (r11) — CCNet per-language conditioning: with it
+      set, the ``ppl_strata`` stage trains the bigram LM PER LANGUAGE
+      (grouped vocab/bigram tables, per-group backoff denominators —
+      one aggregate for all languages, never a driver loop) and cuts
+      the head/middle/tail thresholds per language, so each language
+      gets its own perplexity cut points (Wenzek et al. 2020 §4.3).
+      Static ``quality_thresholds`` are user constants and stay
+      global; the data-derived quality cut points are the strata.
 
     ``materialize_to`` (r11, VERDICT task 4) turns on stage
     materialization + resume: each enabled stage region (gates, text
@@ -616,7 +625,9 @@ def prepare_training_corpus(
     _skip_ps = (
         mat is not None
         and ppl_strata is not None
-        and mat.hit("strata", {"spec": dict(ppl_strata)})
+        and mat.hit(
+            "strata", {"spec": dict(ppl_strata), "lang": lang_col}
+        )
     )
     if _skip_ps:
         out = mat.load("strata")
@@ -660,14 +671,20 @@ def prepare_training_corpus(
         # ``group_col`` (e.g. a language column) cuts the strata PER
         # GROUP — CCNet's per-language percentiles: a language whose
         # LM scores run globally high still splits into its own
-        # head/middle/tail instead of landing wholesale in "tail"
-        group_col = spec.get("group_col")
+        # head/middle/tail instead of landing wholesale in "tail".
+        # ``lang_col`` (r11, VERDICT task 5) goes further: the LM
+        # ITSELF trains per language (grouped vocab + bigram tables,
+        # per-group backoff denominators — Wenzek et al. 2020 §4.3's
+        # per-language conditioning), and the strata default to the
+        # same grouping (spec's explicit group_col still wins).
+        group_col = spec.get("group_col", lang_col)
         scored = bigram_logprob(
             out,
-            build_bigram_counts(out, text_col),
-            build_vocab(out, text_col),
+            build_bigram_counts(out, text_col, group_col=lang_col),
+            build_vocab(out, text_col, group_col=lang_col),
             text_col,
             id_col=id_col,
+            group_col=lang_col,
         )
         gcols = []
         if group_col is not None:

@@ -173,3 +173,62 @@ def test_rank_thresholds_repartition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_grouped_bigram_lm_equals_per_language_models(spark):
+    """r11 (VERDICT task 5): the grouped LM (group_col) must score
+    every document exactly as a standalone LM trained on that
+    language's subset alone — per-group vocab, bigram counts, AND
+    backoff denominator all key on the group."""
+    from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        build_bigram_counts,
+        build_vocab,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(120):
+        lang = "aa" if i % 2 == 0 else "bb"
+        alpha = "abcde" if lang == "aa" else "vwxyz"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 4)))
+            for _ in range(rng.randint(2, 18))
+        ]
+        rows.append((i, lang, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    grouped = {
+        r["doc_id"]: r["bg_nll"]
+        for r in bigram_logprob(
+            df,
+            build_bigram_counts(df, group_col="lang"),
+            build_vocab(df, group_col="lang"),
+            group_col="lang",
+        ).collect()
+    }
+    for lang in ("aa", "bb"):
+        sub = df.filter(F.col("lang") == lang)
+        solo = {
+            r["doc_id"]: r["bg_nll"]
+            for r in bigram_logprob(
+                sub, build_bigram_counts(sub), build_vocab(sub)
+            ).collect()
+        }
+        for d, v in solo.items():
+            assert grouped[d] == v, (lang, d)
+    # a group with no vocabulary rows scores NULL instead of raising
+    extra = spark.createDataFrame(
+        [(999, "cc", "unseen language words here")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["bg_nll"]
+        for r in bigram_logprob(
+            df.union(extra),
+            build_bigram_counts(df, group_col="lang"),
+            build_vocab(df, group_col="lang"),
+            group_col="lang",
+        ).collect()
+    }
+    assert got[999] is None
