@@ -274,9 +274,19 @@ def mixture_sample(
     tell the copies apart.  Expected totals hit ``target_rows``; the
     realized count carries per-row binomial noise like any rate-based
     sampler.
+
+    The rates apply via a BROADCAST-JOINED rates frame (r11, VERDICT
+    r10 item 2), not a per-source literal ``when`` chain — a
+    thousand-source catalog stays one null-safe equi-join instead of
+    a thousand-branch codegen expression.  NULL sources form a real
+    group: the join is ``<=>`` (null-safe), so their allocation
+    survives; a source somehow absent from the rates frame gets rate
+    0 via the coalesce.
     """
     if not key_cols:
         raise ValueError("mixture_sample: key_cols is required")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     counts = {
         r["s"]: r["n"]
         for r in df.groupBy(F.col(source_col).alias("s"))
@@ -286,33 +296,40 @@ def mixture_sample(
     rates = mixture_rates(
         counts, target_rows=target_rows, temperature=temperature
     )
-    rate: Column = F.lit(0.0)
-    for value, r in rates.items():
-        capped = r if allow_upsample else min(r, 1.0)
-        # NULL sources form a real group in the counts aggregate, but
-        # ``col == lit(None)`` is never true — route them through an
-        # explicit isNull branch or their whole allocation silently
-        # drops to rate 0
-        cond = (
-            F.col(source_col).isNull()
-            if value is None
-            else F.col(source_col) == F.lit(value)
-        )
-        rate = F.when(cond, F.lit(float(capped))).otherwise(rate)
+    rates_df = df.sparkSession.createDataFrame(
+        [
+            (s, float(r if allow_upsample else min(r, 1.0)))
+            for s, r in rates.items()
+        ],
+        StructType(
+            [
+                StructField(
+                    "__mix_src", df.schema[source_col].dataType, True
+                ),
+                StructField("__mix_rate", DoubleType(), False),
+            ]
+        ),
+    )
+    joined = df.join(
+        F.broadcast(rates_df),
+        on=F.col(source_col).eqNullSafe(F.col("__mix_src")),
+        how="left",
+    )
+    rate = F.coalesce(F.col("__mix_rate"), F.lit(0.0))
     u = _unit_hash(list(key_cols), seed)
     copies = (F.floor(rate) + (u < rate - F.floor(rate)).cast("int")).cast(
         "int"
     )
     if not allow_upsample:
-        return df.filter(copies >= 1)
+        return joined.filter(copies >= 1).drop("__mix_src", "__mix_rate")
     return (
-        df.withColumn("__n_copies", copies)
+        joined.withColumn("__n_copies", copies)
         .filter(F.col("__n_copies") >= 1)
         .withColumn(
             copy_col,
             F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
         )
-        .drop("__n_copies")
+        .drop("__n_copies", "__mix_src", "__mix_rate")
     )
 
 
