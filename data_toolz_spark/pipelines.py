@@ -784,6 +784,13 @@ def prepare_training_corpus(
                 "pack_budget — pick word-chunking or token packing"
             )
         spec = dict(token_pack)
+        # the encode touches EVERY surviving byte — at 100 TB it is
+        # the most expensive stage to lose in a crash, so it
+        # materializes too (the model fingerprints by its
+        # value-carrying repr; an ids_expr Column by its expression
+        # string)
+        if mat is not None and mat.hit("token_pack", {"spec": spec}):
+            return mat.load("token_pack")
         seq_len = int(spec["seq_len"])
         eos_id = int(spec["eos_id"])
         from data_toolz_spark.operators.sampling import (
@@ -844,13 +851,16 @@ def prepare_training_corpus(
                 with_spans=with_spans,
             ).withColumn("split", F.lit(s))
             packed = part if packed is None else packed.unionByName(part)
-        return packed.select(
+        packed = packed.select(
             "split",
             "shard",
             "seq_index",
             "input_ids",
             *(["doc_spans"] if with_spans else []),
         )
+        if mat is not None:
+            packed = mat.save("token_pack", packed)
+        return packed
 
     return out
 

@@ -860,3 +860,85 @@ def test_pipeline_per_language_strata(spark):
     }
     assert thr[("aa", 1)] != thr[("bb", 1)]
     assert thr[("aa", 2)] != thr[("bb", 2)]
+
+
+def test_pipeline_token_pack_materialize_resume(spark, monkeypatch):
+    """r11: the token_pack stage materializes too — a resume loads the
+    packed sequences without re-encoding (unigram_encode patched to
+    prove it), and a changed seq_len invalidates the stage."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.operators.unigram import (
+        unigram_train,
+        unigram_word_table,
+    )
+
+    prefix = "t_pipe_tpmat"
+
+    def cleanup():
+        for t in [
+            r["tableName"]
+            for r in spark.sql("SHOW TABLES").collect()
+            if r["tableName"].startswith(prefix)
+        ]:
+            drop_stale_table(spark, t)
+
+    cleanup()
+    rows = [
+        (i, " ".join(f"w{(i * 13 + j) % 9}" for j in range(15)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_train(
+        unigram_word_table(docs), vocab_size=32, n_iter=1,
+        max_piece_len=3, seed_size=256, min_count=1,
+    )
+    kw = dict(
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8,
+        fractions=FRACS,
+    )
+    tp = {"model": model, "seq_len": 16, "eos_id": model.size,
+          "n_shards": 2, "drop_last": False}
+    key = lambda df: sorted(
+        (r["split"], r["shard"], r["seq_index"], tuple(r["input_ids"]))
+        for r in df.collect()
+    )
+    want = key(
+        prepare_training_corpus(docs, None, token_pack=tp, **kw)
+    )
+    got_cold = key(
+        prepare_training_corpus(
+            docs, None, token_pack=tp, materialize_to=prefix, **kw
+        )
+    )
+    assert got_cold == want
+
+    import data_toolz_spark.operators.unigram as um
+
+    real_enc = um.unigram_encode
+    monkeypatch.setattr(
+        um,
+        "unigram_encode",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("token_pack stage re-encoded on resume")
+        ),
+    )
+    got = key(
+        prepare_training_corpus(
+            docs, None, token_pack=tp, materialize_to=prefix, **kw
+        )
+    )
+    assert got == want
+    # config change (seq_len) invalidates: the encode runs again
+    monkeypatch.setattr(um, "unigram_encode", real_enc)
+    tp2 = dict(tp, seq_len=8)
+    got2 = key(
+        prepare_training_corpus(
+            docs, None, token_pack=tp2, materialize_to=prefix, **kw
+        )
+    )
+    want2 = key(
+        prepare_training_corpus(docs, None, token_pack=tp2, **kw)
+    )
+    assert got2 == want2
+    cleanup()
