@@ -202,6 +202,96 @@ class FsUtil:
         stream = fs.create(jpath, True)
         return _JvmWriter(stream)
 
+    def glob(self, pattern: str, detail: bool = False) -> list:
+        """Hadoop glob (``*``, ``?``, ``[abc]``, ``{a,b}``) — the
+        fsspec method the FS6 delegate list most obviously lacked;
+        served by ``FileSystem.globStatus`` rather than fsspec."""
+        statuses = self._fs(pattern).globStatus(self._jpath(pattern))
+        if statuses is None:
+            return []
+        details = [self._status_detail(s) for s in statuses]
+        if detail:
+            return details
+        return sorted(d["name"] for d in details)
+
+    def find(self, path: str) -> list[str]:
+        """All FILES under a path, recursively (fsspec ``find``) —
+        Hadoop's ``listFiles(recursive=True)`` RemoteIterator."""
+        it = self._fs(path).listFiles(self._jpath(path), True)
+        out = []
+        while it.hasNext():
+            out.append(self._status_detail(it.next())["name"])
+        return sorted(out)
+
+    def du(self, path: str, total: bool = True):
+        """Bytes under a path (fsspec ``du``): one number, or a
+        per-file dict with ``total=False``."""
+        it = self._fs(path).listFiles(self._jpath(path), True)
+        sizes: dict[str, int] = {}
+        while it.hasNext():
+            d = self._status_detail(it.next())
+            sizes[d["name"]] = int(d["size"])
+        return sum(sizes.values()) if total else sizes
+
+    def size(self, path: str) -> int:
+        return int(
+            self._fs(path).getFileStatus(self._jpath(path)).getLen()
+        )
+
+    def isfile(self, path: str) -> bool:
+        fs = self._fs(path)
+        jpath = self._jpath(path)
+        return bool(fs.exists(jpath)) and bool(fs.getFileStatus(jpath).isFile())
+
+    def isdir(self, path: str) -> bool:
+        fs = self._fs(path)
+        jpath = self._jpath(path)
+        return bool(fs.exists(jpath)) and bool(
+            fs.getFileStatus(jpath).isDirectory()
+        )
+
+    def cat(self, path: str) -> bytes:
+        """Whole-file bytes (fsspec ``cat`` — driver-side small reads
+        only; datasets go through DataIO/Spark)."""
+        with self.open(path, "rb") as f:
+            return f.read()
+
+    def touch(self, path: str) -> None:
+        """Create an empty file (or truncate an existing one)."""
+        self._fs(path).create(self._jpath(path), True).close()
+
+    # -- FS5: dynamic method delegation (filesystem.py:54-67) ---------
+
+    def __getattr__(self, name: str):
+        """Anything not implemented above delegates to the matching
+        fsspec filesystem method, dispatched per call on the path's
+        scheme — the reference's FS5 surface (filesystem.py:54-67
+        copies every fsspec bound method onto the wrapper; here the
+        lookup is lazy, so the wrapper works without fsspec until an
+        undelegated method is actually called).  Import-gated: without
+        fsspec installed the AttributeError names the gap and the
+        Hadoop-served surface above is unaffected."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            import fsspec
+        except ImportError as exc:
+            raise AttributeError(
+                f"FsUtil has no Hadoop-served method {name!r}; dynamic "
+                "fsspec delegation (reference FS5) needs the optional "
+                "fsspec package"
+            ) from exc
+
+        def delegate(path: str, *args, **kwargs):
+            proto = {"file": "file", "s3a": "s3", "s3n": "s3"}.get(
+                _scheme(path), _scheme(path)
+            )
+            fs = fsspec.filesystem(proto)
+            return getattr(fs, name)(path, *args, **kwargs)
+
+        delegate.__name__ = name
+        return delegate
+
 
 class _JvmWriter:
     """Context-managed byte writer over a Hadoop output stream."""

@@ -88,3 +88,60 @@ def test_open_write_read(fs, tmp_path):
 def test_fsid_is_stable_string(fs):
     assert isinstance(fs.fsid, str)
     assert fs.fsid == fs.fsid
+
+
+def test_glob_find_du_size_predicates(fs, tmp_path):
+    """r11: the widened Hadoop-served surface (glob/find/du/size/
+    isfile/isdir/cat/touch) — the methods the reference gets via FS5
+    fsspec delegation, served by the Hadoop FileSystem instead."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x.txt").write_bytes(b"12345")
+    (tmp_path / "a" / "y.txt").write_bytes(b"678")
+    (tmp_path / "a" / "z.log").write_bytes(b"9")
+    (tmp_path / "b").mkdir()
+    (tmp_path / "b" / "w.txt").write_bytes(b"00")
+
+    got = fs.glob(str(tmp_path / "a" / "*.txt"))
+    assert [g.rsplit("/", 1)[1] for g in got] == ["x.txt", "y.txt"]
+    assert fs.glob(str(tmp_path / "nope" / "*")) == []
+    d = fs.glob(str(tmp_path / "a" / "*.log"), detail=True)
+    assert d[0]["size"] == 1 and d[0]["type"] == "file"
+
+    found = fs.find(str(tmp_path))
+    # sorted by FULL path: a/* before b/*
+    assert [f.rsplit("/", 1)[1] for f in found] == [
+        "x.txt", "y.txt", "z.log", "w.txt",
+    ]
+    assert fs.du(str(tmp_path)) == 11
+    per = fs.du(str(tmp_path / "a"), total=False)
+    assert set(per.values()) == {5, 3, 1}
+    assert fs.size(str(tmp_path / "a" / "x.txt")) == 5
+    assert fs.isfile(str(tmp_path / "a" / "x.txt"))
+    assert not fs.isfile(str(tmp_path / "a"))
+    assert fs.isdir(str(tmp_path / "a"))
+    assert not fs.isdir(str(tmp_path / "missing"))
+    assert fs.cat(str(tmp_path / "a" / "y.txt")) == b"678"
+    fs.touch(str(tmp_path / "new.bin"))
+    assert fs.isfile(str(tmp_path / "new.bin"))
+    assert fs.size(str(tmp_path / "new.bin")) == 0
+
+
+def test_fs5_dynamic_delegation_gate(fs):
+    """FS5: unknown methods resolve through fsspec when installed;
+    without it the AttributeError names the gap (import-gated — this
+    container has no fsspec, so the gate path is what executes)."""
+    try:
+        import fsspec  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    if have:
+        walked = fs.walk("/tmp")  # any fsspec method name
+        assert walked is not None
+    else:
+        with pytest.raises(AttributeError, match="fsspec"):
+            fs.walk
+    # underscore names never delegate (pickle/dunder safety)
+    with pytest.raises(AttributeError):
+        fs._not_a_method
