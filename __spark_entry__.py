@@ -3775,14 +3775,18 @@ SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
        WHEN bglm.bg_nll <= bgthr.t1 THEN 'head'
        WHEN bglm.bg_nll <= bgthr.t2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket,
+  -- tg.t1 IS NULL → NULL mirrors Spark's NULL bucket when a row has
+  -- no thresholds; the null-safe join below mirrors the struct-keyed
+  -- group match (NULL lang is a real stratum on both engines)
   CASE WHEN bglm.bg_nll IS NULL THEN NULL
+       WHEN tg.t1 IS NULL THEN NULL
        WHEN bglm.bg_nll <= tg.t1 THEN 'head'
        WHEN bglm.bg_nll <= tg.t2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket_lang,
   pp.n_phones, pp.n_ipv4, pp.n_ssn, pp.n_cards, pp.pii_redacted_fp
 FROM g LEFT JOIN lm USING (doc_id) LEFT JOIN bglm USING (doc_id)
 JOIN piired pp USING (doc_id)
-LEFT JOIN bgthr_g tg USING (lang), bgthr
+LEFT JOIN bgthr_g tg ON g.lang IS NOT DISTINCT FROM tg.lang, bgthr
 """
 
 

@@ -817,30 +817,17 @@ def _x_bpe_train256(spark, sf_dir):
     growing to 5-12 in later rounds — the production regime) vs 256+
     sequential jobs, ~58 s → ~21 s wall.  Output is bit-identical to
     batch_size=1 (pinned by tests/test_bpe.py differentials)."""
-    from pyspark.sql import functions as F
-
-    from data_toolz_spark.operators.bpe import bpe_train
+    from data_toolz_spark.operators.bpe import (
+        bpe_bigram_unit_table,
+        bpe_train,
+    )
 
     docs = entrymod.load(spark, sf_dir, "documents")
-    units = (
-        docs.select(
-            F.filter(F.split("text", r"\s+"), lambda t: t != "").alias(
-                "w"
-            )
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w)-1), "
-                    "i -> concat(w[i-1], '_', w[i]))"
-                )
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
     merges = bpe_train(
-        units, n_merges=256, min_count=2, batch_size=64
+        bpe_bigram_unit_table(docs),
+        n_merges=256,
+        min_count=2,
+        batch_size=64,
     )
     return spark.createDataFrame(
         [

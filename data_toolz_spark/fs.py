@@ -60,10 +60,20 @@ class FsUtil:
     >>> fs.sign("s3a://bucket/key", expiration=300)
     """
 
-    def __init__(self, spark: SparkSession | None = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        fsspec_storage_options: dict | None = None,
+    ) -> None:
         self._spark = _require_spark(spark)
         self._jvm = self._spark._jvm
         self._conf = self._spark.sparkContext._jsc.hadoopConfiguration()
+        #: per-protocol kwargs for FS5 fsspec delegation, e.g.
+        #: ``{"s3": {"key": ..., "secret": ...}}`` — fsspec does NOT
+        #: read the session's fs.s3a.* Hadoop configuration, so a
+        #: credentialed session must pass its credentials here for the
+        #: delegated surface to see the same principal
+        self._fsspec_opts = dict(fsspec_storage_options or {})
 
     # -- internals ----------------------------------------------------
 
@@ -270,7 +280,15 @@ class FsUtil:
         lookup is lazy, so the wrapper works without fsspec until an
         undelegated method is actually called).  Import-gated: without
         fsspec installed the AttributeError names the gap and the
-        Hadoop-served surface above is unaffected."""
+        Hadoop-served surface above is unaffected.
+
+        Two documented caveats of the lazy form: (1) with fsspec
+        installed, ``hasattr(fs, name)`` is True for ANY non-dunder
+        name — a misspelling surfaces at CALL time as fsspec's own
+        AttributeError, not at lookup; (2) fsspec does not read the
+        session's Hadoop configuration — pass ``fsspec_storage_options``
+        at construction so delegated calls act as the same principal
+        as the Hadoop-served surface."""
         if name.startswith("_"):
             raise AttributeError(name)
         try:
@@ -281,12 +299,13 @@ class FsUtil:
                 "fsspec delegation (reference FS5) needs the optional "
                 "fsspec package"
             ) from exc
+        opts = self._fsspec_opts
 
         def delegate(path: str, *args, **kwargs):
             proto = {"file": "file", "s3a": "s3", "s3n": "s3"}.get(
                 _scheme(path), _scheme(path)
             )
-            fs = fsspec.filesystem(proto)
+            fs = fsspec.filesystem(proto, **opts.get(proto, {}))
             return getattr(fs, name)(path, *args, **kwargs)
 
         delegate.__name__ = name

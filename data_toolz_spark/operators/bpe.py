@@ -61,6 +61,40 @@ def bpe_word_table(
     )
 
 
+def bpe_bigram_unit_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(word, freq)`` over WORD-BIGRAM units (adjacent word pairs
+    joined by ``_``) — a richer training-unit table than single words
+    for corpora with small vocabularies (the sf0.1 documents table has
+    31 distinct words and exhausts BPE at 89 merges; its 931 bigram
+    units carry a 256-merge vocab).  Same separator-safety contract as
+    :func:`bpe_word_table`: units containing the separator byte are
+    dropped (they would make the symbol encoding ambiguous)."""
+    toks = df.select(
+        F.filter(
+            F.split(F.col(text_col), r"\s+"),
+            lambda t: (t != "") & ~t.contains(BPE_SEP),
+        ).alias("__w")
+    )
+    return (
+        # the < 2-token guard matters: sequence(1, size-1) on a 0/1-
+        # token doc would DESCEND ([1,0] or [1,0,-1]) and index out of
+        # bounds — null units non-ANSI, a mid-job error under ANSI
+        toks.filter(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w)-1), "
+                    "i -> concat(__w[i-1], '_', __w[i]))"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def _encode_word(col: Column, sep: str) -> Column:
     """Word → separator-wrapped symbol string: each initial symbol is
     one character, rendered ``sep + ch + sep``."""
@@ -677,6 +711,7 @@ __all__ = [
     "save_bpe_model",
     "load_bpe_model",
     "bpe_word_table",
+    "bpe_bigram_unit_table",
     "bpe_train",
     "bpe_apply_expr",
     "bpe_token_count_expr",

@@ -1307,9 +1307,12 @@ def bigram_logprob(
     builders) and ``df`` must carry the column; every join keys on
     (group, words) and the backoff denominator becomes a per-group
     broadcast join instead of a driver scalar — one model pass scores
-    all languages, each against its own LM.  A doc whose group has no
-    vocabulary rows scores NULL (there is no model for it) instead of
-    raising.
+    all languages, each against its own LM.  NULL is a REAL group
+    (unresolved LID is common in crawl data): the group key joins
+    null-safe (struct-wrapped, so NULL-group docs match the NULL-group
+    model the builders aggregate — still plain hash joins).  A doc
+    whose group has no vocabulary rows at all scores NULL (there is
+    no model for it) instead of raising.
     """
     if alpha <= 0:
         raise ValueError("bigram_logprob: alpha must be positive")
@@ -1332,7 +1335,19 @@ def bigram_logprob(
     txt = F.col(text_col)
     if lowercase:
         txt = F.lower(txt)
-    pairs = (
+
+    def with_gkey(frame: DataFrame) -> DataFrame:
+        # struct-wrap the group key: struct equality treats NULL
+        # fields as equal, so NULL-group rows join their NULL-group
+        # model while the join stays a hash equi-join
+        if group_col is None:
+            return frame
+        return frame.withColumn(
+            "__g", F.struct(F.col(group_col).alias("g"))
+        ).drop(group_col)
+
+    jcols = ["__g"] if group_col is not None else []
+    pairs = with_gkey(
         df.select(F.col(id_col), *gcols, tokens(txt).alias("__t"))
         .filter(F.size("__t") >= 2)
         .select(
@@ -1348,30 +1363,40 @@ def bigram_logprob(
         .select(id_col, *gcols, "p.w1", "p.w2")
     )
     v1 = F.broadcast(
-        vocab.select(
-            *gcols, F.col("token").alias("w1"), F.col("tf").alias("__tf1")
+        with_gkey(
+            vocab.select(
+                *gcols,
+                F.col("token").alias("w1"),
+                F.col("tf").alias("__tf1"),
+            )
         )
     )
     v2 = F.broadcast(
-        vocab.select(
-            *gcols, F.col("token").alias("w2"), F.col("tf").alias("__tf2")
+        with_gkey(
+            vocab.select(
+                *gcols,
+                F.col("token").alias("w2"),
+                F.col("tf").alias("__tf2"),
+            )
         )
     )
     joined = (
-        pairs.join(bigram, on=gcols + ["w1", "w2"], how="left")
-        .join(v1, on=gcols + ["w1"], how="left")
-        .join(v2, on=gcols + ["w2"], how="left")
+        pairs.join(with_gkey(bigram), on=jcols + ["w1", "w2"], how="left")
+        .join(v1, on=jcols + ["w1"], how="left")
+        .join(v2, on=jcols + ["w2"], how="left")
     )
     if group_col is not None:
         gstats = F.broadcast(
-            vocab.groupBy(group_col).agg(
-                (
-                    F.sum("tf").cast("double")
-                    + alpha * (F.count(F.lit(1)) + 1)
-                ).alias("__denom")
+            with_gkey(
+                vocab.groupBy(group_col).agg(
+                    (
+                        F.sum("tf").cast("double")
+                        + alpha * (F.count(F.lit(1)) + 1)
+                    ).alias("__denom")
+                )
             )
         )
-        joined = joined.join(gstats, on=group_col, how="left")
+        joined = joined.join(gstats, on="__g", how="left")
     score = F.when(
         F.col("bg_count").isNotNull() & F.col("__tf1").isNotNull(),
         F.col("bg_count") / F.col("__tf1"),
@@ -1623,7 +1648,16 @@ def bucket_by_thresholds(
         "__thr", F.expr("transform(__qt, x -> x.t)")
     ).drop("__qt")
     if gcols:
-        joined = df.join(F.broadcast(thr), on=gcols, how="left")
+        # null-safe group match (struct equality treats NULL fields
+        # as equal): a NULL group is a real stratum —
+        # rank_thresholds' groupBy keeps it, so its rows must find
+        # their thresholds here too (r11 review fix)
+        gk = lambda f: f.withColumn(
+            "__gk", F.struct(*[F.col(c).alias(f"g{i}") for i, c in enumerate(gcols)])
+        )
+        joined = gk(df).join(
+            F.broadcast(gk(thr).drop(*gcols)), on="__gk", how="left"
+        ).drop("__gk")
     else:
         # constant-key equi-join, NOT crossJoin: same one-row
         # broadcast, but stream-static equi-joins are supported while

@@ -307,7 +307,15 @@ def prepare_training_corpus(
     out = docs
 
     mat = (
-        _Materializer(docs.sparkSession, materialize_to, input_token)
+        _Materializer(
+            docs.sparkSession,
+            materialize_to,
+            # id_col/text_col feed EVERY stage, so they seed the
+            # chain alongside the data token — switching either must
+            # invalidate all stage tables, not silently resume frames
+            # built from the other column
+            f"{input_token}|id={id_col}|text={text_col}",
+        )
         if materialize_to is not None
         else None
     )

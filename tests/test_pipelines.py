@@ -942,3 +942,53 @@ def test_pipeline_token_pack_materialize_resume(spark, monkeypatch):
     )
     assert got2 == want2
     cleanup()
+
+
+def test_pipeline_materialize_id_text_col_in_fingerprint(spark, monkeypatch):
+    """r11 review fix: switching text_col (or id_col) must invalidate
+    the stage tables — the chain seeds on both columns."""
+    from data_toolz_spark.catalog import drop_stale_table
+
+    prefix = "t_pipe_colfp"
+    for t in [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith(prefix)
+    ]:
+        drop_stale_table(spark, t)
+    rows = [
+        (i, f"text a{i % 5} " + " ".join(f"w{j}" for j in range(8)),
+         f"body b{i % 3} " + " ".join(f"u{j}" for j in range(8)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, body string")
+    kw = dict(
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8,
+        fractions=FRACS,
+    )
+    prepare_training_corpus(
+        docs, None, materialize_to=prefix, **kw
+    ).collect()
+    # same prefix, different text_col: the near-dup CC MUST recompute
+    # (fingerprint mismatch), not resume the 'text'-built tables
+    calls = {"n": 0}
+    import data_toolz_spark.operators.dedup as dd
+
+    real = dd.minhash_components
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(dd, "minhash_components", spy)
+    prepare_training_corpus(
+        docs, None, text_col="body", materialize_to=prefix, **kw
+    ).collect()
+    assert calls["n"] == 1
+    for t in [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith(prefix)
+    ]:
+        drop_stale_table(spark, t)

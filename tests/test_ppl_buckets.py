@@ -189,8 +189,9 @@ def test_grouped_bigram_lm_equals_per_language_models(spark):
     rng = random.Random(13)
     rows = []
     for i in range(120):
-        lang = "aa" if i % 2 == 0 else "bb"
-        alpha = "abcde" if lang == "aa" else "vwxyz"
+        # NULL is a REAL group (unresolved LID) — every third row
+        lang = None if i % 3 == 2 else ("aa" if i % 2 == 0 else "bb")
+        alpha = {"aa": "abcde", "bb": "vwxyz", None: "mnopq"}[lang]
         words = [
             "".join(rng.choice(alpha) for _ in range(rng.randint(1, 4)))
             for _ in range(rng.randint(2, 18))
@@ -207,8 +208,12 @@ def test_grouped_bigram_lm_equals_per_language_models(spark):
             group_col="lang",
         ).collect()
     }
-    for lang in ("aa", "bb"):
-        sub = df.filter(F.col("lang") == lang)
+    for lang in ("aa", "bb", None):
+        sub = df.filter(
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
         solo = {
             r["doc_id"]: r["bg_nll"]
             for r in bigram_logprob(
@@ -232,3 +237,17 @@ def test_grouped_bigram_lm_equals_per_language_models(spark):
         ).collect()
     }
     assert got[999] is None
+
+
+def test_bucket_by_thresholds_null_group_rows_get_labels(spark):
+    """r11 review fix: a NULL group is a real stratum — its rows must
+    receive their own thresholds' labels, not NULL buckets."""
+    rows = [(i, None if i < 30 else "en", float(i % 10)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, lang string, v double")
+    thr = rank_thresholds(df, "v", [(1, 3), (2, 3)], group_cols=["lang"])
+    out = bucket_by_thresholds(
+        df, "v", thr, group_cols=["lang"],
+        labels=("head", "middle", "tail"),
+    ).collect()
+    null_buckets = {r["ppl_bucket"] for r in out if r["lang"] is None}
+    assert null_buckets == {"head", "middle", "tail"}

@@ -38,7 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from data_toolz_spark.operators.bpe import bpe_train
+from data_toolz_spark.operators.bpe import (
+    bpe_bigram_unit_table,
+    bpe_train,
+)
 from data_toolz_spark.operators.sampling import pack_token_sequences
 from data_toolz_spark.operators.text_analysis import (
     bigram_logprob,
@@ -63,24 +66,6 @@ def replicate(df, id_col: str, mult: int, stride: int = 1_000_000):
             df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
         )
     return out
-
-
-def bigram_units(docs):
-    toks = docs.select(
-        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("w")
-    )
-    return (
-        toks.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w)-1), "
-                    "i -> concat(w[i-1], '_', w[i]))"
-                )
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
 
 
 def main() -> int:
@@ -128,8 +113,8 @@ def main() -> int:
         # scaled the ENTIRE training run is homogeneous in mult and
         # the merge sequence must be identical
         merges = bpe_train(
-            bigram_units(d), n_merges=128, min_count=2 * mult,
-            batch_size=64,
+            bpe_bigram_unit_table(d), n_merges=128,
+            min_count=2 * mult, batch_size=64,
         )
         t_bpe = time.time() - t0
         bpemod._accept_batch = orig_accept
