@@ -840,6 +840,41 @@ def _x_bpe_train256(spark, sf_dir):
     )
 
 
+def _x_bpe_delta128(spark, sf_dir):
+    """r12 (VERDICT r11 task 1): DELTA-maintained pair-count training
+    — 128 merges over the corpus's word-TRIGRAM unit table (~27k
+    distinct units at sf0.1, above the auto crossover), batch_size=64.
+    Per round, candidates come from the persisted (l, r, cnt) table
+    and only AFFECTED units are recounted (signed before/after pass),
+    instead of re-exploding all ~800k adjacent pairs: measured 65 s
+    delta vs 86 s recount for 256 merges on this table (r12), with
+    the gap widening as the table grows (a 1.16M-unit n-gram-union
+    table makes the recount path intractable).  Output bit-identical
+    to recount/sequential (tests/test_bpe.py differentials)."""
+    from data_toolz_spark.operators.bpe import (
+        bpe_ngram_unit_table,
+        bpe_train,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    merges = bpe_train(
+        bpe_ngram_unit_table(docs, 3),
+        n_merges=128,
+        min_count=2,
+        batch_size=64,
+        pair_mode="delta",
+    )
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"],
+             m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, "
+        "pair_count long",
+    )
+
+
 def _x_interval_join(spark, sf_dir):
     """X66: point-in-interval join of the event stream against
     per-user activity windows via the range-bucketing rewrite (every
@@ -1143,6 +1178,8 @@ EXTRAS = {
     "x_unigram_train": _x_unigram_train,
     # r11 (VERDICT task 1)
     "x_bpe_train256": _x_bpe_train256,
+    # r12 (VERDICT r11 task 1)
+    "x_bpe_delta128": _x_bpe_delta128,
 }
 
 

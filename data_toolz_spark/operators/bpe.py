@@ -30,10 +30,18 @@ one CTE pair per merge rank.
 Scale: at 100 TB the word table is the aggregated vocabulary (built
 once with one corpus-wide shuffle); each of the K merges is a
 vocab-sized aggregate with one driver row — K × O(|vocab|) total,
-never K × O(corpus).
+never K × O(corpus).  Two r11/r12 refinements take K itself to real
+vocab scale: batched acceptance (``batch_size`` — up to B provably
+sequential-equal merges per aggregation round) and a delta-maintained
+pair-count table (``pair_mode="delta"`` — per round, candidates come
+from a persisted (l, r, cnt) table and only the words AFFECTED by the
+round's merges are recounted, so rounds in the Zipf tail touch a
+shrinking slice instead of re-exploding the whole vocabulary).
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -61,38 +69,50 @@ def bpe_word_table(
     )
 
 
-def bpe_bigram_unit_table(
-    df: DataFrame, text_col: str = "text"
+def bpe_ngram_unit_table(
+    df: DataFrame, n: int = 2, text_col: str = "text"
 ) -> DataFrame:
-    """``(word, freq)`` over WORD-BIGRAM units (adjacent word pairs
+    """``(word, freq)`` over WORD-n-GRAM units (``n`` adjacent words
     joined by ``_``) — a richer training-unit table than single words
     for corpora with small vocabularies (the sf0.1 documents table has
     31 distinct words and exhausts BPE at 89 merges; its 931 bigram
-    units carry a 256-merge vocab).  Same separator-safety contract as
-    :func:`bpe_word_table`: units containing the separator byte are
-    dropped (they would make the symbol encoding ambiguous)."""
+    units carry a 256-merge vocab, its ~10k trigram units a 2k+ one).
+    Same separator-safety contract as :func:`bpe_word_table`: units
+    containing the separator byte are dropped (they would make the
+    symbol encoding ambiguous)."""
+    if n < 2:
+        raise ValueError("bpe_ngram_unit_table: n must be >= 2")
     toks = df.select(
         F.filter(
             F.split(F.col(text_col), r"\s+"),
             lambda t: (t != "") & ~t.contains(BPE_SEP),
         ).alias("__w")
     )
+    join_expr = ", '_', ".join(f"__w[i+{j}]" for j in range(n))
     return (
-        # the < 2-token guard matters: sequence(1, size-1) on a 0/1-
-        # token doc would DESCEND ([1,0] or [1,0,-1]) and index out of
-        # bounds — null units non-ANSI, a mid-job error under ANSI
-        toks.filter(F.size("__w") >= 2)
+        # the < n-token guard matters: sequence(0, size-n) on a short
+        # doc would DESCEND ([0,-1]…) and index out of bounds — null
+        # units non-ANSI, a mid-job error under ANSI
+        toks.filter(F.size("__w") >= n)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(__w)-1), "
-                    "i -> concat(__w[i-1], '_', __w[i]))"
+                    f"transform(sequence(0, size(__w)-{n}), "
+                    f"i -> concat({join_expr}))"
                 )
             ).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def bpe_bigram_unit_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(word, freq)`` over WORD-BIGRAM units — the ``n=2`` case of
+    :func:`bpe_ngram_unit_table` (kept as the r11-established name)."""
+    return bpe_ngram_unit_table(df, 2, text_col)
 
 
 def _encode_word(col: Column, sep: str) -> Column:
@@ -106,6 +126,41 @@ def _symbols(state_col: Column, sep: str) -> Column:
     separators, split on the doubled separator."""
     inner = F.substring(state_col, 2, F.length(state_col) - 2)
     return F.split(inner, sep + sep)
+
+
+#: max literal-replace expressions NESTED into one column before the
+#: chain switches to the constant-depth fold — deeper trees overflow
+#: the JVM stack during analysis/codegen (measured cliff ≈ 384)
+_REPLACE_NEST_CAP = 64
+
+
+def _fold_replaces(
+    col: Column, pairs: list[tuple[str, str]]
+) -> Column:
+    """Apply ``pairs`` of literal (pattern → replacement) string
+    replaces to ``col`` IN ORDER.  Short chains nest ``F.replace``
+    (whole-stage-codegen'd); long chains fold one replace over a
+    LITERAL array of the pairs via ``F.aggregate`` — constant
+    expression depth, so a 32k-merge chain is plan DATA instead of a
+    32k-deep tree (nested trees StackOverflow the JVM near depth
+    ~384)."""
+    if len(pairs) <= _REPLACE_NEST_CAP:
+        e = col
+        for pat, rep in pairs:
+            e = F.replace(e, F.lit(pat), F.lit(rep))
+        return e
+    # two ArrayType literals (ONE Literal node each, not 2·K child
+    # expressions) keep the tree CONSTANT-sized — per-round Catalyst
+    # analysis was 70% of vocab-scale training wall before this (r12)
+    pat_lit = F.lit([p for p, _ in pairs])
+    rep_lit = F.lit([r for _, r in pairs])
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(pairs))),
+        col,
+        lambda acc, i: F.replace(
+            acc, F.element_at(pat_lit, i), F.element_at(rep_lit, i)
+        ),
+    )
 
 
 def _accept_batch(
@@ -200,6 +255,25 @@ def _accept_batch(
     return batch
 
 
+def _pairs_arr(state_col: Column, sep: str, weight: Column) -> Column:
+    """Adjacent-symbol pair array of an encoded state string, each pair
+    tagged with ``weight`` — ``array<struct<l, r, w>>``.  The < 2-symbol
+    guard keeps ``sequence`` ascending (a descending sequence indexes
+    out of bounds: null rows non-ANSI, a mid-job error under ANSI)."""
+    syms = _symbols(state_col, sep)
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(0), F.size(syms) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i + 1).alias("l"),
+            F.element_at(syms, i + 2).alias("r"),
+            weight.alias("w"),
+        ),
+    )
+
+
 def bpe_train(
     words: DataFrame,
     *,
@@ -209,6 +283,8 @@ def bpe_train(
     freq_col: str = "freq",
     sep: str = BPE_SEP,
     batch_size: int = 1,
+    pair_mode: str = "auto",
+    stats: dict | None = None,
 ) -> list[dict]:
     """Learn up to ``n_merges`` BPE merges from a word-frequency table.
 
@@ -232,9 +308,46 @@ def bpe_train(
     test).  Whatever the data allows per round is pure job-count
     savings; tie-dense corpora degrade gracefully to ≈1 merge/round
     at no extra cost.
+
+    ``pair_mode`` (r12, VERDICT r11 task 1) picks how per-round pair
+    counts are produced:
+
+    * ``"delta"`` — maintain a persisted ``(l, r, cnt)``
+      pair-count table and apply per-round DELTAS.  A replace is
+      token-local (the same fact the acceptance proof uses), so only
+      words whose state CONTAINS an accepted pattern change any pair
+      count; the round recounts exactly those words before and after
+      the replace (one exploded signed pass: old pairs at ``−f``, new
+      at ``+f``) and folds the sum into the table.  Candidates come
+      from a TakeOrdered over the TABLE — vocab-adjacency-sized —
+      instead of a full corpus re-explode, so at a real vocab scale
+      each of the ~K rounds touches the affected slice (shrinking
+      fast as merges move down the Zipf tail), never the whole unit
+      table's exploded pairs.
+    * ``"recount"`` — the r11 behavior: re-explode every word and
+      re-aggregate all pair counts each round.  Faster on SMALL unit
+      tables (the table-maintenance stages cost more than the full
+      re-explode saves); both modes produce the identical merge list
+      (pinned by tests).
+    * ``"auto"`` (default) — ``"delta"`` when the unit table has
+      ≥ 16,384 rows, else ``"recount"`` (measured crossover between
+      ~1k and ~27k units at sf0.1: 931 bigram units recount 18 s vs
+      delta 26 s; 27k trigram units recount 86 s vs delta 65 s for
+      the same 256 merges).
+
+    ``stats``, if given a dict, is filled with loop telemetry:
+    ``rounds`` (aggregation rounds run), ``batch_sizes`` (accepted
+    merges per round), ``round_secs`` (wall per round, driver-side),
+    and ``pair_mode`` (the resolved mode) — probe/observability
+    surface, zero extra Spark jobs.
     """
     if batch_size < 1:
         raise ValueError("bpe_train: batch_size must be >= 1")
+    if pair_mode not in ("auto", "delta", "recount"):
+        raise ValueError(
+            f"bpe_train: pair_mode must be 'auto', 'delta' or "
+            f"'recount', got {pair_mode!r}"
+        )
     state = words.select(
         _encode_word(F.col(word_col), sep).alias("s"),
         F.col(freq_col).alias("f"),
@@ -242,39 +355,69 @@ def bpe_train(
     # right-size the iteration state: the loop runs K tiny jobs over a
     # VOCAB-sized frame, and scheduling 32 near-empty tasks per job is
     # pure overhead (measured 15.6 s → ~4 s at sf0.1's ~60-word vocab).
-    # One count() prices the state, then ~4k words/partition keeps a
-    # billion-word 100 TB vocab at cluster parallelism while a demo
-    # vocab collapses to one task per stage.
+    # One count() prices the state, then ~256k words/partition
+    # (~10-30 MB — real shuffle-partition granularity; the r11 4k-row
+    # floor made 200 KB partitions whose task overhead dominated every
+    # round) keeps a billion-word 100 TB vocab at ~4k partitions —
+    # cluster parallelism — while a demo vocab collapses to one task
+    # per stage.
     n_rows = state.count()
-    state = state.coalesce(
-        max(1, min(state.rdd.getNumPartitions(), n_rows // 4096 + 1))
-    ).localCheckpoint(eager=True)
+    if pair_mode == "auto":
+        pair_mode = "delta" if n_rows >= 16384 else "recount"
+    nparts = max(
+        1, min(state.rdd.getNumPartitions(), n_rows // 262144 + 1)
+    )
+    state = state.coalesce(nparts).localCheckpoint(eager=True)
+    pairs: DataFrame | None = None
+    if pair_mode == "delta":
+        # the ONE full explode+aggregate the delta path ever runs —
+        # every later round folds signed corrections into this table
+        pairs = (
+            state.select(
+                F.explode(_pairs_arr(F.col("s"), sep, F.col("f"))).alias(
+                    "p"
+                )
+            )
+            .groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("p.w").alias("cnt"))
+            .coalesce(nparts)
+            .localCheckpoint(eager=False)
+        )
     merges: list[dict] = []
+    if stats is not None:
+        stats.update(
+            {"rounds": 0, "batch_sizes": [], "round_secs": [],
+             "pair_mode": pair_mode}
+        )
+    rounds_since_trunc = 0
     # every merged symbol produced so far — the rule-4 existence
     # superset (initial symbols are single characters, so any
     # multi-character symbol must have come from a merge)
     prior_merged: set[str] = set()
     while len(merges) < n_merges:
-        syms = _symbols(F.col("s"), sep)
-        idx = F.when(
-            F.size(syms) >= 2, F.sequence(F.lit(0), F.size(syms) - 2)
-        ).otherwise(F.array().cast("array<int>"))
-        prs = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(syms, i + 1).alias("l"),
-                F.element_at(syms, i + 2).alias("r"),
-            ),
-        )
+        t_round = time.monotonic() if stats is not None else 0.0
         # collect generously: a deeper top-C only lowers the
         # truncation bound (more accepted picks per round) and a few
         # thousand tiny rows per round is negligible driver traffic
         n_cand = 1 if batch_size == 1 else max(8 * batch_size, 2048)
+        if pair_mode == "delta":
+            cand_src = pairs
+        else:
+            cand_src = (
+                state.select(
+                    F.explode(
+                        _pairs_arr(F.col("s"), sep, F.col("f"))
+                    ).alias("p")
+                )
+                .groupBy(
+                    F.col("p.l").alias("l"), F.col("p.r").alias("r")
+                )
+                .agg(F.sum("p.w").alias("cnt"))
+            )
         cands = (
-            state.select(F.explode(prs).alias("p"), "f")
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("f").alias("cnt"))
-            .filter(F.col("cnt") >= min_count)
+            cand_src.filter(F.col("cnt") >= min_count)
             .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
             .limit(n_cand)
             .collect()
@@ -292,7 +435,8 @@ def bpe_train(
             prior_merged,
             min(batch_size, n_merges - len(merges)),
         )
-        expr = F.col("s")
+        pats = []
+        reps = []
         for l, r, cnt in batch:
             merges.append(
                 {
@@ -304,18 +448,77 @@ def bpe_train(
                 }
             )
             prior_merged.add(l + r)
-            expr = F.replace(
-                expr,
-                F.lit(sep + l + sep + sep + r + sep),
-                F.lit(sep + l + r + sep),
+            pats.append(sep + l + sep + sep + r + sep)
+            reps.append(sep + l + r + sep)
+        expr = _fold_replaces(F.col("s"), list(zip(pats, reps)))
+        if pair_mode == "delta":
+            # a batch replace only rewrites words containing one of the
+            # accepted patterns ON the pre-batch state (an accepted
+            # pick can neither create nor destroy another accepted
+            # pick's pattern: new adjacencies always involve its merged
+            # symbol, and the batch's {l, r, merged} sets are disjoint
+            # by rule 2) — so the signed recount of exactly those words
+            # is the EXACT pair-count delta of the round.  The pattern
+            # list rides as ONE array literal (an OR-chain of B
+            # contains re-paid its analysis cost every round)
+            aff_pred = F.exists(
+                F.lit(pats), lambda p: F.col("s").contains(p)
             )
+            delta_rows = (
+                state.filter(aff_pred)
+                .select(
+                    F.explode(
+                        F.concat(
+                            _pairs_arr(F.col("s"), sep, -F.col("f")),
+                            _pairs_arr(expr, sep, F.col("f")),
+                        )
+                    ).alias("p")
+                )
+                .select(
+                    F.col("p.l").alias("l"),
+                    F.col("p.r").alias("r"),
+                    F.col("p.w").alias("cnt"),
+                )
+            )
+            prev_pairs = pairs
+            pairs = (
+                pairs.unionByName(delta_rows)
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .coalesce(nparts)
+                .localCheckpoint(eager=False)
+            )
+            prev_pairs.unpersist()
         prev = state
         # lazy checkpoint: materializes inside the NEXT round's
-        # aggregate job instead of paying its own job — halves the
-        # per-round job count while still keeping the plan flat
+        # aggregate job instead of paying its own job.  In recount
+        # mode the round's collect runs directly over the state
+        # subtree, so the post-job doCheckpoint truncates its lineage
+        # every round.  In delta mode the collect's first marked
+        # ancestor is the PAIRS checkpoint and doCheckpoint recursion
+        # stops there — the state chain accumulates one
+        # marked-but-untruncated layer per round (persisted blocks,
+        # growing serialized lineage: task DEserialization
+        # StackOverflowed at ~400 rounds in r12), so every 16 rounds
+        # one vocab-sized count() runs directly over the state to
+        # truncate the chain.
         state = state.withColumn("s", expr).localCheckpoint(eager=False)
         prev.unpersist()
+        if pair_mode == "delta":
+            rounds_since_trunc += 1
+            if rounds_since_trunc >= 16:
+                state.count()
+                rounds_since_trunc = 0
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["batch_sizes"].append(len(batch))
+            stats["round_secs"].append(
+                round(time.monotonic() - t_round, 4)
+            )
     state.unpersist()
+    if pairs is not None:
+        pairs.unpersist()
     return merges
 
 
@@ -323,15 +526,18 @@ def _apply_merges(
     encoded: Column, merges: list[dict], sep: str
 ) -> Column:
     """Apply a trained merge list to an already-encoded state column —
-    the same literal replaces training used, in rank order."""
-    e = encoded
-    for m in merges:
-        e = F.replace(
-            e,
-            F.lit(sep + m["left"] + sep + sep + m["right"] + sep),
-            F.lit(sep + m["merged"] + sep),
-        )
-    return e
+    the same literal replaces training used, in rank order (vocab-scale
+    merge lists fold at constant depth, see :func:`_fold_replaces`)."""
+    return _fold_replaces(
+        encoded,
+        [
+            (
+                sep + m["left"] + sep + sep + m["right"] + sep,
+                sep + m["merged"] + sep,
+            )
+            for m in merges
+        ],
+    )
 
 
 def bpe_apply_expr(
@@ -712,6 +918,7 @@ __all__ = [
     "load_bpe_model",
     "bpe_word_table",
     "bpe_bigram_unit_table",
+    "bpe_ngram_unit_table",
     "bpe_train",
     "bpe_apply_expr",
     "bpe_token_count_expr",

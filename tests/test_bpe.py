@@ -487,6 +487,106 @@ def test_bpe_batched_randomized_differential(spark):
         assert _as_tuples(got) == want, f"seed={seed}"
 
 
+# ---------------------------------------------------------------------------
+# delta-maintained pair table (r12, VERDICT r11 task 1): pair_mode
+# "delta" must be BIT-IDENTICAL to the full per-round recount
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_mode_validation(spark):
+    from data_toolz_spark.operators.bpe import bpe_train, bpe_word_table
+
+    docs = spark.createDataFrame([("aa ab",)], "text string")
+    with pytest.raises(ValueError, match="pair_mode"):
+        bpe_train(bpe_word_table(docs), n_merges=2, pair_mode="bogus")
+
+
+def test_bpe_delta_vs_recount_differential(spark):
+    """Randomized corpora over tiny alphabets (dense reuse = maximum
+    delta churn) — the delta-maintained pair table yields the same
+    merge list as the full recount, across batch sizes and min_counts
+    (min_count=1 exercises sub-threshold pairs the table must keep:
+    their counts can GROW when a merged symbol already exists)."""
+    import random
+
+    from data_toolz_spark.operators.bpe import bpe_train, bpe_word_table
+
+    for seed, alpha, b, mc in (
+        (11, "ab", 1, 2),
+        (29, "abc", 8, 1),
+        (41, "abcd", 16, 2),
+    ):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(140)
+        ]
+        corpus = [" ".join(words[i::5]) for i in range(5)]
+        docs = spark.createDataFrame(
+            [(t,) for t in corpus], "text string"
+        )
+        wt = bpe_word_table(docs)
+        got_d = bpe_train(
+            wt, n_merges=20, min_count=mc, batch_size=b, pair_mode="delta"
+        )
+        got_r = bpe_train(
+            wt, n_merges=20, min_count=mc, batch_size=b,
+            pair_mode="recount",
+        )
+        assert _as_tuples(got_d) == _as_tuples(got_r), (seed, b, mc)
+        wf = Counter(w for line in corpus for w in line.split())
+        assert _as_tuples(got_d) == _ref_train(wf, 20, mc), (seed, b, mc)
+
+
+def test_bpe_delta_boost_case(spark):
+    """The count-INCREASE path: merging a+b while symbol 'ab' already
+    exists boosts (x, ab) pairs — the delta table must fold positive
+    corrections onto existing rows, not just decrements."""
+    corpus = [
+        " ".join(["ab"] * 50 + ["xab xab"] * 20 + ["qq rr ss"] * 30)
+    ]
+    wf = Counter(w for line in corpus for w in line.split())
+    want = _ref_train(wf, 6, 2)
+    from data_toolz_spark.operators.bpe import bpe_train, bpe_word_table
+
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    for b in (1, 4):
+        got = bpe_train(
+            bpe_word_table(docs), n_merges=6, batch_size=b,
+            pair_mode="delta",
+        )
+        assert _as_tuples(got) == want, f"batch_size={b}"
+
+
+def test_bpe_ngram_unit_table(spark):
+    """Trigram units match a Python twin; docs shorter than n emit
+    nothing (the descending-sequence guard); separator tokens drop."""
+    from data_toolz_spark.operators.bpe import (
+        BPE_SEP,
+        bpe_bigram_unit_table,
+        bpe_ngram_unit_table,
+    )
+
+    corpus = ["a b c d", "a b", f"x y{BPE_SEP}z w q", ""]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = {
+        r["word"]: r["freq"]
+        for r in bpe_ngram_unit_table(docs, 3).collect()
+    }
+    # doc 2's separator token drops FIRST, then trigrams form over the
+    # remaining [x, w, q]
+    assert got == {"a_b_c": 1, "b_c_d": 1, "x_w_q": 1}
+    bi = {
+        r["word"]: r["freq"]
+        for r in bpe_bigram_unit_table(docs).collect()
+    }
+    assert bi == {
+        "a_b": 2, "b_c": 1, "c_d": 1, "x_w": 1, "w_q": 1
+    }
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        bpe_ngram_unit_table(docs, 1)
+
+
 def test_bpe_batched_wide_alphabet_batches_fat(spark):
     """Disjoint-symbol corpora are the friendly regime: many merges
     per round, still identical output — and the accept rule really
