@@ -212,17 +212,23 @@ class FsUtil:
         stream = fs.create(jpath, True)
         return _JvmWriter(stream)
 
-    def glob(self, pattern: str, detail: bool = False) -> list:
+    def glob(self, pattern: str, detail: bool = False):
         """Hadoop glob (``*``, ``?``, ``[abc]``, ``{a,b}``) — the
         fsspec method the FS6 delegate list most obviously lacked;
-        served by ``FileSystem.globStatus`` rather than fsspec."""
+        served by ``FileSystem.globStatus`` rather than fsspec.
+        ``detail=True`` returns the fsspec mapping shape
+        ``{name: info}`` (r12, ADVICE fix — ported call sites expect
+        the dict, and the plain list was unsorted)."""
         statuses = self._fs(pattern).globStatus(self._jpath(pattern))
         if statuses is None:
-            return []
-        details = [self._status_detail(s) for s in statuses]
+            return {} if detail else []
+        details = sorted(
+            (self._status_detail(s) for s in statuses),
+            key=lambda d: d["name"],
+        )
         if detail:
-            return details
-        return sorted(d["name"] for d in details)
+            return {d["name"]: d for d in details}
+        return [d["name"] for d in details]
 
     def find(self, path: str) -> list[str]:
         """All FILES under a path, recursively (fsspec ``find``) —
@@ -301,12 +307,31 @@ class FsUtil:
             ) from exc
         opts = self._fsspec_opts
 
-        def delegate(path: str, *args, **kwargs):
+        def delegate(*args, **kwargs):
+            # dispatch on the first REMOTE-scheme string argument (r12,
+            # VERDICT r11 task 2): two-path methods whose FIRST arg is
+            # the local side — put/upload(lpath, rpath) — would
+            # otherwise bind the LOCAL filesystem and treat the remote
+            # URL as a literal local destination, silently writing an
+            # 's3a:' directory on disk.  Single-path methods are
+            # unchanged (their only string arg decides); all-local
+            # two-path calls stay local.
+            scheme = None
+            for a in list(args) + list(kwargs.values()):
+                if isinstance(a, str):
+                    s = _scheme(a)
+                    if scheme is None:
+                        scheme = s
+                    if s != "file":
+                        scheme = s
+                        break
+            if scheme is None:
+                scheme = "file"
             proto = {"file": "file", "s3a": "s3", "s3n": "s3"}.get(
-                _scheme(path), _scheme(path)
+                scheme, scheme
             )
             fs = fsspec.filesystem(proto, **opts.get(proto, {}))
-            return getattr(fs, name)(path, *args, **kwargs)
+            return getattr(fs, name)(*args, **kwargs)
 
         delegate.__name__ = name
         return delegate

@@ -104,8 +104,16 @@ def test_glob_find_du_size_predicates(fs, tmp_path):
     got = fs.glob(str(tmp_path / "a" / "*.txt"))
     assert [g.rsplit("/", 1)[1] for g in got] == ["x.txt", "y.txt"]
     assert fs.glob(str(tmp_path / "nope" / "*")) == []
+    # detail=True returns the fsspec mapping shape {name: info} (r12)
     d = fs.glob(str(tmp_path / "a" / "*.log"), detail=True)
-    assert d[0]["size"] == 1 and d[0]["type"] == "file"
+    assert isinstance(d, dict) and len(d) == 1
+    ((nm, info),) = d.items()
+    assert nm.endswith("z.log")
+    assert info["size"] == 1 and info["type"] == "file"
+    assert fs.glob(str(tmp_path / "nope" / "*"), detail=True) == {}
+    # detail=False list comes back sorted
+    multi = fs.glob(str(tmp_path / "a" / "*"))
+    assert multi == sorted(multi)
 
     found = fs.find(str(tmp_path))
     # sorted by FULL path: a/* before b/*
@@ -145,3 +153,94 @@ def test_fs5_dynamic_delegation_gate(fs):
     # underscore names never delegate (pickle/dunder safety)
     with pytest.raises(AttributeError):
         fs._not_a_method
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 task 2): execute the FS5 delegation arm with a
+# test-double fsspec module — the container has no fsspec, so without
+# the double only the AttributeError gate path ever runs.
+# ---------------------------------------------------------------------------
+
+
+class _FakeFs:
+    def __init__(self, proto, options):
+        self.proto = proto
+        self.options = options
+        self.calls = []
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def method(*args, **kwargs):
+            self.calls.append((name, args, kwargs))
+            return {"proto": self.proto, "method": name, "args": args,
+                    "options": self.options}
+
+        return method
+
+
+@pytest.fixture()
+def fake_fsspec(monkeypatch):
+    """Inject a recording ``fsspec`` double into sys.modules; yields
+    the registry of constructed filesystems keyed by protocol."""
+    import sys
+    import types
+
+    made = {}
+    mod = types.ModuleType("fsspec")
+
+    def filesystem(proto, **options):
+        fs = _FakeFs(proto, options)
+        made.setdefault(proto, []).append(fs)
+        return fs
+
+    mod.filesystem = filesystem
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    return made
+
+
+def test_fs5_delegated_call_executes(fs, fake_fsspec):
+    """A single-path delegated method routes by the path's scheme and
+    actually calls through the fsspec filesystem object."""
+    out = fs.walk("/tmp/somewhere")
+    assert out["proto"] == "file" and out["method"] == "walk"
+    assert out["args"] == ("/tmp/somewhere",)
+    (ffs,) = fake_fsspec["file"]
+    assert ffs.calls == [("walk", ("/tmp/somewhere",), {})]
+
+
+def test_fs5_s3a_protocol_map_and_storage_options(spark, fake_fsspec):
+    """s3a:// and s3n:// both map to fsspec's 's3' protocol, and the
+    per-protocol fsspec_storage_options reach the constructor — the
+    credential pass-through a credentialed session needs."""
+    fs = FsUtil(
+        spark,
+        fsspec_storage_options={"s3": {"key": "AK", "secret": "SK"}},
+    )
+    out = fs.checksum("s3a://bucket/key")
+    assert out["proto"] == "s3"
+    assert out["options"] == {"key": "AK", "secret": "SK"}
+    fs.checksum("s3n://bucket/key2")
+    assert len(fake_fsspec["s3"]) == 2
+    assert all(f.options == {"key": "AK", "secret": "SK"}
+               for f in fake_fsspec["s3"])
+
+
+def test_fs5_two_path_put_binds_remote_fs(fs, fake_fsspec):
+    """The r11 defect, pinned right: put(local, s3a://…) must bind the
+    S3 filesystem (the first-arg dispatch bound LocalFileSystem and
+    wrote a literal 's3a:' directory on disk).  get(remote, local) and
+    all-local two-path calls keep their correct binding."""
+    out = fs.put("/tmp/local.bin", "s3a://bucket/key")
+    assert out["proto"] == "s3"
+    assert out["args"] == ("/tmp/local.bin", "s3a://bucket/key")
+    out = fs.upload("/tmp/local.bin", "s3://bucket/key")
+    assert out["proto"] == "s3"
+    out = fs.get("s3a://bucket/key", "/tmp/local.bin")
+    assert out["proto"] == "s3"
+    out = fs.copy("/tmp/a", "/tmp/b")
+    assert out["proto"] == "file"
+    # kwarg-passed remote paths dispatch too
+    out = fs.put(lpath="/tmp/local.bin", rpath="s3a://bucket/key")
+    assert out["proto"] == "s3"
