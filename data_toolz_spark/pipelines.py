@@ -42,6 +42,7 @@ Composition details that matter at 100 TB:
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
@@ -50,10 +51,14 @@ from pyspark.sql import functions as F
 
 def _fp_token(obj) -> str:
     """Deterministic text form of a stage parameter for fingerprint
-    chaining: mappings canonicalize by key, sequences element-wise,
-    everything else by ``repr`` (the trained-model dataclasses are
-    frozen with value-carrying reprs, so a different model is a
-    different fingerprint)."""
+    chaining: mappings canonicalize by key, sets by sorted element
+    token, sequences element-wise, everything else by ``repr`` (the
+    trained-model dataclasses are frozen with value-carrying reprs,
+    so a different model is a different fingerprint).  An object whose
+    repr is the default address-bearing form (``<... at 0x...>``)
+    is REJECTED (r12, ADVICE fix): its token would change every
+    process, so resume would silently never hit — fail loudly
+    instead."""
     if isinstance(obj, Mapping):
         return (
             "{"
@@ -64,7 +69,17 @@ def _fp_token(obj) -> str:
         )
     if isinstance(obj, (list, tuple)):
         return "[" + ",".join(_fp_token(v) for v in obj) + "]"
-    return repr(obj)
+    if isinstance(obj, (set, frozenset)):
+        return "{" + ",".join(sorted(_fp_token(v) for v in obj)) + "}"
+    r = repr(obj)
+    if " at 0x" in r:
+        raise ValueError(
+            "materialize_to: stage parameter "
+            f"{type(obj).__name__} has a process-local repr ({r[:60]}…)"
+            " — it cannot seed a stable resume fingerprint; give it a "
+            "value-carrying __repr__ or pass a plain value"
+        )
+    return r
 
 
 class _Materializer:
@@ -95,6 +110,9 @@ class _Materializer:
         self.fp = hashlib.sha256(
             f"dts-pipeline-v1|{input_token}".encode()
         ).hexdigest()
+        #: every fingerprint THIS run's chain has produced — finalize()
+        #: prunes manifest rows (and their tables) outside this set
+        self.valid_fps: set[str] = {self.fp}
         self.n_stage = 0
         self.rows: dict = {}
         if spark.catalog.tableExists(f"{prefix}_manifest"):
@@ -108,13 +126,19 @@ class _Materializer:
         self.fp = hashlib.sha256(
             f"{self.fp}|{name}|{_fp_token(params)}".encode()
         ).hexdigest()
+        self.valid_fps.add(self.fp)
 
     def _table(self, name: str) -> str:
         return f"{self.prefix}_s{self.n_stage:02d}_{name}"
 
     def hit(self, name: str, params: Mapping, side: tuple = ()) -> bool:
         """Advance the chain; True iff this stage (and its side
-        tables) completed under the SAME chain fingerprint."""
+        tables) completed under the SAME chain fingerprint AND each
+        table's current row count equals the audited ``n_rows`` from
+        its manifest row (r12 integrity probe: a truncated or
+        partially rewritten table behind a committed manifest row is
+        recomputed instead of trusted — a zero-column count, footer
+        metadata, never a data pass)."""
         self._advance(name, params)
         for n in (name, *side):
             row = self.rows.get(n)
@@ -122,10 +146,21 @@ class _Materializer:
                 return False
             if not self.spark.catalog.tableExists(row[1]):
                 return False
+            if self.spark.table(row[1]).count() != row[2]:
+                return False
         return True
 
     def load(self, name: str) -> DataFrame:
         return self.spark.table(self.rows[name][1])
+
+    def _write_manifest(self) -> None:
+        rows = [
+            (n, fp, t, int(c))
+            for n, (fp, t, c) in sorted(self.rows.items())
+        ]
+        self.spark.createDataFrame(
+            rows, "stage string, fp string, table string, n_rows long"
+        ).write.mode("overwrite").saveAsTable(f"{self.prefix}_manifest")
 
     def save(self, name: str, df: DataFrame) -> DataFrame:
         """Write ``df`` as this stage's table, record the manifest row
@@ -138,14 +173,103 @@ class _Materializer:
         df.write.mode("overwrite").saveAsTable(tbl)
         out = self.spark.table(tbl)
         self.rows[name] = (self.fp, tbl, out.count())
-        rows = [
-            (n, fp, t, int(c))
-            for n, (fp, t, c) in sorted(self.rows.items())
-        ]
-        self.spark.createDataFrame(
-            rows, "stage string, fp string, table string, n_rows long"
-        ).write.mode("overwrite").saveAsTable(f"{self.prefix}_manifest")
+        self._write_manifest()
         return out
+
+    def finalize(self) -> list[str]:
+        """End-of-run retention (r12, VERDICT r11 task 4 + ADVICE):
+        prune manifest rows whose fingerprint is not on THIS run's
+        completed chain (rows from superseded configs would otherwise
+        be rewritten forever), then drop every ``{prefix}_sNN_*``
+        catalog table the pruned manifest no longer references —
+        config churn stops accumulating dead warehouse data.  Runs
+        only after the last stage (mid-run the chain is incomplete
+        and pruning could discard still-valid later stages, e.g.
+        resume after an externally dropped mid-chain table).  Returns
+        the dropped table names."""
+        keep = {
+            n: r for n, r in self.rows.items() if r[0] in self.valid_fps
+        }
+        if set(keep) != set(self.rows):
+            self.rows = keep
+            self._write_manifest()
+        return _drop_unreferenced_stage_tables(
+            self.spark, self.prefix,
+            {r[1] for r in self.rows.values()},
+        )
+
+def _drop_unreferenced_stage_tables(
+    spark, prefix: str, referenced: set[str]
+) -> list[str]:
+    """Drop every ``{prefix}_sNN_*`` catalog table not in
+    ``referenced``; returns the dropped names (sorted)."""
+    pat = re.compile(re.escape(prefix) + r"_s\d{2}_")
+    dropped = []
+    for t in spark.catalog.listTables():
+        if pat.match(t.name) and t.name not in referenced:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            dropped.append(t.name)
+    return sorted(dropped)
+
+
+def list_pipeline_stages(spark, prefix: str) -> list[dict]:
+    """Inventory of a materialized pipeline run (r12, VERDICT r11
+    task 4): one dict per manifest row — stage name, chain
+    fingerprint, table, audited ``n_rows``, whether the table still
+    exists, and ``intact`` (current footer-stats count equals the
+    audited count).  A long-lived warehouse uses this to see what a
+    prefix holds before resuming or pruning."""
+    if not spark.catalog.tableExists(f"{prefix}_manifest"):
+        return []
+    out = []
+    for r in spark.table(f"{prefix}_manifest").orderBy("table").collect():
+        exists = spark.catalog.tableExists(r["table"])
+        current = spark.table(r["table"]).count() if exists else None
+        out.append(
+            {
+                "stage": r["stage"],
+                "fp": r["fp"],
+                "table": r["table"],
+                "n_rows": int(r["n_rows"]),
+                "table_exists": exists,
+                "intact": bool(exists and current == int(r["n_rows"])),
+            }
+        )
+    return out
+
+
+def drop_stale_pipeline_stages(spark, prefix: str) -> list[str]:
+    """Warehouse retention for a materialized pipeline prefix (r12):
+    prune manifest rows whose table no longer exists, then drop every
+    ``{prefix}_sNN_*`` table the manifest does not reference (orphans
+    from superseded configs or older stage layouts).  Returns the
+    dropped table names.  :func:`prepare_training_corpus` already
+    runs the same pruning at the end of every completed materialized
+    run; this standalone form cleans up prefixes whose runs crashed
+    before finalizing."""
+    manifest = f"{prefix}_manifest"
+    referenced: set[str] = set()
+    if spark.catalog.tableExists(manifest):
+        rows = {
+            r["stage"]: (r["fp"], r["table"], int(r["n_rows"]))
+            for r in spark.table(manifest).collect()
+        }
+        alive = {
+            n: r
+            for n, r in rows.items()
+            if spark.catalog.tableExists(r[1])
+        }
+        if set(alive) != set(rows):
+            spark.createDataFrame(
+                [
+                    (n, fp, t, int(c))
+                    for n, (fp, t, c) in sorted(alive.items())
+                ],
+                "stage string, fp string, table string, n_rows long",
+            ).write.mode("overwrite").saveAsTable(manifest)
+        referenced = {r[1] for r in alive.values()}
+    return _drop_unreferenced_stage_tables(spark, prefix, referenced)
+
 
 #: default Hamming radius per media fingerprint kind — the values the
 #: qid-attested tiers use (image dHash τ=3, audio Haitsma-Kalker τ=6,
@@ -798,7 +922,9 @@ def prepare_training_corpus(
         # value-carrying repr; an ids_expr Column by its expression
         # string)
         if mat is not None and mat.hit("token_pack", {"spec": spec}):
-            return mat.load("token_pack")
+            packed = mat.load("token_pack")
+            mat.finalize()
+            return packed
         seq_len = int(spec["seq_len"])
         eos_id = int(spec["eos_id"])
         from data_toolz_spark.operators.sampling import (
@@ -868,8 +994,11 @@ def prepare_training_corpus(
         )
         if mat is not None:
             packed = mat.save("token_pack", packed)
+            mat.finalize()
         return packed
 
+    if mat is not None:
+        mat.finalize()
     return out
 
 

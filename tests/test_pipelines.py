@@ -791,6 +791,133 @@ def test_pipeline_materialize_resume_after_crash(spark, corpus, eval_df, monkeyp
     cleanup()
 
 
+def test_pipeline_materialize_retention_and_integrity(
+    spark, corpus, eval_df, monkeypatch
+):
+    """r12 (VERDICT r11 task 4): (a) a completed run prunes manifest
+    rows from superseded configs and DROPS their orphaned stage
+    tables; (b) a corrupted stage table (row count != the audited
+    manifest count) is detected on resume and recomputed instead of
+    trusted; (c) the standalone list/drop helpers report and clean a
+    prefix."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.pipelines import (
+        drop_stale_pipeline_stages,
+        list_pipeline_stages,
+    )
+
+    prefix = "t_pipe_ret"
+
+    def tables():
+        return {
+            r["tableName"]
+            for r in spark.sql("SHOW TABLES").collect()
+            if r["tableName"].startswith(prefix)
+        }
+
+    for t in tables():
+        drop_stale_table(spark, t)
+
+    kw = dict(
+        quality_thresholds={"min_tokens": 5},
+        line_dedup_max_doc_freq=2,
+        near_dup_threshold=0.8,
+        decontaminate_n=5,
+        fractions=FRACS,
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["split"], r["text"]) for r in df.collect()
+    )
+    want = key(
+        prepare_training_corpus(corpus, eval_df, materialize_to=prefix, **kw)
+    )
+    manifest = lambda: {
+        r["stage"]: r["table"]
+        for r in spark.table(f"{prefix}_manifest").collect()
+    }
+    m1 = manifest()
+    assert {"near_dup", "near_dup_cc", "decontaminate", "split"} <= set(m1)
+    inv = {s["stage"]: s for s in list_pipeline_stages(spark, prefix)}
+    assert all(s["table_exists"] and s["intact"] for s in inv.values())
+
+    # (b) corrupt the decontaminate table: truncate it to one row —
+    # resume must detect the count mismatch and recompute EXACTLY that
+    # stage (split's chain fp is unchanged and still hits)
+    tb = m1["decontaminate"]
+    schema = spark.table(tb).schema
+    one = spark.table(tb).limit(1).collect()
+    spark.createDataFrame(one, schema).write.mode("overwrite").saveAsTable(tb)
+    inv = {s["stage"]: s for s in list_pipeline_stages(spark, prefix)}
+    assert not inv["decontaminate"]["intact"]
+    import data_toolz_spark.operators.decontamination as dc
+
+    real_decon = dc.ngram_decontaminate
+    spy = {"n": 0}
+
+    def counting_decon(*a, **k):
+        spy["n"] += 1
+        return real_decon(*a, **k)
+
+    monkeypatch.setattr(dc, "ngram_decontaminate", counting_decon)
+    got = key(
+        prepare_training_corpus(corpus, eval_df, materialize_to=prefix, **kw)
+    )
+    assert spy["n"] == 1 and got == want
+    inv = {s["stage"]: s for s in list_pipeline_stages(spark, prefix)}
+    assert inv["decontaminate"]["intact"]
+
+    # (a) a config that REMOVES the near-dup stage: the completed run
+    # finalizes — near_dup rows leave the manifest and their tables
+    # are dropped from the warehouse, not accumulated forever
+    kw2 = dict(kw, near_dup_threshold=None)
+    prepare_training_corpus(
+        corpus, eval_df, materialize_to=prefix, **kw2
+    ).collect()
+    m2 = manifest()
+    assert "near_dup" not in m2 and "near_dup_cc" not in m2
+    left = tables()
+    assert m1["near_dup"] not in left and m1["near_dup_cc"] not in left
+    # every surviving table is manifest-referenced (+ the manifest)
+    assert left == set(m2.values()) | {f"{prefix}_manifest"}
+
+    # (c) drop_stale_pipeline_stages: plant an orphan table in the
+    # prefix namespace and delete a referenced table behind the
+    # manifest's back — the helper drops the orphan and prunes the row
+    orphan = f"{prefix}_s99_zombie"
+    spark.createDataFrame([(1,)], "x long").write.mode(
+        "overwrite"
+    ).saveAsTable(orphan)
+    victim_stage, victim_table = sorted(m2.items())[0]
+    drop_stale_table(spark, victim_table)
+    dropped = drop_stale_pipeline_stages(spark, prefix)
+    assert orphan in dropped
+    assert victim_stage not in manifest()
+    assert orphan not in tables()
+
+    for t in tables():
+        drop_stale_table(spark, t)
+    assert list_pipeline_stages(spark, prefix) == []
+
+
+def test_fp_token_canonical_and_guarded():
+    """r12 ADVICE fix: sets fingerprint order-independently; objects
+    with the default address-bearing repr are rejected (their token
+    would differ every process, silently defeating resume)."""
+    from data_toolz_spark.pipelines import _fp_token
+
+    assert _fp_token({3, 1, 2}) == _fp_token({2, 3, 1})
+    assert _fp_token(frozenset("ba")) == _fp_token(set("ab"))
+    assert _fp_token({"k": [1, (2, 3)]}) == _fp_token({"k": [1, (2, 3)]})
+
+    class Opaque:
+        pass
+
+    with pytest.raises(ValueError, match="process-local repr"):
+        _fp_token(Opaque())
+    with pytest.raises(ValueError, match="process-local repr"):
+        _fp_token({"model": Opaque()})
+
+
 def test_pipeline_per_language_strata(spark):
     """r11 (VERDICT task 5): lang_col threads CCNet per-language
     conditioning through the pipeline — the LM trains per language and
