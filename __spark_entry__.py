@@ -1839,20 +1839,30 @@ def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "o_orderkey", "o_totalprice")
 
 
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data cleaning: quality → lang-ID → exact
-    dedup, composed from the real operators in one lazy plan.
+def pipeline_clean_corpus(
+    spark: SparkSession, sf_dir: str, *, _with_rank_gate: bool = True
+) -> DataFrame:
+    """End-to-end training-data cleaning: quality → lang-ID →
+    per-language rank gate → exact dedup, composed from the real
+    operators in one lazy plan.
 
     Keeps documents whose predicted language matches the label and
-    whose quality score clears 0.3, then collapses exact duplicates by
-    normalized-text fingerprint (min doc_id survives).  One scan, two
-    narrow stages, one hash aggregate — the plan a 100 TB curation job
-    wants.
+    whose quality score clears 0.3, drops each LANGUAGE's bottom
+    quartile by quality score (r12 fold — the X91 per-language
+    data-derived quality cut: exact integer-rank thresholds per
+    group, broadcast-joined back, the CCNet-style gate
+    ``prepare_training_corpus(quality_rank_gate=...)`` runs), then
+    collapses exact duplicates by normalized-text fingerprint (min
+    doc_id survives).  One scan, two narrow stages, one vocab-bounded
+    histogram aggregate, one hash aggregate — the plan a 100 TB
+    curation job wants.  ``_with_rank_gate=False`` is the pre-r12
+    definition (bench DEFN_PIN keeps the headline series comparable).
     """
     from data_toolz_spark.operators.text_analysis import (
         fingerprint,
         language_id,
         quality_features,
+        rank_thresholds,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -1861,6 +1871,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_score") >= 0.3)
         & (F.col("lang_pred") == F.col("lang"))
     )
+    if _with_rank_gate:
+        thr = rank_thresholds(
+            kept.select("lang", "quality_score"),
+            "quality_score",
+            [(1, 4)],
+            group_cols=["lang"],
+        ).select("lang", F.col("threshold").alias("__thr"))
+        kept = (
+            kept.join(F.broadcast(thr), "lang")
+            .filter(F.col("quality_score") >= F.col("__thr"))
+            .drop("__thr")
+        )
     return (
         fingerprint(kept)
         .groupBy("fingerprint")
@@ -4507,10 +4529,24 @@ WITH t AS (
       AS quality_score,
     {_LANG_CASE_SQL} AS lang_pred
   FROM f
-), kept AS (
-  SELECT doc_id, quality_score,
+), kept0 AS (
+  SELECT doc_id, lang, quality_score,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
   FROM q WHERE quality_score >= 0.3 AND lang_pred = lang
+), hist AS (
+  SELECT lang, quality_score AS v, COUNT(*)::BIGINT AS c
+  FROM kept0 GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v,
+         SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), thr AS (
+  -- exact rank quantile per language: smallest v with rank >= ceil(N/4)
+  SELECT lang, MIN(v) AS thr FROM cum WHERE cum >= (n + 3) // 4 GROUP BY lang
+), kept AS (
+  SELECT k.* FROM kept0 k JOIN thr USING (lang)
+  WHERE k.quality_score >= thr.thr
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
        MIN(quality_score) AS quality_score

@@ -220,8 +220,20 @@ def _embedding_kmeans_prefold(spark, sf_dir):
     )
 
 
+def _pipeline_clean_prefold(spark, sf_dir):
+    """The r1-r11 definition of the pipeline_clean_corpus qid (static
+    gates + exact dedup).  r12 folded the X91 per-language rank-gate
+    into the REGISTERED qid (one vocab-bounded histogram + a broadcast
+    join); the pin keeps the headline-V2 member's series comparable."""
+    return entrymod.pipeline_clean_corpus(
+        spark, sf_dir, _with_rank_gate=False
+    )
+
+
 DEFN_PIN = {
     "dedup_embedding": _dedup_embedding_blocked,
+    # r12 fold pinned out of the headline-V2 series
+    "pipeline_clean_corpus": _pipeline_clean_prefold,
     # r10 folds pinned out of the per-entry series (composites get
     # their own x_ entries)
     "dedup_cc_drop": _dedup_cc_drop_prefold,

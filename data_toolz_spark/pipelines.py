@@ -335,6 +335,7 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     quality_thresholds: dict | None = None,
+    quality_rank_gate: Mapping | None = None,
     quality_model=None,
     quality_min_prob: float = 0.5,
     lang_model=None,
@@ -400,7 +401,20 @@ def prepare_training_corpus(
       the head/middle/tail thresholds per language, so each language
       gets its own perplexity cut points (Wenzek et al. 2020 §4.3).
       Static ``quality_thresholds`` are user constants and stay
-      global; the data-derived quality cut points are the strata.
+      global; the data-derived quality cut points are the strata
+      and the ``quality_rank_gate`` thresholds.
+    * ``quality_rank_gate`` (r12, VERDICT r11 task 5) — a
+      DATA-DERIVED quality cut, per language when ``lang_col`` is
+      set: ``{"col": <feature or existing column>, "q": (num, den),
+      "keep": "ge"|"le"}`` computes the exact rank-quantile threshold
+      of ``col`` over the post-gate population (grouped by
+      ``lang_col`` — NULL language is a real stratum, joined
+      null-safely) and keeps rows on the given side of their group's
+      threshold.  CCNet-style per-language curation: each language
+      loses its own worst ``num/den`` fraction instead of one
+      language landing wholesale under a global cut.  ``col`` may be
+      any :func:`keep_document` feature (computed in the same
+      projection) or a column already on ``docs``.
 
     ``materialize_to`` (r11, VERDICT task 4) turns on stage
     materialization + resume: each enabled stage region (gates, text
@@ -450,6 +464,7 @@ def prepare_training_corpus(
             "domain_cap": domain_cap,
             "clean": clean,
             "thresholds": quality_thresholds,
+            "qrank": quality_rank_gate,
             "qmodel": quality_model,
             "qmin": quality_min_prob,
             "lmodel": lang_model,
@@ -485,7 +500,59 @@ def prepare_training_corpus(
         out = keep_document(
             out, text_col, thresholds=quality_thresholds
         )
-        out = out.filter(F.col("keep")).select(*base_cols)
+        out = out.filter(F.col("keep"))
+        # 1a. data-derived rank-quantile quality cut (r12) — per
+        # language when lang_col is set; thresholds via the exact
+        # integer-rank histogram pass, joined back as a broadcast
+        if quality_rank_gate is not None:
+            spec = dict(quality_rank_gate)
+            gate_col = spec["col"]
+            q_num, q_den = spec.get("q", (1, 10))
+            side = spec.get("keep", "ge")
+            if side not in ("ge", "le"):
+                raise ValueError(
+                    "quality_rank_gate: keep must be 'ge' or 'le', "
+                    f"got {side!r}"
+                )
+            from pyspark.sql.functions import broadcast
+
+            from data_toolz_spark.operators.text_analysis import (
+                rank_thresholds,
+            )
+
+            gcols = [lang_col] if lang_col else []
+            thr = rank_thresholds(
+                out.select(*gcols, gate_col),
+                gate_col,
+                [(int(q_num), int(q_den))],
+                group_cols=gcols,
+            ).select(
+                *gcols, F.col("threshold").alias("__qr_thr")
+            )
+            if gcols:
+                # struct equality treats NULL fields as equal — the
+                # NULL-language stratum joins its own threshold
+                # instead of silently dropping (the X87 device)
+                out = out.join(
+                    broadcast(
+                        thr.withColumn(
+                            "__qr_k",
+                            F.struct(*[F.col(c) for c in gcols]),
+                        ).drop(*gcols)
+                    ),
+                    F.struct(*[F.col(c) for c in gcols])
+                    == F.col("__qr_k"),
+                    "left",
+                ).drop("__qr_k")
+            else:
+                out = out.crossJoin(broadcast(thr))  # 1-row scalar
+            pred = (
+                F.col(gate_col) >= F.col("__qr_thr")
+                if side == "ge"
+                else F.col(gate_col) <= F.col("__qr_thr")
+            )
+            out = out.filter(pred).drop("__qr_thr")
+        out = out.select(*base_cols)
 
     # 1b. TRAINED quality filter (r10, optional): a LogRegModel from
     # operators/classifier.py scores the standard heuristic features

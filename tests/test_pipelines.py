@@ -899,6 +899,66 @@ def test_pipeline_materialize_retention_and_integrity(
     assert list_pipeline_stages(spark, prefix) == []
 
 
+def test_pipeline_per_language_quality_gate(spark):
+    """r12 (VERDICT r11 task 5): quality_rank_gate cuts a DATA-DERIVED
+    quality threshold PER LANGUAGE when lang_col is set — each language
+    (NULL included) loses its own bottom fraction by the gated feature,
+    where a global cut would drop the short-doc language wholesale."""
+
+    def text(n, tag):
+        return " ".join(
+            f"w{tag}{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+            for i in range(n)
+        )
+
+    rows = []
+    did = 0
+    for lang, scale in (("aa", 1), ("bb", 5), (None, 1)):
+        for n in (8, 8, 12, 12, 16, 16, 20, 20):
+            rows.append((did, lang, text(n * scale, lang or "nn")))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kw = dict(
+        quality_thresholds={"min_tokens": 5},
+        quality_rank_gate={"col": "n_tokens", "q": (1, 2), "keep": "ge"},
+        near_dup_threshold=None,
+        fractions=None,
+    )
+    per_lang = prepare_training_corpus(docs, None, lang_col="lang", **kw)
+    surv = {
+        (r["lang"], r["doc_id"]) for r in per_lang.collect()
+    }
+    by_lang = {}
+    for lang, i in surv:
+        by_lang.setdefault(lang, set()).add(i)
+    # every language — NULL included — keeps exactly its own upper 6
+    # of 8 (threshold = the group's rank-⌈N/2⌉ value = 2nd length)
+    assert {len(v) for v in by_lang.values()} == {6}
+    assert set(by_lang) == {"aa", "bb", None}
+    # the dropped docs are each group's two SHORTEST
+    kept_ids = {i for v in by_lang.values() for i in v}
+    assert kept_ids == {
+        i for i, (d, lang, t) in enumerate(rows) if len(t.split()) not in
+        (8, 40)
+    }
+
+    # global cut (no lang_col): one threshold over all 24 docs — the
+    # short-doc languages lose MORE than their own half, bb loses none
+    global_cut = prepare_training_corpus(docs, None, **kw)
+    gby = {}
+    for r in global_cut.collect():
+        gby.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(gby.get("bb", set())) == 8
+    assert len(gby.get("aa", set())) < 6
+
+    # validation
+    with pytest.raises(ValueError, match="'ge' or 'le'"):
+        prepare_training_corpus(
+            docs, None,
+            quality_rank_gate={"col": "n_tokens", "keep": "between"},
+        ).collect()
+
+
 def test_fp_token_canonical_and_guarded():
     """r12 ADVICE fix: sets fingerprint order-independently; objects
     with the default address-bearing repr are rejected (their token
