@@ -267,3 +267,91 @@ def test_encode_limit_defaults_to_model_longest_piece(spark):
     loaded = load_unigram_model(spark, table)
     assert loaded.max_piece_len == model.max_piece_len
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 task 6): n-best segmentations — the subword-
+# regularization export.  Twin = exhaustive enumeration of every
+# segmentation (left-to-right float accumulation, same as the DP),
+# sorted by the documented total order.
+# ---------------------------------------------------------------------------
+
+
+def _ref_all_segs(word, scores, max_len):
+    NEG = -1e18
+    out = []
+
+    def rec(i, s0, np0, ps0):
+        if i == len(word):
+            out.append((s0, np0, ps0))
+            return
+        for j in range(i + 1, min(len(word), i + max_len) + 1):
+            piece = word[i:j]
+            sc = scores.get(piece)
+            if sc is None:
+                if j == i + 1:
+                    sc = NEG
+                else:
+                    continue
+            rec(j, s0 + sc, np0 - 1, ps0 + (piece,))
+
+    rec(0, 0.0, 0, ())
+    return sorted(out, key=lambda c: (-c[0], -c[1], c[2]))
+
+
+def test_nbest_matches_exhaustive_twin_and_head_is_viterbi(spark, docs):
+    from data_toolz_spark.operators.unigram import (
+        unigram_nbest_segment_words,
+    )
+
+    words = unigram_word_table(docs)
+    model = unigram_train(words, **PARAMS)
+    scores = model.scores()
+    max_len = model.max_piece_len
+    probe = words.select("word").union(
+        spark.createDataFrame([("zebra!9",), ("day",)], "word string")
+    )
+    got = {
+        r["word"]: r
+        for r in unigram_nbest_segment_words(probe, model, n=4).collect()
+    }
+    single = {
+        r["word"]: tuple(r["pieces"])
+        for r in unigram_segment_words(probe, model).collect()
+    }
+    piece_id = {p: i for i, p in enumerate(model.pieces)}
+    assert set(got) == set(single)
+    for w, r in got.items():
+        want = _ref_all_segs(w, scores, max_len)[:4]
+        assert [tuple(s) for s in r["segs"]] == [ps for _, _, ps in want], w
+        assert list(r["logprobs"]) == [s for s, _, _ in want], w
+        assert [list(i) for i in r["ids"]] == [
+            [piece_id.get(p, 0) for p in ps] for _, _, ps in want
+        ], w
+        # the head of the list IS today's single-best segmentation
+        assert tuple(r["segs"][0]) == single[w], w
+        assert len(r["segs"]) >= 1
+
+
+def test_nbest_n1_equals_segment_words(spark, docs):
+    from data_toolz_spark.operators.unigram import (
+        unigram_nbest_segment_words,
+    )
+
+    words = unigram_word_table(docs)
+    model = unigram_train(words, **PARAMS)
+    one = {
+        r["word"]: ([tuple(s) for s in r["segs"]], list(r["ids"][0]))
+        for r in unigram_nbest_segment_words(words, model, n=1).collect()
+    }
+    base = {
+        r["word"]: (tuple(r["pieces"]), list(r["ids"]))
+        for r in unigram_segment_words(words, model).collect()
+    }
+    assert set(one) == set(base)
+    for w, (segs, ids0) in one.items():
+        assert len(segs) == 1
+        assert segs[0] == base[w][0]
+        assert ids0 == base[w][1]
+    with pytest.raises(ValueError, match="n must be >= 1"):
+        unigram_nbest_segment_words(words, model, n=0)
