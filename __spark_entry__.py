@@ -2317,7 +2317,11 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_bpe_tokens(
-    spark: SparkSession, sf_dir: str, *, _with_bpe_training: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    _with_bpe_training: bool = True,
+    _with_wordpiece: bool = True,
 ) -> DataFrame:
     """Sub-word-ish token counts via the BPE-style regex, plus (r5)
     context-window chunking attested value-for-value: per document the
@@ -2342,6 +2346,21 @@ def text_bpe_tokens(
     when no pair reaches min_count the state is a fixed point, so the
     oracle's empty-selection guards (identity replaces) match the
     Spark loop's break.
+
+    X92 fold (r12): ``wp_tokens`` — per-doc token counts under a
+    WORDPIECE vocabulary trained on the same word table
+    (``operators/wordpiece.py``: likelihood scoring
+    cnt/(cnt_l·cnt_r), ##-marked continuations, delta-maintained
+    pair + symbol tables) and applied by greedy longest-match-first
+    inference with whole-word [UNK] fallback.  The oracle replays
+    BOTH halves: every training rank as (pair, symbol, argmax-by-
+    double-score) CTE triples — the score doubles are bit-identical
+    across engines because IEEE-754 division of exactly-represented
+    BIGINTs is correctly rounded — and the greedy encode as a
+    longest-match table + a recursive position walk (a plain
+    equi-join recursion: DuckDB 1.0's correlated-subquery-inside-
+    recursive-CTE plans proved non-deterministic under joins, so the
+    per-(word, position) longest match is precomputed relationally).
     """
     from data_toolz_spark.functions.text import bpe_token_count, token_count
     from data_toolz_spark.operators.bpe import (
@@ -2370,28 +2389,42 @@ def text_bpe_tokens(
         # definition (_with_bpe_training=False) and times the
         # composite as x_bpe_train, so the r5-comparable series
         # survives with the attribution explicit.
-        # the word table feeds BOTH training and the alphabet scan —
-        # persist for the two consumers (merges/vocab end up literals,
-        # so nothing downstream holds the cache)
+        # the word table feeds BPE training, the alphabet scan, AND
+        # the X92 WordPiece fold — persist for all consumers
+        # (merges/vocab end up literals, so nothing downstream holds
+        # the cache)
         wt = bpe_word_table(docs).persist()
+        wp_counts = None
         try:
             merges = bpe_train(wt, n_merges=_BPE_N_MERGES, min_count=2)
-        except Exception:
-            wt.unpersist()
-            raise
-        cols.append(
-            bpe_token_count_expr("text", merges).alias("bpe_vocab_tokens")
-        )
-        # r10 fold (VERDICT r9 item 1): the byte-fallback id-array md5.
-        # The corpus is ASCII, so each doc gets a planted decoration
-        # cycling the 2-/3-/4-byte UTF-8 arms plus a lone separator
-        # byte (_BPE_PLANTS) — the oracle rebuilds the ENTIRE lossless
-        # encoding (segmentation, merge replaces, vocab ids, RFC 3629
-        # byte decomposition) from the same code-point arithmetic.
-        try:
+            if _with_wordpiece:
+                from data_toolz_spark.operators.wordpiece import (
+                    wordpiece_base_pieces,
+                    wordpiece_token_count,
+                    wordpiece_train,
+                    wordpiece_vocab,
+                )
+
+                wp_merges = wordpiece_train(
+                    wt, n_merges=_WP_N_MERGES, min_count=2
+                )
+                wp_vocab = wordpiece_vocab(
+                    wp_merges, wordpiece_base_pieces(wt)
+                )
+                wp_counts = wordpiece_token_count(docs, wp_vocab)
+            # r10 fold (VERDICT r9 item 1): the byte-fallback id-array
+            # md5.  The corpus is ASCII, so each doc gets a planted
+            # decoration cycling the 2-/3-/4-byte UTF-8 arms plus a
+            # lone separator byte (_BPE_PLANTS) — the oracle rebuilds
+            # the ENTIRE lossless encoding (segmentation, merge
+            # replaces, vocab ids, RFC 3629 byte decomposition) from
+            # the same code-point arithmetic.
             vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
         finally:
             wt.unpersist()
+        cols.append(
+            bpe_token_count_expr("text", merges).alias("bpe_vocab_tokens")
+        )
         plant = F.element_at(
             F.array(*[F.lit(p) for p in _BPE_PLANTS]),
             (F.col("doc_id") % len(_BPE_PLANTS) + 1).cast("int"),
@@ -2424,6 +2457,12 @@ def text_bpe_tokens(
     out_cols = ["doc_id", "ws_tokens", "bpe_tokens"]
     if _with_bpe_training:
         out_cols.extend(["bpe_vocab_tokens", "bpe_ids_md5"])
+        if wp_counts is not None:
+            base = base.join(wp_counts, on="doc_id", how="left")
+            base = base.withColumn(
+                "wp_tokens", F.coalesce("wp_tokens", F.lit(0))
+            )
+            out_cols.append("wp_tokens")
     return base.join(agg, on="doc_id", how="left").select(
         *out_cols,
         F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
@@ -2435,6 +2474,12 @@ def text_bpe_tokens(
 #: shared by the Spark loop and the oracle generator so both always
 #: replay the same number of ranks
 _BPE_N_MERGES = 32
+
+#: merge budget for the text_bpe_tokens WORDPIECE fold (X92) — each
+#: oracle rank is a (pair-count, symbol-count, argmax, replace) CTE
+#: quadruple, so the replay budget stays modest; shared by the Spark
+#: loop and the oracle generator
+_WP_N_MERGES = 12
 
 #: planted byte-fallback decorations for the r10 bpe_ids_md5 fold —
 #: a 2-byte (é), 3-byte (€), 4-byte (😀) code point and a lone
@@ -2453,6 +2498,129 @@ def _bpe_sql_str(s: str) -> str:
         else:
             parts.append("'" + ch.replace("'", "''") + "'")
     return " || ".join(parts) if parts else "''"
+
+
+def _wp_sql_ctes(n_merges: int, min_count: int = 2) -> str:
+    """CTE block replaying the X92 WordPiece fold — training AND
+    greedy inference — for :func:`_bpe_tokens_sql`.  Expects the
+    surrounding query to define ``w`` (doc word lists) and ``wt``
+    (the word-frequency table).
+
+    Training: per rank one pair-count CTE, one symbol-count CTE, an
+    argmax-by-score CTE (``cnt::DOUBLE / (cl*cr)::DOUBLE`` — the
+    bit-identical IEEE twin of the Spark side's double division, ties
+    (l, r) ascending), and the guarded replace (``chr(30)`` identity
+    when a rank is exhausted, matching the Spark loop's fixed-point
+    break).  ``##`` markers are plain symbol text: the seed encoding
+    marks every non-initial character, and a merge strips the RIGHT
+    side's marker (``l || substr(r, 3)``).
+
+    Inference: the vocab keys (``[UNK]`` + word-initial chars +
+    ##-marked continuation chars + merged pieces) expand to a
+    (raw, plen, marked) match table with BOTH roles for ``##…`` keys
+    (literal at word start, marked continuation elsewhere — the same
+    string-membership semantics as the Spark kernel), the longest
+    match per (word, position) is precomputed as one relational
+    aggregate, and a recursive CTE walks positions through that
+    table.  The walk deliberately joins ONLY on equality against a
+    precomputed table: DuckDB 1.0 planned correlated
+    subqueries/LATERALs inside a recursive CTE non-deterministically
+    once the recursion was joined downstream (observed: per-doc sums
+    varying run to run), while the precomputed-table walk is stable.
+    A word with any unmatched position (or no pieces at all) counts
+    as ONE [UNK] token — the BERT WordpieceTokenizer semantics."""
+    s31 = "chr(31)"
+    stages = []
+    for i in range(n_merges):
+        stages.append(f"""wp_p{i} AS (
+  SELECT sym[gi] AS l, sym[gi + 1] AS r, SUM(f)::BIGINT AS cnt
+  FROM (SELECT string_split(s[2:len(s) - 1], {s31} || {s31}) AS sym, f
+        FROM wp_it{i}) t{i},
+       unnest(generate_series(1, len(sym) - 1)) g(gi)
+  GROUP BY 1, 2
+), wp_y{i} AS (
+  SELECT sym, SUM(f)::BIGINT AS c
+  FROM (SELECT unnest(string_split(s[2:len(s) - 1], {s31} || {s31}))
+          AS sym, f
+        FROM wp_it{i})
+  GROUP BY sym
+), wp_b{i} AS (
+  SELECT p.l AS l, p.r AS r,
+         p.l || CASE WHEN starts_with(p.r, '##') THEN substr(p.r, 3)
+                     ELSE p.r END AS mg
+  FROM wp_p{i} p
+  JOIN wp_y{i} yl ON yl.sym = p.l
+  JOIN wp_y{i} yr ON yr.sym = p.r
+  WHERE p.cnt >= {min_count}
+  ORDER BY p.cnt::DOUBLE / (yl.c * yr.c)::DOUBLE DESC, p.l, p.r
+  LIMIT 1
+), wp_it{i + 1} AS MATERIALIZED (
+  SELECT replace(s,
+    COALESCE((SELECT {s31} || l || {s31} || {s31} || r || {s31}
+              FROM wp_b{i}), chr(30)),
+    COALESCE((SELECT {s31} || mg || {s31} FROM wp_b{i}), chr(30))) AS s,
+    f
+  FROM wp_it{i}
+)""")
+    merged_arms = "\n    ".join(
+        f"UNION ALL SELECT mg AS key FROM wp_b{i}"
+        for i in range(n_merges)
+    )
+    stages_sql = ",\n".join(stages)
+    return rf"""wp_it0 AS MATERIALIZED (
+  SELECT {s31} || substr(
+    regexp_replace(word, '(.)', {s31} || '##\1' || {s31}, 'g'), 4) AS s,
+    f
+  FROM wt
+),
+{stages_sql},
+wp_keys AS (
+  SELECT DISTINCT key FROM (
+    SELECT '[UNK]' AS key
+    UNION ALL SELECT substr(word, 1, 1) AS key FROM wt
+    UNION ALL SELECT '##' || ch AS key
+      FROM (SELECT unnest(regexp_extract_all(substr(word, 2), '.')) AS ch
+            FROM wt)
+    {merged_arms}
+  )
+),
+wp_match AS (
+  SELECT key AS raw, len(key) AS plen, FALSE AS marked FROM wp_keys
+  UNION ALL
+  SELECT substr(key, 3) AS raw, len(key) - 2 AS plen, TRUE AS marked
+  FROM wp_keys WHERE starts_with(key, '##') AND len(key) > 2
+),
+wp_lm AS MATERIALIZED (
+  SELECT wp.word, wp.pos, MAX(v.plen) AS p
+  FROM (SELECT word, gi AS pos
+        FROM wt, unnest(generate_series(1, len(word))) g(gi)) wp
+  LEFT JOIN wp_match v
+    ON v.marked = (wp.pos > 1)
+   AND substr(wp.word, wp.pos, v.plen) = v.raw
+  GROUP BY wp.word, wp.pos
+),
+wp_st AS (
+  WITH RECURSIVE r AS (
+    SELECT word, 1 AS pos, 0 AS n, FALSE AS failed FROM wt
+    UNION ALL
+    SELECT r.word,
+           CASE WHEN lm.p IS NULL THEN len(r.word) + 1
+                ELSE r.pos + lm.p END,
+           r.n + 1,
+           lm.p IS NULL
+    FROM r JOIN wp_lm lm ON lm.word = r.word AND lm.pos = r.pos
+    WHERE r.pos <= len(r.word) AND NOT r.failed
+  )
+  SELECT word, CASE WHEN failed THEN 1 ELSE n END AS np
+  FROM r WHERE pos > len(word) OR failed
+),
+wp_doc AS (
+  SELECT doc_id, SUM(np)::BIGINT AS wp_tokens
+  FROM (SELECT doc_id, unnest(wl) AS wd FROM w) t
+  JOIN wp_st ON wp_st.word = t.wd
+  WHERE strpos(wd, {s31}) = 0
+  GROUP BY doc_id
+)"""
 
 
 def _bpe_tokens_sql(n_merges: int = None, min_count: int = 2) -> str:
@@ -2614,17 +2782,19 @@ agg AS (
   SELECT doc_id, COUNT(*) AS n_chunks,
          md5(string_agg(txt, chr(31) ORDER BY i)) AS chunks_md5
   FROM ch GROUP BY doc_id
-)
+),
+{_wp_sql_ctes(_WP_N_MERGES, min_count)}
 SELECT w.doc_id,
   len(wl)::BIGINT AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
     AS bpe_tokens,
   COALESCE(appagg.bpe_vocab_tokens, 0)::BIGINT AS bpe_vocab_tokens,
   COALESCE(bi.bpe_ids_md5, md5('')) AS bpe_ids_md5,
+  COALESCE(wp_doc.wp_tokens, 0)::BIGINT AS wp_tokens,
   COALESCE(agg.n_chunks, 0)::BIGINT AS n_chunks,
   COALESCE(agg.chunks_md5, md5('')) AS chunks_md5
 FROM w LEFT JOIN appagg USING (doc_id) LEFT JOIN agg USING (doc_id)
-  LEFT JOIN bi USING (doc_id)
+  LEFT JOIN bi USING (doc_id) LEFT JOIN wp_doc USING (doc_id)
 """
 
 

@@ -824,8 +824,34 @@ def _x_bpe_train(spark, sf_dir):
     segmentation applied per doc.  Its own entry because the headline
     slot is pinned pre-fold — the delta vs text_bpe_tokens is the
     training loop's cost, almost all fixed per-rank job overhead at
-    this SF (the per-rank aggregate is vocab-sized)."""
-    return entrymod.text_bpe_tokens(spark, sf_dir)
+    this SF (the per-rank aggregate is vocab-sized).  Pinned to
+    ``_with_wordpiece=False`` since r12's X92 fold so this series
+    keeps measuring exactly what it measured in r9–r11; the
+    WordPiece arm is timed separately as x_wordpiece_train."""
+    return entrymod.text_bpe_tokens(spark, sf_dir, _with_wordpiece=False)
+
+
+def _x_wordpiece_train(spark, sf_dir):
+    """r12 (X92): WordPiece training (12 merges, likelihood scoring
+    over delta-maintained pair + symbol tables) + greedy longest-
+    match-first token counts over the corpus — the non-BPE arm of
+    the registered text_bpe_tokens definition, timed alone."""
+    from data_toolz_spark.operators.bpe import bpe_word_table
+    from data_toolz_spark.operators.wordpiece import (
+        wordpiece_base_pieces,
+        wordpiece_token_count,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    wt = bpe_word_table(docs).persist()
+    try:
+        merges = wordpiece_train(wt, n_merges=12, min_count=2)
+        vocab = wordpiece_vocab(merges, wordpiece_base_pieces(wt))
+    finally:
+        wt.unpersist()
+    return wordpiece_token_count(docs, vocab)
 
 
 def _x_bpe_train256(spark, sf_dir):
@@ -1202,6 +1228,8 @@ EXTRAS = {
     "x_bpe_train256": _x_bpe_train256,
     # r12 (VERDICT r11 task 1)
     "x_bpe_delta128": _x_bpe_delta128,
+    # r12 (X92)
+    "x_wordpiece_train": _x_wordpiece_train,
 }
 
 

@@ -1,0 +1,572 @@
+"""Distributed WordPiece tokenizer training + greedy encoding.
+
+WordPiece (Schuster & Nakajima 2012; Wu et al. 2016 §4.1 — the BERT
+tokenizer) completes the subword-tokenizer family next to BPE
+(``operators/bpe.py``) and unigram-LM (``operators/unigram.py``).  It
+differs from BPE on BOTH halves of the algorithm:
+
+* **training** merges the adjacent pair maximizing the likelihood
+  gain ``score = cnt(l,r) / (cnt(l) · cnt(r))`` instead of the raw
+  pair count, over words whose non-initial characters carry the
+  ``##`` continuation marker (so ``hello`` seeds as
+  ``h ##e ##l ##l ##o`` and a merge of ``(h, ##e)`` yields ``he``
+  while ``(##l, ##o)`` yields ``##lo``);
+* **encoding** is NOT merge replay: a trained vocab encodes each word
+  greedy longest-match-first, and a word with ANY unmatched position
+  collapses to a single ``[UNK]`` token.
+
+Distributed shape — the ``bpe_train`` state machine with a second
+maintained table:
+
+* state = the distinct-word frequency table, each word a
+  separator-wrapped symbol string (``operators/bpe.py`` encoding with
+  ``##``-marked continuations);
+* a persisted ``(l, r, cnt)`` pair table AND a ``(sym, cnt)`` symbol
+  table (the score's denominator needs symbol totals) are built once
+  and maintained by per-merge signed recounts of only the AFFECTED
+  words (``bpe_train(pair_mode="delta")``'s device: a literal replace
+  is token-local);
+* per merge: ONE argmax job over pairs broadcast-joined with the
+  symbol counts — the single driver row is the merge.
+
+Unlike BPE, merges are accepted ONE per round by design: a WordPiece
+score is not batch-stable (merging ``(a,b)`` LOWERS ``cnt(a)`` and
+``cnt(b)``, which RAISES the score of every surviving pair touching
+``a`` or ``b``, and the brand-new pairs touching ``ab`` have a small
+denominator, so a non-candidate can leapfrog any batch prefix —
+there is no analogue of the count-monotone acceptance proof in
+``bpe._accept_batch``).  The published trainers are sequential for
+the same reason; the delta tables keep each round vocab-adjacency-
+bounded, never corpus-bounded.
+
+Cross-engine determinism: scores are IEEE-754 doubles of BIGINT
+inputs — ``cnt``, ``cnt(l)``, ``cnt(r)`` are exactly representable,
+the product rounds once, the division is correctly rounded, so Spark
+and an ANSI-SQL replay (the driver qid's DuckDB oracle) produce
+bit-identical doubles and therefore the identical argmax at every
+rank (ties break on (l, r) ascending).  Scale-invariance falls out of
+the same fact: multiplying every frequency by m scales every exact
+quotient by 1/m, and correctly-rounded division preserves the order
+of exact quotients — the merge sequence is corpus-scale-free.
+
+Reference scope note: the reference system (`/root/reference`, SURVEY
+§2) ships no tokenizer; this module is §2.9 extension surface (X92).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_toolz_spark.operators.bpe import (
+    BPE_SEP,
+    _fold_replaces,
+    _pairs_arr,
+    _symbols,
+)
+
+#: continuation marker for non-word-initial pieces (the BERT/HF
+#: convention).  Inside the sep-wrapped state the marker is plain
+#: symbol text, so data words that themselves contain ``#`` stay
+#: unambiguous (a literal ``#`` at a continuation position encodes as
+#: the 3-char symbol ``###``).
+WP_MARK = "##"
+
+#: whole-word fallback token for any word the greedy matcher cannot
+#: tile (id 0 in :func:`wordpiece_vocab`).
+WP_UNK = "[UNK]"
+
+
+def _encode_wp_word(col: Column, sep: str) -> Column:
+    """Word → separator-wrapped WordPiece seed state: first character
+    plain, every later character ``##``-marked
+    (``hello`` → ``⟦h⟧⟦##e⟧⟦##l⟧⟦##l⟧⟦##o⟧``)."""
+    enc = F.regexp_replace(col, "(.)", sep + WP_MARK + "$1" + sep)
+    # strip the marker off the FIRST symbol: drop the leading
+    # ``sep + ##`` (3 chars) and re-attach the separator
+    return F.concat(F.lit(sep), F.substring(enc, 4, F.length(enc)))
+
+
+def _sym_rows(state_col: Column, sep: str, weight: Column) -> Column:
+    """Symbol-occurrence rows of an encoded state, shaped as the SAME
+    struct as :func:`bpe._pairs_arr` rows with ``r = NULL`` — so pair
+    and symbol deltas ride one exploded array."""
+    return F.transform(
+        _symbols(state_col, sep),
+        lambda s: F.struct(
+            s.alias("l"),
+            F.lit(None).cast("string").alias("r"),
+            weight.alias("w"),
+        ),
+    )
+
+
+def wordpiece_train(
+    words: DataFrame,
+    *,
+    n_merges: int,
+    min_count: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    sep: str = BPE_SEP,
+    stats: dict | None = None,
+) -> list[dict]:
+    """Learn up to ``n_merges`` WordPiece merges from a word-frequency
+    table (:func:`bpe.bpe_word_table` / the n-gram unit tables).
+
+    Returns ``[{"rank", "left", "right", "merged", "pair_count",
+    "left_count", "right_count", "score"}, …]`` in merge order;
+    ``merged`` strips the right side's ``##`` marker (``(h, ##e)`` →
+    ``he``).  Stops early when no pair reaches ``min_count``.  Ties on
+    the double score break (l, r) ascending — total and engine-
+    portable (see module docstring).
+
+    Per round: one argmax job over the maintained pair table
+    broadcast-joined twice with the maintained symbol-count table,
+    then one signed recount of only the words containing the merge
+    pattern — both tables fold the deltas lazily, so every round is
+    vocab-adjacency-bounded.  ``stats`` (optional dict) receives
+    ``rounds`` and ``round_secs`` telemetry like :func:`bpe.bpe_train`.
+    """
+    if n_merges < 0:
+        raise ValueError("wordpiece_train: n_merges must be >= 0")
+    if min_count < 1:
+        raise ValueError("wordpiece_train: min_count must be >= 1")
+    state = words.select(
+        _encode_wp_word(F.col(word_col), sep).alias("s"),
+        F.col(freq_col).alias("f"),
+    )
+    # right-size like bpe_train: the loop is K tiny jobs over a
+    # vocab-sized frame — scheduling 32 near-empty tasks per job is
+    # pure overhead at demo scale, ~256k words/partition at cluster
+    # scale
+    n_rows = state.count()
+    nparts = max(
+        1, min(state.rdd.getNumPartitions(), n_rows // 262144 + 1)
+    )
+    state = state.coalesce(nparts).localCheckpoint(eager=True)
+    # the ONE full explode+aggregate each table ever runs — later
+    # rounds fold signed corrections in
+    pairs = (
+        state.select(
+            F.explode(_pairs_arr(F.col("s"), sep, F.col("f"))).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("p.w").alias("cnt"))
+        .coalesce(nparts)
+        .localCheckpoint(eager=False)
+    )
+    syms = (
+        state.select(
+            F.explode(_sym_rows(F.col("s"), sep, F.col("f"))).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("sym"))
+        .agg(F.sum("p.w").alias("cnt"))
+        .coalesce(nparts)
+        .localCheckpoint(eager=False)
+    )
+    merges: list[dict] = []
+    if stats is not None:
+        stats.update({"rounds": 0, "round_secs": []})
+    rounds_since_trunc = 0
+    while len(merges) < n_merges:
+        t_round = time.monotonic() if stats is not None else 0.0
+        cand = (
+            pairs.filter(F.col("cnt") >= min_count)
+            .join(
+                F.broadcast(
+                    syms.select(
+                        F.col("sym").alias("l"), F.col("cnt").alias("lc")
+                    )
+                ),
+                "l",
+            )
+            .join(
+                F.broadcast(
+                    syms.select(
+                        F.col("sym").alias("r"), F.col("cnt").alias("rc")
+                    )
+                ),
+                "r",
+            )
+            .select(
+                "l",
+                "r",
+                "cnt",
+                "lc",
+                "rc",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("lc") * F.col("rc")).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        row = cand[0]
+        l, r = row["l"], row["r"]
+        # a pair's right side is never word-initial, so it ALWAYS
+        # carries the marker — strip it for the merged symbol
+        merged = l + (r[len(WP_MARK):] if r.startswith(WP_MARK) else r)
+        merges.append(
+            {
+                "rank": len(merges),
+                "left": l,
+                "right": r,
+                "merged": merged,
+                "pair_count": int(row["cnt"]),
+                "left_count": int(row["lc"]),
+                "right_count": int(row["rc"]),
+                "score": float(row["score"]),
+            }
+        )
+        pat = sep + l + sep + sep + r + sep
+        rep = sep + merged + sep
+        new_s = F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+        # the replace is token-local: only words CONTAINING the
+        # pattern change any pair or symbol count — the signed
+        # recount of exactly those words is the exact delta of both
+        # tables, and the sym rows ride the same exploded array as
+        # the pair rows (r = NULL tags them)
+        upd = (
+            state.filter(F.col("s").contains(pat))
+            .select(
+                F.explode(
+                    F.concat(
+                        _pairs_arr(F.col("s"), sep, -F.col("f")),
+                        _pairs_arr(new_s, sep, F.col("f")),
+                        _sym_rows(F.col("s"), sep, -F.col("f")),
+                        _sym_rows(new_s, sep, F.col("f")),
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("p.w").alias("cnt"))
+            .coalesce(nparts)
+            .localCheckpoint(eager=False)
+        )
+        prev_pairs, prev_syms = pairs, syms
+        pairs = (
+            pairs.unionByName(upd.filter(F.col("r").isNotNull()))
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .coalesce(nparts)
+            .localCheckpoint(eager=False)
+        )
+        syms = (
+            syms.unionByName(
+                upd.filter(F.col("r").isNull()).select(
+                    F.col("l").alias("sym"), "cnt"
+                )
+            )
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .coalesce(nparts)
+            .localCheckpoint(eager=False)
+        )
+        prev = state
+        state = state.withColumn("s", new_s).localCheckpoint(eager=False)
+        prev.unpersist()
+        prev_pairs.unpersist()
+        prev_syms.unpersist()
+        # the round's argmax job never runs directly over the state
+        # subtree (candidates come from the tables), so the state's
+        # lazy-checkpoint chain accumulates like bpe_train's delta
+        # mode — truncate it with one vocab-sized count() every 16
+        # rounds (the measured StackOverflow cliff is ~400 layers)
+        rounds_since_trunc += 1
+        if rounds_since_trunc >= 16:
+            state.count()
+            rounds_since_trunc = 0
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["round_secs"].append(
+                round(time.monotonic() - t_round, 4)
+            )
+    state.unpersist()
+    pairs.unpersist()
+    syms.unpersist()
+    return merges
+
+
+def wordpiece_base_pieces(
+    word_table: DataFrame, word_col: str = "word"
+) -> list[str]:
+    """Character-level seed pieces of a word table: every distinct
+    word-INITIAL character plain + every distinct continuation
+    character ``##``-marked, each list sorted — bounded by the
+    character set (the k·dim-style driver-exchange contract).  Two
+    tiny aggregates over the vocab-sized table."""
+    rows = (
+        word_table.select(
+            F.substring(F.col(word_col), 1, 1).alias("ch"),
+            F.lit(False).alias("marked"),
+        )
+        .unionByName(
+            word_table.select(
+                F.explode(
+                    F.split(
+                        F.substring(
+                            F.col(word_col), 2, F.length(F.col(word_col))
+                        ),
+                        "",
+                    )
+                ).alias("ch"),
+                F.lit(True).alias("marked"),
+            ).filter(F.col("ch") != "")
+        )
+        .distinct()
+        .collect()
+    )
+    firsts = sorted(r["ch"] for r in rows if not r["marked"])
+    conts = sorted(WP_MARK + r["ch"] for r in rows if r["marked"])
+    return firsts + conts
+
+
+def wordpiece_vocab(
+    merges: list[dict], base_pieces: list[str]
+) -> dict[str, int]:
+    """piece → token id: ``[UNK]`` = 0, then the base pieces in the
+    given (sorted) order, then merged pieces in rank order.  A merged
+    piece that collides with a base piece keeps the base id (greedy
+    matching is set-membership — duplicate surface forms are one
+    piece)."""
+    vocab: dict[str, int] = {WP_UNK: 0}
+    for p in base_pieces:
+        if p not in vocab:
+            vocab[p] = len(vocab)
+    for m in merges:
+        if m["merged"] not in vocab:
+            vocab[m["merged"]] = len(vocab)
+    return vocab
+
+
+def wordpiece_segment_words(
+    words: DataFrame,
+    vocab: dict[str, int],
+    *,
+    word_col: str = "word",
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Greedy longest-match-first segmentation of (distinct) words
+    under a trained vocab — the BERT ``WordpieceTokenizer`` semantics:
+    at each position take the LONGEST vocab piece (``##``-marked off
+    the word start), and if any position has no match — or the word
+    exceeds ``max_word_len`` — the whole word is ``[UNK]``.  Output
+    ``(word, pieces array<string>, ids array<int>, n_pieces int)``.
+
+    One Arrow pass over the vocab-sized distinct-word frame with the
+    piece set riding in the closure (the ``unigram_segment_words``
+    shape) — per-row Python never touches the corpus path.
+    """
+    import pandas as pd
+
+    piece_ids = dict(vocab)
+    max_raw = max(
+        (
+            len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)
+            for p in piece_ids
+            if p != WP_UNK
+        ),
+        default=0,
+    )
+
+    def segment(w: str) -> list[str]:
+        if max_word_len is not None and len(w) > max_word_len:
+            return [WP_UNK]
+        out: list[str] = []
+        pos = 0
+        while pos < len(w):
+            for ln in range(min(max_raw, len(w) - pos), 0, -1):
+                key = w[pos : pos + ln]
+                if pos > 0:
+                    key = WP_MARK + key
+                if key in piece_ids:
+                    out.append(key)
+                    pos += ln
+                    break
+            else:
+                return [WP_UNK]
+        return out if out else [WP_UNK]
+
+    def kernel(batches):
+        for pdf in batches:
+            out_w, out_p, out_i, out_n = [], [], [], []
+            for w in pdf["word"]:
+                seg = segment(w)
+                out_w.append(w)
+                out_p.append(seg)
+                out_i.append([piece_ids[p] for p in seg])
+                out_n.append(len(seg))
+            yield pd.DataFrame(
+                {
+                    "word": out_w,
+                    "pieces": out_p,
+                    "ids": out_i,
+                    "n_pieces": out_n,
+                }
+            )
+
+    return (
+        words.select(F.col(word_col).alias("word"))
+        .distinct()
+        .mapInPandas(
+            kernel,
+            "word string, pieces array<string>, ids array<int>, "
+            "n_pieces int",
+        )
+    )
+
+
+def wordpiece_token_count(
+    df: DataFrame,
+    vocab: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "wp_tokens",
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Per-document WordPiece token counts: ``(id_col, out_col)``.
+
+    Corpus side is tokenize → distinct-word greedy segmentation
+    (:func:`wordpiece_segment_words`) → equi-join the per-word piece
+    count back → one sum per doc — the unigram_encode decoupling that
+    keeps per-row Python off the 100 TB path.  Words containing the
+    separator byte are skipped (the :func:`bpe.bpe_word_table`
+    contract); docs with no countable words report 0.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter((F.col("word") != "") & ~F.col("word").contains(BPE_SEP))
+    seg = wordpiece_segment_words(
+        toks.select("word"), vocab, max_word_len=max_word_len
+    )
+    counted = (
+        toks.join(seg.select("word", "n_pieces"), on="word")
+        .groupBy(id_col)
+        .agg(F.sum("n_pieces").alias(out_col))
+    )
+    return (
+        df.select(id_col)
+        .join(counted, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(
+                out_col
+            ),
+        )
+    )
+
+
+def wordpiece_apply_expr(
+    text_col: str | Column, merges: list[dict], sep: str = BPE_SEP
+) -> Column:
+    """Merge-REPLAY application (the training-state transform, NOT
+    greedy inference): seed-encode every whitespace word and apply the
+    merge replaces in rank order — useful for differential tests
+    against the greedy encoder and for inspecting the training state a
+    corpus would reach.  Returns the sep-encoded symbol string of the
+    whole text with words joined by a single space."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(
+        F.split(col, r"\s+"),
+        lambda t: (t != "") & ~t.contains(sep),
+    )
+    pairs = [
+        (
+            sep + m["left"] + sep + sep + m["right"] + sep,
+            sep + m["merged"] + sep,
+        )
+        for m in merges
+    ]
+    return F.array_join(
+        F.transform(
+            words, lambda w: _fold_replaces(_encode_wp_word(w, sep), pairs)
+        ),
+        " ",
+    )
+
+
+def save_wordpiece_model(
+    spark, merges: list[dict], vocab: dict[str, int], table: str
+) -> None:
+    """Persist a trained WordPiece tokenizer as ONE catalog table
+    (the :func:`bpe.save_bpe_model` pattern): ``kind='merge'`` rows
+    carry (rank, left, right, merged, pair_count) in rank order,
+    ``kind='vocab'`` rows carry (symbol, token_id)."""
+    rows = [
+        (
+            "merge",
+            int(m["rank"]),
+            m["left"],
+            m["right"],
+            m["merged"],
+            int(m.get("pair_count", 0)),
+            None,
+        )
+        for m in merges
+    ] + [
+        ("vocab", None, None, None, sym, None, int(tid))
+        for sym, tid in sorted(vocab.items(), key=lambda kv: kv[1])
+    ]
+    spark.createDataFrame(
+        rows,
+        "kind string, rank int, left string, right string, "
+        "merged string, pair_count long, token_id long",
+    ).write.mode("overwrite").saveAsTable(table)
+
+
+def load_wordpiece_model(
+    spark, table: str
+) -> tuple[list[dict], dict[str, int]]:
+    """Rehydrate a :func:`save_wordpiece_model` table → (merges,
+    vocab), merges in rank order — bounded driver state."""
+    rows = spark.table(table).collect()
+    merges = sorted(
+        (
+            {
+                "rank": int(r["rank"]),
+                "left": r["left"],
+                "right": r["right"],
+                "merged": r["merged"],
+                "pair_count": int(r["pair_count"]),
+            }
+            for r in rows
+            if r["kind"] == "merge"
+        ),
+        key=lambda m: m["rank"],
+    )
+    if [m["rank"] for m in merges] != list(range(len(merges))):
+        raise ValueError(
+            f"load_wordpiece_model: {table} merge ranks are not "
+            "0..K-1 — not a save_wordpiece_model table"
+        )
+    vocab = {
+        r["merged"]: int(r["token_id"])
+        for r in rows
+        if r["kind"] == "vocab"
+    }
+    return merges, vocab
+
+
+__all__ = [
+    "WP_MARK",
+    "WP_UNK",
+    "wordpiece_train",
+    "wordpiece_base_pieces",
+    "wordpiece_vocab",
+    "wordpiece_segment_words",
+    "wordpiece_token_count",
+    "wordpiece_apply_expr",
+    "save_wordpiece_model",
+    "load_wordpiece_model",
+]
