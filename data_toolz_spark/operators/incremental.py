@@ -1785,3 +1785,173 @@ __all__ += [
     "quota_admit",
     "append_to_quota_ledger",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Incremental EXACT-SUBSTRING dedup: a persistent gram index (X94)
+# ---------------------------------------------------------------------------
+#
+# The batch operator (text_analysis.remove_duplicate_spans) answers
+# "which n-word passages repeat across THIS corpus"; a daily ingest
+# asks "which passages of today's increment already exist anywhere in
+# the ingested corpus" — without rescanning it.  Same catalog design
+# as the fingerprint family: a bucketed (gram, first_id) table, read
+# in place by every increment join; only the increment ever shuffles.
+# The first-ingested copy of a passage is permanently canonical (its
+# doc is already written), so later occurrences cut unconditionally —
+# with min_docs=2 this reproduces the batch operator exactly (pinned
+# by tests: batch over A∪B == build-on-A + incremental-on-B when A's
+# ids precede B's).
+
+
+def build_gram_index(
+    df: DataFrame,
+    table: str,
+    *,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Create the bucketed word-``n``-gram index from an initial
+    corpus (possibly empty): one row per DISTINCT gram hash with the
+    min holding doc id — the index grows with unique CONTENT, and
+    grams are ``xxhash64`` longs, so nothing text-sized is stored.
+    Index the corpus AS WRITTEN (after any batch span dedup), since
+    its grams are what future increments must not repeat."""
+    from data_toolz_spark.operators.text_analysis import (
+        positioned_gram_hashes,
+    )
+    from data_toolz_spark.sources.io import DataIO
+
+    grams = (
+        positioned_gram_hashes(df, n=n, id_col=id_col, text_col=text_col)
+        .groupBy(F.col("__k").alias("gram"))
+        .agg(F.min("__id").alias("first_id"))
+    )
+    return DataIO().write_bucketed(
+        grams,
+        table,
+        bucket_by=["gram"],
+        n_buckets=n_buckets,
+        sort_by=["gram"],
+        path=path,
+        mode=mode,
+    )
+
+
+def dedup_spans_incremental(
+    spark: SparkSession,
+    increment: DataFrame,
+    index_table: str,
+    *,
+    n: int = 50,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text",
+    count_col: str = "n_dropped_words",
+) -> DataFrame:
+    """Cut every ``n``-word span of ``increment`` that the ingested
+    corpus already holds (gram-hash hit in ``index_table``) or that
+    repeats across ≥ ``min_docs`` docs WITHIN the increment (batch
+    semantics, keeper = min id).  Historical hits cut from every
+    increment doc — the canonical copy is already written; the two
+    flag sets union before one row-local rebuild
+    (:func:`text_analysis.cut_flagged_spans`).
+
+    Plan shape: the increment's positioned grams build once and feed
+    both flag paths; the index side of the history join is bucketed
+    and read in place, so per-increment work is sized to the
+    increment — the 100 TB history never re-shuffles."""
+    if n < 2:
+        raise ValueError("dedup_spans_incremental: n must be >= 2")
+    if min_docs < 2:
+        raise ValueError(
+            "dedup_spans_incremental: min_docs must be >= 2"
+        )
+    from data_toolz_spark.operators.text_analysis import (
+        cut_flagged_spans,
+        positioned_gram_hashes,
+    )
+
+    pos_grams = positioned_gram_hashes(
+        increment, n=n, id_col=id_col, text_col=text_col
+    )
+    index = spark.table(index_table).select(
+        F.col("gram").alias("__k")
+    )
+    hist_flag = pos_grams.join(index, on="__k", how="left_semi").select(
+        "__id", "__pos"
+    )
+    spans = (
+        pos_grams.groupBy("__k")
+        .agg(
+            F.count_distinct("__id").alias("__nd"),
+            F.min("__id").alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= F.lit(min_docs))
+    )
+    batch_flag = (
+        pos_grams.join(spans, on="__k")
+        .filter(F.col("__id") != F.col("__keeper"))
+        .select("__id", "__pos")
+    )
+    flagged = (
+        hist_flag.unionByName(batch_flag)
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__cuts"))
+    )
+    return cut_flagged_spans(
+        increment,
+        flagged,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        out_col=out_col,
+        count_col=count_col,
+    )
+
+
+def append_to_gram_index(
+    cleaned: DataFrame,
+    index_table: str,
+    *,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold an increment's grams into the index — pass the CLEANED
+    frame (the :func:`dedup_spans_incremental` output), so the index
+    keeps owning exactly the grams present in the corpus as written.
+    New grams anti-join against the bucketed index before the
+    ``insertInto`` (one job, job-atomic like the fingerprint
+    catalog), keeping one row per distinct gram."""
+    from data_toolz_spark.operators.text_analysis import (
+        positioned_gram_hashes,
+    )
+
+    spark = cleaned.sparkSession
+    new_grams = (
+        positioned_gram_hashes(
+            cleaned, n=n, id_col=id_col, text_col=text_col
+        )
+        .groupBy(F.col("__k").alias("gram"))
+        .agg(F.min("__id").alias("first_id"))
+    )
+    (
+        new_grams.join(
+            spark.table(index_table).select("gram"),
+            on="gram",
+            how="left_anti",
+        ).write.insertInto(index_table)
+    )
+
+
+__all__ += [
+    "build_gram_index",
+    "dedup_spans_incremental",
+    "append_to_gram_index",
+]

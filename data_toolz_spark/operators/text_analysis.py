@@ -891,6 +891,44 @@ def remove_duplicate_spans(
             "remove_duplicate_spans: min_docs must be >= 2 (a span "
             "must repeat across documents to be a duplicate)"
         )
+    pos_grams = positioned_gram_hashes(
+        df, n=n, id_col=id_col, text_col=text_col
+    )
+
+    spans = pos_grams.groupBy("__k").agg(
+        F.count_distinct("__id").alias("__nd"),
+        F.min("__id").alias("__keeper"),
+    ).filter(F.col("__nd") >= F.lit(min_docs))
+
+    flagged = (
+        pos_grams.join(spans, on="__k")
+        .filter(F.col("__id") != F.col("__keeper"))
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__cuts"))
+    )
+    return cut_flagged_spans(
+        df,
+        flagged,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        out_col=out_col,
+        count_col=count_col,
+    )
+
+
+def positioned_gram_hashes(
+    df: DataFrame,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(__id, __pos, __k)`` — every word-``n``-gram of every doc as
+    an ``xxhash64`` long with its word position: the shared candidate
+    structure of :func:`remove_duplicate_spans` and the incremental
+    gram index (``operators.incremental``).  Grams leave the row as
+    longs, so nothing text-sized ever shuffles."""
     from data_toolz_spark.operators.decontamination import (
         _grams_of_words_ordered,
     )
@@ -918,7 +956,7 @@ def remove_duplicate_spans(
     # measured 4x this operator's scan stage.  The outer variant gets
     # no inferred filter; empty-gram docs surface as one null row and
     # die in the cheap post-explode filter instead.
-    pos_grams = (
+    return (
         staged.select(
             "__id",
             F.posexplode_outer("__grams").alias("__pos", "__g"),
@@ -927,18 +965,25 @@ def remove_duplicate_spans(
         .select("__id", "__pos", F.xxhash64("__g").alias("__k"))
     )
 
-    spans = pos_grams.groupBy("__k").agg(
-        F.count_distinct("__id").alias("__nd"),
-        F.min("__id").alias("__keeper"),
-    ).filter(F.col("__nd") >= F.lit(min_docs))
 
-    flagged = (
-        pos_grams.join(spans, on="__k")
-        .filter(F.col("__id") != F.col("__keeper"))
-        .groupBy("__id")
-        .agg(F.collect_set("__pos").alias("__cuts"))
-    )
-
+def cut_flagged_spans(
+    df: DataFrame,
+    flagged: DataFrame,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text",
+    count_col: str = "n_dropped_words",
+) -> DataFrame:
+    """Row-local rebuild shared by :func:`remove_duplicate_spans` and
+    the incremental span dedup: ``flagged`` is ``(__id, __cuts)`` with
+    the word positions whose length-``n`` spans must go; a word
+    survives unless a flagged span covers its index.  Docs absent
+    from ``flagged`` keep their text byte-identical; cut docs re-join
+    on single spaces (the :func:`remove_duplicate_spans` contract).
+    """
+    toks = tokens(F.col(text_col))
     # Merge the flagged cut positions into DISJOINT intervals before
     # the coverage test (VERDICT r6 item 7): a heavily-duplicated doc
     # has cuts ≈ tokens, so testing every token against every cut is

@@ -690,3 +690,67 @@ __all__ = [
     "run_fingerprint_ingest",
     "run_quota_ingest",
 ]
+
+
+def run_span_dedup_ingest(
+    stream_df: DataFrame,
+    *,
+    index_table: str,
+    output_path: str,
+    checkpoint_dir: str,
+    n: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Drain the stream into a corpus with cross-batch EXACT-SUBSTRING
+    dedup (X94): per micro-batch, every ``n``-word span already owned
+    by the persistent gram index — or repeated within the batch — is
+    cut (``operators.incremental.dedup_spans_incremental``), the
+    cleaned rows (plus ``n_dropped_words``) append to ``output_path``,
+    and the cleaned text's grams fold back into the index, so batch
+    N+1 cannot re-ingest a passage batch N landed.
+
+    Same consistency model as :func:`run_dedup_ingest`: the index fold
+    is one job-atomic ``insertInto`` and comes LAST (it invalidates
+    cached plans reading the index — including this batch's own cut
+    plan); the anti-join inside the fold makes a replayed epoch's fold
+    idempotent, while the sink append can duplicate rows on
+    retry-after-sink-commit — pair with an idempotent sink when
+    exactly-once matters.
+    """
+    from data_toolz_spark.operators.incremental import (
+        append_to_gram_index,
+        dedup_spans_incremental,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cleaned = dedup_spans_incremental(
+            spark,
+            batch_df,
+            index_table,
+            n=n,
+            min_docs=min_docs,
+            id_col=id_col,
+            text_col=text_col,
+        ).persist()
+        try:
+            cleaned.write.mode("append").parquet(output_path)
+            append_to_gram_index(
+                cleaned,
+                index_table,
+                n=n,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        finally:
+            cleaned.unpersist()
+
+    query = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
