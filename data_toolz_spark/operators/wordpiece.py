@@ -467,6 +467,61 @@ def wordpiece_token_count(
     )
 
 
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "ids",
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Encode a corpus to WordPiece token ids: ``(id_col, out_col)``
+    with one ``array<int>`` per document, greedy pieces in word
+    order ([UNK] id 0 for untileable words).
+
+    The Python matcher runs over the corpus's DISTINCT words only
+    (:func:`wordpiece_segment_words`); the corpus side is tokenize →
+    posexplode → equi-join the word→ids map → in-order reassembly —
+    the ``unigram_encode`` decoupling that keeps per-row Python off
+    the 100 TB path.  Words containing the separator byte are skipped
+    (the word-table contract); documents with no countable words
+    yield an empty array.  Plugs into
+    ``prepare_training_corpus(token_pack={"wp_vocab": …})``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda t: (t != "") & ~t.contains(BPE_SEP),
+            )
+        ).alias("__pos", "word"),
+    )
+    seg = wordpiece_segment_words(
+        toks.select("word"), vocab, max_word_len=max_word_len
+    )
+    joined = toks.join(seg.select("word", "ids"), on="word")
+    assembled = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__pos"), F.col("ids"))
+                    )
+                ),
+                lambda s: s["ids"],
+            )
+        ).alias(out_col)
+    )
+    return df.select(id_col).join(assembled, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(
+            F.col(out_col), F.array().cast("array<int>")
+        ).alias(out_col),
+    )
+
+
 def wordpiece_apply_expr(
     text_col: str | Column, merges: list[dict], sep: str = BPE_SEP
 ) -> Column:
@@ -566,6 +621,7 @@ __all__ = [
     "wordpiece_vocab",
     "wordpiece_segment_words",
     "wordpiece_token_count",
+    "wordpiece_encode",
     "wordpiece_apply_expr",
     "save_wordpiece_model",
     "load_wordpiece_model",

@@ -1012,14 +1012,27 @@ def prepare_training_corpus(
                 # a hardcoded 8 diverged from models trained larger)
                 max_piece_len=spec.get("max_piece_len"),
             )
+        elif "wp_vocab" in spec:
+            from data_toolz_spark.operators.wordpiece import (
+                wordpiece_encode,
+            )
+
+            ids = wordpiece_encode(
+                out,
+                spec["wp_vocab"],
+                id_col=id_col,
+                text_col=text_col,
+                max_word_len=spec.get("max_word_len"),
+            )
         elif "ids_expr" in spec:
             ids = out.select(
                 F.col(id_col), spec["ids_expr"].alias("ids")
             )
         else:
             raise ValueError(
-                "token_pack: pass 'model' (UnigramModel) or "
-                "'ids_expr' (an id-array Column over the text)"
+                "token_pack: pass 'model' (UnigramModel), 'wp_vocab' "
+                "(a trained WordPiece piece→id dict) or 'ids_expr' "
+                "(an id-array Column over the text)"
             )
         ids = ids.join(out.select(id_col, "split"), on=id_col)
         # the encode plan embeds the full upstream tree and each

@@ -638,6 +638,62 @@ def test_pipeline_token_pack_end_to_end(spark):
         )
 
 
+def test_pipeline_token_pack_wordpiece(spark):
+    """token_pack with a trained WordPiece vocab (the r12 wp_vocab
+    arm): cleaned corpus -> greedy wp ids -> split-pure packing; the
+    stream conserves exactly the standalone encode's tokens + eos."""
+    from data_toolz_spark.operators.bpe import bpe_word_table
+    from data_toolz_spark.operators.wordpiece import (
+        wordpiece_base_pieces,
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    def w3(n):
+        return (
+            chr(97 + (n // 676) % 26)
+            + chr(97 + (n // 26) % 26)
+            + chr(97 + n % 26)
+        )
+
+    rows = [
+        (i, " ".join(w3(i * 17 + j) for j in range(20)))
+        for i in range(16)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wt = bpe_word_table(docs)
+    merges = wordpiece_train(wt, n_merges=8, min_count=2)
+    vocab = wordpiece_vocab(merges, wordpiece_base_pieces(wt))
+    eos = len(vocab)
+    out = prepare_training_corpus(
+        docs,
+        None,
+        quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8,
+        token_pack={
+            "wp_vocab": vocab, "seq_len": 16, "eos_id": eos,
+            "n_shards": 2, "drop_last": False,
+        },
+        fractions=FRACS,
+    )
+    seqs = out.collect()
+    assert seqs and set(out.columns) == {
+        "split", "shard", "seq_index", "input_ids"
+    }
+    valid = set(vocab.values()) | {eos}
+    for r in seqs:
+        assert set(r["input_ids"]) <= valid
+    kept = prepare_training_corpus(
+        docs, None, quality_thresholds={"min_tokens": 1},
+        near_dup_threshold=0.8, fractions=FRACS,
+    )
+    enc = wordpiece_encode(kept, vocab).collect()
+    assert sum(len(r["input_ids"]) for r in seqs) == sum(
+        len(r["ids"]) + 1 for r in enc
+    )
+
+
 def test_pipeline_token_pack_with_spans(spark):
     """r11 (VERDICT task 3): with_spans threads through the pipeline —
     doc_spans tile every packed sequence and stay split-pure."""

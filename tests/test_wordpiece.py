@@ -16,6 +16,7 @@ import pytest
 
 from data_toolz_spark.operators.wordpiece import (
     WP_MARK,
+    wordpiece_encode,
     WP_UNK,
     load_wordpiece_model,
     save_wordpiece_model,
@@ -258,6 +259,36 @@ def test_token_count_corpus(spark):
     assert got[3] == 0
     # the \x1f-containing word is skipped (word-table contract)
     assert got[4] == n("lowest") + n("help")
+
+
+def test_wordpiece_encode_corpus(spark):
+    docs = [
+        (1, "hello low hello"),
+        (2, ""),
+        (3, "zzz \x1fskip low"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = _ref_train(WORDS, 10, min_count=2)
+    base = wordpiece_base_pieces(_word_df(spark, WORDS))
+    vocab = wordpiece_vocab(merges, base)
+    got = {
+        r["doc_id"]: list(r["ids"])
+        for r in wordpiece_encode(df, vocab).collect()
+    }
+    pieces = set(vocab)
+    max_raw = max(
+        len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)
+        for p in pieces
+        if p != WP_UNK
+    )
+
+    def ids(w):
+        return [vocab[p] for p in _ref_segment(w, pieces, max_raw)]
+
+    assert got[1] == ids("hello") + ids("low") + ids("hello")
+    assert got[2] == []
+    # \x1f word skipped, zzz -> [UNK] id 0
+    assert got[3] == [0] + ids("low")
 
 
 def test_vocab_ids_and_model_roundtrip(spark, tmp_path):
