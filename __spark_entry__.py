@@ -2552,7 +2552,7 @@ def _wp_sql_ctes(n_merges: int, min_count: int = 2) -> str:
   JOIN wp_y{i} yl ON yl.sym = p.l
   JOIN wp_y{i} yr ON yr.sym = p.r
   WHERE p.cnt >= {min_count}
-  ORDER BY p.cnt::DOUBLE / (yl.c * yr.c)::DOUBLE DESC, p.l, p.r
+  ORDER BY p.cnt::DOUBLE / (yl.c::DOUBLE * yr.c::DOUBLE) DESC, p.l, p.r
   LIMIT 1
 ), wp_it{i + 1} AS MATERIALIZED (
   SELECT replace(s,

@@ -51,6 +51,18 @@ def _scheme(path: str) -> str:
     return head if sep else "file"
 
 
+#: fsspec verbs whose SECOND positional is also a path — the only
+#: methods where delegation dispatch may look past the first arg
+#: (payload-bearing methods like pipe/write carry non-path strings
+#: there that must not hijack the scheme choice)
+_TWO_PATH_METHODS = frozenset(
+    {
+        "put", "put_file", "upload", "get", "get_file", "download",
+        "copy", "cp_file", "mv", "move", "rename", "rsync",
+    }
+)
+
+
 class FsUtil:
     """Unified local / S3 / HDFS file utilities for driver-side plumbing.
 
@@ -308,23 +320,39 @@ class FsUtil:
         opts = self._fsspec_opts
 
         def delegate(*args, **kwargs):
-            # dispatch on the first REMOTE-scheme string argument (r12,
-            # VERDICT r11 task 2): two-path methods whose FIRST arg is
-            # the local side — put/upload(lpath, rpath) — would
+            # dispatch on the PATH arguments only (r12, VERDICT r11
+            # task 2 + review fix): the first positional is a path for
+            # every fsspec method; the second is a path ONLY for the
+            # known two-path verbs — put/upload(lpath, rpath) would
             # otherwise bind the LOCAL filesystem and treat the remote
             # URL as a literal local destination, silently writing an
-            # 's3a:' directory on disk.  Single-path methods are
-            # unchanged (their only string arg decides); all-local
-            # two-path calls stay local.
+            # 's3a:' directory on disk.  Scanning EVERY string arg is
+            # wrong the other way: pipe/write-shaped methods carry
+            # payload strings ('see https://example.com') that must
+            # not hijack the dispatch.  Among the considered path
+            # args a remote scheme wins; all-local calls stay local.
+            cand = []
+            if args and isinstance(args[0], str):
+                cand.append(args[0])
+            if (
+                name in _TWO_PATH_METHODS
+                and len(args) > 1
+                and isinstance(args[1], str)
+            ):
+                cand.append(args[1])
+            for k in ("path", "path1", "path2", "lpath", "rpath",
+                      "url", "urlpath"):
+                v = kwargs.get(k)
+                if isinstance(v, str):
+                    cand.append(v)
             scheme = None
-            for a in list(args) + list(kwargs.values()):
-                if isinstance(a, str):
-                    s = _scheme(a)
-                    if scheme is None:
-                        scheme = s
-                    if s != "file":
-                        scheme = s
-                        break
+            for a in cand:
+                s = _scheme(a)
+                if scheme is None:
+                    scheme = s
+                if s != "file":
+                    scheme = s
+                    break
             if scheme is None:
                 scheme = "file"
             proto = {"file": "file", "s3a": "s3", "s3n": "s3"}.get(

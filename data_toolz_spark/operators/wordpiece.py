@@ -197,9 +197,18 @@ def wordpiece_train(
                 "cnt",
                 "lc",
                 "rc",
+                # double×double, not BIGINT× then cast: counts are
+                # exactly representable (< 2^53 each), so the double
+                # product is the correctly-rounded true product —
+                # identical doubles to rounding the exact integer
+                # product while never wrapping a 64-bit multiply at
+                # 100 TB symbol counts (review fix r12)
                 (
                     F.col("cnt").cast("double")
-                    / (F.col("lc") * F.col("rc")).cast("double")
+                    / (
+                        F.col("lc").cast("double")
+                        * F.col("rc").cast("double")
+                    )
                 ).alias("score"),
             )
             .orderBy(F.col("score").desc(), F.col("l"), F.col("r"))
@@ -369,11 +378,20 @@ def wordpiece_segment_words(
     import pandas as pd
 
     piece_ids = dict(vocab)
-    max_raw = max(
+    # two match-length ceilings, one per arm (review fix r12): at the
+    # word START every vocab key can match literally — including
+    # ##-prefixed keys and [UNK] itself, should the raw text contain
+    # them (string-membership semantics, the oracle's unmarked arm) —
+    # so the ceiling is the longest KEY; past the start a key matches
+    # as ##+candidate, so the ceiling is the longest key minus the
+    # 2-char marker.  A single continuation-derived ceiling silently
+    # capped word-start literal matches of '#'-bearing words.
+    max_lit = max((len(p) for p in piece_ids), default=0)
+    max_cont = max(
         (
-            len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)
+            len(p) - len(WP_MARK)
             for p in piece_ids
-            if p != WP_UNK
+            if p.startswith(WP_MARK) and len(p) > len(WP_MARK)
         ),
         default=0,
     )
@@ -384,7 +402,8 @@ def wordpiece_segment_words(
         out: list[str] = []
         pos = 0
         while pos < len(w):
-            for ln in range(min(max_raw, len(w) - pos), 0, -1):
+            lim = max_lit if pos == 0 else max_cont
+            for ln in range(min(lim, len(w) - pos), 0, -1):
                 key = w[pos : pos + ln]
                 if pos > 0:
                     key = WP_MARK + key

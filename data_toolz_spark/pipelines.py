@@ -72,6 +72,11 @@ def _fp_token(obj) -> str:
     if isinstance(obj, (set, frozenset)):
         return "{" + ",".join(sorted(_fp_token(v) for v in obj)) + "}"
     r = repr(obj)
+    # value types have value-carrying reprs by definition — never
+    # pattern-match them (review fix r12: a plain string whose VALUE
+    # contains ' at 0x…' must not be rejected)
+    if isinstance(obj, (str, bytes, int, float, bool, type(None))):
+        return r
     if " at 0x" in r:
         raise ValueError(
             "materialize_to: stage parameter "
@@ -154,13 +159,7 @@ class _Materializer:
         return self.spark.table(self.rows[name][1])
 
     def _write_manifest(self) -> None:
-        rows = [
-            (n, fp, t, int(c))
-            for n, (fp, t, c) in sorted(self.rows.items())
-        ]
-        self.spark.createDataFrame(
-            rows, "stage string, fp string, table string, n_rows long"
-        ).write.mode("overwrite").saveAsTable(f"{self.prefix}_manifest")
+        _write_manifest_rows(self.spark, self.prefix, self.rows)
 
     def save(self, name: str, df: DataFrame) -> DataFrame:
         """Write ``df`` as this stage's table, record the manifest row
@@ -176,7 +175,7 @@ class _Materializer:
         self._write_manifest()
         return out
 
-    def finalize(self) -> list[str]:
+    def finalize(self, prune: bool = True) -> list[str]:
         """End-of-run retention (r12, VERDICT r11 task 4 + ADVICE):
         prune manifest rows whose fingerprint is not on THIS run's
         completed chain (rows from superseded configs would otherwise
@@ -186,7 +185,18 @@ class _Materializer:
         only after the last stage (mid-run the chain is incomplete
         and pruning could discard still-valid later stages, e.g.
         resume after an externally dropped mid-chain table).  Returns
-        the dropped table names."""
+        the dropped table names.
+
+        ``prune=False`` (review fix r12) keeps everything: a run
+        whose config is a deliberate SUBSET of an earlier
+        materialized run — e.g. ``token_pack=None`` to fetch the
+        cleaned corpus while keeping the expensive packed table —
+        must not destroy the stages it merely skipped.  The chain
+        cannot distinguish "skipped on purpose, still wanted" from
+        "superseded"; the caller says which via
+        ``materialize_retention``."""
+        if not prune:
+            return []
         keep = {
             n: r for n, r in self.rows.items() if r[0] in self.valid_fps
         }
@@ -197,6 +207,20 @@ class _Materializer:
             self.spark, self.prefix,
             {r[1] for r in self.rows.values()},
         )
+
+def _write_manifest_rows(spark, prefix: str, rows: Mapping) -> None:
+    """Overwrite ``{prefix}_manifest`` from a ``{stage: (fp, table,
+    n_rows)}`` mapping — the ONE writer of the manifest schema,
+    shared by the materializer and the standalone retention helper
+    (review fix r12: a schema change now has a single home)."""
+    spark.createDataFrame(
+        [
+            (n, fp, t, int(c))
+            for n, (fp, t, c) in sorted(rows.items())
+        ],
+        "stage string, fp string, table string, n_rows long",
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_manifest")
+
 
 def _drop_unreferenced_stage_tables(
     spark, prefix: str, referenced: set[str]
@@ -260,13 +284,7 @@ def drop_stale_pipeline_stages(spark, prefix: str) -> list[str]:
             if spark.catalog.tableExists(r[1])
         }
         if set(alive) != set(rows):
-            spark.createDataFrame(
-                [
-                    (n, fp, t, int(c))
-                    for n, (fp, t, c) in sorted(alive.items())
-                ],
-                "stage string, fp string, table string, n_rows long",
-            ).write.mode("overwrite").saveAsTable(manifest)
+            _write_manifest_rows(spark, prefix, alive)
         referenced = {r[1] for r in alive.values()}
     return _drop_unreferenced_stage_tables(spark, prefix, referenced)
 
@@ -360,6 +378,7 @@ def prepare_training_corpus(
     persist_cleaned: bool = True,
     materialize_to: str | None = None,
     input_token: str = "",
+    materialize_retention: str = "prune",
 ) -> DataFrame:
     """Build the full cleaning → dedup → decontaminate → split (→ chunk
     → pack) plan over a raw document corpus.
@@ -429,6 +448,16 @@ def prepare_training_corpus(
     underlying data (docs or eval_df) changes, or stale stage tables
     will be trusted.  Default (None) leaves the one-lazy-plan
     behavior untouched.
+
+    ``materialize_retention`` (r12) controls end-of-run warehouse
+    hygiene under ``materialize_to``: ``"prune"`` (default) drops
+    stage tables and manifest rows that are not on this run's chain
+    (superseded configs stop accumulating dead data), ``"keep"``
+    leaves them — REQUIRED when this run's config is a deliberate
+    subset of an earlier materialized run (e.g. ``token_pack=None``
+    to fetch the cleaned corpus without destroying the expensive
+    packed table; the chain cannot tell "skipped on purpose" from
+    "superseded", so the caller must say).
     """
     from data_toolz_spark.operators.text_analysis import (
         keep_document,
@@ -440,6 +469,12 @@ def prepare_training_corpus(
             "prepare_training_corpus: near_dup_keep must be 'min_id' "
             f"or 'longest', got {near_dup_keep!r}"
         )
+    if materialize_retention not in ("prune", "keep"):
+        raise ValueError(
+            "prepare_training_corpus: materialize_retention must be "
+            f"'prune' or 'keep', got {materialize_retention!r}"
+        )
+    _prune = materialize_retention == "prune"
 
     base_cols = docs.columns
     out = docs
@@ -990,7 +1025,7 @@ def prepare_training_corpus(
         # string)
         if mat is not None and mat.hit("token_pack", {"spec": spec}):
             packed = mat.load("token_pack")
-            mat.finalize()
+            mat.finalize(prune=_prune)
             return packed
         seq_len = int(spec["seq_len"])
         eos_id = int(spec["eos_id"])
@@ -1074,11 +1109,11 @@ def prepare_training_corpus(
         )
         if mat is not None:
             packed = mat.save("token_pack", packed)
-            mat.finalize()
+            mat.finalize(prune=_prune)
         return packed
 
     if mat is not None:
-        mat.finalize()
+        mat.finalize(prune=_prune)
     return out
 
 
@@ -1092,8 +1127,16 @@ def stage_counts(
     Runs the pipeline several times with later stages disabled — one
     action per stage, for sign-off reports at modest scale (use the
     single-plan :func:`prepare_training_corpus` for production runs).
+
+    Materialization kwargs are STRIPPED (review fix r12): each
+    truncated sub-run here is a different stage chain, so passing
+    ``materialize_to`` through would make every sub-run's finalize
+    prune the others' (and the real run's) stage tables.
     """
     base = dict(kwargs)
+    base.pop("materialize_to", None)
+    base.pop("input_token", None)
+    base.pop("materialize_retention", None)
     counts: dict[str, int] = {"raw": docs.count()}
     counts["quality"] = prepare_training_corpus(
         docs,

@@ -754,3 +754,6 @@ def run_span_dedup_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+__all__ += ["run_span_dedup_ingest"]

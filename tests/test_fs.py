@@ -244,3 +244,18 @@ def test_fs5_two_path_put_binds_remote_fs(fs, fake_fsspec):
     # kwarg-passed remote paths dispatch too
     out = fs.put(lpath="/tmp/local.bin", rpath="s3a://bucket/key")
     assert out["proto"] == "s3"
+
+
+def test_fs5_payload_strings_do_not_hijack_dispatch(fs, fake_fsspec):
+    """Review fix (r12): only PATH arguments steer the dispatch — a
+    payload string containing '://' (file contents, notes, URLs) must
+    neither crash the scheme lookup nor silently rebind the call to a
+    remote filesystem."""
+    out = fs.pipe("/tmp/notes.txt", "see https://example.com for docs")
+    assert out["proto"] == "file"
+    assert out["args"][0] == "/tmp/notes.txt"
+    out = fs.write_text("/tmp/url.txt", "s3://bucket/key")
+    assert out["proto"] == "file"
+    # but a genuinely remote FIRST path still routes remotely
+    out = fs.pipe("s3a://bucket/k", "payload")
+    assert out["proto"] == "s3"

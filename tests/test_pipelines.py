@@ -955,6 +955,74 @@ def test_pipeline_materialize_retention_and_integrity(
     assert list_pipeline_stages(spark, prefix) == []
 
 
+def test_pipeline_retention_keep_and_stage_counts_safety(
+    spark, corpus, eval_df
+):
+    """Review fixes (r12): (a) materialize_retention="keep" lets a
+    deliberate SUBSET run (decontaminate disabled) fetch its result
+    without destroying the skipped stage's expensive table; the
+    default "prune" still cleans it; (b) stage_counts strips
+    materialization kwargs — its truncated sub-runs must never prune
+    a real run's tables; (c) _fp_token accepts value-typed params
+    whose text happens to contain ' at 0x'."""
+    from data_toolz_spark.catalog import drop_stale_table
+    from data_toolz_spark.pipelines import _fp_token, stage_counts
+
+    prefix = "t_pipe_keep"
+
+    def tables():
+        return {
+            r["tableName"]
+            for r in spark.sql("SHOW TABLES").collect()
+            if r["tableName"].startswith(prefix)
+        }
+
+    for t in tables():
+        drop_stale_table(spark, t)
+    kw = dict(
+        quality_thresholds={"min_tokens": 5},
+        near_dup_threshold=0.8,
+        decontaminate_n=5,
+        fractions=FRACS,
+    )
+    prepare_training_corpus(
+        corpus, eval_df, materialize_to=prefix, **kw
+    ).collect()
+    full = tables()
+    decon_tbls = {t for t in full if t.endswith("_decontaminate")}
+    assert decon_tbls
+
+    # (b) stage_counts with materialize kwargs passed through must
+    # leave the materialized run untouched (kwargs are stripped)
+    stage_counts(corpus, None, materialize_to=prefix, **kw)
+    assert tables() == full
+
+    # (a) subset run with retention="keep": decontaminate skipped,
+    # its table SURVIVES
+    kw2 = dict(kw, decontaminate_n=None)
+    prepare_training_corpus(
+        corpus, None, materialize_to=prefix,
+        materialize_retention="keep", **kw2
+    ).collect()
+    assert decon_tbls <= tables()
+    # default "prune" drops it
+    prepare_training_corpus(
+        corpus, None, materialize_to=prefix, **kw2
+    ).collect()
+    assert not (decon_tbls & tables())
+
+    # (c) value-typed params with ' at 0x' in their TEXT are stable
+    assert "0xdeadbeef" in _fp_token("calibrated at 0xdeadbeef")
+    with pytest.raises(ValueError, match="process-local repr"):
+        _fp_token(object())
+    with pytest.raises(ValueError):
+        prepare_training_corpus(
+            corpus, None, materialize_retention="nope", **kw2
+        )
+    for t in tables():
+        drop_stale_table(spark, t)
+
+
 def test_pipeline_per_language_quality_gate(spark):
     """r12 (VERDICT r11 task 5): quality_rank_gate cuts a DATA-DERIVED
     quality threshold PER LANGUAGE when lang_col is set — each language

@@ -92,10 +92,17 @@ def _ref_train(word_freq: dict, n_merges: int, min_count: int = 2):
     return merges
 
 
-def _ref_segment(w: str, pieces: set, max_raw: int) -> list:
+def _ref_segment(w: str, pieces: set) -> list:
+    max_lit = max((len(p) for p in pieces), default=0)
+    max_cont = max(
+        (len(p) - 2 for p in pieces
+         if p.startswith(WP_MARK) and len(p) > 2),
+        default=0,
+    )
     out, pos = [], 0
     while pos < len(w):
-        for ln in range(min(max_raw, len(w) - pos), 0, -1):
+        lim = max_lit if pos == 0 else max_cont
+        for ln in range(min(lim, len(w) - pos), 0, -1):
             key = w[pos : pos + ln]
             if pos > 0:
                 key = WP_MARK + key
@@ -202,13 +209,8 @@ def test_segment_words_greedy_longest_match(spark):
         for r in wordpiece_segment_words(df, vocab).collect()
     }
     pieces = set(vocab)
-    max_raw = max(
-        len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)
-        for p in pieces
-        if p != WP_UNK
-    )
     for w in words:
-        seg = _ref_segment(w, pieces, max_raw)
+        seg = _ref_segment(w, pieces)
         assert got[w][0] == seg, w
         assert got[w][1] == [vocab[p] for p in seg], w
         assert got[w][2] == len(seg), w
@@ -245,14 +247,9 @@ def test_token_count_corpus(spark):
         for r in wordpiece_token_count(df, vocab).collect()
     }
     pieces = set(vocab)
-    max_raw = max(
-        len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)
-        for p in pieces
-        if p != WP_UNK
-    )
 
     def n(w):
-        return len(_ref_segment(w, pieces, max_raw))
+        return len(_ref_segment(w, pieces))
 
     assert got[1] == n("hello") + n("low") + n("hello")
     assert got[2] == n("zzz")  # UNK still counts 1
@@ -276,14 +273,9 @@ def test_wordpiece_encode_corpus(spark):
         for r in wordpiece_encode(df, vocab).collect()
     }
     pieces = set(vocab)
-    max_raw = max(
-        len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)
-        for p in pieces
-        if p != WP_UNK
-    )
 
     def ids(w):
-        return [vocab[p] for p in _ref_segment(w, pieces, max_raw)]
+        return [vocab[p] for p in _ref_segment(w, pieces)]
 
     assert got[1] == ids("hello") + ids("low") + ids("hello")
     assert got[2] == []
@@ -354,3 +346,33 @@ def test_train_validation(spark):
         wordpiece_train(df, n_merges=-1)
     with pytest.raises(ValueError):
         wordpiece_train(df, n_merges=1, min_count=0)
+
+
+def test_segment_literal_marker_word_start(spark):
+    """Review fix (r12): at the word START every vocab key matches
+    literally — including ##-prefixed and [UNK]-shaped keys — so the
+    match-length ceiling there is the longest KEY, not the longest
+    continuation raw.  A word starting with a literal '##' must use
+    the long literal match the oracle's unmarked arm always allowed."""
+    # '##ab' enters the vocab as a MERGED continuation piece (raw
+    # 'ab'); the word '##abz' can consume it literally at pos 0
+    vocab = {
+        WP_UNK: 0, "#": 1, "z": 2,
+        WP_MARK + "#": 3, WP_MARK + "a": 4, WP_MARK + "b": 5,
+        WP_MARK + "z": 6, WP_MARK + "ab": 7,
+    }
+    words = ["##abz", "z##ab", "[UNK]z"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in wordpiece_segment_words(df, vocab).collect()
+    }
+    pieces = set(vocab)
+    for w in words:
+        assert got[w] == _ref_segment(w, pieces), w
+    # the literal '##ab' (4 chars) beats '#'+'###'… at the start
+    assert got["##abz"] == [WP_MARK + "ab", WP_MARK + "z"]
+    # raw text spelling '[UNK]' literally matches the [UNK] KEY at
+    # the word start (string-membership semantics, same as HF and as
+    # the oracle's unmarked arm) — it is a match, not a failure
+    assert got["[UNK]z"] == [WP_UNK, WP_MARK + "z"]
