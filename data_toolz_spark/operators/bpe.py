@@ -846,6 +846,220 @@ def bpe_decode_expr(
     )
 
 
+def collect_unit_table(
+    words: DataFrame,
+    *,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    max_units: int | None = None,
+    stats: dict | None = None,
+) -> list[tuple[str, int]]:
+    """Collect the ``(word, freq)`` unit table driver-side — the one
+    deliberately-bounded collect the LOCAL tokenizer trainers stand on.
+
+    The model state of subword training is the distinct-unit frequency
+    table, not the corpus: at 100 TB the corpus-wide work is exactly
+    ONE explode + hash aggregate (:func:`bpe_word_table` /
+    :func:`bpe_ngram_unit_table`), after which the table is
+    vocabulary-sized (Heaps' law) and — with ``max_units`` /
+    ``min_count`` pruning, which is how SentencePiece and every
+    production trainer bound it — bounded by construction.  Collecting
+    bounded model state and broadcasting the trained model back is the
+    same shape as the k-means / logreg / IVF trainers in this package.
+
+    ``max_units`` keeps the top-N units by (freq DESC, word ASC) —
+    deterministic under ties; when it truncates, ``stats`` (if given)
+    records the dropped tail so the caller can see the residual mass:
+    ``units_total`` / ``freq_total`` (full table) vs ``units_kept`` /
+    ``freq_kept``.  Duplicate words (an ungrouped input) fold their
+    frequencies driver-side, so the trainers see a true frequency map.
+    """
+    sel = words.select(
+        F.col(word_col).alias("w"), F.col(freq_col).alias("f")
+    )
+    if max_units is not None:
+        if max_units < 1:
+            raise ValueError("collect_unit_table: max_units must be >= 1")
+        if stats is not None:
+            tot = sel.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("f").alias("m")
+            ).collect()[0]
+            stats["units_total"] = int(tot["n"])
+            stats["freq_total"] = int(tot["m"] or 0)
+        sel = sel.orderBy(F.col("f").desc(), F.col("w")).limit(max_units)
+    rows = sel.collect()
+    freq: dict[str, int] = {}
+    for r in rows:
+        freq[r["w"]] = freq.get(r["w"], 0) + int(r["f"])
+    out = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    if stats is not None:
+        stats["units_kept"] = len(out)
+        stats["freq_kept"] = sum(f for _, f in out)
+        if max_units is None:
+            stats.setdefault("units_total", len(out))
+            stats.setdefault("freq_total", stats["freq_kept"])
+    return out
+
+
+def _rewrite_merge(
+    syms: list[str], l: str, r: str, merged: str
+) -> list[str]:
+    """Left-to-right non-overlapping ``[l, r] → [merged]`` rewrite of a
+    symbol list — the list form of the separator-string ``replace`` the
+    distributed trainers apply (``aaa`` + merge (a,a) → ``aa a``)."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n - 1:
+        if syms[i] == l and syms[i + 1] == r:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    if i == n - 1:
+        out.append(syms[i])
+    return out
+
+
+def bpe_train_local(
+    words: DataFrame,
+    *,
+    n_merges: int,
+    min_count: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    max_units: int | None = None,
+    stats: dict | None = None,
+) -> list[dict]:
+    """Exact driver-side BPE training over the distributively-built
+    unit table — the REAL-VOCAB-scale path (r12, the endgame of
+    VERDICT r11 task 1).
+
+    :func:`bpe_train` is K aggregation rounds of ~0.5 s Spark-job
+    latency each; batching and the delta pair table cut K and the
+    per-round work, but a 32k-merge production vocab still prices as
+    thousands of driver round trips.  The industry answer (Sennrich's
+    reference ``learn_bpe``, SentencePiece, HF tokenizers) is that the
+    MERGE LOOP never needed the cluster: its state is the bounded unit
+    table.  So: one corpus-wide shuffle builds ``(word, freq)``,
+    :func:`collect_unit_table` collects it (``max_units`` bounds it
+    explicitly), and the loop runs here with an indexed delta
+    structure — ``pair → count``, ``pair → containing-units``, and a
+    lazy-validated max-heap — giving O(affected units) per merge and
+    zero Spark jobs inside the loop.  The trained list broadcasts back
+    into :func:`bpe_encode_expr` / :func:`bpe_apply_expr` for the
+    distributed encode, exactly like every other bounded-model
+    operator in this package.
+
+    BIT-PARITY: for the same unit table this returns the identical
+    merge list to ``bpe_train`` (any ``batch_size``/``pair_mode``) —
+    same overlap-inclusive adjacent counting, same (count DESC, l ASC,
+    r ASC) selection (Python string comparison is code-point order =
+    Spark's UTF8_BINARY), same left-to-right replace, same
+    ``min_count`` stop — pinned by randomized differentials in
+    ``tests/test_bpe.py``.  Heap exactness: every count CHANGE pushes
+    a fresh entry — counts can both fall and RISE (a merge whose
+    merged string equals an already-existing symbol boosts
+    ``(x, merged)`` pairs — the delta-table boost case), so the heap
+    always holds a current entry for every live pair and popping until
+    the entry matches the live count yields the true argmax.
+
+    ``stats`` (optional dict) receives :func:`collect_unit_table`'s
+    truncation fields plus ``merges`` and ``train_secs``.
+    """
+    if n_merges < 0:
+        raise ValueError("bpe_train_local: n_merges must be >= 0")
+    if min_count < 1:
+        raise ValueError("bpe_train_local: min_count must be >= 1")
+    import heapq
+    from collections import Counter
+
+    t0 = time.monotonic()
+    units = collect_unit_table(
+        words,
+        word_col=word_col,
+        freq_col=freq_col,
+        max_units=max_units,
+        stats=stats,
+    )
+    syms_list: list[list[str]] = [list(w) for w, _ in units]
+    freqs: list[int] = [f for _, f in units]
+    pair_cnt: dict[tuple[str, str], int] = {}
+    pair_units: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(syms_list):
+        f = freqs[idx]
+        for p in zip(syms, syms[1:]):
+            pair_cnt[p] = pair_cnt.get(p, 0) + f
+            pair_units.setdefault(p, set()).add(idx)
+    heap = [
+        (-c, l, r) for (l, r), c in pair_cnt.items() if c >= min_count
+    ]
+    heapq.heapify(heap)
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        top: tuple[str, str] | None = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if pair_cnt.get((l, r)) == -negc:
+                top = (l, r)
+                break
+        if top is None:
+            break
+        l, r = top
+        cnt = pair_cnt[top]
+        merged = l + r
+        merges.append(
+            {
+                "rank": len(merges),
+                "left": l,
+                "right": r,
+                "merged": merged,
+                "pair_count": cnt,
+            }
+        )
+        touched: set[tuple[str, str]] = set()
+        for idx in list(pair_units.get(top, ())):
+            old = syms_list[idx]
+            new = _rewrite_merge(old, l, r, merged)
+            f = freqs[idx]
+            delta = Counter(zip(new, new[1:]))
+            delta.subtract(Counter(zip(old, old[1:])))
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                nc = pair_cnt.get(p, 0) + d * f
+                if nc <= 0:
+                    pair_cnt.pop(p, None)
+                else:
+                    pair_cnt[p] = nc
+                touched.add(p)
+            # membership: drop units where the pair vanished, add new
+            new_pairs = set(zip(new, new[1:]))
+            old_pairs = set(zip(old, old[1:]))
+            for p in old_pairs - new_pairs:
+                s = pair_units.get(p)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        pair_units.pop(p, None)
+            for p in new_pairs - old_pairs:
+                pair_units.setdefault(p, set()).add(idx)
+            syms_list[idx] = new
+        for p in touched:
+            c = pair_cnt.get(p)
+            if c is not None and c >= min_count:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+        # the merged-away pair cannot survive a full left-to-right
+        # pass over every containing unit — drop any residue
+        pair_cnt.pop(top, None)
+        pair_units.pop(top, None)
+    if stats is not None:
+        stats["merges"] = len(merges)
+        stats["train_secs"] = round(time.monotonic() - t0, 4)
+    return merges
+
+
 def save_bpe_model(
     spark, merges: list[dict], vocab: dict[str, int], table: str
 ) -> None:
@@ -920,6 +1134,8 @@ __all__ = [
     "bpe_bigram_unit_table",
     "bpe_ngram_unit_table",
     "bpe_train",
+    "bpe_train_local",
+    "collect_unit_table",
     "bpe_apply_expr",
     "bpe_token_count_expr",
     "bpe_base_chars",

@@ -305,6 +305,209 @@ def wordpiece_train(
     return merges
 
 
+def wordpiece_train_local(
+    words: DataFrame,
+    *,
+    n_merges: int,
+    min_count: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    max_units: int | None = None,
+    stats: dict | None = None,
+) -> list[dict]:
+    """Exact driver-side WordPiece training over the distributively-
+    built unit table — the :func:`bpe.bpe_train_local` device applied
+    to the likelihood score (r12).
+
+    One corpus-wide shuffle builds ``(word, freq)``,
+    :func:`bpe.collect_unit_table` collects the bounded table
+    (``max_units`` bounds it explicitly), and the merge loop runs
+    driver-side with indexed delta structures.  WordPiece needs one
+    structure BPE doesn't: merging ``(l, r)`` lowers ``cnt(l)`` and
+    ``cnt(r)``, which RAISES the score of every surviving pair touching
+    either symbol — a lazy heap alone would miss those (they sit buried
+    under a stale LOWER score).  So a ``symbol → alive pairs`` index
+    re-pushes every pair of a touched symbol with its fresh score each
+    merge, restoring the invariant that the heap always holds a
+    current-score entry for every live candidate; pops validate against
+    the recomputed score and skip stale entries.
+
+    BIT-PARITY with :func:`wordpiece_train`: scores are computed as
+    ``float(cnt) / (float(lc) * float(rc))`` — Python floats are IEEE
+    doubles and each conversion/op is correctly rounded, so the score
+    doubles (and therefore every argmax, ties on (l, r) ascending in
+    code-point = UTF8_BINARY order) are bit-identical to the Spark
+    expression — pinned by randomized differentials in
+    ``tests/test_wordpiece.py``.
+
+    ``stats`` (optional dict) receives the
+    :func:`bpe.collect_unit_table` truncation fields plus ``merges``
+    and ``train_secs``.
+    """
+    if n_merges < 0:
+        raise ValueError("wordpiece_train_local: n_merges must be >= 0")
+    if min_count < 1:
+        raise ValueError("wordpiece_train_local: min_count must be >= 1")
+    import heapq
+    from collections import Counter
+
+    from data_toolz_spark.operators.bpe import (
+        _rewrite_merge,
+        collect_unit_table,
+    )
+
+    t0 = time.monotonic()
+    units = collect_unit_table(
+        words,
+        word_col=word_col,
+        freq_col=freq_col,
+        max_units=max_units,
+        stats=stats,
+    )
+    syms_list: list[list[str]] = [
+        [w[0]] + [WP_MARK + ch for ch in w[1:]] for w, _ in units
+    ]
+    freqs: list[int] = [f for _, f in units]
+    pair_cnt: dict[tuple[str, str], int] = {}
+    pair_units: dict[tuple[str, str], set[int]] = {}
+    sym_cnt: dict[str, int] = {}
+    sym_pairs: dict[str, set[tuple[str, str]]] = {}
+    for idx, syms in enumerate(syms_list):
+        f = freqs[idx]
+        for s in syms:
+            sym_cnt[s] = sym_cnt.get(s, 0) + f
+        for p in zip(syms, syms[1:]):
+            pair_cnt[p] = pair_cnt.get(p, 0) + f
+            pair_units.setdefault(p, set()).add(idx)
+            sym_pairs.setdefault(p[0], set()).add(p)
+            sym_pairs.setdefault(p[1], set()).add(p)
+
+    def _score(c: int, lc: int, rc: int) -> float:
+        # the exact Spark expression: double(cnt) / (double(lc) *
+        # double(rc)) — see the module docstring's determinism note
+        return float(c) / (float(lc) * float(rc))
+
+    heap = [
+        (-_score(c, sym_cnt[l], sym_cnt[r]), l, r)
+        for (l, r), c in pair_cnt.items()
+        if c >= min_count
+    ]
+    heapq.heapify(heap)
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        top: tuple[str, str] | None = None
+        while heap:
+            negs, l, r = heapq.heappop(heap)
+            c = pair_cnt.get((l, r))
+            if c is None or c < min_count:
+                continue
+            if _score(c, sym_cnt[l], sym_cnt[r]) == -negs:
+                top = (l, r)
+                break
+        if top is None:
+            break
+        l, r = top
+        cnt = pair_cnt[top]
+        lc, rc = sym_cnt[l], sym_cnt[r]
+        merged = l + (r[len(WP_MARK):] if r.startswith(WP_MARK) else r)
+        merges.append(
+            {
+                "rank": len(merges),
+                "left": l,
+                "right": r,
+                "merged": merged,
+                "pair_count": cnt,
+                "left_count": lc,
+                "right_count": rc,
+                "score": _score(cnt, lc, rc),
+            }
+        )
+        touched_pairs: set[tuple[str, str]] = set()
+        sym_delta: Counter = Counter()
+        for idx in list(pair_units.get(top, ())):
+            old = syms_list[idx]
+            new = _rewrite_merge(old, l, r, merged)
+            f = freqs[idx]
+            pdelta = Counter(zip(new, new[1:]))
+            pdelta.subtract(Counter(zip(old, old[1:])))
+            for p, d in pdelta.items():
+                if d == 0:
+                    continue
+                nc = pair_cnt.get(p, 0) + d * f
+                if nc <= 0:
+                    pair_cnt.pop(p, None)
+                else:
+                    pair_cnt[p] = nc
+                touched_pairs.add(p)
+            sdelta = Counter(new)
+            sdelta.subtract(Counter(old))
+            for s, d in sdelta.items():
+                if d:
+                    sym_delta[s] += d * f
+            new_pairs = set(zip(new, new[1:]))
+            old_pairs = set(zip(old, old[1:]))
+            for p in old_pairs - new_pairs:
+                su = pair_units.get(p)
+                if su is not None:
+                    su.discard(idx)
+                    if not su:
+                        pair_units.pop(p, None)
+            for p in new_pairs - old_pairs:
+                pair_units.setdefault(p, set()).add(idx)
+            syms_list[idx] = new
+        # fold symbol deltas, then re-push every pair whose score
+        # inputs changed: pairs with a count delta + every alive pair
+        # of a count-changed symbol (scores there moved via the
+        # denominator)
+        for s, d in sym_delta.items():
+            if d == 0:
+                continue
+            nc = sym_cnt.get(s, 0) + d
+            if nc <= 0:
+                sym_cnt.pop(s, None)
+            else:
+                sym_cnt[s] = nc
+            touched_pairs.update(sym_pairs.get(s, ()))
+        # maintain the symbol → alive-pairs index and push fresh
+        # entries (skip dead pairs; their stale entries fail pop
+        # validation)
+        for p in touched_pairs:
+            alive = p in pair_cnt
+            for side in set(p):
+                sp = sym_pairs.setdefault(side, set())
+                if alive:
+                    sp.add(p)
+                else:
+                    sp.discard(p)
+                    if not sp:
+                        sym_pairs.pop(side, None)
+            if alive and pair_cnt[p] >= min_count:
+                heapq.heappush(
+                    heap,
+                    (
+                        -_score(
+                            pair_cnt[p], sym_cnt[p[0]], sym_cnt[p[1]]
+                        ),
+                        p[0],
+                        p[1],
+                    ),
+                )
+        # the merged-away pair cannot survive a full left-to-right
+        # pass over every containing unit — drop any residue
+        pair_cnt.pop(top, None)
+        pair_units.pop(top, None)
+        for side in set(top):
+            sp = sym_pairs.get(side)
+            if sp is not None:
+                sp.discard(top)
+                if not sp:
+                    sym_pairs.pop(side, None)
+    if stats is not None:
+        stats["merges"] = len(merges)
+        stats["train_secs"] = round(time.monotonic() - t0, 4)
+    return merges
+
+
 def wordpiece_base_pieces(
     word_table: DataFrame, word_col: str = "word"
 ) -> list[str]:
@@ -636,6 +839,7 @@ __all__ = [
     "WP_MARK",
     "WP_UNK",
     "wordpiece_train",
+    "wordpiece_train_local",
     "wordpiece_base_pieces",
     "wordpiece_vocab",
     "wordpiece_segment_words",

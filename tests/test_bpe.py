@@ -599,3 +599,112 @@ def test_bpe_batched_wide_alphabet_batches_fat(spark):
     got = _batch_train_on(spark, corpus, 12, 16)
     assert _as_tuples(got) == want
     assert len(got) == 12
+
+
+# ---------------------------------------------------------------------------
+# r12: driver-side exact trainer over the collected unit table
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_local_differential(spark):
+    """bpe_train_local is bit-identical to the distributed trainer AND
+    the pure-Python Sennrich reference on randomized dense-reuse
+    corpora — min_count=1 includes the count-INCREASE regime (merged
+    string colliding with an existing symbol)."""
+    import random
+
+    from data_toolz_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+        bpe_word_table,
+    )
+
+    for seed, alpha, mc in ((5, "ab", 2), (17, "abc", 1), (23, "abcd", 2)):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(140)
+        ]
+        corpus = [" ".join(words[i::5]) for i in range(5)]
+        docs = spark.createDataFrame(
+            [(t,) for t in corpus], "text string"
+        )
+        wt = bpe_word_table(docs)
+        got = bpe_train_local(wt, n_merges=24, min_count=mc)
+        assert got == bpe_train(wt, n_merges=24, min_count=mc), (seed, mc)
+        wf = Counter(w for line in corpus for w in line.split())
+        assert _as_tuples(got) == _ref_train(wf, 24, mc), (seed, mc)
+
+
+def test_bpe_local_boost_case(spark):
+    """The count-increase path driver-side: merging a+b while symbol
+    'ab' already exists boosts (x, ab) — the eager heap re-push must
+    surface the raised count, not leave it buried under a stale
+    entry."""
+    from data_toolz_spark.operators.bpe import (
+        bpe_train_local,
+        bpe_word_table,
+    )
+
+    corpus = [
+        " ".join(["ab"] * 50 + ["xab xab"] * 20 + ["qq rr ss"] * 30)
+    ]
+    wf = Counter(w for line in corpus for w in line.split())
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_train_local(bpe_word_table(docs), n_merges=6, min_count=2)
+    assert _as_tuples(got) == _ref_train(wf, 6, 2)
+
+
+def test_bpe_local_truncation_and_stats(spark):
+    """max_units keeps the top-N units by (freq DESC, word ASC) and
+    reports the dropped tail; training on the truncated table equals
+    the distributed trainer run on the explicit top-N sub-table."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+        bpe_word_table,
+    )
+
+    corpus = ["aa ab aa ab ac ba bb zz", "aa ab ba bb qq aa"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wt = bpe_word_table(docs)
+    st: dict = {}
+    got = bpe_train_local(
+        wt, n_merges=8, min_count=1, max_units=3, stats=st
+    )
+    top3 = wt.orderBy(F.col("freq").desc(), F.col("word")).limit(3)
+    assert got == bpe_train(top3, n_merges=8, min_count=1)
+    assert st["units_kept"] == 3
+    assert st["units_total"] == wt.count()
+    assert st["freq_total"] > st["freq_kept"]
+    assert st["merges"] == len(got)
+
+
+def test_bpe_local_validation(spark):
+    from data_toolz_spark.operators.bpe import (
+        bpe_train_local,
+        bpe_word_table,
+        collect_unit_table,
+    )
+
+    docs = spark.createDataFrame([("a b",)], "text string")
+    wt = bpe_word_table(docs)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_local(wt, n_merges=-1)
+    with pytest.raises(ValueError, match="min_count"):
+        bpe_train_local(wt, n_merges=1, min_count=0)
+    with pytest.raises(ValueError, match="max_units"):
+        collect_unit_table(wt, max_units=0)
+
+
+def test_collect_unit_table_folds_duplicates(spark):
+    """An UNGROUPED input (duplicate words) folds frequencies
+    driver-side — the trainers always see a true frequency map."""
+    from data_toolz_spark.operators.bpe import collect_unit_table
+
+    df = spark.createDataFrame(
+        [("ab", 2), ("ab", 3), ("cd", 1)], "word string, freq long"
+    )
+    assert collect_unit_table(df) == [("ab", 5), ("cd", 1)]

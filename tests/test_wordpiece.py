@@ -376,3 +376,62 @@ def test_segment_literal_marker_word_start(spark):
     # the word start (string-membership semantics, same as HF and as
     # the oracle's unmarked arm) — it is a match, not a failure
     assert got["[UNK]z"] == [WP_UNK, WP_MARK + "z"]
+
+
+# ---------------------------------------------------------------------------
+# r12: driver-side exact trainer over the collected unit table
+# ---------------------------------------------------------------------------
+
+
+def test_wp_local_differential(spark):
+    """wordpiece_train_local is bit-identical (including the IEEE
+    score doubles) to the distributed trainer AND the pure-Python
+    reference on randomized dense-reuse corpora — the score-RAISE
+    regime (denominators shrinking under merges) is the hard part the
+    symbol→pairs re-push index exists for."""
+    from data_toolz_spark.operators.wordpiece import (
+        wordpiece_train_local,
+    )
+
+    for seed, alpha, mc in ((3, "ab", 2), (19, "abc", 1), (31, "abcd", 2)):
+        rng = random.Random(seed)
+        wf: Counter = Counter(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(300)
+        )
+        df = _word_df(spark, dict(wf))
+        got = wordpiece_train_local(df, n_merges=16, min_count=mc)
+        assert got == wordpiece_train(df, n_merges=16, min_count=mc), (
+            seed,
+            mc,
+        )
+        assert got == _ref_train(dict(wf), 16, mc), (seed, mc)
+
+
+def test_wp_local_exhaustion_truncation_validation(spark):
+    """Early exhaustion parity; max_units truncation equals the
+    distributed trainer on the explicit top-N sub-table; input
+    validation."""
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.wordpiece import (
+        wordpiece_train_local,
+    )
+
+    df = _word_df(spark, WORDS)
+    got = wordpiece_train_local(df, n_merges=500, min_count=2)
+    assert got == wordpiece_train(df, n_merges=500, min_count=2)
+    assert 0 < len(got) < 500  # genuinely exhausted early
+
+    st: dict = {}
+    top4 = df.orderBy(F.col("freq").desc(), F.col("word")).limit(4)
+    got_t = wordpiece_train_local(
+        df, n_merges=8, min_count=1, max_units=4, stats=st
+    )
+    assert got_t == wordpiece_train(top4, n_merges=8, min_count=1)
+    assert st["units_kept"] == 4 and st["units_total"] == len(WORDS)
+
+    with pytest.raises(ValueError, match="n_merges"):
+        wordpiece_train_local(df, n_merges=-1)
+    with pytest.raises(ValueError, match="min_count"):
+        wordpiece_train_local(df, n_merges=1, min_count=0)
