@@ -923,6 +923,64 @@ def _x_bpe_delta128(spark, sf_dir):
     )
 
 
+def _x_bpe_local2048(spark, sf_dir):
+    """r12 (X95): driver-side exact BPE training — 2,048 merges over
+    the word-trigram unit table via ``bpe_train_local`` (one corpus
+    shuffle builds the bounded unit table, the merge loop runs
+    driver-side with indexed deltas, zero Spark jobs per merge).  The
+    IDENTICAL workload on the distributed delta path priced at 601 s
+    (SCALE_PROBE r12-bpe); bit-parity is pinned by the test
+    differentials and the probe's real-data prefix check.  32,768
+    merges on the 210k-unit 4-gram table run in ~62 s (probe) — the
+    real-vocab regime this entry tracks the slope of."""
+    from data_toolz_spark.operators.bpe import (
+        bpe_ngram_unit_table,
+        bpe_train_local,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    merges = bpe_train_local(
+        bpe_ngram_unit_table(docs, 3), n_merges=2048, min_count=2
+    )
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"],
+             m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, "
+        "pair_count long",
+    )
+
+
+def _x_wp_local512(spark, sf_dir):
+    """r12 (X95): driver-side exact WordPiece training — 512 merges
+    over the word-trigram unit table via ``wordpiece_train_local``
+    (the likelihood-score analog of x_bpe_local2048; a symbol→pairs
+    re-push index handles the score RISES merging causes).  The
+    distributed WP path is one-merge-per-round by design and priced
+    128 merges at 149 s (SCALE_PROBE r12-wp); parity incl. the IEEE
+    score doubles is pinned by the test differentials."""
+    from data_toolz_spark.operators.bpe import bpe_ngram_unit_table
+    from data_toolz_spark.operators.wordpiece import (
+        wordpiece_train_local,
+    )
+
+    docs = entrymod.load(spark, sf_dir, "documents")
+    merges = wordpiece_train_local(
+        bpe_ngram_unit_table(docs, 3), n_merges=512, min_count=2
+    )
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"],
+             m["pair_count"], m["score"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, "
+        "pair_count long, score double",
+    )
+
+
 def _x_interval_join(spark, sf_dir):
     """X66: point-in-interval join of the event stream against
     per-user activity windows via the range-bucketing rewrite (every
@@ -1230,6 +1288,9 @@ EXTRAS = {
     "x_bpe_delta128": _x_bpe_delta128,
     # r12 (X92)
     "x_wordpiece_train": _x_wordpiece_train,
+    # r12 (X95): driver-side trainers at vocab scale
+    "x_bpe_local2048": _x_bpe_local2048,
+    "x_wp_local512": _x_wp_local512,
 }
 
 
