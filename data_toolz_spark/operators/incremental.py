@@ -842,6 +842,8 @@ __all__ = [
     "build_ivf_index",
     "ivf_query_index",
     "append_to_ivf_index",
+    "rebalance_ivf_index",
+    "validate_ivf_index",
 ]
 
 
@@ -1412,6 +1414,405 @@ def append_to_ivf_index(
     assigned.select(*inv_cols).write.mode("append").insertInto(
         f"{table_prefix}_ivf_inv"
     )
+
+
+def _pq_decode_udf(codebooks):
+    """Reconstruct vectors from packed PQ codes — the deterministic
+    inverse-of-quantization read (faiss ``reconstruct``): subspace j's
+    byte indexes codebook j, the sub-vectors concatenate.  One numpy
+    gather per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = codebooks.shape[0]
+
+    @pandas_udf("array<double>")
+    def decode(codes: pd.Series) -> pd.Series:
+        vals = codes.tolist()
+        live = [i for i, v in enumerate(vals) if v is not None]
+        out = np.empty(len(vals), dtype=object)
+        if live:
+            mat = np.vstack(
+                [np.frombuffer(vals[i], dtype=np.uint8) for i in live]
+            ).astype(np.int64)
+            recon = np.concatenate(
+                [codebooks[j, mat[:, j]] for j in range(m)], axis=1
+            )
+            for r, i in enumerate(live):
+                out[i] = [float(x) for x in recon[r]]
+        return pd.Series(out)
+
+    return decode
+
+
+def validate_ivf_index(spark: SparkSession, table_prefix: str) -> dict:
+    """Bounded integrity audit of a persistent IVF index — the
+    post-crash companion of :func:`rebalance_ivf_index` (its MinHash
+    sibling is :func:`validate_minhash_index`).
+
+    Returns ``{"duplicate_ids", "orphan_cells", "meta_n_centroids",
+    "centroid_rows", "consistent"}``: duplicate ids (one aggregate —
+    the signature of a crash between a rebalance's partition writes
+    and its stale-partition drops), inverted-file cells the centroid
+    table does not know (a crash before the model rewrite; the next
+    rebalance repairs them), and the centroid id-space shape
+    (``consistent`` requires the stored cells to be exactly
+    ``0..meta.n_centroids-1``).  Never touches vectors or codes — two
+    count-shaped jobs plus bounded collects.
+    """
+    inv = spark.table(f"{table_prefix}_ivf_inv")
+    dup = (
+        inv.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    meta = spark.table(f"{table_prefix}_ivf_meta").first()
+    known = {
+        int(r["cell"])
+        for r in spark.table(f"{table_prefix}_ivf_centroids")
+        .select("cell")
+        .collect()
+    }
+    inv_cells = {
+        int(r["cell"]) for r in inv.select("cell").distinct().collect()
+    }
+    orphans = sorted(inv_cells - known)
+    return {
+        "duplicate_ids": int(dup),
+        "orphan_cells": orphans,
+        "meta_n_centroids": int(meta["n_centroids"]),
+        "centroid_rows": len(known),
+        "consistent": dup == 0
+        and not orphans
+        and sorted(known) == list(range(int(meta["n_centroids"]))),
+    }
+
+
+def _write_ivf_meta(
+    spark: SparkSession, table_prefix: str, meta, n_centroids: int
+) -> None:
+    """Rewrite the one-row meta table with a new centroid count,
+    preserving every other pinned field (pre-PQ meta rows lack the pq
+    columns entirely — the safe accessors normalize them)."""
+    fields = meta.__fields__
+    spark.createDataFrame(
+        [
+            (
+                int(meta["dim"]),
+                int(n_centroids),
+                int(meta["seed"]),
+                _meta_pq_m(meta),
+                meta["pq_ks"] if "pq_ks" in fields else None,
+                meta["pq_residual"] if "pq_residual" in fields else None,
+            )
+        ],
+        "dim int, n_centroids int, seed int, pq_m int, pq_ks int, "
+        "pq_residual boolean",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_ivf_meta")
+
+
+def rebalance_ivf_index(
+    spark: SparkSession,
+    table_prefix: str,
+    *,
+    max_cell_rows: int | None = None,
+    max_cell_frac: float | None = None,
+    split_factor: int = 2,
+    kmeans_max_iter: int = 5,
+    per_cell_sample: int = 20_000,
+) -> DataFrame:
+    """Split overweight inverted-file cells — the maintenance step the
+    append-only lifecycle was missing (r12).
+
+    Appends never retrain the quantizer (retraining would re-shuffle
+    every existing assignment), so under drift or skewed ingest a few
+    cells grow far past the mean and a probe that lands on them reads
+    a disproportionate slice — at 100 TB the probe cost of the hot
+    cell IS the query cost.  Rebalancing restores the invariant
+    bottom-up, touching ONLY the overweight cells:
+
+    1. per-cell row counts (one bounded aggregate over the cell
+       column) pick every cell with more than ``max_cell_rows`` rows
+       (and/or ``max_cell_frac`` of the total — at least one bound is
+       required, both = the tighter);
+    2. each such cell trains its OWN ``split_factor``-way sub-quantizer
+       on a deterministic hash-ordered bounded sample of its members
+       (the build-time sampling device, per-cell seed =
+       ``meta.seed + cell + 1``), integer-exact k-means like the
+       build;
+    3. sub-centroid 0 REUSES the old cell id, the rest take fresh ids
+       contiguously above the current centroid range (allocation in
+       sorted-cell order — deterministic);
+    4. only the split cells' members re-assign (to their own cell's
+       sub-centroids — the faiss split semantics; ties break to the
+       lowest global id), and the inverted file rewrites exactly the
+       touched partitions — work is Σ|overweight cell|, never
+       |corpus|;
+    5. the meta row and centroid table rewrite last (bounded).
+
+    Variants: Flat cells re-train/re-assign on their stored vectors.
+    PQ NON-residual cells use codebook RECONSTRUCTIONS
+    (:func:`_pq_decode_udf` — the faiss ``reconstruct`` read; codes
+    themselves encode the raw vector, so they stay valid under the new
+    cell id and every query ADC score is unchanged).  PQ residual
+    indexes REFUSE: their codes encode ``vector − centroid(cell)``,
+    so moving a row would invalidate its stored bytes — rebuild
+    instead (the error says so).
+
+    Offline op (like compaction): run without concurrent writers.
+    Crash contract, in commit order: (a) before any inverted-file
+    write commits, nothing changed; (b) a crash after the repair
+    append or the split overwrite but before the stale-partition
+    drops can leave moved rows duplicated under their old cell id —
+    :func:`validate_ivf_index` reports the duplicate count and the
+    orphan cells; dropping the reported orphan partitions and
+    re-running heals; (c) a crash before the meta/centroid rewrite
+    strands the new sub-cells' rows under ids the centroid TABLE does
+    not know (detection is centroid-table membership, never the meta
+    count) — RE-RUNNING heals: those rows are repaired as orphans and
+    their partitions dropped (a fresh id that coincides with such a
+    leftover partition is safe: the split overwrite rewrites it
+    wholesale and the drop skips reused ids); a stale meta count alone
+    is healed even by a no-work run.
+
+    Returns a bounded report frame ``(cell, rows_before, action,
+    new_cells)`` — ``action ∈ {'split', 'repair'}`` (cells left alone
+    are not reported; a cell whose sample collapses to one distinct
+    point cannot split and is skipped).
+    """
+    from pyspark.sql.window import Window
+
+    from data_toolz_spark.operators.similarity import (
+        _quantizer_from_sample,
+    )
+
+    if max_cell_rows is None and max_cell_frac is None:
+        raise ValueError(
+            "rebalance_ivf_index: set max_cell_rows and/or max_cell_frac"
+        )
+    if max_cell_rows is not None and max_cell_rows < 1:
+        raise ValueError("rebalance_ivf_index: max_cell_rows must be >= 1")
+    if max_cell_frac is not None and not 0.0 < max_cell_frac <= 1.0:
+        raise ValueError(
+            "rebalance_ivf_index: max_cell_frac must be in (0, 1]"
+        )
+    if split_factor < 2:
+        raise ValueError("rebalance_ivf_index: split_factor must be >= 2")
+    meta = spark.table(f"{table_prefix}_ivf_meta").first()
+    if _meta_pq_residual(meta):
+        raise ValueError(
+            "rebalance_ivf_index: a by-residual PQ index stores codes "
+            "relative to each row's coarse centroid — moving rows would "
+            "invalidate them; rebuild the index instead"
+        )
+    pq_m = _meta_pq_m(meta)
+    inv_name = f"{table_prefix}_ivf_inv"
+    inv = spark.table(inv_name)
+    inv_cols = inv.columns
+    # the centroid TABLE is the source of truth for which cells exist
+    # (never the meta count: a crash between the meta and centroid
+    # rewrites must not blind orphan detection)
+    cent_rows = {
+        int(r["cell"]): [float(x) for x in r["vector"]]
+        for r in spark.table(f"{table_prefix}_ivf_centroids").collect()
+    }
+    known = set(cent_rows)
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in inv.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    threshold = total + 1
+    if max_cell_rows is not None:
+        threshold = max_cell_rows
+    if max_cell_frac is not None:
+        threshold = min(threshold, int(max_cell_frac * total))
+    threshold = max(1, threshold)
+    orphans = sorted(c for c in counts if c not in known)
+    split_cells = sorted(
+        c for c, n in counts.items() if c in known and n > threshold
+    )
+    report_schema = (
+        "cell int, rows_before long, action string, new_cells array<int>"
+    )
+    if not orphans and not split_cells:
+        # no data work — but leave the model self-consistent (a crash
+        # between the meta and centroid rewrites can strand a stale
+        # meta count; this is the cheap place to heal it)
+        if int(meta["n_centroids"]) != max(known) + 1:
+            _write_ivf_meta(spark, table_prefix, meta, max(known) + 1)
+        return spark.createDataFrame([], report_schema)
+
+    touched = inv.filter(F.col("cell").isin(split_cells + orphans))
+    if pq_m is not None:
+        books = _load_codebooks(spark, table_prefix, meta)
+        touched = touched.withColumn(
+            "vector", _pq_decode_udf(books)(F.col("codes"))
+        )
+    touched = touched.localCheckpoint(eager=True)
+
+    report: list[tuple] = []
+    sub_ids: dict[int, list[int]] = {}
+    sub_centers: dict[int, np.ndarray] = {}
+    if split_cells:
+        seed = int(meta["seed"])
+        samples = (
+            touched.filter(F.col("cell").isin(split_cells))
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("cell").orderBy(
+                        F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") <= per_cell_sample)
+            .select("cell", "vector")
+            .collect()
+        )
+        by_cell: dict[int, list] = {}
+        for r in samples:
+            by_cell.setdefault(int(r["cell"]), []).append(
+                np.asarray(r["vector"], dtype=np.float64)
+            )
+        # contiguous allocation from the top of the known range; a
+        # fresh id MAY coincide with an orphan partition a crashed
+        # run left behind — that partition is then fully REWRITTEN by
+        # the split overwrite (its old rows are in `touched` and get
+        # re-homed) and excluded from the orphan drop below
+        next_id = max(known) + 1
+        for c in split_cells:
+            subs = _quantizer_from_sample(
+                np.array(by_cell[c]),
+                split_factor,
+                seed=seed + c + 1,
+                max_iter=kmeans_max_iter,
+            )
+            # identical sample points collapse the sub-quantizer —
+            # nothing to split along.  np.unique(axis=0) also SORTS
+            # rows lexicographically, so member-argmax ties (first max
+            # index wins) break to the lowest global id
+            subs = np.unique(subs, axis=0)
+            if len(subs) < 2:
+                continue
+            ids = [c] + list(range(next_id, next_id + len(subs) - 1))
+            next_id += len(subs) - 1
+            sub_ids[c] = ids
+            sub_centers[c] = subs
+            report.append((c, counts[c], "split", ids[1:]))
+    for c in orphans:
+        report.append((c, counts[c], "repair", []))
+    if not sub_ids and not orphans:
+        touched.unpersist()
+        return spark.createDataFrame([], report_schema)
+
+    # the final centroid layout, fixed BEFORE any write: untouched
+    # cells keep their stored rows, split cells are replaced by their
+    # sub-centers
+    new_rows = [
+        (c, vec) for c, vec in cent_rows.items() if c not in sub_centers
+    ]
+    for c in sorted(sub_centers):
+        for gid, vec in zip(sub_ids[c], sub_centers[c]):
+            new_rows.append((int(gid), [float(x) for x in vec]))
+    new_rows.sort()
+    new_n = max(i for i, _ in new_rows) + 1
+    dim = int(meta["dim"])
+    final_centers = np.zeros((new_n, dim), dtype=np.float64)
+    for i, vec in new_rows:
+        final_centers[i] = np.asarray(vec, dtype=np.float64)
+
+    # reassign: split members to their own cell's sub-quantizer,
+    # orphan rows globally against the FINAL layout (so a repaired
+    # row can land inside a freshly-split region, never under a
+    # replaced centroid)
+    local_ids = {
+        c: np.asarray(ids, dtype=np.int64) for c, ids in sub_ids.items()
+    }
+    local_centers = dict(sub_centers)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def new_cell(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.int64)
+        cs = cells.to_numpy()
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vecs.tolist()]
+        )
+        for i in range(len(out)):
+            c = int(cs[i])
+            if c in local_centers:
+                out[i] = local_ids[c][
+                    int(np.argmax(local_centers[c] @ mat[i]))
+                ]
+            else:  # orphan repair
+                out[i] = int(np.argmax(final_centers @ mat[i]))
+        return pd.Series(out)
+
+    rewritten = touched.withColumn(
+        "cell", new_cell(F.col("vector"), F.col("cell"))
+    ).select(*inv_cols)
+    sub_all = {i for ids in sub_ids.values() for i in ids}
+
+    # two write shapes, because their partition coverage differs:
+    # * rows targeting a SUB id live in partitions the rewrite fully
+    #   covers (split members + any repaired row landing there) —
+    #   dynamic partition overwrite is exact for them;
+    # * repaired rows targeting an UNTOUCHED cell must APPEND (an
+    #   overwrite would clobber the target partition's unread
+    #   members), with their source partitions dropped afterwards.
+    # The append commits first so a crash never strands a repaired
+    # row only in the (about-to-be-overwritten) checkpoint.
+    if orphans:
+        repair_rows = (
+            rewritten.filter(~F.col("cell").isin(list(sub_all)))
+            if sub_all
+            else rewritten
+        )
+        repair_rows.write.mode("append").insertInto(inv_name)
+    if sub_ids:
+        split_part = rewritten.filter(F.col("cell").isin(list(sub_all)))
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            split_part.write.insertInto(inv_name, overwrite=True)
+        finally:
+            spark.conf.set(mode_key, prev_mode)
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # new data — a split partition whose sub-0 received no
+        # members would keep its stale files.  One bounded distinct
+        # over the touched slice finds the survivors.
+        present = {
+            int(r["cell"])
+            for r in split_part.select("cell").distinct().collect()
+        }
+        for c in split_cells:
+            if c in sub_ids and c not in present:
+                spark.sql(
+                    f"ALTER TABLE {inv_name} DROP IF EXISTS "
+                    f"PARTITION (cell={c})"
+                )
+    for c in orphans:
+        if c not in sub_all:
+            spark.sql(
+                f"ALTER TABLE {inv_name} DROP IF EXISTS "
+                f"PARTITION (cell={c})"
+            )
+    touched.unpersist()
+
+    # bounded model rewrite, meta before centroids (see crash contract)
+    _write_ivf_meta(spark, table_prefix, meta, new_n)
+    spark.createDataFrame(
+        new_rows, "cell int, vector array<double>"
+    ).write.mode("overwrite").saveAsTable(
+        f"{table_prefix}_ivf_centroids"
+    )
+    return spark.createDataFrame(report, report_schema)
 
 
 # ---------------------------------------------------------------------------

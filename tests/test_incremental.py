@@ -1139,3 +1139,184 @@ def test_ivf_meta_backward_compat_flat_index(spark, emb, tmp_path):
         spark, emb.filter(F.col("vec_id") % 2 == 1), prefix
     )
     assert spark.table(f"{prefix}_ivf_inv").count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# r12: IVF cell rebalancing — the maintenance step of the append-only
+# lifecycle (split hot cells, repair crash orphans, audit integrity)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_emb(spark, n_tight=300, n_spread=60, dim=8):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    tight = rng.normal(0, 0.05, (n_tight, dim))
+    tight[:, 0] += 1.0
+    spread = rng.normal(0, 1, (n_spread, dim))
+    vecs = np.vstack([tight, spread])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_ivf_rebalance_flat_split(spark):
+    """A hot cell splits; full-probe results are IDENTICAL before and
+    after (rebalance moves rows between cells, never changes the
+    indexed set), total rows preserved, model self-consistent, and a
+    re-run at the same threshold either splits further or reports
+    nothing — never corrupts."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+        rebalance_ivf_index,
+        validate_ivf_index,
+    )
+
+    prefix = "t_rb_flat"
+    _drop_ivf_tables(spark, prefix)
+    emb = _skewed_emb(spark)
+    queries = emb.limit(5)
+    build_ivf_index(emb, prefix, dim=8, n_centroids=4, seed=1)
+    before = sorted(
+        map(tuple, ivf_query_index(
+            spark, queries, prefix, k=3, n_probe=4
+        ).collect())
+    )
+    rep = rebalance_ivf_index(spark, prefix, max_cell_rows=120)
+    acts = {r["action"] for r in rep.collect()}
+    assert acts == {"split"}
+    n2 = spark.table(f"{prefix}_ivf_meta").first()["n_centroids"]
+    assert n2 > 4
+    after = sorted(
+        map(tuple, ivf_query_index(
+            spark, queries, prefix, k=3, n_probe=n2
+        ).collect())
+    )
+    assert after == before
+    assert spark.table(f"{prefix}_ivf_inv").count() == 360
+    v = validate_ivf_index(spark, prefix)
+    assert v["consistent"], v
+    # every cell now at or below the bound, or unsplittable
+    counts = [
+        r["n"]
+        for r in spark.table(f"{prefix}_ivf_inv")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    rep2 = rebalance_ivf_index(spark, prefix, max_cell_rows=120)
+    assert all(a in ("split",) for a in
+               {r["action"] for r in rep2.collect()}) or rep2.count() == 0
+    assert validate_ivf_index(spark, prefix)["consistent"]
+    _drop_ivf_tables(spark, prefix)
+
+
+def test_ivf_rebalance_orphan_repair_with_id_collision(spark):
+    """Crash simulation: rows stranded under a cell id the centroid
+    table does not know, AT the id the next split will allocate — the
+    repair re-homes them, the reused partition is rewritten not
+    dropped, and the index ends consistent with every row kept."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        rebalance_ivf_index,
+        validate_ivf_index,
+    )
+    from data_toolz_spark.operators.similarity import _unit_vector_udf
+
+    prefix = "t_rb_orph"
+    _drop_ivf_tables(spark, prefix)
+    emb = _skewed_emb(spark)
+    build_ivf_index(emb, prefix, dim=8, n_centroids=4, seed=1)
+    n0 = spark.table(f"{prefix}_ivf_meta").first()["n_centroids"]
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    un = _unit_vector_udf(8)
+    extra = [
+        (1000 + i, [float(x) for x in rng.normal(0, 1, 8)])
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        extra, "id long, embedding array<double>"
+    ).select(
+        "id",
+        un(F.col("embedding")).alias("vector"),
+        F.lit(int(n0)).alias("cell"),  # exactly the next fresh id
+    ).write.mode("append").insertInto(f"{prefix}_ivf_inv")
+    v0 = validate_ivf_index(spark, prefix)
+    assert v0["orphan_cells"] == [int(n0)] and not v0["consistent"]
+    rep = rebalance_ivf_index(spark, prefix, max_cell_rows=120)
+    acts = sorted((r["cell"], r["action"]) for r in rep.collect())
+    assert ("repair" in {a for _, a in acts})
+    v1 = validate_ivf_index(spark, prefix)
+    assert v1["consistent"], v1
+    assert spark.table(f"{prefix}_ivf_inv").count() == 370
+    _drop_ivf_tables(spark, prefix)
+
+
+def test_ivf_rebalance_pq_codes_survive(spark):
+    """PQ non-residual: rebalance changes cell homes only — every
+    stored code byte-identical, full-probe ADC results identical."""
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        ivf_query_index,
+        rebalance_ivf_index,
+        validate_ivf_index,
+    )
+
+    prefix = "t_rb_pq"
+    _drop_ivf_tables(spark, prefix)
+    emb = _skewed_emb(spark)
+    queries = emb.limit(5)
+    build_ivf_index(
+        emb, prefix, dim=8, n_centroids=4, seed=1, pq_m=4, pq_ks=16
+    )
+    codes0 = {
+        r["id"]: bytes(r["codes"])
+        for r in spark.table(f"{prefix}_ivf_inv").collect()
+    }
+    before = sorted(
+        map(tuple, ivf_query_index(
+            spark, queries, prefix, k=3, n_probe=4
+        ).collect())
+    )
+    rep = rebalance_ivf_index(spark, prefix, max_cell_rows=120)
+    assert rep.count() >= 1
+    n2 = spark.table(f"{prefix}_ivf_meta").first()["n_centroids"]
+    after = sorted(
+        map(tuple, ivf_query_index(
+            spark, queries, prefix, k=3, n_probe=n2
+        ).collect())
+    )
+    codes1 = {
+        r["id"]: bytes(r["codes"])
+        for r in spark.table(f"{prefix}_ivf_inv").collect()
+    }
+    assert codes1 == codes0
+    assert after == before
+    assert validate_ivf_index(spark, prefix)["consistent"]
+    _drop_ivf_tables(spark, prefix)
+
+
+def test_ivf_rebalance_residual_refuses_and_validates_args(spark):
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    prefix = "t_rb_res"
+    _drop_ivf_tables(spark, prefix)
+    emb = _skewed_emb(spark, n_tight=60, n_spread=20)
+    build_ivf_index(
+        emb, prefix, dim=8, n_centroids=2, seed=1,
+        pq_m=4, pq_ks=16, pq_by_residual=True,
+    )
+    with pytest.raises(ValueError, match="rebuild the index instead"):
+        rebalance_ivf_index(spark, prefix, max_cell_rows=10)
+    with pytest.raises(ValueError, match="max_cell_rows and/or"):
+        rebalance_ivf_index(spark, prefix)
+    with pytest.raises(ValueError, match="split_factor"):
+        rebalance_ivf_index(spark, prefix, max_cell_rows=5, split_factor=1)
+    with pytest.raises(ValueError, match="max_cell_frac"):
+        rebalance_ivf_index(spark, prefix, max_cell_frac=1.5)
+    _drop_ivf_tables(spark, prefix)
