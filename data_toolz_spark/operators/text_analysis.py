@@ -1457,6 +1457,190 @@ def bigram_logprob(
     )
 
 
+def score_bigram_divergence(
+    bigram: DataFrame,
+    vocab: DataFrame,
+    *,
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-bigram pruning divergence — Stolcke's relative-entropy
+    criterion (Stolcke 1998 §2-3) adapted to the stupid-backoff score
+    this package's LM actually uses (r12):
+
+    ``divergence(w1, w2) = bg_count · |log S_bigram − log S_backoff|``
+
+    where ``S_bigram = bg_count / tf(w1)`` is the seen-branch score and
+    ``S_backoff = backoff · (tf(w2)+alpha) / (N + alpha·(V+1))`` is
+    exactly what :func:`bigram_logprob` would fall back to if the row
+    were absent — the corpus-weighted log-score shift its removal
+    causes.  A bigram the backoff already approximates well (frequent
+    w2 after a promiscuous w1) scores near zero and is safe to drop;
+    a high-count, high-surprise pair scores large.
+
+    One pass: two broadcast vocab joins + (grouped arm) one broadcast
+    totals join — the same join shapes as the scorer.  Rows whose
+    context or unigram count is missing from ``vocab`` (mismatched
+    tables) get NULL divergence; :func:`prune_bigram_counts` KEEPS
+    them (never silently drop what cannot be evaluated).
+    ``group_col`` mirrors the builders: per-group totals, NULL-group
+    rows joining their NULL-group model via the struct-wrapped key.
+
+    Determinism note: the log is an IEEE double from exact count
+    ratios — bit-stable within an engine, but ``ln`` is not correctly
+    rounded across engines, so thresholds should not sit on a
+    boundary (the twin tests use margin-separated fixtures).
+    """
+    if alpha <= 0:
+        raise ValueError("score_bigram_divergence: alpha must be positive")
+    if not 0 < backoff <= 1:
+        raise ValueError(
+            "score_bigram_divergence: backoff must be in (0, 1]"
+        )
+    gcols = [group_col] if group_col is not None else []
+    if group_col is None:
+        stats = vocab.agg(
+            F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
+        ).collect()[0]
+        if stats["n"] is None or stats["v"] == 0:
+            raise ValueError(
+                "score_bigram_divergence: empty vocabulary model"
+            )
+        denom = F.lit(float(stats["n"]) + alpha * (int(stats["v"]) + 1))
+    else:
+        denom = F.col("__denom")
+
+    def with_gkey(frame: DataFrame) -> DataFrame:
+        if group_col is None:
+            return frame
+        return frame.withColumn(
+            "__g", F.struct(F.col(group_col).alias("g"))
+        )
+
+    jcols = ["__g"] if group_col is not None else []
+    v1 = F.broadcast(
+        with_gkey(
+            vocab.select(
+                *gcols,
+                F.col("token").alias("w1"),
+                F.col("tf").alias("__tf1"),
+            )
+        ).drop(*gcols)
+    )
+    v2 = F.broadcast(
+        with_gkey(
+            vocab.select(
+                *gcols,
+                F.col("token").alias("w2"),
+                F.col("tf").alias("__tf2"),
+            )
+        ).drop(*gcols)
+    )
+    joined = (
+        with_gkey(bigram)
+        .join(v1, on=jcols + ["w1"], how="left")
+        .join(v2, on=jcols + ["w2"], how="left")
+    )
+    if group_col is not None:
+        gstats = F.broadcast(
+            with_gkey(
+                vocab.groupBy(group_col).agg(
+                    (
+                        F.sum("tf").cast("double")
+                        + alpha * (F.count(F.lit(1)) + 1)
+                    ).alias("__denom")
+                )
+            ).drop(group_col)
+        )
+        joined = joined.join(gstats, on="__g", how="left")
+    s_bigram = F.col("bg_count").cast("double") / F.col("__tf1")
+    s_backoff = (
+        F.lit(backoff)
+        * (F.col("__tf2").cast("double") + alpha)
+        / denom
+    )
+    div = F.when(
+        F.col("__tf1").isNotNull() & F.col("__tf2").isNotNull(),
+        F.col("bg_count").cast("double")
+        * F.abs(F.log(s_bigram) - F.log(s_backoff)),
+    )
+    return joined.select(
+        *bigram.columns, div.alias("divergence")
+    )
+
+
+def prune_bigram_counts(
+    bigram: DataFrame,
+    vocab: DataFrame,
+    *,
+    epsilon: float | None = None,
+    top_k: int | None = None,
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Entropy-prune a bigram table so the LM that ships to every
+    executor is bounded — the model-compression step a WEB-SCALE
+    stupid-backoff LM needs (r12; CCNet prunes its KenLM models the
+    same way, and Stolcke pruning is the standard criterion).
+
+    Because :func:`bigram_logprob` BACKS OFF on any absent bigram,
+    pruning is pure row deletion — the scorer is untouched and a doc
+    containing only kept bigrams scores IDENTICALLY under the pruned
+    and full models (pinned by test).  Keep rules, at least one
+    required, both = intersection:
+
+    * ``epsilon`` — keep rows with ``divergence >= epsilon``
+      (Stolcke's thresholding);
+    * ``top_k`` — keep the k highest-divergence rows, ties broken
+      (divergence DESC, w1 ASC, w2 ASC) — deterministic; with
+      ``group_col``, k PER GROUP (a small language must not lose its
+      whole model to a big one's tail).
+
+    Rows with NULL divergence (not evaluable against ``vocab``) are
+    always kept.  Output schema == input schema, so the pruned table
+    drops into every existing call site.
+    """
+    if epsilon is None and top_k is None:
+        raise ValueError(
+            "prune_bigram_counts: set epsilon and/or top_k"
+        )
+    if top_k is not None and top_k < 0:
+        raise ValueError("prune_bigram_counts: top_k must be >= 0")
+    scored = score_bigram_divergence(
+        bigram,
+        vocab,
+        alpha=alpha,
+        backoff=backoff,
+        group_col=group_col,
+    )
+    keep = F.col("divergence").isNull()
+    if epsilon is not None:
+        keep = keep | (F.col("divergence") >= epsilon)
+        scored = scored.filter(keep)
+    if top_k is not None:
+        # null-divergence rows are kept OUTSIDE the k budget (they
+        # were never evaluated, they must not crowd out real rows)
+        nulls = scored.filter(F.col("divergence").isNull())
+        ev = scored.filter(F.col("divergence").isNotNull())
+        order = [F.col("divergence").desc(), F.col("w1"), F.col("w2")]
+        if group_col is None:
+            # distributed TakeOrdered, not a one-task global window
+            kept = ev.orderBy(*order).limit(top_k)
+        else:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(group_col).orderBy(*order)
+            kept = (
+                ev.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= top_k)
+                .drop("__rk")
+            )
+        scored = kept.unionByName(nulls)
+    return scored.select(*bigram.columns)
+
+
 #: removed outright by :func:`clean_text`: C0 controls except TAB/LF
 #: (CR is consumed by the newline rule first), DEL, zero-width
 #: joiners/non-joiners/spaces, BOM.  ``\x{…}`` escapes parse
@@ -1741,6 +1925,8 @@ __all__ = [
     "chunk_documents",
     "build_vocab",
     "build_bigram_counts",
+    "score_bigram_divergence",
+    "prune_bigram_counts",
     "strip_html",
     "HTML_ENTITIES",
     "bigram_logprob",

@@ -214,3 +214,155 @@ def test_bigram_min_count_filter(spark):
         for r in build_bigram_counts(df, min_count=2).collect()
     }
     assert kept == {("a", "b")}
+
+
+# ---------------------------------------------------------------------------
+# r12: entropy pruning of the bigram table (Stolcke 1998 adapted to
+# stupid backoff) — the LM-compression step; pruning is row deletion
+# because the scorer already backs off on absent bigrams
+# ---------------------------------------------------------------------------
+
+
+def _div_ref(train, alpha=1.0, backoff=0.4):
+    """Python twin of score_bigram_divergence."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in train:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    v = len(uni)
+    denom = n + alpha * (v + 1)
+    return {
+        (w1, w2): c * abs(
+            math.log(c / uni[w1])
+            - math.log(backoff * (uni[w2] + alpha) / denom)
+        )
+        for (w1, w2), c in bi.items()
+    }
+
+
+def test_bigram_prune_matches_twin_and_scorer(spark):
+    from data_toolz_spark.operators.text_analysis import (
+        bigram_logprob,
+        build_bigram_counts,
+        prune_bigram_counts,
+        score_bigram_divergence,
+    )
+
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the cat sat on the mat again",
+        "a cat and a dog",
+    ]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    vocab = build_vocab(tdf)
+    bg = build_bigram_counts(tdf)
+    ref = _div_ref(train)
+
+    scored = {
+        (r["w1"], r["w2"]): r["divergence"]
+        for r in score_bigram_divergence(bg, vocab).collect()
+    }
+    assert set(scored) == set(ref)
+    for k in ref:
+        assert scored[k] == pytest.approx(ref[k], rel=1e-12), k
+
+    # epsilon in a clear gap of the reference divergences
+    vals = sorted(ref.values())
+    gaps = [(b - a, (a + b) / 2) for a, b in zip(vals, vals[1:]) if b > a]
+    eps = max(gaps)[1]
+    want_keep = {k for k, d in ref.items() if d >= eps}
+    pruned = prune_bigram_counts(bg, vocab, epsilon=eps)
+    got_keep = {(r["w1"], r["w2"]) for r in pruned.collect()}
+    assert got_keep == want_keep
+    assert pruned.columns == bg.columns
+
+    # scorer semantics: a doc whose bigrams are ALL kept scores
+    # identically under pruned and full models; a doc whose bigrams
+    # were all pruned scores as pure backoff (empty bigram table)
+    kept_doc = max(want_keep, key=lambda k: ref[k])
+    dropped = set(ref) - want_keep
+    docs = [(0, " ".join(kept_doc))]
+    if dropped:
+        d = max(dropped, key=lambda k: ref[k])
+        docs.append((1, " ".join(d)))
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = {r["doc_id"]: r["bg_nll"]
+            for r in bigram_logprob(sdf, bg, vocab).collect()}
+    prn = {r["doc_id"]: r["bg_nll"]
+           for r in bigram_logprob(sdf, pruned, vocab).collect()}
+    empty_bg = bg.filter(F.lit(False))
+    pure_backoff = {
+        r["doc_id"]: r["bg_nll"]
+        for r in bigram_logprob(sdf, empty_bg, vocab).collect()
+    }
+    assert prn[0] == full[0]
+    if dropped:
+        assert prn[1] == pure_backoff[1]
+
+    # monotonicity: larger epsilon keeps a subset
+    small = prune_bigram_counts(bg, vocab, epsilon=eps / 4)
+    small_keep = {(r["w1"], r["w2"]) for r in small.collect()}
+    assert want_keep <= small_keep
+
+
+def test_bigram_prune_topk_and_groups(spark):
+    from data_toolz_spark.operators.text_analysis import (
+        build_bigram_counts,
+        build_vocab as bv,
+        prune_bigram_counts,
+    )
+
+    train = [
+        ("en", "the cat sat on the mat"),
+        ("en", "the cat sat on the log"),
+        ("fr", "le chat dort le chat dort"),
+    ]
+    tdf = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(train)],
+        ["doc_id", "lang", "text"],
+    )
+    # global top-k: deterministic (divergence DESC, w1, w2) prefix
+    vocab = bv(tdf)
+    bg = build_bigram_counts(tdf)
+    ref = _div_ref([t for _, t in train])
+    order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    want3 = {k for k, _ in order[:3]}
+    got3 = {
+        (r["w1"], r["w2"])
+        for r in prune_bigram_counts(bg, vocab, top_k=3).collect()
+    }
+    assert got3 == want3
+
+    # per-group top-k: each language keeps ITS own k best
+    gv = bv(tdf, group_col="lang")
+    gbg = build_bigram_counts(tdf, group_col="lang")
+    kept = prune_bigram_counts(
+        gbg, gv, top_k=2, group_col="lang"
+    ).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add((r["w1"], r["w2"]))
+    assert set(by_lang) == {"en", "fr"}
+    assert len(by_lang["en"]) == 2
+    assert 1 <= len(by_lang["fr"]) <= 2
+
+    # validation + null-divergence rows always kept
+    with pytest.raises(ValueError, match="epsilon and/or top_k"):
+        prune_bigram_counts(bg, vocab)
+    alien = bg.unionByName(
+        spark.createDataFrame(
+            [("zz", "qq", 5.0)], "w1 string, w2 string, bg_count double"
+        )
+    )
+    kept2 = prune_bigram_counts(alien, vocab, top_k=1).collect()
+    pairs2 = {(r["w1"], r["w2"]) for r in kept2}
+    assert ("zz", "qq") in pairs2  # unevaluable row survives
+    assert len(pairs2) == 2       # ... outside the k budget
