@@ -413,6 +413,13 @@ def prepare_training_corpus(
       a column to the doc-level output; with ``chunk_max_words`` the
       chunk rows do not carry it (chunk output schema is fixed).
       The LM's vocab stats collect at call time (two bounded scalars).
+      ``lm_prune`` (r12, X97) entropy-prunes the bigram table before
+      scoring — ``{"epsilon": …}`` and/or ``{"top_k": …}`` forwarded
+      to :func:`~data_toolz_spark.operators.text_analysis.
+      prune_bigram_counts` (with ``lang_col`` the top-k is per
+      language) — the LM-compression knob for corpora whose bigram
+      table outgrows a sensible join side; scoring semantics degrade
+      gracefully (absent bigrams back off, by construction).
     * ``lang_col`` (r11) — CCNet per-language conditioning: with it
       set, the ``ppl_strata`` stage trains the bigram LM PER LANGUAGE
       (grouped vocab/bigram tables, per-group backoff denominators —
@@ -912,10 +919,26 @@ def prepare_training_corpus(
         # per-language conditioning), and the strata default to the
         # same grouping (spec's explicit group_col still wins).
         group_col = spec.get("group_col", lang_col)
+        vocab_tbl = build_vocab(out, text_col, group_col=lang_col)
+        bigram_tbl = build_bigram_counts(
+            out, text_col, group_col=lang_col
+        )
+        lm_prune = spec.get("lm_prune")
+        if lm_prune is not None:
+            from data_toolz_spark.operators.text_analysis import (
+                prune_bigram_counts,
+            )
+
+            bigram_tbl = prune_bigram_counts(
+                bigram_tbl,
+                vocab_tbl,
+                group_col=lang_col,
+                **dict(lm_prune),
+            )
         scored = bigram_logprob(
             out,
-            build_bigram_counts(out, text_col, group_col=lang_col),
-            build_vocab(out, text_col, group_col=lang_col),
+            bigram_tbl,
+            vocab_tbl,
             text_col,
             id_col=id_col,
             group_col=lang_col,

@@ -1303,3 +1303,49 @@ def test_pipeline_materialize_id_text_col_in_fingerprint(spark, monkeypatch):
         if r["tableName"].startswith(prefix)
     ]:
         drop_stale_table(spark, t)
+
+
+def test_pipeline_ppl_strata_lm_prune(spark):
+    """ppl_strata's lm_prune knob (X97): epsilon=0 keeps every bigram
+    (divergence >= 0) so the buckets are IDENTICAL to the unpruned
+    run; a prune-everything epsilon still labels every doc (the
+    scorer degrades to pure backoff, ranks still cut thirds)."""
+    def w3(n):
+        return (
+            chr(97 + (n // 676) % 26)
+            + chr(97 + (n // 26) % 26)
+            + chr(97 + n % 26)
+        )
+
+    rows = []
+    for i in range(24):
+        words = " ".join(
+            w3(i * 61 + j * (1 + i % 5)) for j in range(30)
+        )
+        rows.append((i, "common prefix words " + words))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(spec):
+        out = prepare_training_corpus(
+            docs,
+            None,
+            quality_thresholds={"min_tokens": 1},
+            near_dup_threshold=None,
+            ppl_strata=spec,
+            fractions=FRACS,
+        )
+        return {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+
+    base = run({})
+    keep_all = run({"lm_prune": {"epsilon": 0.0}})
+    assert keep_all == base
+
+    pure_backoff = run({"lm_prune": {"epsilon": 1e18}})
+    assert set(pure_backoff) == set(base)
+    n = len(pure_backoff)
+    counts = {
+        b: sum(1 for v in pure_backoff.values() if v == b)
+        for b in ("head", "middle", "tail")
+    }
+    assert counts["head"] >= (n + 2) // 3, counts
+    assert sum(counts.values()) == n, counts
