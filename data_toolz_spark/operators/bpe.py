@@ -874,8 +874,16 @@ def collect_unit_table(
     ``freq_kept``.  Duplicate words (an ungrouped input) fold their
     frequencies driver-side, so the trainers see a true frequency map.
     """
-    sel = words.select(
-        F.col(word_col).alias("w"), F.col(freq_col).alias("f")
+    # fold duplicates FIRST (idempotent on an already-grouped builder
+    # table, one cheap vocab-sized aggregate otherwise) — the top-N
+    # cut below must rank by TRUE folded frequency, not by whichever
+    # duplicate row sorts first
+    sel = (
+        words.select(
+            F.col(word_col).alias("w"), F.col(freq_col).alias("f")
+        )
+        .groupBy("w")
+        .agg(F.sum("f").alias("f"))
     )
     if max_units is not None:
         if max_units < 1:
@@ -888,10 +896,10 @@ def collect_unit_table(
             stats["freq_total"] = int(tot["m"] or 0)
         sel = sel.orderBy(F.col("f").desc(), F.col("w")).limit(max_units)
     rows = sel.collect()
-    freq: dict[str, int] = {}
-    for r in rows:
-        freq[r["w"]] = freq.get(r["w"], 0) + int(r["f"])
-    out = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = sorted(
+        ((r["w"], int(r["f"])) for r in rows),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
     if stats is not None:
         stats["units_kept"] = len(out)
         stats["freq_kept"] = sum(f for _, f in out)

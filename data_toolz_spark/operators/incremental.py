@@ -1618,6 +1618,11 @@ def rebalance_ivf_index(
         for r in spark.table(f"{table_prefix}_ivf_centroids").collect()
     }
     known = set(cent_rows)
+    if not known:
+        raise ValueError(
+            "rebalance_ivf_index: the centroid table is empty — not a "
+            "servable index; rebuild it"
+        )
     counts = {
         int(r["cell"]): int(r["n"])
         for r in inv.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
@@ -1753,9 +1758,17 @@ def rebalance_ivf_index(
                 out[i] = int(np.argmax(final_centers @ mat[i]))
         return pd.Series(out)
 
-    rewritten = touched.withColumn(
-        "cell", new_cell(F.col("vector"), F.col("cell"))
-    ).select(*inv_cols)
+    # only rows whose cell ACTUALLY rebalances may be rewritten: a
+    # split candidate whose sub-quantizer collapsed (skipped above)
+    # keeps its partition untouched — letting its rows through would
+    # re-home and DUPLICATE them (their source partition is neither
+    # rewritten nor dropped)
+    active = sorted(set(sub_ids) | set(orphans))
+    rewritten = (
+        touched.filter(F.col("cell").isin(active))
+        .withColumn("cell", new_cell(F.col("vector"), F.col("cell")))
+        .select(*inv_cols)
+    )
     sub_all = {i for ids in sub_ids.values() for i in ids}
 
     # two write shapes, because their partition coverage differs:
@@ -1774,6 +1787,7 @@ def rebalance_ivf_index(
             else rewritten
         )
         repair_rows.write.mode("append").insertInto(inv_name)
+    present: set[int] = set()
     if sub_ids:
         split_part = rewritten.filter(F.col("cell").isin(list(sub_all)))
         mode_key = "spark.sql.sources.partitionOverwriteMode"
@@ -1798,11 +1812,16 @@ def rebalance_ivf_index(
                     f"PARTITION (cell={c})"
                 )
     for c in orphans:
-        if c not in sub_all:
-            spark.sql(
-                f"ALTER TABLE {inv_name} DROP IF EXISTS "
-                f"PARTITION (cell={c})"
-            )
+        # an orphan id reused as a fresh sub id is only safe to keep
+        # if the split overwrite actually REWROTE that partition — a
+        # zero-member sub id leaves the stale orphan files in place
+        # and must drop like any other orphan
+        if c in sub_all and c in present:
+            continue
+        spark.sql(
+            f"ALTER TABLE {inv_name} DROP IF EXISTS "
+            f"PARTITION (cell={c})"
+        )
     touched.unpersist()
 
     # bounded model rewrite, meta before centroids (see crash contract)

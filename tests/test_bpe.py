@@ -708,3 +708,19 @@ def test_collect_unit_table_folds_duplicates(spark):
         [("ab", 2), ("ab", 3), ("cd", 1)], "word string, freq long"
     )
     assert collect_unit_table(df) == [("ab", 5), ("cd", 1)]
+
+
+def test_collect_unit_table_folds_before_truncation(spark):
+    """Review fix: the max_units top-N cut ranks by TRUE folded
+    frequency — duplicate rows of one word must fold before the cut,
+    not be ranked individually."""
+    from data_toolz_spark.operators.bpe import collect_unit_table
+
+    df = spark.createDataFrame(
+        [("ab", 3), ("ab", 3), ("cd", 5)], "word string, freq long"
+    )
+    st: dict = {}
+    got = collect_unit_table(df, max_units=1, stats=st)
+    assert got == [("ab", 6)]
+    assert st["units_total"] == 2 and st["freq_total"] == 11
+    assert collect_unit_table(df, max_units=2) == [("ab", 6), ("cd", 5)]

@@ -1320,3 +1320,89 @@ def test_ivf_rebalance_residual_refuses_and_validates_args(spark):
     with pytest.raises(ValueError, match="max_cell_frac"):
         rebalance_ivf_index(spark, prefix, max_cell_frac=1.5)
     _drop_ivf_tables(spark, prefix)
+
+
+def test_ivf_rebalance_skipped_cell_rows_untouched(spark):
+    """Review fix: a hot cell of IDENTICAL vectors cannot split (its
+    sub-quantizer collapses) — its rows must stay exactly where they
+    are, NOT flow through the rewrite and duplicate, even when an
+    orphan repair runs in the same pass."""
+    import numpy as np
+
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        rebalance_ivf_index,
+        validate_ivf_index,
+    )
+    from data_toolz_spark.operators.similarity import _unit_vector_udf
+
+    prefix = "t_rb_skip"
+    _drop_ivf_tables(spark, prefix)
+    # the whole corpus is ONE identical vector: every row lands in one
+    # cell and that cell's sample has a single distinct point — the
+    # sub-quantizer must collapse and the split must skip
+    same = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(i, list(same)) for i in range(240)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    build_ivf_index(emb, prefix, dim=8, n_centroids=2, seed=1)
+    n0 = int(spark.table(f"{prefix}_ivf_meta").first()["n_centroids"])
+    hot = (
+        spark.table(f"{prefix}_ivf_inv")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc()).first()
+    )
+    hot_rows_before = {
+        r["id"]
+        for r in spark.table(f"{prefix}_ivf_inv")
+        .filter(F.col("cell") == hot["cell"]).collect()
+    }
+    # plant an orphan so the repair path runs in the same pass
+    un = _unit_vector_udf(8)
+    spark.createDataFrame(
+        [(900, [0.3] * 8)], "id long, embedding array<double>"
+    ).select(
+        "id", un(F.col("embedding")).alias("vector"),
+        F.lit(n0 + 3).alias("cell"),
+    ).write.mode("append").insertInto(f"{prefix}_ivf_inv")
+    rep = rebalance_ivf_index(spark, prefix, max_cell_rows=100)
+    acts = {(r["cell"], r["action"]) for r in rep.collect()}
+    assert (n0 + 3, "repair") in acts
+    # the identical-vector cell could not split: not in the report
+    assert (hot["cell"], "split") not in acts
+    v = validate_ivf_index(spark, prefix)
+    assert v["duplicate_ids"] == 0 and v["consistent"], v
+    assert spark.table(f"{prefix}_ivf_inv").count() == 241
+    hot_rows_after = {
+        r["id"]
+        for r in spark.table(f"{prefix}_ivf_inv")
+        .filter(F.col("cell") == hot["cell"]).collect()
+    }
+    assert hot_rows_before <= hot_rows_after  # untouched (repair may add)
+    _drop_ivf_tables(spark, prefix)
+
+
+def test_ivf_rebalance_empty_centroid_table_raises(spark):
+    from data_toolz_spark.operators.incremental import (
+        build_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    prefix = "t_rb_empty"
+    _drop_ivf_tables(spark, prefix)
+    emb = _skewed_emb(spark, n_tight=30, n_spread=10)
+    build_ivf_index(emb, prefix, dim=8, n_centroids=2, seed=1)
+    spark.table(f"{prefix}_ivf_centroids").filter(F.lit(False)).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{prefix}_ivf_centroids_empty")
+    spark.sql(
+        f"DROP TABLE {prefix}_ivf_centroids"
+    )
+    spark.sql(
+        f"ALTER TABLE {prefix}_ivf_centroids_empty "
+        f"RENAME TO {prefix}_ivf_centroids"
+    )
+    with pytest.raises(ValueError, match="centroid table is empty"):
+        rebalance_ivf_index(spark, prefix, max_cell_rows=5)
+    _drop_ivf_tables(spark, prefix)
