@@ -1198,12 +1198,7 @@ def test_ivf_rebalance_flat_split(spark):
     assert spark.table(f"{prefix}_ivf_inv").count() == 360
     v = validate_ivf_index(spark, prefix)
     assert v["consistent"], v
-    # every cell now at or below the bound, or unsplittable
-    counts = [
-        r["n"]
-        for r in spark.table(f"{prefix}_ivf_inv")
-        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    ]
+    # a re-run either splits further toward the bound or no-ops
     rep2 = rebalance_ivf_index(spark, prefix, max_cell_rows=120)
     assert all(a in ("split",) for a in
                {r["action"] for r in rep2.collect()}) or rep2.count() == 0
