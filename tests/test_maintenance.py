@@ -375,3 +375,115 @@ def test_profile_drift_type_change(spark):
     b = spark.range(10).select(F.col("id").cast("int"))
     findings = profile_drift(column_profile(a), column_profile(b))
     assert findings == ["column 'id' changed type bigint -> int"]
+
+
+# ---------------------------------------------------------------------------
+# r12: corpus snapshot diff — content-level added/removed/changed
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_diff_statuses_and_summary(spark):
+    from data_toolz_spark.sources.maintenance import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    old = _snap(
+        spark,
+        [(1, "alpha"), (2, "bravo"), (3, "charlie"), (4, "delta")],
+    )
+    new = _snap(
+        spark,
+        [(2, "bravo"), (3, "charlie EDITED"), (4, "delta"), (5, "echo")],
+    )
+    diff = corpus_diff(old, new)
+    got = {r["doc_id"]: r["status"] for r in diff.collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    # unchanged rows never appear; fingerprints carried for audit
+    by_id = {r["doc_id"]: r for r in diff.collect()}
+    assert by_id[1]["new_fingerprint"] is None
+    assert by_id[5]["old_fingerprint"] is None
+    assert (
+        by_id[3]["old_fingerprint"] != by_id[3]["new_fingerprint"]
+        and by_id[3]["old_fingerprint"] is not None
+    )
+    assert corpus_diff_summary(diff) == {
+        "added": 1,
+        "removed": 1,
+        "changed": 1,
+    }
+    # identical snapshots -> empty delta
+    assert corpus_diff(old, old).count() == 0
+
+
+def test_corpus_diff_precomputed_fingerprint_column(spark):
+    """fingerprint_col reuses an existing fingerprint (e.g. the
+    catalog's) — identical delta to hashing the text."""
+    from data_toolz_spark.functions.text import text_fingerprint
+    from data_toolz_spark.sources.maintenance import corpus_diff
+
+    old = _snap(spark, [(1, "alpha"), (2, "bravo")])
+    new = _snap(spark, [(1, "alpha"), (2, "bravo CHANGED"), (9, "zulu")])
+    pre_old = old.withColumn("fp", text_fingerprint(F.col("text")))
+    pre_new = new.withColumn("fp", text_fingerprint(F.col("text")))
+    want = sorted(
+        map(tuple, corpus_diff(old, new).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            corpus_diff(
+                pre_old, pre_new, fingerprint_col="fp"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 2
+
+
+def test_corpus_diff_bucketed_no_shuffle(spark, tmp_path):
+    """Snapshots written bucketed on the id diff with ZERO Exchange —
+    the co-located-join contract transferred to dataset versioning."""
+    from data_toolz_spark.sources.io import DataIO
+    from data_toolz_spark.sources.maintenance import corpus_diff
+
+    io = DataIO()
+    old = _snap(
+        spark, [(i, f"doc {i}") for i in range(200)]
+    )
+    new = _snap(
+        spark,
+        [(i, f"doc {i}" if i % 7 else f"doc {i} v2") for i in range(5, 205)],
+    )
+    io.write_bucketed(
+        old, "b_snap_old", bucket_by=["doc_id"], n_buckets=4,
+        sort_by=["doc_id"], path=str(tmp_path / "b_old"),
+    )
+    io.write_bucketed(
+        new, "b_snap_new", bucket_by=["doc_id"], n_buckets=4,
+        sort_by=["doc_id"], path=str(tmp_path / "b_new"),
+    )
+    try:
+        diff = corpus_diff(
+            spark.table("b_snap_old"), spark.table("b_snap_new")
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = diff._sc._jvm.PythonSQLUtils.explainString(
+                diff._jdf.queryExecution(), "formatted"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = {r["doc_id"]: r["status"] for r in diff.collect()}
+        assert got[200] == "added" and got[0] == "removed"
+        assert got[7] == "changed" and 8 not in got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_snap_old")
+        spark.sql("DROP TABLE IF EXISTS b_snap_new")
