@@ -724,3 +724,40 @@ def test_collect_unit_table_folds_before_truncation(spark):
     assert got == [("ab", 6)]
     assert st["units_total"] == 2 and st["freq_total"] == 11
     assert collect_unit_table(df, max_units=2) == [("ab", 6), ("cd", 5)]
+
+
+def test_bpe_local_hypothesis_differential(spark):
+    """Property: for ANY word-frequency table, bpe_train_local equals
+    the pure-Python Sennrich reference — hypothesis explores corpora
+    the fixed-seed differentials cannot (shrunk counterexamples would
+    be minimal)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_toolz_spark.operators.bpe import bpe_train_local
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        wf=st.dictionaries(
+            word, st.integers(min_value=1, max_value=50),
+            min_size=1, max_size=24,
+        ),
+        mc=st.sampled_from([1, 2]),
+    )
+    def prop(wf, mc):
+        df = spark.createDataFrame(
+            sorted(wf.items()), "word string, freq long"
+        )
+        got = bpe_train_local(df, n_merges=12, min_count=mc)
+        assert _as_tuples(got) == _ref_train(dict(wf), 12, mc)
+
+    prop()

@@ -435,3 +435,38 @@ def test_wp_local_exhaustion_truncation_validation(spark):
         wordpiece_train_local(df, n_merges=-1)
     with pytest.raises(ValueError, match="min_count"):
         wordpiece_train_local(df, n_merges=1, min_count=0)
+
+
+def test_wp_local_hypothesis_differential(spark):
+    """Property: for ANY word-frequency table, wordpiece_train_local
+    equals the pure-Python reference bit-for-bit (scores included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_toolz_spark.operators.wordpiece import (
+        wordpiece_train_local,
+    )
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        wf=st.dictionaries(
+            word, st.integers(min_value=1, max_value=50),
+            min_size=1, max_size=20,
+        ),
+        mc=st.sampled_from([1, 2]),
+    )
+    def prop(wf, mc):
+        df = _word_df(spark, dict(wf))
+        got = wordpiece_train_local(df, n_merges=10, min_count=mc)
+        assert got == _ref_train(dict(wf), 10, mc)
+
+    prop()
