@@ -52,6 +52,48 @@ def skew_safe_top_n(
     )
 
 
+def right_size_iterated_state(
+    df: DataFrame,
+    n_rows: int,
+    *,
+    target_rows: int = 262144,
+    floor_rows: int = 4096,
+) -> tuple[DataFrame, int]:
+    """Partition a bounded ITERATED state (the bpe_train device) so
+    that per-round jobs are neither a storm of near-empty tasks nor a
+    single serialized core.
+
+    Three regimes (r12 optimization round, guide §2.5/§2.6):
+
+    * cluster scale — ``n_rows // target_rows + 1`` partitions
+      (~10-30 MB each), the r11 sizing that keeps a billion-row vocab
+      at real shuffle-partition granularity;
+    * medium tables — never BELOW ``min(defaultParallelism,
+      n_rows // floor_rows + 1)``: the r11 formula collapsed a 27k-row
+      trigram unit table to ONE partition, serializing every round's
+      explode/replace onto one core with 31 idle (measured 2.9× on the
+      r12 BPE delta loop: 24 rounds 48 s → 16 s at 7 partitions);
+    * tiny tables (< ``floor_rows`` rows) — one task, so per-round
+      fixed scheduling cost stays a single task-launch.
+
+    Returns ``(df', nparts)``.  Growing the partition count needs a
+    real ``repartition`` (AQE typically hands the upstream aggregate
+    over as one partition, which ``coalesce`` cannot widen); that one
+    vocab-sized shuffle is paid once and amortized over every round.
+    """
+    floor_p = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        n_rows // floor_rows + 1,
+    )
+    nparts = max(1, n_rows // target_rows + 1, floor_p)
+    cur = df.rdd.getNumPartitions()
+    if nparts < cur:
+        df = df.coalesce(nparts)
+    elif nparts > cur:
+        df = df.repartition(nparts)
+    return df, nparts
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     source has fewer splits.
@@ -74,4 +116,4 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-__all__ = ["spread", "skew_safe_top_n"]
+__all__ = ["spread", "skew_safe_top_n", "right_size_iterated_state"]

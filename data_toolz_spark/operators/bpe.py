@@ -352,22 +352,23 @@ def bpe_train(
         _encode_word(F.col(word_col), sep).alias("s"),
         F.col(freq_col).alias("f"),
     )
-    # right-size the iteration state: the loop runs K tiny jobs over a
-    # VOCAB-sized frame, and scheduling 32 near-empty tasks per job is
-    # pure overhead (measured 15.6 s → ~4 s at sf0.1's ~60-word vocab).
-    # One count() prices the state, then ~256k words/partition
-    # (~10-30 MB — real shuffle-partition granularity; the r11 4k-row
-    # floor made 200 KB partitions whose task overhead dominated every
-    # round) keeps a billion-word 100 TB vocab at ~4k partitions —
-    # cluster parallelism — while a demo vocab collapses to one task
-    # per stage.
+    # right-size the iteration state (one count() prices it): ~256k
+    # words/partition at cluster scale, ONE task for a demo vocab, and
+    # — r12 optimization round — never fewer partitions than
+    # min(defaultParallelism, rows/4k) in between: the r11 formula
+    # collapsed the 27k-unit trigram table to ONE partition, so every
+    # round's explode/replace ran on one core with 31 idle (guide
+    # §2.6 idle capacity; measured 2.9× on the delta loop — 24 rounds
+    # 48 s → 16 s at 7 partitions, merge list bit-identical).
+    from data_toolz_spark.operators._util import (
+        right_size_iterated_state,
+    )
+
     n_rows = state.count()
     if pair_mode == "auto":
         pair_mode = "delta" if n_rows >= 16384 else "recount"
-    nparts = max(
-        1, min(state.rdd.getNumPartitions(), n_rows // 262144 + 1)
-    )
-    state = state.coalesce(nparts).localCheckpoint(eager=True)
+    state, nparts = right_size_iterated_state(state, n_rows)
+    state = state.localCheckpoint(eager=True)
     pairs: DataFrame | None = None
     if pair_mode == "delta":
         # the ONE full explode+aggregate the delta path ever runs —

@@ -138,15 +138,16 @@ def wordpiece_train(
         _encode_wp_word(F.col(word_col), sep).alias("s"),
         F.col(freq_col).alias("f"),
     )
-    # right-size like bpe_train: the loop is K tiny jobs over a
-    # vocab-sized frame — scheduling 32 near-empty tasks per job is
-    # pure overhead at demo scale, ~256k words/partition at cluster
-    # scale
-    n_rows = state.count()
-    nparts = max(
-        1, min(state.rdd.getNumPartitions(), n_rows // 262144 + 1)
+    # right-size like bpe_train (r12: with the parallelism floor —
+    # the old formula serialized medium unit tables onto one core;
+    # see _util.right_size_iterated_state)
+    from data_toolz_spark.operators._util import (
+        right_size_iterated_state,
     )
-    state = state.coalesce(nparts).localCheckpoint(eager=True)
+
+    n_rows = state.count()
+    state, nparts = right_size_iterated_state(state, n_rows)
+    state = state.localCheckpoint(eager=True)
     # the ONE full explode+aggregate each table ever runs — later
     # rounds fold signed corrections in
     pairs = (
