@@ -1592,21 +1592,41 @@ def text_web_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" end"),
     )
     docs = docs.withColumn("__aug", planted)
+    # r12 optimization round: this qid's plan used to rebuild the LM
+    # models from the corpus in every consuming branch — the bg_nll
+    # subtree appears THREE times below (the output join, the global
+    # rank_thresholds histogram, the per-language one), and each
+    # bigram_logprob internally scans its vocab twice (v1/v2 broadcast
+    # builds), for 32 documents-parquet scans in one plan
+    # (plans/r12/text_web_signals_before.txt).  The models are
+    # vocab-sized and the score frame is one narrow row per doc, so
+    # persisting them (guide §5: reused AND expensive to recompute)
+    # collapses the plan to one scan per distinct pass; values are
+    # unchanged (oracle re-verified).
+    from pyspark import StorageLevel
+
+    from data_toolz_spark.cache import track
+
+    def _pin(frame):
+        return track(frame.persist(StorageLevel.MEMORY_AND_DISK))
+
     # r5: the CCNet-style fluency score joins the composite — the model
     # is the corpus's own vocab, so every token is in-vocab here (the
     # OOV path is pytest-pinned); zero-token docs carry NULL
-    nll = unigram_logprob(docs, build_vocab(docs), alpha=1.0)
+    nll = unigram_logprob(docs, _pin(build_vocab(docs)), alpha=1.0)
     # r9 (X64): stupid-backoff bigram fluency, model trained on the
     # EVEN docs only so odd docs exercise the backoff branch (unseen
     # bigrams + OOV words) and even docs the seen-bigram ratios —
     # all three score levels are value-verified
     even = docs.filter(F.col("doc_id") % 2 == 0)
-    bg_nll = bigram_logprob(
-        docs,
-        build_bigram_counts(even),
-        build_vocab(even),
-        alpha=1.0,
-        backoff=0.4,
+    bg_nll = _pin(
+        bigram_logprob(
+            docs,
+            _pin(build_bigram_counts(even)),
+            _pin(build_vocab(even)),
+            alpha=1.0,
+            backoff=0.4,
+        )
     )
     out = (
         redact_artifacts(keep_document(docs), out_col="__red")
