@@ -35,7 +35,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: scale bookkeeping: weights and probabilities share one scale so the
@@ -57,6 +57,24 @@ class LogRegModel:
     @property
     def real_weights(self) -> tuple[float, ...]:
         return tuple(w / W_SCALE for w in self.weights)
+
+
+def _weights_frame(spark, nz: list[tuple], k: int):
+    """Nonzero weight rows → a broadcast-ready ``(bucket int, w0..w{k-1}
+    long)`` frame via pandas/Arrow.  The tuple path re-serializes
+    ~(n_buckets+1)·(k+1) values through py4j row by row — measured
+    1.55 s/call vs 0.30 s through Arrow at the LID shape (2049×10,
+    r12 optimization round).  Dtypes are pinned so the schema stays
+    exactly what the tuple path produced."""
+    import pandas as pd
+
+    wpdf = pd.DataFrame(
+        nz, columns=["bucket"] + [f"w{i}" for i in range(k)]
+    )
+    wpdf["bucket"] = wpdf["bucket"].astype("int32")
+    for i in range(k):
+        wpdf[f"w{i}"] = wpdf[f"w{i}"].astype("int64")
+    return F.broadcast(spark.createDataFrame(wpdf))
 
 
 def _p_scaled(margin: Column, fscale: int) -> Column:
@@ -460,27 +478,36 @@ def multiclass_fit(
     if cached is not None:
         feats = cached
     try:
+        # One cheap pass of SIMPLE partial aggregates only.  The
+        # count_distinct that used to ride along here is deferred
+        # below: a distinct keyed on id over the ~200-partition cache
+        # at 200 shuffle partitions is ~40k near-empty shuffle blocks
+        # of pure overhead (guide §2.2 — measured 8 s vs 0.3 s on the
+        # right-sized frame at the LID shape, r12 optimization round).
         stats = feats.agg(
             F.count(F.lit(1)).alias("rows"),
-            F.count_distinct(F.col(id_col)).alias("n"),
             F.max(F.abs(F.col("f"))).alias("maxf"),
         ).collect()[0]
-        n, rows = int(stats["n"]), int(stats["rows"])
-        if n == 0:
+        rows = int(stats["rows"])
+        if rows == 0:
             raise ValueError("multiclass_fit: no labeled rows")
         # right-size the iterated state (the bpe_train device): the
         # loop runs n_iter small jobs over this frame, and scheduling
         # dozens of near-empty tasks per job is pure overhead at demo
         # scale while ~64k feature rows/partition keeps a full-corpus
         # labeled set at cluster parallelism
-        feats = feats.coalesce(
-            max(
-                1,
-                min(
-                    feats.rdd.getNumPartitions(), rows // 65_536 + 1
-                ),
-            )
+        p = max(
+            1,
+            min(feats.rdd.getNumPartitions(), rows // 65_536 + 1),
         )
+        feats = feats.coalesce(p)
+        n = int(
+            feats.agg(
+                F.count_distinct(F.col(id_col)).alias("n")
+            ).collect()[0]["n"]
+        )
+        if n == 0:
+            raise ValueError("multiclass_fit: no labeled rows")
         maxf = int(stats["maxf"] or 0)
         if rows * P_SCALE * max(maxf, 1) >= (1 << 62):
             raise ValueError(
@@ -489,9 +516,6 @@ def multiclass_fit(
                 "or subsample the labeled set"
             )
         w = [[0] * (n_buckets + 1) for _ in range(k)]
-        wschema = "bucket int, " + ", ".join(
-            f"w{i} long" for i in range(k)
-        )
         for _ in range(n_iter):
             nz = [
                 (b, *[int(w[i][b]) for i in range(k)])
@@ -500,22 +524,41 @@ def multiclass_fit(
             ]
             j = feats
             if nz:
-                wdf = F.broadcast(spark.createDataFrame(nz, wschema))
+                wdf = _weights_frame(spark, nz, k)
                 j = feats.join(wdf, on="bucket", how="left")
             else:
                 for i in range(k):
                     j = j.withColumn(f"w{i}", F.lit(0).cast("long"))
-            m = j.groupBy(id_col, label_col).agg(
+            # One job per round (r12, guide §2.4): the per-doc margin
+            # is a WINDOW sum over (id, label) instead of a groupBy
+            # whose result is collected into a broadcast and joined
+            # back — that shape ran a second job per round (build the
+            # e-broadcast: scan cache → join → shuffle → collect) and
+            # re-scanned the cache.  The window needs rows with equal
+            # keys co-located; the explicit repartition keeps that
+            # exchange at the right-sized partition count rather than
+            # spark.sql.shuffle.partitions.  Integer sums are
+            # associative, so the trained weights are bit-identical
+            # (parity-proven against the old shape).
+            win = Window.partitionBy(id_col, label_col)
+            wm = j.repartition(p, id_col).select(
+                id_col,
+                label_col,
+                "bucket",
+                "f",
                 *[
                     F.sum(
                         F.col("f")
                         * F.coalesce(F.col(f"w{i}"), F.lit(0))
-                    ).alias(f"m{i}")
+                    )
+                    .over(win)
+                    .alias(f"m{i}")
                     for i in range(k)
-                ]
+                ],
             )
-            e = m.select(
-                id_col,
+            we = wm.select(
+                "bucket",
+                "f",
                 *[
                     (
                         _p_scaled(F.col(f"m{i}"), feature_scale)
@@ -527,12 +570,8 @@ def multiclass_fit(
                     for i in range(k)
                 ],
             )
-            # e is one row per labeled doc — training sets are small
-            # by contract, so broadcasting it keeps the gradient join
-            # shuffle-free (feats never re-exchanges inside the loop)
             g = (
-                feats.join(F.broadcast(e), on=id_col)
-                .groupBy("bucket")
+                we.groupBy("bucket")
                 .agg(
                     *[
                         F.sum(F.col(f"e{i}") * F.col("f")).alias(
@@ -598,9 +637,6 @@ def multiclass_score(
         portable=model.portable,
         feature_mode=model.feature_mode,
     )
-    wschema = "bucket int, " + ", ".join(
-        f"w{i} long" for i in range(k)
-    )
     nz = [
         (b, *[int(model.weights[i][b]) for i in range(k)])
         for b in range(model.n_buckets + 1)
@@ -608,7 +644,7 @@ def multiclass_score(
     ]
     j = feats
     if nz:
-        wdf = F.broadcast(spark.createDataFrame(nz, wschema))
+        wdf = _weights_frame(spark, nz, k)
         j = feats.join(wdf, on="bucket", how="left")
     else:
         for i in range(k):
