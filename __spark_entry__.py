@@ -2416,7 +2416,15 @@ def text_bpe_tokens(
         wt = bpe_word_table(docs).persist()
         wp_counts = None
         try:
-            merges = bpe_train(wt, n_merges=_BPE_N_MERGES, min_count=2)
+            # batch_size=64 (r12 optimization round): accept every
+            # provably-sequential-equal prefix per aggregation round —
+            # 32 ranks collapse to ~20 rounds on this corpus with a
+            # BIT-IDENTICAL merge list (the _accept_batch proof +
+            # differential tests), so the oracle's rank-by-rank replay
+            # still matches.  Measured 7.2 s → 4.7 s warm at sf0.1.
+            merges = bpe_train(
+                wt, n_merges=_BPE_N_MERGES, min_count=2, batch_size=64
+            )
             if _with_wordpiece:
                 from data_toolz_spark.operators.wordpiece import (
                     wordpiece_base_pieces,

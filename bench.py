@@ -1131,7 +1131,9 @@ def _x_token_pack(spark, sf_dir):
 
     docs = entrymod.load(spark, sf_dir, "documents")
     wt = bpe_word_table(docs)
-    merges = bpe_train(wt, n_merges=16, min_count=2)
+    # batched acceptance (r12 optimization round): bit-identical
+    # merges, fewer sequential aggregation rounds (see text_bpe_tokens)
+    merges = bpe_train(wt, n_merges=16, min_count=2, batch_size=64)
     vocab = bpe_vocab_bytes(merges, bpe_base_chars(wt))
     eos = 256 + len(vocab) + 64  # outside the vocab + byte space
     ids = docs.select(

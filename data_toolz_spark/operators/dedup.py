@@ -436,6 +436,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    local_cutoff: int = 1 << 18,
 ) -> DataFrame:
     """Connected components over an edge list — alternating large-star
     / small-star (Kiveris et al., "Connected Components in MapReduce
@@ -472,6 +473,18 @@ def connected_components(
       to small-star WITHOUT its own distinct (small-star's
       min-aggregate is duplicate-insensitive and its trailing distinct
       restores edge uniqueness before the signature).
+    * ``local_cutoff`` (r12 optimization round, guide §1.1
+      first-principles): when the NORMALIZED edge list is at most this
+      many rows (known from the same pre-pass aggregate the loop
+      needed anyway), the transitive closure runs as driver-side
+      union-find over one bounded collect instead of O(log d)
+      distributed rounds — a few hundred verified near-dup edges do
+      not need five 3-exchange jobs of pure scheduling overhead.  The
+      output is the identical (id, component-min) mapping (union-find
+      by min label is order-independent), and the default bound
+      (256k edges ≈ 4 MB of longs) is far below driver limits; a real
+      crawl's edge set exceeds it and takes the distributed loop
+      exactly as before.
     """
     spark = pairs.sparkSession
 
@@ -545,8 +558,55 @@ def connected_components(
         .select("u", "v")  # u >= v invariant (large → small)
         .distinct()
     )
+    # one pre-pass aggregate yields BOTH the total normalized-edge
+    # count (the local-path bound) and the non-self edge signature the
+    # loop's convergence test starts from
+    pre = base.select(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(
+            F.when(F.col("u") != F.col("v"), 1).otherwise(0)
+        ).alias("n_edges"),
+        F.coalesce(
+            F.expr(
+                "bit_xor(CASE WHEN u != v THEN xxhash64(u, v) END)"
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    n_all = int(pre["n_all"] or 0)
+    if n_all <= local_cutoff:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in base.collect():
+            u, v = int(row["u"]), int(row["v"])
+            for node in (u, v):
+                if node not in parent:
+                    parent[node] = node
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN label so every root is its component's
+                # minimum — the star loop's fixed-point labeling
+                lo, hi = min(ru, rv), max(ru, rv)
+                parent[hi] = lo
+        if not parent:
+            return spark.createDataFrame([], "id long, component long")
+        import pandas as pd
+
+        out = pd.DataFrame(
+            sorted((x, find(x)) for x in parent),
+            columns=["id", "component"],
+        ).astype("int64")
+        return spark.createDataFrame(out)
     cur = base.filter(F.col("u") != F.col("v"))
-    cur_sig = signature(cur)
+    cur_sig = (int(pre["n_edges"] or 0), int(pre["h"]))
     converged = False
     for _ in range(max_iterations):
         nxt = materialize(small_star(large_star(cur)))

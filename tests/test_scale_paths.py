@@ -53,6 +53,31 @@ def test_connected_components_deep_chain(spark):
     assert len(cc) == 31
 
 
+def test_connected_components_local_vs_distributed_parity(spark):
+    # r12: small edge lists take a driver-side union-find fast path;
+    # local_cutoff=0 forces the distributed star loop on the same
+    # input — both must yield the identical (id, component) map.
+    # Covers chains (multi-round contraction), a separate component,
+    # self-pairs (isolated nodes), and negative ids (fingerprint
+    # graphs are xxhash64 values).
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]          # chain
+    edges += [(100, 103), (101, 103), (102, 101)]    # star merge
+    edges += [(-8, -3), (-3, 5000)]                  # negative ids
+    edges += [(777, 777), (-99, -99)]                # isolated selfs
+    edges += [
+        (rng.randrange(2000, 2050), rng.randrange(2000, 2050))
+        for _ in range(60)
+    ]
+    pairs = _pairs(spark, edges)
+    local = _cc_map(connected_components(pairs))
+    dist = _cc_map(connected_components(pairs, local_cutoff=0))
+    assert local == dist
+    assert local[777] == 777 and local[-99] == -99
+
+
 def test_drop_list_exact_vs_greedy(spark):
     pairs = _pairs(spark, [(1, 3), (2, 3)])
     greedy = {
@@ -174,8 +199,12 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
     import pytest
 
     edges = [(i, i + 1) for i in range(30)]
+    # local_cutoff=0: the exhaustion guard lives in the distributed
+    # star loop; the r12 local fast path always converges in one pass
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, edges), max_iterations=1)
+        connected_components(
+            _pairs(spark, edges), max_iterations=1, local_cutoff=0
+        )
 
 
 def test_cosine_lsh_equal_bruteforce(spark, embeddings):

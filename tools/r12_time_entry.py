@@ -1,0 +1,71 @@
+"""Converged per-entry timing for the r12 optimization round.
+
+Usage: python tools/r12_time_entry.py <entry> [<entry> ...] [--n=K]
+
+Times each registry qid / bench EXTRAS entry K times (default 5) in ONE
+warmed session (bench methodology: noop sink for DataFrame results) and
+prints min/median/all — the sweep-to-sweep noise on this host is ~±17%
+(BENCH_DETAIL_r12 vs r12b), so single isolated runs cannot resolve
+per-entry changes; converged same-session repeats can.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from data_toolz_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    n = 5
+    names = []
+    for a in sys.argv[1:]:
+        if a.startswith("--n="):
+            n = int(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    spark = get_spark(
+        app_name="r12_time_entry",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import bench as benchmod
+
+    sources: dict[str, object] = {}
+    sources.update(entrymod.queries())
+    for name, fn in benchmod.EXTRAS.items():
+        sources.setdefault(name, fn)
+    # one warm-up pass over the documents table so the page cache and
+    # scan codegen are hot before any timed repeat
+    entrymod.load(spark, SF_DIR, "documents").count()
+    out = {}
+    for name in names:
+        fn = sources[name]
+        times = []
+        for _ in range(n):
+            spark.sparkContext.setJobDescription(f"time:{name}")
+            t0 = time.monotonic()
+            r = fn(spark, SF_DIR)
+            if hasattr(r, "write"):
+                r.write.format("noop").mode("overwrite").save()
+            times.append(round(time.monotonic() - t0, 3))
+        out[name] = {
+            "min": min(times),
+            "median": round(statistics.median(times), 3),
+            "all": times,
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
