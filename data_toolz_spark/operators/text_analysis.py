@@ -21,6 +21,7 @@ from data_toolz_spark.functions.text import (
     token_count,
     tokens,
 )
+from data_toolz_spark.operators._util import spread
 
 # Small function-word lists per language; ordered dict order is the
 # deterministic argmax tie-break order.
@@ -81,6 +82,11 @@ def quality_features(
       quality_score — 0..1 composite (length-normalized, penalizes
                       outlier token lengths and non-alpha noise)
     """
+    # the feature chain is pure per-row compute (tokenize + regex +
+    # array aggregate); a narrow input (one parquet split locally, an
+    # AQE-coalesced stage on a cluster) pins it to one core.  spread()
+    # widens only below defaultParallelism — no-op on wide inputs.
+    df = spread(df)
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks).cast("double")
     text_len = F.length(F.col(text_col)).cast("double")
@@ -477,7 +483,10 @@ def line_dedup(
 
     Scale shape: lines shuffle once as ``(xxhash64(line), id)`` longs
     to count distinct documents per line (map-side combinable) — the
-    document TEXT never crosses the wire.  The rebuild gathers each
+    document TEXT never crosses a KEYED exchange.  (The one exception:
+    when the input scan has fewer splits than the cluster, a single
+    round-robin ``spread()`` pass widens it first — a no-op on wide
+    production inputs.)  The rebuild gathers each
     affected document's OWN frequent-hash set (longs only) and joins
     it back onto the corpus so line removal is a row-local array
     ``filter`` over the document's own line array; no exchange ever
@@ -507,6 +516,11 @@ def line_dedup(
     """
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
+    # split/explode + the row-local rebuild are CPU-bound per-row work;
+    # widen a narrow scan before it (no-op when input splits already
+    # cover the cluster).  Results are partitioning-independent: the
+    # count aggregate is commutative and the rebuild is row-local.
+    df = spread(df)
     # ``sep`` splits as a Java REGEX but survivors re-join with a
     # LITERAL string.  For a literal sep (the "\n" default) the same
     # string serves both roles; a regex sep (e.g. r"\r?\n") would
@@ -891,6 +905,11 @@ def remove_duplicate_spans(
             "remove_duplicate_spans: min_docs must be >= 2 (a span "
             "must repeat across documents to be a duplicate)"
         )
+    # gram hashing and the span-cut rebuild are heavy row-local passes
+    # over the token array; widen a narrow input first (no-op when the
+    # scan already has >= defaultParallelism splits).  Both consumers
+    # (gram index + rebuild) read the same spread subtree.
+    df = spread(df)
     pos_grams = positioned_gram_hashes(
         df, n=n, id_col=id_col, text_col=text_col
     )

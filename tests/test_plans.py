@@ -313,8 +313,15 @@ def test_no_inferred_filter_re_derivation_on_gram_explodes(spark, sf_dir):
 
 def test_line_dedup_no_exchange_carries_text(spark, sf_dir):
     """The r6 broadcast rebuild's defining property: the document text
-    column appears in NO Exchange input — only line-hash longs and ids
-    shuffle (VERDICT r5 item 4)."""
+    column appears in NO KEYED Exchange input — only line-hash longs
+    and ids shuffle through the hash/range exchanges that scale with
+    corpus passes (VERDICT r5 item 4).
+
+    The one allowed exception (r12): the conditional ``spread()``
+    width-fix at the top of ``line_dedup`` is a RoundRobinPartitioning
+    exchange of the raw input — it fires only when the scan has fewer
+    splits than the cluster (no-op on wide production inputs) and is a
+    single pass, so it may carry text; every keyed exchange must not."""
     import contextlib
     import io
     import re
@@ -330,13 +337,18 @@ def test_line_dedup_no_exchange_carries_text(spark, sf_dir):
         out.explain("formatted")
     formatted = buf.getvalue()
     # formatted mode prints one "(n) Exchange" section per shuffle,
-    # each with an "Input [k]: [cols…]" line
+    # each with an "Input [k]: [cols…]" line and an Arguments line
+    # naming the partitioning (hashpartitioning / RoundRobinPartitioning)
     blocks = re.split(r"\n\(\d+\) ", formatted)
     exchange_inputs = [
         b for b in blocks if b.startswith("Exchange")
     ]
     assert exchange_inputs, "plan unexpectedly has no Exchange at all"
-    for b in exchange_inputs:
+    keyed = [
+        b for b in exchange_inputs if "RoundRobinPartitioning" not in b
+    ]
+    assert keyed, "plan unexpectedly has no keyed Exchange"
+    for b in keyed:
         m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
         assert m, b
         assert "text#" not in m.group(1), b

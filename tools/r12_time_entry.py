@@ -33,8 +33,15 @@ def main() -> int:
             n = int(a.split("=", 1)[1])
         else:
             names.append(a)
+    # match the bench session EXACTLY (master local[CPUS], shuffle
+    # partitions = CPUS) — a first cut of this tool left shuffle
+    # partitions at the 200 default, which schedules 6x the tasks the
+    # bench ever runs and made its numbers incomparable to the sweeps
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="r12_time_entry",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
