@@ -255,6 +255,81 @@ def _accept_batch(
     return batch
 
 
+#: driver-held pair-table cap for ``pair_mode="delta"`` (rows).  The
+#: (l, r, cnt) table is vocab-ADJACENCY-sized — distinct adjacent
+#: symbol pairs, not corpus-sized — so up to this many rows it lives
+#: on the driver like every other bounded model (k·dim codebooks,
+#: count sketches): candidates then cost ZERO Spark work per round and
+#: the rule-3 acceptance bound is exact instead of truncation-padded.
+#: Above the cap the r12 distributed table takes over unchanged.
+_DRIVER_PAIR_CAP = 1_048_576
+
+
+def _sym_best_index(live: list) -> dict:
+    """Per-symbol top-2 pair counts over the live (≥ min_count) pair
+    list: ``{symbol: (best_cnt, best_pair, second_cnt)}``.  One O(n)
+    pass; gives :func:`_accept_batch_exact` the EXACT rule-3 bound
+    ("best old pair ≠ p touching l or r") without an O(n²) scan."""
+    sym_best: dict = {}
+    for l, r, c in live:
+        key = (l, r)
+        for s in ((l,) if l == r else (l, r)):
+            e = sym_best.get(s)
+            if e is None:
+                sym_best[s] = (c, key, -1)
+            elif c > e[0]:
+                sym_best[s] = (c, key, e[0])
+            elif c > e[2]:
+                sym_best[s] = (e[0], e[1], c)
+    return sym_best
+
+
+def _accept_batch_exact(
+    cands: list,
+    sym_best: dict,
+    prior_merged: set,
+    limit: int,
+) -> list[tuple[str, str, int]]:
+    """:func:`_accept_batch` with the rule-3 bound computed EXACTLY
+    from the full driver-held pair table instead of over-approximated
+    by the collect-truncation count — same four rules, same
+    sequential-equality proof, strictly larger accepted prefixes
+    (an over-approximated bound can only shrink the batch).
+
+    ``cands`` is the full live pair list in argmax order; ``sym_best``
+    is :func:`_sym_best_index` over the same list.  Soundness of the
+    live-only index: a new pair's occurrences each come from an old
+    adjacency touching the accepted pick's symbols, so a new pair
+    reaching ``min_count`` inherits from an old pair with at least
+    that count — which is live and indexed; sub-``min_count`` old
+    pairs can only spawn sub-``min_count`` new pairs, which sequential
+    never picks."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound = -1
+    for l, r, cnt in cands:
+        if len(batch) >= limit:
+            break
+        merged = l + r
+        if batch:
+            if l in used or r in used or merged in used:
+                break
+            if cnt <= bound:
+                break
+        batch.append((l, r, cnt))
+        if merged in prior_merged:
+            break  # rule 4: boosts around M_j are unbounded here
+        used.update((l, r, merged))
+        for s in (l, r):
+            e = sym_best.get(s)
+            if e is None:
+                continue
+            b = e[2] if e[1] == (l, r) else e[0]
+            if b > bound:
+                bound = b
+    return batch
+
+
 def _pairs_arr(state_col: Column, sep: str, weight: Column) -> Column:
     """Adjacent-symbol pair array of an encoded state string, each pair
     tagged with ``weight`` — ``array<struct<l, r, w>>``.  The < 2-symbol
@@ -319,11 +394,19 @@ def bpe_train(
       count; the round recounts exactly those words before and after
       the replace (one exploded signed pass: old pairs at ``−f``, new
       at ``+f``) and folds the sum into the table.  Candidates come
-      from a TakeOrdered over the TABLE — vocab-adjacency-sized —
-      instead of a full corpus re-explode, so at a real vocab scale
-      each of the ~K rounds touches the affected slice (shrinking
-      fast as merges move down the Zipf tail), never the whole unit
-      table's exploded pairs.
+      from the TABLE — vocab-adjacency-sized — instead of a full
+      corpus re-explode, so at a real vocab scale each of the ~K
+      rounds touches the affected slice (shrinking fast as merges
+      move down the Zipf tail), never the whole unit table's exploded
+      pairs.  Up to ``_DRIVER_PAIR_CAP`` distinct pairs the table is
+      held on the DRIVER (r12 optimization round): candidate
+      selection is then a Python sort costing zero Spark work, the
+      per-round job shrinks to the affected-words signed recount
+      alone, and the rule-3 acceptance bound is computed exactly from
+      the full table (:func:`_accept_batch_exact`) instead of
+      truncation-padded — strictly more merges per round, same
+      sequential-equal output.  Above the cap the table stays a
+      persisted DataFrame and rounds run exactly as in r12.
     * ``"recount"`` — the r11 behavior: re-explode every word and
       re-aggregate all pair counts each round.  Faster on SMALL unit
       tables (the table-maintenance stages cost more than the full
@@ -370,10 +453,18 @@ def bpe_train(
     state, nparts = right_size_iterated_state(state, n_rows)
     state = state.localCheckpoint(eager=True)
     pairs: DataFrame | None = None
+    pair_cnt: dict | None = None
     if pair_mode == "delta":
         # the ONE full explode+aggregate the delta path ever runs —
-        # every later round folds signed corrections into this table
-        pairs = (
+        # every later round folds signed corrections into this table.
+        # Within _DRIVER_PAIR_CAP rows the table lives on the DRIVER
+        # (r12 optimization round, guide §5.4 bounded driver state):
+        # per-round candidates are then a Python sort — zero Spark
+        # work — and the acceptance bound is exact (bigger batches);
+        # the per-round Spark job shrinks to the affected-words signed
+        # recount alone.  Above the cap, the distributed table below
+        # takes over unchanged.
+        agg = (
             state.select(
                 F.explode(_pairs_arr(F.col("s"), sep, F.col("f"))).alias(
                     "p"
@@ -383,14 +474,24 @@ def bpe_train(
                 F.col("p.l").alias("l"), F.col("p.r").alias("r")
             )
             .agg(F.sum("p.w").alias("cnt"))
-            .coalesce(nparts)
-            .localCheckpoint(eager=False)
         )
+        head = agg.limit(_DRIVER_PAIR_CAP + 1).collect()
+        if len(head) <= _DRIVER_PAIR_CAP:
+            pair_cnt = {
+                (rw["l"], rw["r"]): int(rw["cnt"]) for rw in head
+            }
+        else:
+            pairs = agg.coalesce(nparts).localCheckpoint(eager=False)
     merges: list[dict] = []
     if stats is not None:
         stats.update(
             {"rounds": 0, "batch_sizes": [], "round_secs": [],
-             "pair_mode": pair_mode}
+             "pair_mode": pair_mode,
+             "pair_table": (
+                 None if pair_mode != "delta"
+                 else "driver" if pair_cnt is not None
+                 else "distributed"
+             )}
         )
     rounds_since_trunc = 0
     # every merged symbol produced so far — the rule-4 existence
@@ -403,39 +504,57 @@ def bpe_train(
         # truncation bound (more accepted picks per round) and a few
         # thousand tiny rows per round is negligible driver traffic
         n_cand = 1 if batch_size == 1 else max(8 * batch_size, 2048)
-        if pair_mode == "delta":
-            cand_src = pairs
-        else:
-            cand_src = (
-                state.select(
-                    F.explode(
-                        _pairs_arr(F.col("s"), sep, F.col("f"))
-                    ).alias("p")
-                )
-                .groupBy(
-                    F.col("p.l").alias("l"), F.col("p.r").alias("r")
-                )
-                .agg(F.sum("p.w").alias("cnt"))
+        if pair_cnt is not None:
+            # driver-held table: full live list in argmax order, no
+            # collect truncation — acceptance bound is exact
+            live = [
+                (l, r, c)
+                for (l, r), c in pair_cnt.items()
+                if c >= min_count
+            ]
+            if not live:
+                break
+            live.sort(key=lambda t: (-t[2], t[0], t[1]))
+            batch = _accept_batch_exact(
+                live,
+                _sym_best_index(live),
+                prior_merged,
+                min(batch_size, n_merges - len(merges)),
             )
-        cands = (
-            cand_src.filter(F.col("cnt") >= min_count)
-            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
-            .limit(n_cand)
-            .collect()
-        )
-        if not cands:
-            break
-        trunc = (
-            int(cands[-1]["cnt"])
-            if len(cands) == n_cand
-            else min_count - 1
-        )
-        batch = _accept_batch(
-            cands,
-            trunc,
-            prior_merged,
-            min(batch_size, n_merges - len(merges)),
-        )
+        else:
+            if pair_mode == "delta":
+                cand_src = pairs
+            else:
+                cand_src = (
+                    state.select(
+                        F.explode(
+                            _pairs_arr(F.col("s"), sep, F.col("f"))
+                        ).alias("p")
+                    )
+                    .groupBy(
+                        F.col("p.l").alias("l"), F.col("p.r").alias("r")
+                    )
+                    .agg(F.sum("p.w").alias("cnt"))
+                )
+            cands = (
+                cand_src.filter(F.col("cnt") >= min_count)
+                .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+                .limit(n_cand)
+                .collect()
+            )
+            if not cands:
+                break
+            trunc = (
+                int(cands[-1]["cnt"])
+                if len(cands) == n_cand
+                else min_count - 1
+            )
+            batch = _accept_batch(
+                cands,
+                trunc,
+                prior_merged,
+                min(batch_size, n_merges - len(merges)),
+            )
         pats = []
         reps = []
         for l, r, cnt in batch:
@@ -452,7 +571,46 @@ def bpe_train(
             pats.append(sep + l + sep + sep + r + sep)
             reps.append(sep + l + r + sep)
         expr = _fold_replaces(F.col("s"), list(zip(pats, reps)))
-        if pair_mode == "delta":
+        if pair_cnt is not None and len(merges) >= n_merges:
+            # driver-arm final round: nothing reads the folded table
+            # or the rewritten state — skip both (one Spark job saved)
+            if stats is not None:
+                stats["rounds"] += 1
+                stats["batch_sizes"].append(len(batch))
+                stats["round_secs"].append(
+                    round(time.monotonic() - t_round, 4)
+                )
+            break
+        if pair_cnt is not None:
+            # driver-arm delta: ONE job — aggregate the signed recount
+            # of exactly the affected words and fold it into the dict
+            aff_pred = F.exists(
+                F.lit(pats), lambda p: F.col("s").contains(p)
+            )
+            folded = (
+                state.filter(aff_pred)
+                .select(
+                    F.explode(
+                        F.concat(
+                            _pairs_arr(F.col("s"), sep, -F.col("f")),
+                            _pairs_arr(expr, sep, F.col("f")),
+                        )
+                    ).alias("p")
+                )
+                .groupBy(
+                    F.col("p.l").alias("l"), F.col("p.r").alias("r")
+                )
+                .agg(F.sum("p.w").alias("cnt"))
+                .collect()
+            )
+            for rw in folded:
+                k2 = (rw["l"], rw["r"])
+                c2 = pair_cnt.get(k2, 0) + int(rw["cnt"])
+                if c2 > 0:
+                    pair_cnt[k2] = c2
+                elif k2 in pair_cnt:
+                    del pair_cnt[k2]
+        elif pair_mode == "delta":
             # a batch replace only rewrites words containing one of the
             # accepted patterns ON the pre-batch state (an accepted
             # pick can neither create nor destroy another accepted
@@ -506,7 +664,10 @@ def bpe_train(
         # truncate the chain.
         state = state.withColumn("s", expr).localCheckpoint(eager=False)
         prev.unpersist()
-        if pair_mode == "delta":
+        if pairs is not None:
+            # distributed-table arm only: the driver arm's per-round
+            # collect runs directly over the state subtree, so its
+            # lineage truncates every round like recount mode
             rounds_since_trunc += 1
             if rounds_since_trunc >= 16:
                 state.count()

@@ -123,12 +123,17 @@ def wordpiece_train(
     the double score break (l, r) ascending — total and engine-
     portable (see module docstring).
 
-    Per round: one argmax job over the maintained pair table
-    broadcast-joined twice with the maintained symbol-count table,
-    then one signed recount of only the words containing the merge
-    pattern — both tables fold the deltas lazily, so every round is
-    vocab-adjacency-bounded.  ``stats`` (optional dict) receives
-    ``rounds`` and ``round_secs`` telemetry like :func:`bpe.bpe_train`.
+    Per round: one argmax over the maintained pair table joined with
+    the maintained symbol-count table, then one signed recount of only
+    the words containing the merge pattern — every round is
+    vocab-adjacency-bounded.  Within ``bpe._DRIVER_PAIR_CAP`` distinct
+    pairs both tables are held on the DRIVER (r12 optimization round):
+    the argmax is a Python scan over bit-identical IEEE doubles and
+    each round costs exactly ONE Spark job (the recount); above the
+    cap both stay persisted DataFrames with broadcast-joined argmax
+    rounds, exactly the r12-build behavior.  ``stats`` (optional dict)
+    receives ``rounds``, ``round_secs`` and ``pair_table`` telemetry
+    like :func:`bpe.bpe_train`.
     """
     if n_merges < 0:
         raise ValueError("wordpiece_train: n_merges must be >= 0")
@@ -149,76 +154,143 @@ def wordpiece_train(
     state, nparts = right_size_iterated_state(state, n_rows)
     state = state.localCheckpoint(eager=True)
     # the ONE full explode+aggregate each table ever runs — later
-    # rounds fold signed corrections in
-    pairs = (
+    # rounds fold signed corrections in.  Within _DRIVER_PAIR_CAP
+    # distinct pairs both tables live on the DRIVER (r12 optimization
+    # round, guide §5.4 bounded state — the same arm as
+    # ``bpe_train``'s delta mode): the per-round argmax is a Python
+    # scan costing zero Spark work (the score doubles are IEEE-754
+    # division/multiplication of exactly-represented ints, identical
+    # bit-for-bit in Python and the JVM), and the per-round Spark job
+    # shrinks to the affected-words signed recount alone.
+    from data_toolz_spark.operators.bpe import _DRIVER_PAIR_CAP
+
+    pair_cnt: dict | None = None
+    sym_cnt: dict | None = None
+    pairs_agg = (
         state.select(
             F.explode(_pairs_arr(F.col("s"), sep, F.col("f"))).alias("p")
         )
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("p.w").alias("cnt"))
-        .coalesce(nparts)
-        .localCheckpoint(eager=False)
     )
-    syms = (
-        state.select(
-            F.explode(_sym_rows(F.col("s"), sep, F.col("f"))).alias("p")
+    head = pairs_agg.limit(_DRIVER_PAIR_CAP + 1).collect()
+    pairs = syms = None
+    if len(head) <= _DRIVER_PAIR_CAP:
+        pair_cnt = {(rw["l"], rw["r"]): int(rw["cnt"]) for rw in head}
+        sym_cnt = {
+            rw["sym"]: int(rw["cnt"])
+            for rw in state.select(
+                F.explode(
+                    _sym_rows(F.col("s"), sep, F.col("f"))
+                ).alias("p")
+            )
+            .groupBy(F.col("p.l").alias("sym"))
+            .agg(F.sum("p.w").alias("cnt"))
+            .collect()
+        }
+    else:
+        pairs = pairs_agg.coalesce(nparts).localCheckpoint(eager=False)
+        syms = (
+            state.select(
+                F.explode(_sym_rows(F.col("s"), sep, F.col("f"))).alias(
+                    "p"
+                )
+            )
+            .groupBy(F.col("p.l").alias("sym"))
+            .agg(F.sum("p.w").alias("cnt"))
+            .coalesce(nparts)
+            .localCheckpoint(eager=False)
         )
-        .groupBy(F.col("p.l").alias("sym"))
-        .agg(F.sum("p.w").alias("cnt"))
-        .coalesce(nparts)
-        .localCheckpoint(eager=False)
-    )
     merges: list[dict] = []
     if stats is not None:
-        stats.update({"rounds": 0, "round_secs": []})
+        stats.update(
+            {"rounds": 0, "round_secs": [],
+             "pair_table": (
+                 "driver" if pair_cnt is not None else "distributed"
+             )}
+        )
     rounds_since_trunc = 0
     while len(merges) < n_merges:
         t_round = time.monotonic() if stats is not None else 0.0
-        cand = (
-            pairs.filter(F.col("cnt") >= min_count)
-            .join(
-                F.broadcast(
-                    syms.select(
-                        F.col("sym").alias("l"), F.col("cnt").alias("lc")
-                    )
-                ),
-                "l",
+        if pair_cnt is not None:
+            # driver argmax: score DESC, then (l, r) ASC — the same
+            # total order the Spark sort applies, over the same IEEE
+            # doubles (counts < 2^53 are exact; double multiply and
+            # divide are correctly rounded in both runtimes)
+            best = None
+            for (l2, r2), c2 in pair_cnt.items():
+                if c2 < min_count:
+                    continue
+                lc2 = sym_cnt.get(l2)
+                rc2 = sym_cnt.get(r2)
+                if lc2 is None or rc2 is None:
+                    # mirror the distributed arm's INNER join: a pair
+                    # without a live symbol row is not a candidate
+                    # (unreachable for consistent tables, kept for
+                    # exact join-semantics parity)
+                    continue
+                sc = float(c2) / (float(lc2) * float(rc2))
+                if (
+                    best is None
+                    or sc > best[0]
+                    or (sc == best[0] and (l2, r2) < (best[1], best[2]))
+                ):
+                    best = (sc, l2, r2, c2)
+            if best is None:
+                break
+            row = {
+                "l": best[1], "r": best[2], "cnt": best[3],
+                "lc": sym_cnt[best[1]], "rc": sym_cnt[best[2]],
+                "score": best[0],
+            }
+        else:
+            cand = (
+                pairs.filter(F.col("cnt") >= min_count)
+                .join(
+                    F.broadcast(
+                        syms.select(
+                            F.col("sym").alias("l"),
+                            F.col("cnt").alias("lc"),
+                        )
+                    ),
+                    "l",
+                )
+                .join(
+                    F.broadcast(
+                        syms.select(
+                            F.col("sym").alias("r"),
+                            F.col("cnt").alias("rc"),
+                        )
+                    ),
+                    "r",
+                )
+                .select(
+                    "l",
+                    "r",
+                    "cnt",
+                    "lc",
+                    "rc",
+                    # double×double, not BIGINT× then cast: counts are
+                    # exactly representable (< 2^53 each), so the double
+                    # product is the correctly-rounded true product —
+                    # identical doubles to rounding the exact integer
+                    # product while never wrapping a 64-bit multiply at
+                    # 100 TB symbol counts (review fix r12)
+                    (
+                        F.col("cnt").cast("double")
+                        / (
+                            F.col("lc").cast("double")
+                            * F.col("rc").cast("double")
+                        )
+                    ).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), F.col("l"), F.col("r"))
+                .limit(1)
+                .collect()
             )
-            .join(
-                F.broadcast(
-                    syms.select(
-                        F.col("sym").alias("r"), F.col("cnt").alias("rc")
-                    )
-                ),
-                "r",
-            )
-            .select(
-                "l",
-                "r",
-                "cnt",
-                "lc",
-                "rc",
-                # double×double, not BIGINT× then cast: counts are
-                # exactly representable (< 2^53 each), so the double
-                # product is the correctly-rounded true product —
-                # identical doubles to rounding the exact integer
-                # product while never wrapping a 64-bit multiply at
-                # 100 TB symbol counts (review fix r12)
-                (
-                    F.col("cnt").cast("double")
-                    / (
-                        F.col("lc").cast("double")
-                        * F.col("rc").cast("double")
-                    )
-                ).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), F.col("l"), F.col("r"))
-            .limit(1)
-            .collect()
-        )
-        if not cand:
-            break
-        row = cand[0]
+            if not cand:
+                break
+            row = cand[0]
         l, r = row["l"], row["r"]
         # a pair's right side is never word-initial, so it ALWAYS
         # carries the marker — strip it for the merged symbol
@@ -238,6 +310,15 @@ def wordpiece_train(
         pat = sep + l + sep + sep + r + sep
         rep = sep + merged + sep
         new_s = F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+        if pair_cnt is not None and len(merges) >= n_merges:
+            # driver-arm final round: nothing reads the folded tables
+            # or the rewritten state — skip both (one Spark job saved)
+            if stats is not None:
+                stats["rounds"] += 1
+                stats["round_secs"].append(
+                    round(time.monotonic() - t_round, 4)
+                )
+            break
         # the replace is token-local: only words CONTAINING the
         # pattern change any pair or symbol count — the signed
         # recount of exactly those words is the exact delta of both
@@ -257,52 +338,83 @@ def wordpiece_train(
             )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("p.w").alias("cnt"))
-            .coalesce(nparts)
-            .localCheckpoint(eager=False)
         )
-        prev_pairs, prev_syms = pairs, syms
-        pairs = (
-            pairs.unionByName(upd.filter(F.col("r").isNotNull()))
-            .groupBy("l", "r")
-            .agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") > 0)
-            .coalesce(nparts)
-            .localCheckpoint(eager=False)
-        )
-        syms = (
-            syms.unionByName(
-                upd.filter(F.col("r").isNull()).select(
-                    F.col("l").alias("sym"), "cnt"
-                )
+        if pair_cnt is not None:
+            # driver-arm delta: ONE job — collect the signed recount
+            # and fold it into both dicts (r = NULL rows are symbols)
+            for rw in upd.collect():
+                delta = int(rw["cnt"])
+                if rw["r"] is None:
+                    c2 = sym_cnt.get(rw["l"], 0) + delta
+                    if c2 > 0:
+                        sym_cnt[rw["l"]] = c2
+                    elif rw["l"] in sym_cnt:
+                        del sym_cnt[rw["l"]]
+                else:
+                    k2 = (rw["l"], rw["r"])
+                    c2 = pair_cnt.get(k2, 0) + delta
+                    if c2 > 0:
+                        pair_cnt[k2] = c2
+                    elif k2 in pair_cnt:
+                        del pair_cnt[k2]
+            prev = state
+            state = state.withColumn("s", new_s).localCheckpoint(
+                eager=False
             )
-            .groupBy("sym")
-            .agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") > 0)
-            .coalesce(nparts)
-            .localCheckpoint(eager=False)
-        )
-        prev = state
-        state = state.withColumn("s", new_s).localCheckpoint(eager=False)
-        prev.unpersist()
-        prev_pairs.unpersist()
-        prev_syms.unpersist()
-        # the round's argmax job never runs directly over the state
-        # subtree (candidates come from the tables), so the state's
-        # lazy-checkpoint chain accumulates like bpe_train's delta
-        # mode — truncate it with one vocab-sized count() every 16
-        # rounds (the measured StackOverflow cliff is ~400 layers)
-        rounds_since_trunc += 1
-        if rounds_since_trunc >= 16:
-            state.count()
-            rounds_since_trunc = 0
+            prev.unpersist()
+            # the collect above ran directly over the state subtree,
+            # so its lazy-checkpoint lineage truncated this round —
+            # no periodic count() needed on this arm
+        else:
+            upd = upd.coalesce(nparts).localCheckpoint(eager=False)
+            prev_pairs, prev_syms = pairs, syms
+            pairs = (
+                pairs.unionByName(upd.filter(F.col("r").isNotNull()))
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .coalesce(nparts)
+                .localCheckpoint(eager=False)
+            )
+            syms = (
+                syms.unionByName(
+                    upd.filter(F.col("r").isNull()).select(
+                        F.col("l").alias("sym"), "cnt"
+                    )
+                )
+                .groupBy("sym")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .coalesce(nparts)
+                .localCheckpoint(eager=False)
+            )
+            prev = state
+            state = state.withColumn("s", new_s).localCheckpoint(
+                eager=False
+            )
+            prev.unpersist()
+            prev_pairs.unpersist()
+            prev_syms.unpersist()
+            # the round's argmax job never runs directly over the
+            # state subtree (candidates come from the tables), so the
+            # state's lazy-checkpoint chain accumulates like
+            # bpe_train's delta mode — truncate it with one
+            # vocab-sized count() every 16 rounds (the measured
+            # StackOverflow cliff is ~400 layers)
+            rounds_since_trunc += 1
+            if rounds_since_trunc >= 16:
+                state.count()
+                rounds_since_trunc = 0
         if stats is not None:
             stats["rounds"] += 1
             stats["round_secs"].append(
                 round(time.monotonic() - t_round, 4)
             )
     state.unpersist()
-    pairs.unpersist()
-    syms.unpersist()
+    if pairs is not None:
+        pairs.unpersist()
+    if syms is not None:
+        syms.unpersist()
     return merges
 
 

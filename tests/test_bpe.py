@@ -558,6 +558,49 @@ def test_bpe_delta_boost_case(spark):
         assert _as_tuples(got) == want, f"batch_size={b}"
 
 
+def test_bpe_delta_driver_vs_distributed_arms(spark, monkeypatch):
+    """r12 optimization round: ``pair_mode="delta"`` holds the pair
+    table on the driver under ``_DRIVER_PAIR_CAP`` (exact acceptance
+    bounds, zero-Spark candidate selection) and falls back to the
+    persisted DataFrame above it.  Both arms must produce the same
+    merge list as each other and as the Python reference — the cap is
+    monkeypatched to force each arm on the same corpus."""
+    import random
+
+    import data_toolz_spark.operators.bpe as bpemod
+    from data_toolz_spark.operators.bpe import bpe_train, bpe_word_table
+
+    rng = random.Random(97)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+        for _ in range(160)
+    ]
+    corpus = [" ".join(words[i::4]) for i in range(4)]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wt = bpe_word_table(docs)
+
+    stats_drv: dict = {}
+    got_drv = bpe_train(
+        wt, n_merges=18, batch_size=8, pair_mode="delta",
+        stats=stats_drv,
+    )
+    assert stats_drv["pair_table"] == "driver"
+
+    monkeypatch.setattr(bpemod, "_DRIVER_PAIR_CAP", 0)
+    stats_dst: dict = {}
+    got_dst = bpe_train(
+        wt, n_merges=18, batch_size=8, pair_mode="delta",
+        stats=stats_dst,
+    )
+    assert stats_dst["pair_table"] == "distributed"
+
+    assert _as_tuples(got_drv) == _as_tuples(got_dst)
+    wf = Counter(w for line in corpus for w in line.split())
+    assert _as_tuples(got_drv) == _ref_train(wf, 18, 2)
+    # the exact bound can only ACCEPT MORE per round, never fewer
+    assert stats_drv["rounds"] <= stats_dst["rounds"]
+
+
 def test_bpe_ngram_unit_table(spark):
     """Trigram units match a Python twin; docs shorter than n emit
     nothing (the descending-sequence guard); separator tokens drop."""

@@ -176,6 +176,44 @@ def test_train_matches_twin_randomized(spark):
         ], f"trial {trial}"
 
 
+def test_train_driver_vs_distributed_arms(spark, monkeypatch):
+    """r12 optimization round: the driver-held pair/symbol-table arm
+    (under ``bpe._DRIVER_PAIR_CAP``) and the distributed-table arm
+    produce identical merge lists including the IEEE score doubles —
+    the cap is monkeypatched to force each arm on the same corpus."""
+    import data_toolz_spark.operators.bpe as bpemod
+
+    rng = random.Random(733)
+    wf = {}
+    for _ in range(60):
+        w = "".join(
+            rng.choice("abcd#") for _ in range(rng.randint(1, 6))
+        )
+        wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+    df = _word_df(spark, wf)
+
+    stats_drv: dict = {}
+    got_drv = wordpiece_train(
+        df, n_merges=12, min_count=2, stats=stats_drv
+    )
+    assert stats_drv["pair_table"] == "driver"
+
+    monkeypatch.setattr(bpemod, "_DRIVER_PAIR_CAP", 0)
+    stats_dst: dict = {}
+    got_dst = wordpiece_train(
+        df, n_merges=12, min_count=2, stats=stats_dst
+    )
+    assert stats_dst["pair_table"] == "distributed"
+
+    key = lambda ms: [  # noqa: E731
+        (m["left"], m["right"], m["merged"], m["pair_count"],
+         m["left_count"], m["right_count"], m["score"])
+        for m in ms
+    ]
+    assert key(got_drv) == key(got_dst)
+    assert key(got_drv) == key(_ref_train(wf, 12, min_count=2))
+
+
 def test_train_exhaustion_and_zero(spark):
     df = _word_df(spark, {"ab": 1, "cd": 1})
     # nothing reaches min_count=2 → no merges
