@@ -1429,15 +1429,31 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(d, "\x07", "\x1b", "\x01"),
         F.lit("  \n\n\n\n tail  "),
     )
-    urls = strip_html(
-        docs.withColumn("__html", html), "__html", out_col="__hclean"
-    ).select(
-        "doc_id",
-        canonical_url(trim_prose_punctuation(raw)).alias("canonical"),
-        F.md5(F.encode(F.col("__hclean"), "UTF-8")).alias(
-            "html_clean_md5"
-        ),
-        F.md5(F.encode(clean_text(messy), "UTF-8")).alias("fixed_md5"),
+    # r12 optimization round (guide §1.2 "count your scans" + §5):
+    # three consumers read this frame — the min-over-canonical window,
+    # cap_per_domain's sited branch, and its NULL-host pass-through —
+    # and without the persist each one re-scans the documents parquet
+    # and re-derives `canonical` from the raw concat (the before-plan
+    # shows 3 Scan parquet nodes).  The frame is one NARROW row per
+    # doc (id + canonical + two md5s), so persisting it for the
+    # query's lifetime (released by the bench's between-repeat
+    # hygiene — plan sharing, not cross-run caching) collapses the
+    # plan to ONE corpus scan + one strip/NFC/md5 pass.
+    from data_toolz_spark.cache import track
+
+    urls = track(
+        strip_html(
+            docs.withColumn("__html", html), "__html", out_col="__hclean"
+        )
+        .select(
+            "doc_id",
+            canonical_url(trim_prose_punctuation(raw)).alias("canonical"),
+            F.md5(F.encode(F.col("__hclean"), "UTF-8")).alias(
+                "html_clean_md5"
+            ),
+            F.md5(F.encode(clean_text(messy), "UTF-8")).alias("fixed_md5"),
+        )
+        .persist()
     )
     kept = cap_per_domain(
         urls.select("doc_id", "canonical"),
