@@ -264,6 +264,18 @@ def _accept_batch(
 #: Above the cap the r12 distributed table takes over unchanged.
 _DRIVER_PAIR_CAP = 1_048_576
 
+#: auto-mode driver-LOCAL gate for the trainers (unit-table rows).
+#: Below this, ``pair_mode="auto"`` (and :func:`wordpiece_train`)
+#: delegate the whole merge loop to the exact driver-side trainers
+#: (:func:`bpe_train_local` / ``wordpiece_train_local``): the unit
+#: table is the bounded model state of subword training, and the
+#: collected loop costs zero Spark jobs per merge — the r12-measured
+#: gap is minutes-vs-seconds (a 210k-unit 32k-merge run is ~62 s
+#: local vs ~601 s distributed, SCALE_PROBE r12-bpe).  Above the cap
+#: the distributed loops run unchanged; explicit
+#: ``pair_mode="delta"``/``"recount"`` always keep them.
+_LOCAL_UNIT_CAP = 1_048_576
+
 
 def _sym_best_index(live: list) -> dict:
     """Per-symbol top-2 pair counts over the live (≥ min_count) pair
@@ -448,6 +460,36 @@ def bpe_train(
     )
 
     n_rows = state.count()
+    if (
+        pair_mode == "auto"
+        and sep == BPE_SEP
+        and n_merges > 0
+        and min_count >= 1
+        and n_rows <= _LOCAL_UNIT_CAP
+    ):
+        # r12 optimization round (guide §5.4 bounded driver work, the
+        # same gate shape as the CC union-find fast path): below the
+        # cap the unit table is bounded model state, and the merge
+        # loop never needed the cluster — delegate to the driver-side
+        # exact trainer (bit-parity pinned by the local differentials
+        # + the auto-arm parity tests), zero Spark jobs per merge.
+        # Explicit pair_mode="delta"/"recount" keeps the distributed
+        # loops (the 100 TB arms and their demonstration entries);
+        # n_merges > 0 preserves the no-raise return-[] contract for
+        # negative n_merges; a custom sep stays distributed (the local
+        # trainer never encodes, so sep-dependent callers keep the
+        # machinery they asked for).
+        merges = bpe_train_local(
+            words,
+            n_merges=n_merges,
+            min_count=min_count,
+            word_col=word_col,
+            freq_col=freq_col,
+            stats=stats,
+        )
+        if stats is not None:
+            stats["pair_mode"] = "local"
+        return merges
     if pair_mode == "auto":
         pair_mode = "delta" if n_rows >= 16384 else "recount"
     state, nparts = right_size_iterated_state(state, n_rows)

@@ -151,6 +151,26 @@ def wordpiece_train(
     )
 
     n_rows = state.count()
+    from data_toolz_spark.operators.bpe import _LOCAL_UNIT_CAP
+
+    if sep == BPE_SEP and n_merges > 0 and n_rows <= _LOCAL_UNIT_CAP:
+        # r12 optimization round (guide §5.4, the bpe_train auto-gate
+        # twin): below the cap the unit table is bounded model state —
+        # delegate the merge loop to the exact driver-side trainer
+        # (bit-parity including the IEEE score doubles pinned by the
+        # local differentials + the arm-parity tests), zero Spark
+        # jobs per merge.  A custom sep stays distributed.
+        merges = wordpiece_train_local(
+            words,
+            n_merges=n_merges,
+            min_count=min_count,
+            word_col=word_col,
+            freq_col=freq_col,
+            stats=stats,
+        )
+        if stats is not None:
+            stats["pair_table"] = "local"
+        return merges
     state, nparts = right_size_iterated_state(state, n_rows)
     state = state.localCheckpoint(eager=True)
     # the ONE full explode+aggregate each table ever runs — later

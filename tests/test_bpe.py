@@ -418,11 +418,16 @@ def _batch_train_on(spark, corpus, n_merges, batch_size, min_count=2):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
+    # pair_mode="recount" pins these differentials to the DISTRIBUTED
+    # batched-acceptance machinery (_accept_batch) — auto mode now
+    # delegates small tables to the driver-local trainer (r12), which
+    # has its own differentials below
     return bpe_train(
         bpe_word_table(docs),
         n_merges=n_merges,
         min_count=min_count,
         batch_size=batch_size,
+        pair_mode="recount",
     )
 
 
@@ -674,7 +679,11 @@ def test_bpe_local_differential(spark):
         )
         wt = bpe_word_table(docs)
         got = bpe_train_local(wt, n_merges=24, min_count=mc)
-        assert got == bpe_train(wt, n_merges=24, min_count=mc), (seed, mc)
+        # recount pins the comparison to the DISTRIBUTED trainer (auto
+        # would delegate right back to bpe_train_local since r12)
+        assert got == bpe_train(
+            wt, n_merges=24, min_count=mc, pair_mode="recount"
+        ), (seed, mc)
         wf = Counter(w for line in corpus for w in line.split())
         assert _as_tuples(got) == _ref_train(wf, 24, mc), (seed, mc)
 
@@ -718,11 +727,52 @@ def test_bpe_local_truncation_and_stats(spark):
         wt, n_merges=8, min_count=1, max_units=3, stats=st
     )
     top3 = wt.orderBy(F.col("freq").desc(), F.col("word")).limit(3)
-    assert got == bpe_train(top3, n_merges=8, min_count=1)
+    assert got == bpe_train(
+        top3, n_merges=8, min_count=1, pair_mode="recount"
+    )
     assert st["units_kept"] == 3
     assert st["units_total"] == wt.count()
     assert st["freq_total"] > st["freq_kept"]
     assert st["merges"] == len(got)
+
+
+def test_bpe_auto_local_arm_parity(spark, monkeypatch):
+    """r12 optimization round: ``pair_mode="auto"`` delegates
+    under-cap unit tables to the driver-local exact trainer.  The
+    auto pick must (a) actually take the local arm, (b) equal the
+    forced-distributed auto pick bit for bit, and (c) keep the
+    distributed arm when the cap is exceeded."""
+    import random
+
+    import data_toolz_spark.operators.bpe as bpemod
+    from data_toolz_spark.operators.bpe import bpe_train, bpe_word_table
+
+    rng = random.Random(61)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+        for _ in range(160)
+    ]
+    corpus = [" ".join(words[i::4]) for i in range(4)]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wt = bpe_word_table(docs)
+
+    st_local: dict = {}
+    got_local = bpe_train(
+        wt, n_merges=18, batch_size=8, stats=st_local
+    )
+    assert st_local["pair_mode"] == "local"
+
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 0)
+    st_dist: dict = {}
+    got_dist = bpe_train(wt, n_merges=18, batch_size=8, stats=st_dist)
+    assert st_dist["pair_mode"] in ("recount", "delta")
+
+    assert _as_tuples(got_local) == _as_tuples(got_dist)
+    wf = Counter(w for line in corpus for w in line.split())
+    assert _as_tuples(got_local) == _ref_train(wf, 18, 2)
+    # negative n_merges keeps the distributed no-raise contract
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 1_048_576)
+    assert bpe_train(wt, n_merges=-1) == []
 
 
 def test_bpe_local_validation(spark):

@@ -183,6 +183,11 @@ def test_train_driver_vs_distributed_arms(spark, monkeypatch):
     the cap is monkeypatched to force each arm on the same corpus."""
     import data_toolz_spark.operators.bpe as bpemod
 
+    # the auto-local gate (r12) would otherwise take the whole loop
+    # driver-local — force it off so this test still compares the
+    # driver-DICT arm against the distributed-table arm
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 0)
+
     rng = random.Random(733)
     wf = {}
     for _ in range(60):
@@ -421,15 +426,20 @@ def test_segment_literal_marker_word_start(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_wp_local_differential(spark):
+def test_wp_local_differential(spark, monkeypatch):
     """wordpiece_train_local is bit-identical (including the IEEE
     score doubles) to the distributed trainer AND the pure-Python
     reference on randomized dense-reuse corpora — the score-RAISE
     regime (denominators shrinking under merges) is the hard part the
     symbol→pairs re-push index exists for."""
+    import data_toolz_spark.operators.bpe as bpemod
     from data_toolz_spark.operators.wordpiece import (
         wordpiece_train_local,
     )
+
+    # keep the comparison side DISTRIBUTED (the r12 auto-local gate
+    # would delegate it right back to wordpiece_train_local)
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 0)
 
     for seed, alpha, mc in ((3, "ab", 2), (19, "abc", 1), (31, "abcd", 2)):
         rng = random.Random(seed)
@@ -446,15 +456,52 @@ def test_wp_local_differential(spark):
         assert got == _ref_train(dict(wf), 16, mc), (seed, mc)
 
 
-def test_wp_local_exhaustion_truncation_validation(spark):
+def test_wp_auto_local_arm_parity(spark, monkeypatch):
+    """r12 optimization round: under-cap unit tables delegate the
+    whole merge loop to the driver-local exact trainer.  The default
+    call must take the local arm and equal the forced-distributed run
+    bit for bit, IEEE score doubles included."""
+    import data_toolz_spark.operators.bpe as bpemod
+
+    rng = random.Random(877)
+    wf = {}
+    for _ in range(70):
+        w = "".join(
+            rng.choice("abcde#") for _ in range(rng.randint(1, 6))
+        )
+        wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+    df = _word_df(spark, wf)
+
+    st_local: dict = {}
+    got_local = wordpiece_train(
+        df, n_merges=14, min_count=2, stats=st_local
+    )
+    assert st_local["pair_table"] == "local"
+
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 0)
+    st_dist: dict = {}
+    got_dist = wordpiece_train(
+        df, n_merges=14, min_count=2, stats=st_dist
+    )
+    assert st_dist["pair_table"] in ("driver", "distributed")
+
+    assert got_local == got_dist
+    assert got_local == _ref_train(wf, 14, min_count=2)
+
+
+def test_wp_local_exhaustion_truncation_validation(spark, monkeypatch):
     """Early exhaustion parity; max_units truncation equals the
     distributed trainer on the explicit top-N sub-table; input
     validation."""
     from pyspark.sql import functions as F
 
+    import data_toolz_spark.operators.bpe as bpemod
     from data_toolz_spark.operators.wordpiece import (
         wordpiece_train_local,
     )
+
+    # keep the comparison sides DISTRIBUTED (see above)
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 0)
 
     df = _word_df(spark, WORDS)
     got = wordpiece_train_local(df, n_merges=500, min_count=2)

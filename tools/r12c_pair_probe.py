@@ -59,6 +59,10 @@ def main() -> int:
     docs.count()  # warm scan
 
     cap_default = bpemod._DRIVER_PAIR_CAP
+    # the auto-LOCAL gate (landed after this probe's first run) would
+    # otherwise take W1's whole loop driver-local; force it off so the
+    # probe keeps comparing the driver-DICT arm vs the distributed arm
+    bpemod._LOCAL_UNIT_CAP = 0
 
     def run(tag, fn, force_distributed):
         bpemod._DRIVER_PAIR_CAP = 0 if force_distributed else cap_default
