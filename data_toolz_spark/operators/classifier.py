@@ -43,6 +43,18 @@ from pyspark.sql import functions as F
 W_SCALE = 1 << 20
 P_SCALE = 1 << 20
 
+#: driver-LOCAL gate for the GD loops (quantized feature rows).  Every
+#: per-iteration quantity is an integer SUM — associative, so summing
+#: on the driver in int64 numpy gives bit-identical weights to the
+#: distributed aggregates (pinned by the arm-parity tests).  Below
+#: this row cap the whole n_iter loop runs on one bounded Arrow
+#: collect instead of n_iter scheduled Spark jobs (r12 optimization
+#: round, guide §5.4 — the bpe `_LOCAL_UNIT_CAP` twin for
+#: corpus-bounded LABELED sets; an unlabeled 100 TB corpus never
+#: trains, and a labeled set above the cap keeps the distributed
+#: loop).
+_LOCAL_FIT_CAP = 4_194_304
+
 
 @dataclass(frozen=True)
 class LogRegModel:
@@ -164,6 +176,38 @@ def logreg_fit(
                     "rescale the feature to O(1), or subsample the "
                     "labeled set"
                 )
+        if n <= _LOCAL_FIT_CAP:
+            # r12 optimization round (guide §5.4): the labeled set is
+            # bounded — ONE Arrow collect replaces n_iter scheduled
+            # aggregate jobs, and the int64 numpy sums are the same
+            # associative integer sums, so the weights are
+            # bit-identical (arm-parity pinned).  The overflow guard
+            # above already bounds every gradient sum below 2^62.
+            import numpy as np
+
+            pdf = q.toPandas()
+            X = np.ascontiguousarray(
+                pdf[[f"__f{j}" for j in range(k)]].to_numpy(np.int64)
+            )
+            y = pdf["__y"].to_numpy(np.int64)
+            wv = np.zeros(k, np.int64)
+            d = 4 * feature_scale
+            half = P_SCALE // 2
+            denom = lr_den * n * feature_scale
+            for _ in range(n_iter):
+                margin = X @ wv
+                # the exact _p_scaled semantics: floor-divide (numpy
+                # int64 // floors like Python), shift, clamp
+                p = np.clip(margin // d + half, 0, P_SCALE)
+                e = p - y
+                g = X.T @ e
+                wv -= (g * lr_num) // denom
+            return LogRegModel(
+                weights=tuple(int(x) for x in wv),
+                feature_cols=tuple(feats),
+                feature_scale=int(feature_scale),
+                n_iter=n_iter,
+            )
         w = [0] * k
         for _ in range(n_iter):
             margin = sum(
@@ -491,11 +535,75 @@ def multiclass_fit(
         rows = int(stats["rows"])
         if rows == 0:
             raise ValueError("multiclass_fit: no labeled rows")
+        maxf = int(stats["maxf"] or 0)
+        if rows * P_SCALE * max(maxf, 1) >= (1 << 62):
+            raise ValueError(
+                "multiclass_fit: gradient sum can overflow int64 "
+                f"(rows={rows}, max|f|={maxf}) — reduce feature_scale "
+                "or subsample the labeled set"
+            )
+        if rows <= _LOCAL_FIT_CAP:
+            # r12 optimization round (guide §5.4): the quantized
+            # labeled feature frame is bounded — ONE Arrow collect
+            # replaces n_iter scheduled window+aggregate jobs.  Every
+            # per-iteration quantity is the same associative int64
+            # sum (scatter-adds below are exact int64), the
+            # hard-sigmoid is the same floor-divide/clamp, and the
+            # update the same floor division — weights bit-identical
+            # (arm-parity pinned); the overflow guard above bounds
+            # every gradient sum below 2^62.
+            import numpy as np
+
+            pdf = feats.select(
+                F.col(id_col).alias("__id"),
+                F.col(label_col).alias("__lbl"),
+                "bucket",
+                "f",
+            ).toPandas()
+            codes = (
+                pdf.groupby(["__id", "__lbl"], sort=False)
+                .ngroup()
+                .to_numpy(np.int64)
+            )
+            n_groups = int(codes.max()) + 1
+            n = int(pdf["__id"].nunique())
+            lab_idx = {c: i for i, c in enumerate(classes)}
+            li = pdf["__lbl"].map(lab_idx).to_numpy(np.int64)
+            bucket = pdf["bucket"].to_numpy(np.int64)
+            fv = pdf["f"].to_numpy(np.int64)
+            y = np.zeros((n_groups, k), np.int64)
+            y[codes, li] = P_SCALE
+            wv = np.zeros((k, n_buckets + 1), np.int64)
+            d = 4 * feature_scale
+            half = P_SCALE // 2
+            denom = lr_den * n * feature_scale
+            for _ in range(n_iter):
+                rowm = fv[:, None] * wv[:, bucket].T
+                m = np.zeros((n_groups, k), np.int64)
+                np.add.at(m, codes, rowm)
+                pr = np.clip(m // d + half, 0, P_SCALE)
+                e_rows = (pr - y)[codes]
+                g = np.zeros((n_buckets + 1, k), np.int64)
+                np.add.at(g, bucket, e_rows * fv[:, None])
+                wv -= (g.T * lr_num) // denom
+            return MulticlassModel(
+                classes=tuple(classes),
+                n_buckets=int(n_buckets),
+                feature_scale=int(feature_scale),
+                n_iter=int(n_iter),
+                lowercase=bool(lowercase),
+                include_bigrams=bool(include_bigrams),
+                portable=bool(portable),
+                feature_mode=feature_mode,
+                weights=tuple(
+                    tuple(int(x) for x in row) for row in wv
+                ),
+            )
         # right-size the iterated state (the bpe_train device): the
         # loop runs n_iter small jobs over this frame, and scheduling
         # dozens of near-empty tasks per job is pure overhead at demo
         # scale while ~64k feature rows/partition keeps a full-corpus
-        # labeled set at cluster parallelism
+        # labeled set at cluster parallelism — distributed arm only
         p = max(
             1,
             min(feats.rdd.getNumPartitions(), rows // 65_536 + 1),
@@ -508,13 +616,6 @@ def multiclass_fit(
         )
         if n == 0:
             raise ValueError("multiclass_fit: no labeled rows")
-        maxf = int(stats["maxf"] or 0)
-        if rows * P_SCALE * max(maxf, 1) >= (1 << 62):
-            raise ValueError(
-                "multiclass_fit: gradient sum can overflow int64 "
-                f"(rows={rows}, max|f|={maxf}) — reduce feature_scale "
-                "or subsample the labeled set"
-            )
         w = [[0] * (n_buckets + 1) for _ in range(k)]
         for _ in range(n_iter):
             nz = [

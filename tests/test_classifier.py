@@ -313,6 +313,46 @@ def test_multiclass_matches_python_reference(spark):
         assert got == want, mode
 
 
+def test_fit_local_vs_distributed_arms(spark, monkeypatch):
+    """r12 optimization round: below ``_LOCAL_FIT_CAP`` both GD loops
+    run on one bounded Arrow collect with int64 numpy sums.  Weights
+    must be bit-identical to the forced-distributed loops (integer
+    sums are associative; the hard sigmoid and the floor-division
+    update are the same integer ops)."""
+    import data_toolz_spark.operators.classifier as clfmod
+    from data_toolz_spark.operators.classifier import (
+        logreg_fit,
+        multiclass_fit,
+    )
+
+    rows, _ = _mc_corpus(seed=11, n=80)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m_local = multiclass_fit(
+        df, "text", "lang", id_col="doc_id", n_buckets=64,
+        n_iter=4, portable=True,
+    )
+    # logreg on derived numeric features + a 0/1 label
+    lr_df = df.select(
+        F.col("doc_id"),
+        (F.length("text") / 100.0).alias("f1"),
+        (F.col("doc_id") % 7 / 7.0).alias("f2"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    l_local = logreg_fit(lr_df, ["f1", "f2"], "label", n_iter=6)
+
+    monkeypatch.setattr(clfmod, "_LOCAL_FIT_CAP", 0)
+    m_dist = multiclass_fit(
+        df, "text", "lang", id_col="doc_id", n_buckets=64,
+        n_iter=4, portable=True,
+    )
+    l_dist = logreg_fit(lr_df, ["f1", "f2"], "label", n_iter=6)
+
+    assert m_local.weights == m_dist.weights
+    assert m_local == m_dist
+    assert l_local.weights == l_dist.weights
+    assert l_local == l_dist
+
+
 def test_multiclass_repartition_invariance(spark):
     from data_toolz_spark.operators.classifier import multiclass_fit
 
