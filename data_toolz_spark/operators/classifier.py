@@ -201,7 +201,20 @@ def logreg_fit(
                 p = np.clip(margin // d + half, 0, P_SCALE)
                 e = p - y
                 g = X.T @ e
-                wv -= (g * lr_num) // denom
+                # g*lr_num can exceed int64 when lr_num > 1 near the
+                # guard limit (the guard bounds |g| < 2^62 only); the
+                # distributed arm does this step in Python ints, so
+                # fall back to exact Python ints whenever the int64
+                # product could wrap — bit-parity at any lr_num
+                if lr_num > 1 and int(np.abs(g).max()) * lr_num >= (
+                    1 << 63
+                ):
+                    wv -= np.array(
+                        [(int(gj) * lr_num) // denom for gj in g],
+                        np.int64,
+                    )
+                else:
+                    wv -= (g * lr_num) // denom
             return LogRegModel(
                 weights=tuple(int(x) for x in wv),
                 feature_cols=tuple(feats),
@@ -542,7 +555,7 @@ def multiclass_fit(
                 f"(rows={rows}, max|f|={maxf}) — reduce feature_scale "
                 "or subsample the labeled set"
             )
-        if rows <= _LOCAL_FIT_CAP:
+        if rows * max(k, 1) <= _LOCAL_FIT_CAP:
             # r12 optimization round (guide §5.4): the quantized
             # labeled feature frame is bounded — ONE Arrow collect
             # replaces n_iter scheduled window+aggregate jobs.  Every
@@ -551,7 +564,12 @@ def multiclass_fit(
             # hard-sigmoid is the same floor-divide/clamp, and the
             # update the same floor division — weights bit-identical
             # (arm-parity pinned); the overflow guard above bounds
-            # every gradient sum below 2^62.
+            # every gradient sum below 2^62.  The cap gates on
+            # rows × k because the loop's temporaries (rowm, e_rows·fv,
+            # the margin/label matrices) are (rows × k) int64 — the
+            # driver envelope is ~8·rows·k bytes per temporary, ≤32 MB
+            # at the cap, instead of growing unbounded with the class
+            # count (ADVICE r12).
             import numpy as np
 
             pdf = feats.select(
@@ -560,8 +578,12 @@ def multiclass_fit(
                 "bucket",
                 "f",
             ).toPandas()
+            # dropna=False: SQL window partitioning groups NULL ids as
+            # one key per label, so the local arm must too — default
+            # dropna=True coded NULL-id rows -1, silently aliasing
+            # their scatter-adds into the last group (ADVICE r12)
             codes = (
-                pdf.groupby(["__id", "__lbl"], sort=False)
+                pdf.groupby(["__id", "__lbl"], sort=False, dropna=False)
                 .ngroup()
                 .to_numpy(np.int64)
             )
@@ -585,7 +607,25 @@ def multiclass_fit(
                 e_rows = (pr - y)[codes]
                 g = np.zeros((n_buckets + 1, k), np.int64)
                 np.add.at(g, bucket, e_rows * fv[:, None])
-                wv -= (g.T * lr_num) // denom
+                # same exact-fallback as logreg_fit: g·lr_num can wrap
+                # int64 when lr_num > 1 near the guard limit, and the
+                # distributed arm does this step in Python ints
+                if lr_num > 1 and int(np.abs(g).max()) * lr_num >= (
+                    1 << 63
+                ):
+                    gt = g.T
+                    wv -= np.array(
+                        [
+                            [
+                                (int(gt[i, b]) * lr_num) // denom
+                                for b in range(n_buckets + 1)
+                            ]
+                            for i in range(k)
+                        ],
+                        np.int64,
+                    )
+                else:
+                    wv -= (g.T * lr_num) // denom
             return MulticlassModel(
                 classes=tuple(classes),
                 n_buckets=int(n_buckets),

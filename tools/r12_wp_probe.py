@@ -37,10 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+import data_toolz_spark.operators.bpe as bpemod
 from data_toolz_spark.operators.bpe import (
     bpe_ngram_unit_table,
     bpe_word_table,
 )
+
+# This probe measures the DISTRIBUTED per-round machinery (rounds /
+# round_secs telemetry); the r12 auto-local arm neither runs rounds
+# nor reports them, so force the distributed arm like
+# tools/r12c_pair_probe.py does.
+bpemod._LOCAL_UNIT_CAP = 0
 from data_toolz_spark.operators.wordpiece import (
     wordpiece_base_pieces,
     wordpiece_token_count,
