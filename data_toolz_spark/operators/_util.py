@@ -96,13 +96,23 @@ def right_size_iterated_state(
 
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
-    source has fewer splits.
+    source has FAR fewer splits than the cluster has cores.
 
     Compute-heavy per-row stages (shingling, signatures, scoring) are
     CPU-bound: a small parquet file arrives as one split and would pin
     the whole stage to one core.  On a real cluster with many input
     splits this is a no-op — we never *shrink* the partition count, so
     wide inputs keep their natural parallelism.
+
+    Cost guard (r13, guide §2.4 — a repartition "for parallelism" is a
+    full shuffle of every byte, including the text payload): the
+    round-robin only fires when the input covers under ~1/8 of the
+    cores, i.e. when the idle-core deficit is at least 8× and the one
+    extra pass is clearly repaid.  A mid-size input on a wide cluster
+    (say 500 files on 2,000 cores) keeps its natural layout: the ≤8×
+    ceiling on the stage speedup does not buy back shuffling the whole
+    corpus.  The ``max(2, …)`` floor keeps the single-file demo/bench
+    inputs spreading at any core count (the r12 width-fix cases).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -111,7 +121,7 @@ def spread(df: DataFrame) -> DataFrame:
         n_inputs = len(df.inputFiles())
     except Exception:
         return df
-    if 0 < n_inputs < target:
+    if 0 < n_inputs < max(2, target // 8):
         return df.repartition(target)
     return df
 

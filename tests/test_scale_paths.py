@@ -732,3 +732,30 @@ def test_ivf_topk_injected_centers_bit_equal(spark, embeddings):
         for r in ivf_topk(q, embeddings, centers=centers, **cfg).collect()
     }
     assert injected == self_trained
+
+
+def test_spread_deficit_guard(spark, tmp_path):
+    """r13 cost guard: the conditional width-fix round-robin fires only
+    when the input covers under ~1/8 of the cores (max(2, cores//8)
+    files); at or above that the one-pass shuffle of the full payload
+    cannot be repaid by the <=8x stage-speedup ceiling, so spread() is
+    a plan no-op (guide 2.4 -- no repartition "for parallelism")."""
+    from data_toolz_spark.operators._util import spread
+
+    target = spark.sparkContext.defaultParallelism
+    cutoff = max(2, target // 8)
+
+    wide_dir = str(tmp_path / "wide.parquet")
+    spark.range(1000).repartition(cutoff).write.parquet(wide_dir)
+    wide = spark.read.parquet(wide_dir)
+    assert len(wide.inputFiles()) >= cutoff
+    assert spread(wide) is wide  # no-op: deficit too small to repay
+
+    narrow_dir = str(tmp_path / "narrow.parquet")
+    spark.range(1000).coalesce(1).write.parquet(narrow_dir)
+    narrow = spark.read.parquet(narrow_dir)
+    assert len(narrow.inputFiles()) == 1
+    out = spread(narrow)
+    assert out is not narrow
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan
