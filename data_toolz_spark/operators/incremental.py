@@ -340,6 +340,16 @@ def build_minhash_index(
     members, reps = _minhash_members_reps(
         df, id_col, text_col, shingle=shingle
     )
+    # r13 (guide §1.2 — count your scans): the three bucketed writes
+    # below each materialize their own plan, so without a persist the
+    # corpus shingle+hash pass ran THREE times (members, and reps'
+    # groupBy twice).  Persist the shared front half for the build's
+    # duration — one corpus pass feeds all three sinks — and release
+    # as soon as the writes (actions) are done.
+    from pyspark import StorageLevel
+
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
     bucketize = _band_bucket_udf(n_hashes, bands)
     banded = reps.select(
         F.col("__fp").alias("fp"),
@@ -351,27 +361,35 @@ def build_minhash_index(
         "n_hashes int, bands int, shingle int, threshold double",
     )
     meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_mh_meta")
-    io.write_bucketed(
-        banded,
-        f"{table_prefix}_mh_bands",
-        bucket_by=["band", "bucket"],
-        n_buckets=n_buckets,
-        path=None if path is None else f"{path}/bands",
-    )
-    io.write_bucketed(
-        reps.select(F.col("__fp").alias("fp"), F.col("__elems").alias("elems")),
-        f"{table_prefix}_mh_sets",
-        bucket_by=["fp"],
-        n_buckets=n_buckets,
-        path=None if path is None else f"{path}/sets",
-    )
-    io.write_bucketed(
-        members.select(F.col("__fp").alias("fp"), F.col("__id").alias("id")),
-        f"{table_prefix}_mh_members",
-        bucket_by=["fp"],
-        n_buckets=n_buckets,
-        path=None if path is None else f"{path}/members",
-    )
+    try:
+        io.write_bucketed(
+            banded,
+            f"{table_prefix}_mh_bands",
+            bucket_by=["band", "bucket"],
+            n_buckets=n_buckets,
+            path=None if path is None else f"{path}/bands",
+        )
+        io.write_bucketed(
+            reps.select(
+                F.col("__fp").alias("fp"), F.col("__elems").alias("elems")
+            ),
+            f"{table_prefix}_mh_sets",
+            bucket_by=["fp"],
+            n_buckets=n_buckets,
+            path=None if path is None else f"{path}/sets",
+        )
+        io.write_bucketed(
+            members.select(
+                F.col("__fp").alias("fp"), F.col("__id").alias("id")
+            ),
+            f"{table_prefix}_mh_members",
+            bucket_by=["fp"],
+            n_buckets=n_buckets,
+            path=None if path is None else f"{path}/members",
+        )
+    finally:
+        members.unpersist()
+        reps.unpersist()
     # fresh (empty) append journal: the build itself needs no bracket —
     # a died build is rebuilt from scratch — but appends record their
     # begin/commit here so a crash between the three insertIntos is
