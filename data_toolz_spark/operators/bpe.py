@@ -42,6 +42,7 @@ shrinking slice instead of re-exploding the whole vocabulary).
 from __future__ import annotations
 
 import time
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -361,6 +362,228 @@ def _pairs_arr(state_col: Column, sep: str, weight: Column) -> Column:
     )
 
 
+#: r13: use the merge-adjacent WINDOW recount (:func:`_window_delta_rows`)
+#: in the delta arms instead of the full signed re-explode of affected
+#: words.  Module-level so probes/tests can interleave both recount
+#: variants in one session (the r12-established A/B convention) and as
+#: a fallback knob; both variants aggregate to the identical delta
+#: (pinned by test_window_delta_rows_equal_full_signed_recount and the
+#: delta differentials).
+_WINDOW_RECOUNT = True
+
+#: minimum average ENCODED unit length (chars of the sep-wrapped state
+#: string) for the window recount to engage.  Measured crossover
+#: (interleaved A/B, sf0.1, tools/r13_wdelta_ab.py): word table
+#: (~25 wrapped chars) full recount wins 2.60 vs 3.33 s — the two
+#: regex scans cost more than the short explode they replace; trigram
+#: units (~60 chars) flat 24.2 vs 23.8 s; 8-gram units (~129 chars,
+#: 224k rows) window wins 27.1 vs 139.6 s (5.2×) — the long-unit
+#: regime a real subword corpus (and the 100 TB above-local-cap word
+#: vocab with long compounds/URLs) actually runs.  96 sits in the flat
+#: zone between the measured arms.
+_WINDOW_MIN_AVG_LEN = 96.0
+
+
+def _rx_quote(s: str) -> str:
+    """Java-regex literal quoting (``Pattern.quote`` semantics): wrap
+    in ``\\Q…\\E``, splitting around any embedded ``\\E``."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _window_alt_pattern(sep: str, batch: Sequence[tuple]) -> str:
+    """Regex alternation matching exactly the batch's merge patterns
+    (each quoted literally).  Scanning semantics match the sequential
+    ``F.replace`` chain: Java regex finds leftmost non-overlapping
+    matches; occurrences of DIFFERENT accepted patterns can never
+    overlap or start at the same position (the acceptance rules make
+    every pick's {l, r, merged} symbol set disjoint from every other
+    pick's, and matches are separator-aligned), and same-pattern
+    self-overlap resolves greedily left-to-right exactly like
+    ``replace``."""
+    return "|".join(
+        _rx_quote(sep + b[0] + sep + sep + b[1] + sep) for b in batch
+    )
+
+
+def _window_delta_rows(
+    matches_col: Column,
+    parts_col: Column,
+    sep: str,
+    batch: Sequence[tuple[str, str, str]],
+    weight: Column,
+    *,
+    sym_rows: bool = False,
+) -> Column:
+    """Signed pair-count delta of applying a batch of merges, emitted
+    from the merge-adjacent WINDOWS only — ``array<struct<l, r, w>>``
+    summing (per word) to exactly ``pairs(new) − pairs(old)``.
+
+    r13 (VERDICT r12 task 4, guide §2.3 — shuffle/aggregate fewer
+    rows): the r12 recount exploded EVERY pair of every affected word
+    twice (old at −f, new at +f), letting the untouched middle cancel
+    inside the aggregate; this emits only the pairs a merge actually
+    touches (≤ 5 per occurrence instead of ~2·symbols per word).
+
+    ``matches_col``/``parts_col`` are ``regexp_extract_all(s, alt, 0)``
+    and ``split(s, alt, -1)`` over :func:`_window_alt_pattern` — bound
+    as REAL projected columns by the caller (lambda bodies are
+    interpreted per element and re-evaluate embedded subtrees, so the
+    regex scans must happen once per row, not once per occurrence).
+    For occurrence i (1-based; gap i−1 before it, gap i after it):
+
+    * the merged pair itself: ``(l_i, r_i, −w)``;
+    * left boundary — gap nonempty: its last symbol loses ``l_i`` and
+      gains ``m_i``; gap empty with i>1 (adjacent occurrences): the
+      old ``(r_{i−1}, l_i)`` pair dies and ``(m_{i−1}, m_i)`` is born
+      (attributed to the RIGHT occurrence so adjacent occurrences
+      count the shared boundary once); gap empty at i=1: word start,
+      nothing;
+    * right boundary — only when gap i is nonempty: its first symbol
+      detaches from ``r_i`` and attaches to ``m_i``.
+
+    Exactness does NOT need sequential per-pattern states: the delta
+    is ``pairs(final) − pairs(initial)`` directly, and every pair in
+    the untouched gaps appears identically on both sides.  The batch's
+    pairwise symbol-disjointness (acceptance rule 2) guarantees the
+    occurrence set on the INITIAL state equals the union the
+    sequential replaces consume.  ``batch`` entries are ``(l, r,
+    merged_symbol)`` — WordPiece's merged symbol strips the ``##``
+    marker, so it is caller-supplied rather than derived.  With
+    ``sym_rows`` each occurrence also emits the symbol-count delta
+    rows ``(l, NULL, −w), (r, NULL, −w), (m, NULL, +w)`` (the
+    WordPiece tables' ``r IS NULL`` convention).
+    """
+    entries: list[Column] = []
+    for l, r, m in batch:
+        entries.append(F.lit(sep + l + sep + sep + r + sep))
+        entries.append(
+            F.struct(
+                F.lit(l).alias("l"),
+                F.lit(r).alias("r"),
+                F.lit(m).alias("m"),
+            )
+        )
+    info_map = F.create_map(*entries)
+    slen = len(sep)
+    null_s = F.lit(None).cast("string")
+    w_pos = weight.cast("long")
+    w_neg = (-weight).cast("long")
+    empty = F.array().cast("array<struct<l:string,r:string,w:bigint>>")
+
+    def srow(lc: Column, rc: Column, wc: Column) -> Column:
+        return F.struct(lc.alias("l"), rc.alias("r"), wc.alias("w"))
+
+    def first_sym(g: Column) -> Column:
+        # gap strings are concatenations of sep-wrapped symbols; the
+        # first symbol sits between the leading sep and the next one
+        return F.substring(
+            F.substring_index(g, sep, 2), slen + 1, (1 << 30)
+        )
+
+    def last_sym(g: Column) -> Column:
+        t = F.substring_index(g, sep, -2)
+        return F.substring(t, F.lit(1), F.length(t) - slen)
+
+    def occ(i: Column) -> Column:
+        info = F.element_at(info_map, F.element_at(matches_col, i))
+        l, r, m = info["l"], info["r"], info["m"]
+        lg = F.element_at(parts_col, i)
+        rg = F.element_at(parts_col, i + 1)
+        segs = [F.array(srow(l, r, w_neg))]
+        prev = F.element_at(info_map, F.element_at(matches_col, i - 1))
+        segs.append(
+            F.when(
+                lg != "",
+                F.array(
+                    srow(last_sym(lg), l, w_neg),
+                    srow(last_sym(lg), m, w_pos),
+                ),
+            )
+            .when(
+                i > 1,
+                F.array(
+                    srow(prev["r"], l, w_neg),
+                    srow(prev["m"], m, w_pos),
+                ),
+            )
+            .otherwise(empty)
+        )
+        segs.append(
+            F.when(
+                rg != "",
+                F.array(
+                    srow(r, first_sym(rg), w_neg),
+                    srow(m, first_sym(rg), w_pos),
+                ),
+            ).otherwise(empty)
+        )
+        if sym_rows:
+            segs.append(
+                F.array(
+                    srow(l, null_s, w_neg),
+                    srow(r, null_s, w_neg),
+                    srow(m, null_s, w_pos),
+                )
+            )
+        return F.concat(*segs)
+
+    n = F.size(matches_col)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.flatten(F.transform(idx, occ))
+
+
+def _delta_recount_src(
+    affected: DataFrame,
+    sep: str,
+    batch: Sequence[tuple[str, str, str]],
+    *,
+    use_window: bool | None = None,
+) -> DataFrame:
+    """The per-round signed pair recount over the AFFECTED words —
+    one column ``p = struct<l, r, w>`` whose groupBy-sum is the exact
+    pair-count delta of applying ``batch`` (``(l, r, merged)``
+    triples).  With ``use_window`` (callers gate it on
+    :data:`_WINDOW_RECOUNT` and the measured
+    :data:`_WINDOW_MIN_AVG_LEN` length crossover) only the
+    merge-adjacent windows are emitted; otherwise every affected
+    word's pairs re-explode twice (old at −f, new at +f) like r12 —
+    both aggregate identically (differential-pinned)."""
+    if use_window is None:
+        use_window = _WINDOW_RECOUNT
+    if use_window:
+        alt = _window_alt_pattern(sep, batch)
+        return affected.select(
+            "f",
+            F.regexp_extract_all(
+                F.col("s"), F.lit(alt), F.lit(0)
+            ).alias("__m"),
+            F.split(F.col("s"), alt, -1).alias("__p"),
+        ).select(
+            F.explode(
+                _window_delta_rows(
+                    F.col("__m"),
+                    F.col("__p"),
+                    sep,
+                    list(batch),
+                    F.col("f"),
+                )
+            ).alias("p")
+        )
+    pats = [sep + l + sep + sep + r + sep for l, r, _ in batch]
+    reps = [sep + m + sep for _, _, m in batch]
+    expr = _fold_replaces(F.col("s"), list(zip(pats, reps)))
+    return affected.select(
+        F.explode(
+            F.concat(
+                _pairs_arr(F.col("s"), sep, -F.col("f")),
+                _pairs_arr(expr, sep, F.col("f")),
+            )
+        ).alias("p")
+    )
+
+
 def bpe_train(
     words: DataFrame,
     *,
@@ -431,10 +654,13 @@ def bpe_train(
       the same 256 merges).
 
     ``stats``, if given a dict, is filled with loop telemetry:
-    ``rounds`` (aggregation rounds run), ``batch_sizes`` (accepted
-    merges per round), ``round_secs`` (wall per round, driver-side),
-    and ``pair_mode`` (the resolved mode) — probe/observability
-    surface, zero extra Spark jobs.
+    ``pair_mode`` (the resolved mode) always, plus, on the distributed
+    arms, ``rounds`` (aggregation rounds run), ``batch_sizes``
+    (accepted merges per round) and ``round_secs`` (wall per round,
+    driver-side) — probe/observability surface, zero extra Spark
+    jobs.  The r12 auto-local arm (``pair_mode == "local"``) reports
+    the driver trainer's shape instead (``merges``, ``train_secs``,
+    ``pair_table`` — there are no per-round Spark jobs to time).
     """
     if batch_size < 1:
         raise ValueError("bpe_train: batch_size must be >= 1")
@@ -459,7 +685,18 @@ def bpe_train(
         right_size_iterated_state,
     )
 
-    n_rows = state.count()
+    # one pricing job yields BOTH the row count (arm gates / state
+    # right-sizing) and the average encoded-unit length (the r13
+    # window-recount crossover gate) — same single aggregate as the
+    # old count()
+    _pr = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length("s")).alias("alen"),
+    ).collect()[0]
+    n_rows = int(_pr["n"])
+    use_window = _WINDOW_RECOUNT and (
+        float(_pr["alen"] or 0.0) >= _WINDOW_MIN_AVG_LEN
+    )
     if (
         pair_mode == "auto"
         and sep == BPE_SEP
@@ -625,19 +862,21 @@ def bpe_train(
             break
         if pair_cnt is not None:
             # driver-arm delta: ONE job — aggregate the signed recount
-            # of exactly the affected words and fold it into the dict
+            # of exactly the affected words and fold it into the dict.
+            # r13 (VERDICT r12 task 4): the recount emits only the
+            # merge-adjacent WINDOWS (see _window_delta_rows) instead
+            # of re-exploding every pair of every affected word twice —
+            # and no longer evaluates the replace chain at all (the
+            # rewrite happens once, in the state update below).
             aff_pred = F.exists(
                 F.lit(pats), lambda p: F.col("s").contains(p)
             )
             folded = (
-                state.filter(aff_pred)
-                .select(
-                    F.explode(
-                        F.concat(
-                            _pairs_arr(F.col("s"), sep, -F.col("f")),
-                            _pairs_arr(expr, sep, F.col("f")),
-                        )
-                    ).alias("p")
+                _delta_recount_src(
+                    state.filter(aff_pred),
+                    sep,
+                    [(l, r, l + r) for l, r, _ in batch],
+                    use_window=use_window,
                 )
                 .groupBy(
                     F.col("p.l").alias("l"), F.col("p.r").alias("r")
@@ -661,25 +900,22 @@ def bpe_train(
             # by rule 2) — so the signed recount of exactly those words
             # is the EXACT pair-count delta of the round.  The pattern
             # list rides as ONE array literal (an OR-chain of B
-            # contains re-paid its analysis cost every round)
+            # contains re-paid its analysis cost every round).
+            # r13 (VERDICT r12 task 4): the recount emits only the
+            # merge-adjacent WINDOWS (_window_delta_rows) instead of
+            # re-exploding every pair of every affected word twice.
             aff_pred = F.exists(
                 F.lit(pats), lambda p: F.col("s").contains(p)
             )
-            delta_rows = (
-                state.filter(aff_pred)
-                .select(
-                    F.explode(
-                        F.concat(
-                            _pairs_arr(F.col("s"), sep, -F.col("f")),
-                            _pairs_arr(expr, sep, F.col("f")),
-                        )
-                    ).alias("p")
-                )
-                .select(
-                    F.col("p.l").alias("l"),
-                    F.col("p.r").alias("r"),
-                    F.col("p.w").alias("cnt"),
-                )
+            delta_rows = _delta_recount_src(
+                state.filter(aff_pred),
+                sep,
+                [(l, r, l + r) for l, r, _ in batch],
+                use_window=use_window,
+            ).select(
+                F.col("p.l").alias("l"),
+                F.col("p.r").alias("r"),
+                F.col("p.w").alias("cnt"),
             )
             prev_pairs = pairs
             pairs = (

@@ -132,8 +132,11 @@ def wordpiece_train(
     each round costs exactly ONE Spark job (the recount); above the
     cap both stay persisted DataFrames with broadcast-joined argmax
     rounds, exactly the r12-build behavior.  ``stats`` (optional dict)
-    receives ``rounds``, ``round_secs`` and ``pair_table`` telemetry
-    like :func:`bpe.bpe_train`.
+    receives ``pair_table`` telemetry plus, on the distributed arms,
+    ``rounds``/``round_secs`` like :func:`bpe.bpe_train`; the r12
+    auto-local arm (``pair_table == "local"``) reports the driver
+    trainer's shape instead (``merges``, ``train_secs`` — there are no
+    per-round Spark jobs to time).
     """
     if n_merges < 0:
         raise ValueError("wordpiece_train: n_merges must be >= 0")
@@ -150,7 +153,15 @@ def wordpiece_train(
         right_size_iterated_state,
     )
 
-    n_rows = state.count()
+    # one pricing job: row count (arm gates / right-sizing) + average
+    # encoded-unit length (the r13 window-recount crossover gate —
+    # see bpe._WINDOW_MIN_AVG_LEN for the measured arms)
+    _pr = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length("s")).alias("alen"),
+    ).collect()[0]
+    n_rows = int(_pr["n"])
+    _avg_len = float(_pr["alen"] or 0.0)
     from data_toolz_spark.operators.bpe import _LOCAL_UNIT_CAP
 
     if sep == BPE_SEP and n_merges > 0 and n_rows <= _LOCAL_UNIT_CAP:
@@ -343,10 +354,42 @@ def wordpiece_train(
         # pattern change any pair or symbol count — the signed
         # recount of exactly those words is the exact delta of both
         # tables, and the sym rows ride the same exploded array as
-        # the pair rows (r = NULL tags them)
-        upd = (
-            state.filter(F.col("s").contains(pat))
-            .select(
+        # the pair rows (r = NULL tags them).  r13 (VERDICT r12 task
+        # 4): the recount emits only the merge-adjacent WINDOWS
+        # (bpe._window_delta_rows with sym_rows=True) instead of
+        # re-exploding every pair and symbol of every affected word
+        # twice — and no longer evaluates the replace on the recount
+        # side at all.
+        import data_toolz_spark.operators.bpe as bpemod
+
+        if bpemod._WINDOW_RECOUNT and (
+            _avg_len >= bpemod._WINDOW_MIN_AVG_LEN
+        ):
+            alt = bpemod._window_alt_pattern(sep, [(l, r)])
+            src = (
+                state.filter(F.col("s").contains(pat))
+                .select(
+                    "f",
+                    F.regexp_extract_all(
+                        F.col("s"), F.lit(alt), F.lit(0)
+                    ).alias("__m"),
+                    F.split(F.col("s"), alt, -1).alias("__p"),
+                )
+                .select(
+                    F.explode(
+                        bpemod._window_delta_rows(
+                            F.col("__m"),
+                            F.col("__p"),
+                            sep,
+                            [(l, r, merged)],
+                            F.col("f"),
+                            sym_rows=True,
+                        )
+                    ).alias("p")
+                )
+            )
+        else:
+            src = state.filter(F.col("s").contains(pat)).select(
                 F.explode(
                     F.concat(
                         _pairs_arr(F.col("s"), sep, -F.col("f")),
@@ -356,9 +399,9 @@ def wordpiece_train(
                     )
                 ).alias("p")
             )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("p.w").alias("cnt"))
-        )
+        upd = src.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("p.w").alias("cnt"))
         if pair_cnt is not None:
             # driver-arm delta: ONE job — collect the signed recount
             # and fold it into both dicts (r = NULL rows are symbols)

@@ -854,3 +854,123 @@ def test_bpe_local_hypothesis_differential(spark):
         assert _as_tuples(got) == _ref_train(dict(wf), 12, mc)
 
     prop()
+
+
+def test_window_delta_rows_equal_full_signed_recount(spark):
+    """r13: the merge-adjacent WINDOW recount (_window_delta_rows) must
+    aggregate to exactly the full signed recount (old pairs at -f, new
+    pairs at +f) for random words and random disjoint batches -- the
+    exactness property both delta arms now rely on.  Covers multi-char
+    symbols, l == r self-overlap runs, adjacent occurrences, and word
+    boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_toolz_spark.operators.bpe import (
+        BPE_SEP,
+        _fold_replaces,
+        _pairs_arr,
+        _window_alt_pattern,
+        _window_delta_rows,
+    )
+
+    sep = BPE_SEP
+    rng = random.Random(1301)
+    pool = list("abcdef") + ["ab", "cd", "ef", "abc"]
+    for _ in range(8):
+        words = []
+        for _i in range(24):
+            syms = [rng.choice(pool) for _j in range(rng.randint(1, 12))]
+            words.append(
+                ("".join(sep + s + sep for s in syms), rng.randint(1, 5))
+            )
+        batch, used = [], set()
+        for _k in range(rng.randint(1, 4)):
+            for _try in range(20):
+                l, r = rng.choice(pool), rng.choice(pool)
+                if {l, r, l + r} & used:
+                    continue
+                batch.append((l, r, l + r))
+                used |= {l, r, l + r}
+                break
+        df = spark.createDataFrame(words, "s string, f long")
+        pats = [sep + l + sep + sep + r + sep for l, r, _ in batch]
+        reps = [sep + m + sep for _, _, m in batch]
+        expr = _fold_replaces(F.col("s"), list(zip(pats, reps)))
+        full = {
+            (rw["l"], rw["r"]): rw["cnt"]
+            for rw in df.select(
+                F.explode(
+                    F.concat(
+                        _pairs_arr(F.col("s"), sep, -F.col("f")),
+                        _pairs_arr(expr, sep, F.col("f")),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("p.w").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .collect()
+        }
+        alt = _window_alt_pattern(sep, batch)
+        win = {
+            (rw["l"], rw["r"]): rw["cnt"]
+            for rw in df.select(
+                "f",
+                F.regexp_extract_all(
+                    F.col("s"), F.lit(alt), F.lit(0)
+                ).alias("__m"),
+                F.split(F.col("s"), alt, -1).alias("__p"),
+            )
+            .select(
+                F.explode(
+                    _window_delta_rows(
+                        F.col("__m"), F.col("__p"), sep, batch, F.col("f")
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("p.w").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .collect()
+        }
+        assert win == full, (batch, {
+            k: (full.get(k), win.get(k))
+            for k in set(full) | set(win)
+            if full.get(k) != win.get(k)
+        })
+
+
+def test_bpe_window_recount_toggle_parity(spark, monkeypatch):
+    """r13: bpe_train's delta arms produce the identical merge list
+    with the windowed recount (default) and the r12 full signed
+    recount (_WINDOW_RECOUNT=False) -- the toggle is a measurement/
+    fallback knob, never a semantics switch."""
+    import data_toolz_spark.operators.bpe as bpemod
+
+    rows = [
+        ("banana", 40), ("bandana", 30), ("cabana", 22),
+        ("ananas", 18), ("nab", 11), ("abba", 7), ("baobab", 5),
+    ]
+    words = spark.createDataFrame(rows, "word string, freq long")
+    monkeypatch.setattr(bpemod, "_LOCAL_UNIT_CAP", 0)
+    # zero the length crossover so the window arm engages on these
+    # short demo words (production gates it to long-unit tables)
+    monkeypatch.setattr(bpemod, "_WINDOW_MIN_AVG_LEN", 0.0)
+    out = {}
+    for flag in (True, False):
+        monkeypatch.setattr(bpemod, "_WINDOW_RECOUNT", flag)
+        out[flag] = bpemod.bpe_train(
+            words, n_merges=12, min_count=2, batch_size=4,
+            pair_mode="delta",
+        )
+    assert out[True] == out[False]
+
+    from data_toolz_spark.operators.wordpiece import wordpiece_train
+
+    wp = {}
+    for flag in (True, False):
+        monkeypatch.setattr(bpemod, "_WINDOW_RECOUNT", flag)
+        wp[flag] = wordpiece_train(words, n_merges=8, min_count=2)
+    assert wp[True] == wp[False]
