@@ -15,6 +15,19 @@ from data_toolz_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# r13 (VERDICT item 2 — the driver's pytest gate no longer completed
+# in its capture window): the suite runs on sf0.001 (hundreds of rows
+# per table), where per-JOB scheduling dominates — e.g. the gumbel
+# law test's single query ran 400 stages × 32 tasks of 3 rows each.
+# local[*]=32 threads + 32 shuffle partitions bought nothing at this
+# data size and tripled task counts; 8/8 measured ~2× faster on the
+# slowest files with identical results (every test is
+# partitioning-independent by design — the repartition-invariance
+# tests pin that property explicitly with their own counts).  Both
+# knobs stay env-overridable for experiments.
+TEST_CPUS = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+TEST_SHUFFLE = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -27,8 +40,8 @@ def spark():
     warehouse = tempfile.mkdtemp(prefix="dts-test-warehouse-")
     session = get_spark(
         app_name="data_toolz_spark-tests",
-        master="local[*]",
-        shuffle_partitions=32,
+        master=f"local[{TEST_CPUS}]",
+        shuffle_partitions=TEST_SHUFFLE,
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "4g",

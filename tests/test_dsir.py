@@ -124,10 +124,18 @@ def test_gumbel_k1_is_softmax_sampling(spark):
         rows.append(
             gumbel_topk_sample(df, "w", k=1, key_cols=["id"], seed=s)
         )
-    # union all draws into one job instead of 400 collects
-    import functools
-
-    all_draws = functools.reduce(lambda a, b: a.unionByName(b), rows)
+    # union all draws into one job instead of 400 collects — as a
+    # BALANCED tree: the left-deep reduce built a 400-deep plan whose
+    # Catalyst analysis alone took ~2 min (guide §3.3, planning time on
+    # very wide/deep unions); depth log2(400) ≈ 9 plans in seconds
+    while len(rows) > 1:
+        rows = [
+            rows[i].unionByName(rows[i + 1])
+            if i + 1 < len(rows)
+            else rows[i]
+            for i in range(0, len(rows), 2)
+        ]
+    all_draws = rows[0]
     for r in all_draws.collect():
         wins[r["id"]] += 1
     z = 1 + 3 + 6
